@@ -1,0 +1,63 @@
+"""Canonical HTML <-> text: the frozen extraction contract.
+
+The engine's input is Common-Crawl-style pages ``(url, warc_ts, html, text,
+lang)`` (BASELINE.json input_hint). The per-row invariant is
+``extract_text(html) == text`` **byte-identical per url** — so both the page
+generator (writes html from text) and the extractor (recovers text from html)
+live here as one frozen pure-function pair with no platform dependence.
+
+The reference has no HTML path (it reads CoNLL files, loader.py:21-42); the
+invariant replaces the reference's implicit "the corpus file is the truth"
+contract for web-scale input.
+"""
+
+from __future__ import annotations
+
+import re
+
+_ESCAPES = [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")]
+_P_RE = re.compile(rb"<p>(.*?)</p>", re.DOTALL)
+_TITLE_RE = re.compile(rb"<title>(.*?)</title>", re.DOTALL)
+
+
+def escape(s: str) -> str:
+    for raw, esc in _ESCAPES:
+        s = s.replace(raw, esc)
+    return s
+
+
+def unescape(s: str) -> str:
+    for raw, esc in reversed(_ESCAPES):
+        s = s.replace(esc, raw)
+    return s
+
+
+def page_html(title: str, text: str) -> bytes:
+    """Render canonical page HTML. Each line of ``text`` becomes one <p>."""
+    parts = [
+        "<html><head><title>",
+        escape(title),
+        "</title></head><body>",
+    ]
+    if text:
+        for line in text.split("\n"):
+            parts.append("<p>")
+            parts.append(escape(line))
+            parts.append("</p>")
+    parts.append("</body></html>")
+    return "".join(parts).encode("utf-8")
+
+
+def extract_text(html: bytes) -> str:
+    """Extract text from canonical HTML: one line per <p>, entities unescaped.
+
+    Inverse of :func:`page_html` by construction — the byte-identity
+    invariant ``extract_text(page_html(t, text)) == text`` is property-tested.
+    """
+    paras = _P_RE.findall(html)
+    return "\n".join(unescape(p.decode("utf-8")) for p in paras)
+
+
+def extract_title(html: bytes) -> str:
+    m = _TITLE_RE.search(html)
+    return unescape(m.group(1).decode("utf-8")) if m else ""
