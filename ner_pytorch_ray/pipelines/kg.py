@@ -1,0 +1,70 @@
+"""The flagship knowledge-graph construction DAG (SURVEY.md §3, north_star).
+
+    pages (url, warc_ts, html, text, lang)
+      -> extract (byte-identity invariant, drop html)
+      -> sentences (vectorized split, (url, sent_id) keys)
+      -> tag (gazetteer vectorized | BiLSTM-CRF actor pool)
+      -> mentions (conlleval-exact vectorized spans)
+      -> link (alias exact + cosine actor pool)
+      -> edges (co-sentence pairs, combiner + groupby, sorted)
+      -> nodes (canonicalization groupby, sorted)
+
+Everything streams; nothing materializes the full dataset driver-side.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data
+
+from ner_pytorch_ray.sources.pages import pages_from_documents, read_pages
+from ner_pytorch_ray.stages.extract import extract_stage
+from ner_pytorch_ray.stages.sentences import sentences_stage
+from ner_pytorch_ray.stages.gazetteer import gazetteer_tag_stage
+from ner_pytorch_ray.stages.mentions import mentions_stage
+from ner_pytorch_ray.stages.linker import (
+    link_stage,
+    gazetteer_alias_table,
+)
+from ner_pytorch_ray.stages.graph import edges_from_linked, nodes_from_linked
+
+
+def linked_mentions(
+    pages: ray.data.Dataset,
+    alias_table: pa.Table | None = None,
+    tagger: str = "gazetteer",
+    zeros: bool = True,
+) -> ray.data.Dataset:
+    """pages -> linked mention rows (shared prefix of the KG DAG)."""
+    sents = sentences_stage(extract_stage(pages), zeros=zeros)
+    if tagger == "gazetteer":
+        tagged = gazetteer_tag_stage(sents)
+    else:
+        raise ValueError(f"unknown tagger {tagger!r}")
+    mentions = mentions_stage(tagged)
+    if alias_table is None:
+        alias_table = gazetteer_alias_table()
+    return link_stage(mentions, alias_table)
+
+
+def kg_from_documents(sf_dir: str, tagger: str = "gazetteer"):
+    """Full DAG over the documents-derived pages at ``sf_dir``.
+
+    Returns (edges_ds, nodes_ds) — both lazy, sorted, ready to write.
+    """
+    pages = pages_from_documents(sf_dir)
+    linked = linked_mentions(pages, tagger=tagger)
+    return edges_from_linked(linked), nodes_from_linked(linked)
+
+
+def kg_from_pages_parquet(path: str, tagger: str = "gazetteer"):
+    pages = read_pages(path)
+    linked = linked_mentions(pages, tagger=tagger)
+    return edges_from_linked(linked), nodes_from_linked(linked)
+
+
+def write_graph(edges: ray.data.Dataset, nodes: ray.data.Dataset, out_dir: str):
+    """Materialize the graph as partitioned parquet (resumable layout)."""
+    edges.write_parquet(f"{out_dir}/edges")
+    nodes.write_parquet(f"{out_dir}/nodes")

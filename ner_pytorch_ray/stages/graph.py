@@ -1,0 +1,119 @@
+"""Graph materialization: linked mentions -> canonicalized nodes + deduped,
+sorted edges (A4/D6/O8 in SURVEY.md).
+
+Scale design:
+  * **Pair generation is shuffle-free**: mentions of one sentence are
+    contiguous within a block (mentions_stage contract), so co-sentence
+    pairs are emitted inside ``map_batches``.
+  * **All aggregations are two-phase**: a partial combine inside
+    ``map_batches`` collapses each block to at most |distinct keys| rows
+    *before* the shuffle, so the ``groupby`` moves pre-aggregated partials —
+    this is the salted/combiner answer to head-entity skew called out in
+    BASELINE.json (a hot entity contributes one partial row per block, not
+    one row per mention).
+  * Final ``sort`` orders edges by (subj, pred, obj) — the output contract.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+CO_OCCURS = "co_occurs_with"
+
+
+def _pairs_partial(batch: pa.Table) -> pa.Table:
+    """Co-sentence entity pairs, pre-aggregated within the block."""
+    df = batch.select(["url", "sent_id", "entity_id"]).to_pandas()
+    df = df[df["entity_id"] != ""]
+    if df.empty:
+        return pa.Table.from_pydict(
+            {
+                "subj": pa.array([], type=pa.string()),
+                "pred": pa.array([], type=pa.string()),
+                "obj": pa.array([], type=pa.string()),
+                "weight": pa.array([], type=pa.int64()),
+                "sample_url": pa.array([], type=pa.string()),
+            }
+        )
+    # distinct entities per sentence
+    df = df.drop_duplicates(["url", "sent_id", "entity_id"])
+    df = df.sort_values(["url", "sent_id", "entity_id"], kind="stable")
+
+    counts: dict[tuple[str, str], int] = {}
+    sample: dict[tuple[str, str], str] = {}
+    # iterate sentence groups (bounded by #sentences in the block)
+    for (url, _sid), g in df.groupby(["url", "sent_id"], sort=False):
+        ents = g["entity_id"].to_numpy()
+        k = len(ents)
+        if k < 2:
+            continue
+        for a in range(k - 1):
+            for b in range(a + 1, k):
+                key = (ents[a], ents[b])
+                counts[key] = counts.get(key, 0) + 1
+                prev = sample.get(key)
+                if prev is None or url < prev:
+                    sample[key] = url
+    keys = sorted(counts)
+    return pa.Table.from_pydict(
+        {
+            "subj": pa.array([k[0] for k in keys], type=pa.string()),
+            "pred": pa.array([CO_OCCURS] * len(keys), type=pa.string()),
+            "obj": pa.array([k[1] for k in keys], type=pa.string()),
+            "weight": pa.array([counts[k] for k in keys], type=pa.int64()),
+            "sample_url": pa.array([sample[k] for k in keys], type=pa.string()),
+        }
+    )
+
+
+def _merge_edges(batch: pd.DataFrame) -> pd.DataFrame:
+    g = (
+        batch.groupby(["subj", "pred", "obj"], sort=False, as_index=False)
+        .agg(weight=("weight", "sum"), sample_url=("sample_url", "min"))
+    )
+    return g
+
+
+def edges_from_linked(mentions: ray.data.Dataset) -> ray.data.Dataset:
+    """linked mentions -> (subj, pred, obj, weight, sample_url), deduped,
+    sorted by (subj, pred, obj)."""
+    partial = mentions.map_batches(_pairs_partial, batch_format="pyarrow")
+    merged = partial.groupby(["subj", "pred", "obj"]).map_groups(
+        _merge_edges, batch_format="pandas"
+    )
+    return merged.sort(["subj", "pred", "obj"])
+
+
+def _nodes_partial(batch: pa.Table) -> pa.Table:
+    cols = ["entity_id", "tag_type", "surface"]
+    df = batch.select(cols).to_pandas()
+    df = df[df["entity_id"] != ""]
+    g = df.groupby(cols, sort=True, as_index=False).size()
+    return pa.Table.from_pydict(
+        {
+            "entity_id": pa.array(g["entity_id"], type=pa.string()),
+            "tag_type": pa.array(g["tag_type"], type=pa.string()),
+            "surface": pa.array(g["surface"], type=pa.string()),
+            "n_mentions": pa.array(g["size"].to_numpy(), type=pa.int64()),
+        }
+    )
+
+
+def _merge_nodes(batch: pd.DataFrame) -> pd.DataFrame:
+    return batch.groupby(
+        ["entity_id", "tag_type", "surface"], sort=False, as_index=False
+    ).agg(n_mentions=("n_mentions", "sum"))
+
+
+def nodes_from_linked(mentions: ray.data.Dataset) -> ray.data.Dataset:
+    """Canonicalization (A4): groupby (entity_id, tag_type, surface) with a
+    block-local partial count before the shuffle; sorted output."""
+    partial = mentions.map_batches(_nodes_partial, batch_format="pyarrow")
+    merged = partial.groupby(["entity_id", "tag_type", "surface"]).map_groups(
+        _merge_nodes, batch_format="pandas"
+    )
+    return merged.sort(["entity_id", "tag_type", "surface"])

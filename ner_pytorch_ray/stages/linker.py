@@ -1,0 +1,148 @@
+"""Entity linker: alias-table exact hit, else embedding-cosine k-NN.
+
+Ray-Data re-expression of the reference's Word_Replacement / Neighbor_finder
+(word_rep.py:26-38, 40-180, 183-215; J3/J4 in SURVEY.md §2.4):
+
+  * the alias table (entity_id, tag_type, surface, vec) is the small side —
+    broadcast once via ``ray.put`` and materialized per actor in
+    ``__init__``, never per batch;
+  * exact lookup = hash probe on (tag_type, lower surface)
+    (reference word_rep.py:101-108);
+  * fallback = cosine over L2-normalized per-type embedding matrices
+    (reference uses FAISS Flat-IP after normalize_L2 == cosine; we use a
+    numpy matmul — identical math, no FAISS in this sandbox);
+  * ``link_method`` records which path linked each mention.
+
+Mentions without a vec column can only exact-link; misses get
+entity_id = "" and link_method = "none".
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def build_alias_state(alias_table: pa.Table) -> dict:
+    """Precompute exact-lookup dict + per-type normalized matrices."""
+    tag_types = alias_table.column("tag_type").to_pylist()
+    surfaces = alias_table.column("surface").to_pylist()
+    entity_ids = alias_table.column("entity_id").to_pylist()
+    has_vec = "vec" in alias_table.column_names
+    vecs = alias_table.column("vec").to_pylist() if has_vec else None
+
+    exact: dict[tuple[str, str], str] = {}
+    per_type: dict[str, dict] = {}
+    for i, (t, s, e) in enumerate(zip(tag_types, surfaces, entity_ids)):
+        exact.setdefault((t, s.lower()), e)
+        if has_vec:
+            d = per_type.setdefault(t, {"ids": [], "vecs": []})
+            d["ids"].append(e)
+            d["vecs"].append(vecs[i])
+    mats = {}
+    for t, d in per_type.items():
+        m = np.asarray(d["vecs"], dtype=np.float32)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mats[t] = {"ids": d["ids"], "mat": m / norms}
+    return {"exact": exact, "mats": mats}
+
+
+class LinkerActor:
+    """Stateful map_batches callable: alias state built once per actor."""
+
+    def __init__(self, alias_ref, min_cosine: float = 0.5):
+        state = ray.get(alias_ref) if isinstance(alias_ref, ray.ObjectRef) else alias_ref
+        if isinstance(state, pa.Table):
+            state = build_alias_state(state)
+        self.exact = state["exact"]
+        self.mats = state["mats"]
+        self.min_cosine = min_cosine
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tag_types = batch.column("tag_type").to_pylist()
+        surfaces = batch.column("surface").to_pylist()
+        n = len(batch)
+        has_vec = "vec" in batch.column_names
+        vecs = (
+            np.asarray(batch.column("vec").to_pylist(), dtype=np.float32)
+            if has_vec and n
+            else None
+        )
+
+        entity_ids = [""] * n
+        scores = np.zeros(n, dtype=np.float32)
+        methods = ["none"] * n
+
+        # exact pass
+        miss_idx: list[int] = []
+        for i, (t, s) in enumerate(zip(tag_types, surfaces)):
+            e = self.exact.get((t, s.lower()))
+            if e is not None:
+                entity_ids[i] = e
+                scores[i] = 1.0
+                methods[i] = "exact"
+            else:
+                miss_idx.append(i)
+
+        # cosine fallback, batched per tag type (one matmul per type)
+        if miss_idx and vecs is not None and self.mats:
+            by_type: dict[str, list[int]] = {}
+            for i in miss_idx:
+                by_type.setdefault(tag_types[i], []).append(i)
+            for t, idxs in by_type.items():
+                m = self.mats.get(t)
+                if m is None:
+                    continue
+                q = vecs[idxs]
+                qn = np.linalg.norm(q, axis=1, keepdims=True)
+                qn[qn == 0] = 1.0
+                sims = (q / qn) @ m["mat"].T  # [k, n_aliases]
+                best = np.argmax(sims, axis=1)
+                for row, i in enumerate(idxs):
+                    s = float(sims[row, best[row]])
+                    if s >= self.min_cosine:
+                        entity_ids[i] = m["ids"][best[row]]
+                        scores[i] = s
+                        methods[i] = "cosine"
+
+        out = batch
+        out = out.append_column("entity_id", pa.array(entity_ids, type=pa.string()))
+        out = out.append_column("link_score", pa.array(scores))
+        out = out.append_column("link_method", pa.array(methods, type=pa.string()))
+        return out
+
+
+def link_stage(
+    mentions: ray.data.Dataset,
+    alias_table: pa.Table,
+    concurrency: int | tuple[int, int] = (1, 4),
+    min_cosine: float = 0.5,
+    batch_size: int | None = 4096,
+) -> ray.data.Dataset:
+    """Broadcast the alias state once (ray.put) and link on an actor pool."""
+    state_ref = ray.put(build_alias_state(alias_table))
+    return mentions.map_batches(
+        LinkerActor,
+        fn_constructor_args=(state_ref, min_cosine),
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+    )
+
+
+def gazetteer_alias_table() -> pa.Table:
+    """Alias table for the frozen gazetteer (no vecs — exact-only linking)."""
+    from ner_pytorch_ray.stages.gazetteer import GAZETTEER, BIGRAMS
+
+    rows = [
+        {"entity_id": eid, "tag_type": t, "surface": s}
+        for s, (t, eid) in GAZETTEER.items()
+    ] + [
+        {"entity_id": eid, "tag_type": t, "surface": " ".join(ws)}
+        for ws, (t, eid) in BIGRAMS.items()
+    ]
+    return pa.Table.from_pylist(rows)
