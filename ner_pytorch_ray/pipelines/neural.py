@@ -1,0 +1,91 @@
+"""Neural KG path: vocab build -> encode -> BiLSTM-CRF actor pool -> mentions.
+
+The full reference inference lifecycle (SURVEY.md §3.3) re-expressed on Ray
+Data, with a frozen deterministic model (no training in this sandbox). The
+single-process oracle for parity tests is the same numpy model called
+sentence-by-sentence — the distributed pipeline must emit identical tags for
+every (url, sent_id) regardless of batching/partitioning.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import ray.data
+
+from ner_pytorch_ray.sources.pages import pages_from_documents
+from ner_pytorch_ray.stages.extract import extract_stage
+from ner_pytorch_ray.stages.sentences import sentences_stage
+from ner_pytorch_ray.stages.encode import encode_stage
+from ner_pytorch_ray.stages.tagger import tagger_stage
+from ner_pytorch_ray.stages.mentions import mentions_stage
+from ner_pytorch_ray.state.vocab import (
+    IOBES_TAGSET,
+    char_mapping,
+    tag_mapping_from_tagset,
+    word_mapping,
+)
+from ner_pytorch_ray.state.model import init_weights
+
+DEFAULT_SEED = 1234
+
+
+def build_vocab_state(sentences: ray.data.Dataset) -> dict:
+    """Distributed vocab counts -> driver-side deterministic mappings."""
+    word_to_id, id_to_word = word_mapping(sentences, lower=True, min_freq=3)
+    char_to_id, id_to_char = char_mapping(sentences)
+    tag_to_id, id_to_tag = tag_mapping_from_tagset(IOBES_TAGSET)
+    return {
+        "word_to_id": word_to_id,
+        "id_to_word": id_to_word,
+        "char_to_id": char_to_id,
+        "id_to_char": id_to_char,
+        "tag_to_id": tag_to_id,
+        "id_to_tag": id_to_tag,
+    }
+
+
+def frozen_weights(vocab: dict, seed: int = DEFAULT_SEED) -> dict[str, np.ndarray]:
+    return init_weights(
+        n_words=len(vocab["word_to_id"]),
+        n_chars=len(vocab["char_to_id"]),
+        n_tags=len(vocab["tag_to_id"]),
+        word_dim=50,
+        char_dim=16,
+        char_out=16,
+        hidden=32,
+        seed=seed,
+    )
+
+
+def neural_tagged_sentences(
+    sf_dir: str,
+    seed: int = DEFAULT_SEED,
+    concurrency: int | tuple[int, int] = (1, 8),
+    batch_size: int = 256,
+):
+    """pages(sf_dir documents) -> tagged sentences (+ vocab/weights state).
+
+    Returns (tagged_ds, vocab, weights). The vocab build consumes the
+    sentence stream once (counts only — small shuffle); the main pass then
+    re-reads and tags. At 100 TB the vocab pass reads a sample or a
+    precomputed vocab table instead; the API takes any pages Dataset.
+    """
+    pages = pages_from_documents(sf_dir)
+    sents = sentences_stage(extract_stage(pages), zeros=True)
+    vocab = build_vocab_state(sents)
+    weights = frozen_weights(vocab, seed)
+    encoded = encode_stage(sents, vocab["word_to_id"], vocab["char_to_id"])
+    tagged = tagger_stage(
+        encoded,
+        weights,
+        vocab["id_to_tag"],
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+    return tagged, vocab, weights
+
+
+def neural_mentions(sf_dir: str, seed: int = DEFAULT_SEED, **kw):
+    tagged, vocab, weights = neural_tagged_sentences(sf_dir, seed, **kw)
+    return mentions_stage(tagged), vocab, weights

@@ -1,0 +1,75 @@
+"""BiLSTM-CRF tagger stage (T1/T2): an actor pool holding the frozen model.
+
+Ray-Data form of the reference's tagger inference (model.py:189-214 forward
++ crf.py:91-135 Viterbi): a callable CLASS passed to ``map_batches`` — the
+model weights load once per actor in ``__init__`` (from an npz path or a
+``ray.put`` ref), each ``__call__`` decodes one Arrow batch.
+
+Intra-batch length-sorting (reference loader.py:239 / eval.py:122, M8)
+cuts padding waste; outputs are re-aligned to input order before emit, so
+row order is preserved exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ner_pytorch_ray.state.model import NumpyBiLSTMCRF, load_weights
+
+
+class TaggerActor:
+    def __init__(self, weights, id_to_tag: dict[int, str]):
+        if isinstance(weights, ray.ObjectRef):
+            weights = ray.get(weights)
+        if isinstance(weights, str):
+            weights = load_weights(weights)
+        self.model = NumpyBiLSTMCRF(weights)
+        self.id_to_tag = {int(k): v for k, v in id_to_tag.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        word_ids_col = batch.column("word_ids")
+        char_ids_col = batch.column("char_ids")
+        word_ids = word_ids_col.to_pylist()
+        char_ids = char_ids_col.to_pylist()
+        n = len(word_ids)
+        if n == 0:
+            return batch.append_column(
+                "tags", pa.array([], type=pa.list_(pa.string()))
+            )
+
+        # sort by length desc (pad-waste reduction), decode, un-sort
+        order = sorted(range(n), key=lambda i: -len(word_ids[i]))
+        paths_sorted = self.model.decode(
+            [word_ids[i] for i in order], [char_ids[i] for i in order]
+        )
+        paths: list[list[str]] = [None] * n  # type: ignore[list-item]
+        for rank, i in enumerate(order):
+            paths[i] = [self.id_to_tag[t] for t in paths_sorted[rank]]
+        return batch.append_column(
+            "tags", pa.array(paths, type=pa.list_(pa.string()))
+        )
+
+
+def tagger_stage(
+    encoded: ray.data.Dataset,
+    weights,
+    id_to_tag: dict[int, str],
+    concurrency: int | tuple[int, int] = (1, 8),
+    batch_size: int = 256,
+) -> ray.data.Dataset:
+    """encoded sentences -> + tags (IOBES strings) via the actor pool."""
+    weights_ref = (
+        weights if isinstance(weights, (str, ray.ObjectRef)) else ray.put(weights)
+    )
+    return encoded.map_batches(
+        TaggerActor,
+        fn_constructor_args=(weights_ref, id_to_tag),
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+    )

@@ -1,0 +1,230 @@
+"""Numpy BiLSTM-CRF forward + Viterbi decode — the neural tagger's math.
+
+A from-scratch numpy re-expression of the reference model's inference path
+(no torch in this environment):
+
+  - char CNN (k=3, padding 2, max-pool over time): model.py:68,157-161
+  - word embedding + concat: model.py:70-75,178-189
+  - bidirectional word LSTM: model.py:81-91,193-196
+  - CRF linear + transitions (START/STOP rows at IMPOSSIBLE=-1e4):
+    crf.py:29-34
+  - masked Viterbi DP + per-row backtrace: crf.py:91-135
+
+Two deliberate divergences from the torch code, both batch-hygiene fixes
+(SURVEY.md §7.4 "Viterbi parity"):
+  * the char-CNN max-pool runs over each word's own valid conv region
+    (length lc+2), not the batch-padded width — torch's version lets zero
+    padding of *other longer words* leak into the max, making outputs depend
+    on batch composition;
+  * the LSTM runs per-row-independent recurrences, so any batching of
+    sentences yields identical per-sentence features.
+
+All weights are deterministic (seeded) and saved/loaded as npz; decode is
+invariant to batch composition — property-tested.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+IMPOSSIBLE = -1e4
+
+
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def _uniform(rng, shape, bound):
+    return rng.uniform(-bound, bound, size=shape).astype(np.float32)
+
+
+def init_weights(
+    n_words: int,
+    n_chars: int,
+    n_tags: int,
+    word_dim: int = 100,
+    char_dim: int = 25,
+    char_out: int = 25,
+    hidden: int = 50,
+    seed: int = 1234,
+    word_embeds: np.ndarray | None = None,
+) -> dict[str, np.ndarray]:
+    """Deterministic model parameters (shapes per arguments.py:34-47 defaults,
+    hidden shrunk for sandbox speed; START=n_tags-2, STOP=n_tags-1)."""
+    rng = np.random.RandomState(seed)
+    d_in = word_dim + char_out
+    w = {
+        "char_embed": _uniform(rng, (n_chars, char_dim), np.sqrt(3.0 / char_dim)),
+        "conv_w": _uniform(rng, (char_out, 3, char_dim), np.sqrt(6.0 / (3 * char_dim))),
+        "conv_b": np.zeros(char_out, dtype=np.float32),
+        "word_embed": (
+            word_embeds.astype(np.float32)
+            if word_embeds is not None
+            else _uniform(rng, (n_words, word_dim), np.sqrt(3.0 / word_dim))
+        ),
+        "fc_w": _uniform(rng, (n_tags, 2 * hidden), np.sqrt(6.0 / (2 * hidden))),
+        "fc_b": np.zeros(n_tags, dtype=np.float32),
+        "trans": rng.randn(n_tags, n_tags).astype(np.float32),
+    }
+    for direction in ("fw", "bw"):
+        w[f"lstm_{direction}_Wih"] = _uniform(rng, (4 * hidden, d_in), np.sqrt(6.0 / d_in))
+        w[f"lstm_{direction}_Whh"] = _uniform(rng, (4 * hidden, hidden), np.sqrt(6.0 / hidden))
+        w[f"lstm_{direction}_bih"] = np.zeros(4 * hidden, dtype=np.float32)
+        w[f"lstm_{direction}_bhh"] = np.zeros(4 * hidden, dtype=np.float32)
+    # transition factor T[i, j] = score of j -> i (crf.py:31-34)
+    start, stop = n_tags - 2, n_tags - 1
+    w["trans"][start, :] = IMPOSSIBLE
+    w["trans"][:, stop] = IMPOSSIBLE
+    w["meta"] = np.array([n_words, n_chars, n_tags, word_dim, char_dim, char_out, hidden])
+    return w
+
+
+def save_weights(path: str, w: dict[str, np.ndarray]) -> None:
+    np.savez_compressed(path, **w)
+
+
+def load_weights(path: str) -> dict[str, np.ndarray]:
+    with np.load(path) as z:
+        return {k: z[k] for k in z.files}
+
+
+class NumpyBiLSTMCRF:
+    """Inference-only BiLSTM-CRF over pre-encoded sentences."""
+
+    def __init__(self, w: dict[str, np.ndarray]):
+        self.w = w
+        meta = w["meta"]
+        self.n_tags = int(meta[2])
+        self.hidden = int(meta[6])
+        self.char_out = int(meta[5])
+        self.start_idx = self.n_tags - 2
+        self.stop_idx = self.n_tags - 1
+
+    # ---------------------------------------------------------------- chars
+    def _char_features(self, char_ids: list[list[int]]) -> np.ndarray:
+        """[W, char_out] per word; max-pool over each word's own conv region."""
+        w = self.w
+        n = len(char_ids)
+        if n == 0:
+            return np.zeros((0, self.char_out), dtype=np.float32)
+        lens = np.array([len(c) for c in char_ids], dtype=np.int64)
+        lmax = max(int(lens.max()), 1)
+        ids = np.zeros((n, lmax), dtype=np.int64)
+        for i, cs in enumerate(char_ids):
+            if cs:
+                ids[i, : len(cs)] = cs
+        emb = w["char_embed"][ids]  # [W, L, d_c]
+        # zero out embedding at padded positions (conv padding is zeros)
+        mask = (np.arange(lmax)[None, :] < lens[:, None]).astype(np.float32)
+        emb = emb * mask[:, :, None]
+        # pad 2 zeros each side along time
+        emb = np.pad(emb, ((0, 0), (2, 2), (0, 0)))
+        # conv k=3 over time: out[t] = sum_k emb[t+k] . conv_w[:,k,:]
+        Lc = lmax + 2  # output length per conv arithmetic (L + 2*2 - 3 + 1)
+        conv = np.zeros((n, Lc, self.char_out), dtype=np.float32)
+        cw = w["conv_w"]  # [out, 3, d_c]
+        for k in range(3):
+            conv += emb[:, k : k + Lc, :] @ cw[:, k, :].T
+        conv += w["conv_b"][None, None, :]
+        # mask positions beyond each word's valid conv length (= len + 2)
+        valid = np.maximum(lens + 2, 1)
+        t_idx = np.arange(Lc)[None, :]
+        conv = np.where((t_idx < valid[:, None])[:, :, None], conv, -np.inf)
+        return conv.max(axis=1).astype(np.float32)
+
+    # ---------------------------------------------------------------- lstm
+    def _lstm_dir(self, x: np.ndarray, direction: str) -> np.ndarray:
+        """x: [B, L, d_in] -> h: [B, L, H]; per-row independent recurrence."""
+        w = self.w
+        Wih = w[f"lstm_{direction}_Wih"]
+        Whh = w[f"lstm_{direction}_Whh"]
+        b = w[f"lstm_{direction}_bih"] + w[f"lstm_{direction}_bhh"]
+        B, L, _ = x.shape
+        H = self.hidden
+        h = np.zeros((B, H), dtype=np.float32)
+        c = np.zeros((B, H), dtype=np.float32)
+        out = np.zeros((B, L, H), dtype=np.float32)
+        xg = x @ Wih.T + b  # [B, L, 4H] — hoisted input projection
+        for t in range(L):
+            g = xg[:, t, :] + h @ Whh.T
+            i = _sigmoid(g[:, :H])
+            f = _sigmoid(g[:, H : 2 * H])
+            gg = np.tanh(g[:, 2 * H : 3 * H])
+            o = _sigmoid(g[:, 3 * H :])
+            c = f * c + i * gg
+            h = o * np.tanh(c)
+            out[:, t, :] = h
+        return out
+
+    def _features(
+        self, word_ids_list: list[list[int]], char_ids_list: list[list[list[int]]]
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Padded emissions [B, L, C] + lengths [B]."""
+        w = self.w
+        B = len(word_ids_list)
+        lens = np.array([len(s) for s in word_ids_list], dtype=np.int64)
+        L = max(int(lens.max()), 1) if B else 1
+
+        flat_chars = [cs for sent in char_ids_list for cs in sent]
+        cf = self._char_features(flat_chars)  # [ΣW, char_out]
+
+        d_w = w["word_embed"].shape[1]
+        x = np.zeros((B, L, d_w + self.char_out), dtype=np.float32)
+        pos = 0
+        for bi, sent in enumerate(word_ids_list):
+            n = len(sent)
+            x[bi, :n, :d_w] = w["word_embed"][np.asarray(sent, dtype=np.int64)]
+            x[bi, :n, d_w:] = cf[pos : pos + n]
+            pos += n
+
+        h_fw = self._lstm_dir(x, "fw")
+        # reverse per-row by true length
+        x_rev = np.zeros_like(x)
+        for bi, n in enumerate(lens):
+            x_rev[bi, :n] = x[bi, :n][::-1]
+        h_bw_r = self._lstm_dir(x_rev, "bw")
+        h_bw = np.zeros_like(h_bw_r)
+        for bi, n in enumerate(lens):
+            h_bw[bi, :n] = h_bw_r[bi, :n][::-1]
+
+        h = np.concatenate([h_fw, h_bw], axis=2)  # [B, L, 2H]
+        feats = h @ self.w["fc_w"].T + self.w["fc_b"]
+        return feats.astype(np.float32), lens
+
+    # ---------------------------------------------------------------- viterbi
+    def viterbi(self, feats: np.ndarray, lens: np.ndarray) -> list[list[int]]:
+        """Masked Viterbi decode (crf.py:91-135 semantics)."""
+        w = self.w
+        B, L, C = feats.shape
+        trans = w["trans"]  # [C, C], T[i, j] = j -> i
+        bps = np.zeros((B, L, C), dtype=np.int64)
+        max_score = np.full((B, C), IMPOSSIBLE, dtype=np.float32)
+        max_score[:, self.start_idx] = 0.0
+        mask = (np.arange(L)[None, :] < lens[:, None]).astype(np.float32)
+        for t in range(L):
+            acc = max_score[:, None, :] + trans[None, :, :]  # [B, C(to), C(from)]
+            bps[:, t, :] = np.argmax(acc, axis=2)
+            acc_max = np.max(acc, axis=2) + feats[:, t, :]
+            m = mask[:, t][:, None]
+            max_score = acc_max * m + max_score * (1.0 - m)
+        max_score = max_score + trans[self.stop_idx][None, :]
+        best_tag = np.argmax(max_score, axis=1)
+        paths: list[list[int]] = []
+        for b in range(B):
+            tag = int(best_tag[b])
+            n = int(lens[b])
+            path = [tag]
+            for t in range(n - 1, -1, -1):
+                tag = int(bps[b, t, tag])
+                path.append(tag)
+            paths.append(path[-2::-1])  # drop START, reverse
+        return paths
+
+    def decode(
+        self, word_ids_list: list[list[int]], char_ids_list: list[list[list[int]]]
+    ) -> list[list[int]]:
+        """Batch decode -> per-sentence tag-id paths (batch-invariant)."""
+        if not word_ids_list:
+            return []
+        feats, lens = self._features(word_ids_list, char_ids_list)
+        return self.viterbi(feats, lens)

@@ -1,0 +1,135 @@
+"""Vocabulary builds (A1/A2): distributed counting, driver-side mapping.
+
+Reference semantics re-expressed for Ray Data:
+  - create_dico / create_mapping: /root/reference/utils.py:44-67 —
+    deterministic ids ranked by (-freq, key);
+  - word_mapping: /root/reference/loader.py:69-85 — optional lowercasing,
+    <PAD> freq 10000001 and <UNK> 10000000 (=> ids 0 and 1), words with
+    freq < 3 dropped;
+  - char_mapping: /root/reference/loader.py:88-97 — <PAD> freq 10000000;
+  - tag_mapping: /root/reference/loader.py:100-110 — START/STOP appended
+    with freqs -1/-2 (=> last two ids).
+
+Counting runs as vectorized per-block ``value_counts`` partials + a small
+``groupby().sum`` shuffle; the final rank-sort happens driver-side because
+contiguous ids require a global order and the vocab is tiny relative to the
+corpus (SURVEY.md §2.5 A2).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+PAD = "<PAD>"
+UNK = "<UNK>"
+START_TAG = "<START>"
+STOP_TAG = "<STOP>"
+
+
+def create_mapping(dico: dict[str, int]) -> tuple[dict[str, int], dict[int, str]]:
+    """(-freq, key)-ranked contiguous ids (utils.py:59-67)."""
+    sorted_items = sorted(dico.items(), key=lambda x: (-x[1], x[0]))
+    id_to_item = {i: k for i, (k, _) in enumerate(sorted_items)}
+    item_to_id = {k: i for i, k in id_to_item.items()}
+    return item_to_id, id_to_item
+
+
+def _count_column(
+    ds: ray.data.Dataset, fn, name: str
+) -> dict[str, int]:
+    """Generic two-phase distributed counter; fn: batch -> flat string array."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = fn(batch)
+        vc = vals.value_counts()
+        return pa.Table.from_pydict(
+            {
+                name: vc.field("values").cast(pa.string()),
+                "freq": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(name, sort=False, as_index=False).agg(freq=("freq", "sum"))
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(name)
+        .map_groups(merge, batch_format="pandas")
+    )
+    out: dict[str, int] = {}
+    for b in merged.iter_batches(batch_format="pyarrow"):
+        for k, v in zip(b.column(name).to_pylist(), b.column("freq").to_pylist()):
+            out[k] = out.get(k, 0) + v
+    return out
+
+
+def word_mapping(
+    sentences: ray.data.Dataset, lower: bool = True, min_freq: int = 3
+) -> tuple[dict[str, int], dict[int, str]]:
+    """Word vocab from sentence rows (tokens: list<string>)."""
+
+    def words_of(batch: pa.Table) -> pa.Array:
+        flat = pc.list_flatten(batch.column("tokens"))
+        return pc.utf8_lower(flat) if lower else flat
+
+    dico = _count_column(sentences, words_of, "word")
+    dico = {k: v for k, v in dico.items() if v >= min_freq}
+    dico[PAD] = 10000001
+    dico[UNK] = 10000000
+    return create_mapping(dico)
+
+
+def char_mapping(
+    sentences: ray.data.Dataset,
+) -> tuple[dict[str, int], dict[int, str]]:
+    """Char vocab (case preserved — loader.py:88-97 counts raw words).
+
+    Per-block partial: one C-speed ``Counter`` over the concatenated block
+    text (chars are too fine-grained for arrow value_counts to pay off).
+    """
+    from collections import Counter
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = "".join(pc.list_flatten(batch.column("tokens")).to_pylist())
+        c = Counter(s)
+        return pa.Table.from_pydict(
+            {
+                "char": pa.array(list(c.keys()), type=pa.string()),
+                "freq": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("char", sort=False, as_index=False).agg(freq=("freq", "sum"))
+
+    merged = (
+        sentences.map_batches(partial, batch_format="pyarrow")
+        .groupby("char")
+        .map_groups(merge, batch_format="pandas")
+    )
+    dico: dict[str, int] = {}
+    for b in merged.iter_batches(batch_format="pyarrow"):
+        for k, v in zip(b.column("char").to_pylist(), b.column("freq").to_pylist()):
+            dico[k] = dico.get(k, 0) + v
+    dico[PAD] = 10000000
+    return create_mapping(dico)
+
+
+def tag_mapping_from_tagset(tags: list[str]) -> tuple[dict[str, int], dict[int, str]]:
+    """Deterministic tag mapping from a fixed tag inventory: ids by
+    (-freq=0 rank, name) then START/STOP last (loader.py:100-110 semantics
+    with synthetic equal freqs)."""
+    dico = {t: 1 for t in tags}
+    dico[START_TAG] = -1
+    dico[STOP_TAG] = -2
+    return create_mapping(dico)
+
+
+IOBES_TAGSET = ["O"] + [
+    f"{p}-{t}" for p in "BIES" for t in ("LOC", "MISC", "ORG", "PER")
+]
