@@ -115,15 +115,125 @@ def _q_lang_counts(sf_dir: str):
     return lang_counts(sf_dir)
 
 
+def _q_exact_dedup(sf_dir: str):
+    from ner_pytorch_ray.pipelines.dedup import exact_dedup
+
+    return exact_dedup(sf_dir)
+
+
+def _q_ngram_jaccard(sf_dir: str):
+    from ner_pytorch_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(sf_dir, tau=0.5)
+
+
+def _q_minhash_lsh(sf_dir: str):
+    from ner_pytorch_ray.pipelines.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(sf_dir, tau=0.5)
+
+
+def _q_simhash(sf_dir: str):
+    from ner_pytorch_ray.pipelines.dedup import simhash_pairs
+
+    return simhash_pairs(sf_dir, max_hamming=3)
+
+
+def _q_emb_cosine_pairs(sf_dir: str):
+    from ner_pytorch_ray.pipelines.dedup import embedding_near_dup
+
+    return embedding_near_dup(sf_dir, tau=0.45)
+
+
+def _q_knn_topk(sf_dir: str):
+    from ner_pytorch_ray.pipelines.similarity import knn_topk
+
+    return knn_topk(sf_dir, n_queries=10, k=5)
+
+
+def _q_ann_lsh_topk(sf_dir: str):
+    from ner_pytorch_ray.pipelines.similarity import ann_lsh_topk
+
+    return ann_lsh_topk(sf_dir, n_queries=10, k=5)
+
+
+def _q_quality_stats(sf_dir: str):
+    from ner_pytorch_ray.pipelines.quality import quality_stats
+
+    return quality_stats(sf_dir)
+
+
+def _q_doc_fingerprint(sf_dir: str):
+    from ner_pytorch_ray.pipelines.quality import doc_fingerprint
+
+    return doc_fingerprint(sf_dir)
+
+
+def _q_winnow(sf_dir: str):
+    from ner_pytorch_ray.pipelines.quality import winnow_fingerprints
+
+    return winnow_fingerprints(sf_dir)
+
+
+def _q_language_id(sf_dir: str):
+    from ner_pytorch_ray.pipelines.quality import language_id
+
+    return language_id(sf_dir)
+
+
+def _q_lineitem_pricing(sf_dir: str):
+    from ner_pytorch_ray.pipelines.relational import lineitem_pricing
+
+    return lineitem_pricing(sf_dir)
+
+
+def _q_top_customers(sf_dir: str):
+    from ner_pytorch_ray.pipelines.relational import top_customers
+
+    return top_customers(sf_dir, n=10)
+
+
+def _q_events_by_type(sf_dir: str):
+    from ner_pytorch_ray.pipelines.relational import events_by_type
+
+    return events_by_type(sf_dir)
+
+
+def _q_orders_by_month(sf_dir: str):
+    from ner_pytorch_ray.pipelines.relational import orders_by_month
+
+    return orders_by_month(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2."""
     return {
+        # knowledge-graph DAG
         "kg_edges": _q_kg_edges,
         "kg_nodes": _q_kg_nodes,
         "kg_sentence_counts": _q_kg_sentence_counts,
+        # vocab / text analysis
         "vocab_count": _q_vocab_count,
         "doc_token_stats": _q_doc_token_stats,
         "lang_counts": _q_lang_counts,
+        "quality_stats": _q_quality_stats,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "winnow_fingerprints": _q_winnow,
+        "language_id": _q_language_id,
+        # dedup family
+        "exact_dedup": _q_exact_dedup,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "minhash_lsh_pairs": _q_minhash_lsh,
+        "simhash_pairs": _q_simhash,
+        "emb_cosine_pairs": _q_emb_cosine_pairs,
+        # similarity search
+        "knn_topk": _q_knn_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        # relational operator demos
+        "lineitem_pricing": _q_lineitem_pricing,
+        "top_customers": _q_top_customers,
+        "events_by_type": _q_events_by_type,
+        "orders_by_month": _q_orders_by_month,
     }
 
 
@@ -177,5 +287,122 @@ SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM documents
 GROUP BY lang
 ORDER BY lang
+""",
+        "quality_stats": """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types,
+       CAST(len(list_filter(string_split(text, ' '),
+                            x -> x = 'the' OR x = 'a')) AS BIGINT) AS n_stopwords,
+       CAST(list_max(list_transform(string_split(text, ' '),
+                                    x -> length(x))) AS BIGINT) AS max_token_len,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+""",
+        "doc_fingerprint": """
+SELECT doc_id, md5(text) AS fingerprint FROM documents
+""",
+        "exact_dedup": """
+SELECT CAST(MIN(doc_id) AS BIGINT) AS keeper,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY text
+""",
+        "ngram_jaccard_pairs": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS s
+  FROM toks, (SELECT unnest(range(2000)) AS i) r
+  WHERE i + 3 <= len(t)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT da AS doc_a, db AS doc_b,
+       CAST(c AS BIGINT) AS n_shared,
+       CAST(sa.n AS BIGINT) AS n_a,
+       CAST(sb.n AS BIGINT) AS n_b
+FROM shared
+JOIN sizes sa ON sa.doc_id = da
+JOIN sizes sb ON sb.doc_id = db
+WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+""",
+        "minhash_lsh_pairs": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS s
+  FROM toks, (SELECT unnest(range(2000)) AS i) r
+  WHERE i + 3 <= len(t)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT da AS doc_a, db AS doc_b
+FROM shared
+JOIN sizes sa ON sa.doc_id = da
+JOIN sizes sb ON sb.doc_id = db
+WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+""",
+        "emb_cosine_pairs": """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM embeddings a
+JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+""",
+        "knn_topk": """
+WITH sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.embedding, c.embedding) AS s
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, neighbor_id ASC) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+""",
+        "lineitem_pricing": """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+       CAST(SUM(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+        "top_customers": """
+SELECT o.o_custkey AS c_custkey, c.c_name,
+       CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2
+ORDER BY total_cents DESC, c_custkey ASC
+LIMIT 10
+""",
+        "events_by_type": """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+        "orders_by_month": """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY 1
+ORDER BY 1
 """,
     }

@@ -1,0 +1,185 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+    python bench.py                  # one JSON line with per-query seconds
+    python bench.py --scaling        # same job at num_cpus=8 and 32 in fresh
+                                     # processes -> throughput + efficiency
+
+Env:
+    GRAFT_SF_DIR    input dir (default /root/testdata/sf0.1)
+    RAY_GRAFT_CPUS  parallelism (default 32)
+
+This script OWNS its Ray session (init+shutdown); library code never does.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    return ray
+
+
+def _corpus_stats(sf_dir: str) -> dict:
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(f"{sf_dir}/documents.parquet")
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+    return {
+        "n_docs": md.num_rows,
+        "n_chars": int(sum(t.column("n_chars").to_pylist())),
+    }
+
+
+def run_queries(sf_dir: str) -> tuple[dict, dict]:
+    """Headline pipelines; returns (per-query seconds, aux counts)."""
+    import __ray_entry__ as entrymod
+
+    timings: dict[str, float] = {}
+    aux: dict[str, int] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        n = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        aux[name + "_rows"] = n
+
+    # flagship: full KG DAG -> materialized sorted edges
+    def kg():
+        from ner_pytorch_ray.pipelines.kg import kg_from_documents
+
+        edges, _ = kg_from_documents(sf_dir)
+        return edges.count()
+
+    timed("kg_edges", kg)
+
+    def kg_nodes():
+        from ner_pytorch_ray.pipelines.kg import kg_from_documents
+
+        _, nodes = kg_from_documents(sf_dir)
+        return nodes.count()
+
+    timed("kg_nodes", kg_nodes)
+
+    def neural():
+        from ner_pytorch_ray.pipelines.neural import neural_mentions
+
+        men, _, _ = neural_mentions(
+            sf_dir, concurrency=(1, NUM_CPUS), batch_size=256
+        )
+        return men.count()
+
+    timed("neural_mentions", neural)
+
+    def minhash():
+        from ner_pytorch_ray.pipelines.dedup import minhash_lsh_pairs
+
+        return minhash_lsh_pairs(sf_dir, tau=0.5).count()
+
+    timed("minhash_lsh", minhash)
+
+    def knn():
+        from ner_pytorch_ray.pipelines.similarity import knn_topk
+
+        return knn_topk(sf_dir, n_queries=10, k=5).count()
+
+    timed("knn_topk", knn)
+
+    def pricing():
+        from ner_pytorch_ray.pipelines.relational import lineitem_pricing
+
+        return lineitem_pricing(sf_dir).count()
+
+    timed("lineitem_pricing", pricing)
+
+    return timings, aux
+
+
+def single_run(num_cpus: int, sf_dir: str) -> dict:
+    ray = _init_ray(num_cpus)
+    try:
+        t0 = time.perf_counter()
+        timings, aux = run_queries(sf_dir)
+        total = round(time.perf_counter() - t0, 3)
+    finally:
+        ray.shutdown()
+    stats = _corpus_stats(sf_dir)
+    kg_secs = timings.get("kg_edges", 0.0) or 1e-9
+    return {
+        "metric": "headline pipelines wall-time (kg construct, neural tag, dedup, knn, agg)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "aux": aux,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "docs_per_sec_kg": round(stats["n_docs"] / kg_secs, 2),
+        "n_docs": stats["n_docs"],
+    }
+
+
+def scaling_run(sf_dir: str, low: int = 8, high: int = 32) -> dict:
+    """Same job at two parallelism levels in FRESH processes (the in-sandbox
+    substitute for N vs 4N nodes; BASELINE.md scaling criterion)."""
+    results = {}
+    for n in (low, high):
+        env = dict(os.environ)
+        env["RAY_GRAFT_CPUS"] = str(n)
+        env["GRAFT_SF_DIR"] = sf_dir
+        out = subprocess.run(
+            [sys.executable, __file__, "--json-only"],
+            capture_output=True,
+            text=True,
+            env=env,
+            cwd=REPO,
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        results[n] = json.loads(line)
+    thr_low = results[low]["n_docs"] / results[low]["value"]
+    thr_high = results[high]["n_docs"] / results[high]["value"]
+    eff = (thr_high / thr_low) / (high / low)
+    return {
+        "metric": "scaling efficiency (throughput ratio / cpu ratio)",
+        "value": round(eff, 4),
+        "unit": "ratio",
+        "sf": sf_dir,
+        "low_cpus": low,
+        "high_cpus": high,
+        "throughput_low_docs_per_sec": round(thr_low, 2),
+        "throughput_high_docs_per_sec": round(thr_high, 2),
+        "seconds_low": results[low]["value"],
+        "seconds_high": results[high]["value"],
+        "queries_low": results[low]["queries"],
+        "queries_high": results[high]["queries"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(scaling_run(SF_DIR)))
+    else:
+        print(json.dumps(single_run(NUM_CPUS, SF_DIR)))

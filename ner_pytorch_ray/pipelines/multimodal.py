@@ -1,0 +1,131 @@
+"""Multimodal columns: opaque binary payloads + typed metadata, processed by
+actor-pool stages.
+
+Images/audio/video are ``binary`` columns with metadata columns alongside
+(the pages table's ``html: binary`` follows the same convention). The decode
+kernels are STUBBED (no image/audio libs in this container — clearly marked
+below); everything Ray-side is real and tested: schema handling, small
+``batch_size`` for large payloads, actor ``__init__`` state, zero-copy
+binary access, and the output layout.
+
+A deterministic fake decoder (``fake_decode=True``) lets tests exercise the
+full path end-to-end with reproducible 'features'.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),  # image | audio | video
+        ("payload", pa.binary()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("n_bytes", pa.int64()),
+    ]
+)
+
+
+def synthesize_media_from_documents(sf_dir: str, kind: str = "image") -> ray.data.Dataset:
+    """Deterministic fake media table derived from documents (payload =
+    repeatable pseudo-random bytes keyed by doc_id) — test/bench input."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        payloads, widths, heights = [], [], []
+        for d in ids:
+            rng = np.random.RandomState(int(d) % (2**31))
+            w, h = int(rng.randint(8, 64)), int(rng.randint(8, 64))
+            payloads.append(rng.bytes(w * h))
+            widths.append(w)
+            heights.append(h)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, type=pa.int64()),
+                pa.array([kind] * len(ids), type=pa.string()),
+                pa.array(payloads, type=pa.binary()),
+                pa.array(widths, type=pa.int32()),
+                pa.array(heights, type=pa.int32()),
+                pa.array([len(p) for p in payloads], type=pa.int64()),
+            ],
+            schema=MEDIA_SCHEMA,
+        )
+
+    return ds.map_batches(to_media, batch_format="pyarrow")
+
+
+class MediaFeatureActor:
+    """Actor-pool stage: decode + feature-extract media payloads.
+
+    Real decode requires PIL/cv2/ffmpeg — ABSENT in this container, so the
+    real path raises ``NotImplementedError`` (clearly-marked stub). The
+    deterministic fake path hashes payload bytes into a feature vector so
+    the Ray plumbing (actor init, batch sizing, output schema) is fully
+    exercised and reproducible.
+    """
+
+    def __init__(self, feature_dim: int = 16, fake_decode: bool = True):
+        self.feature_dim = feature_dim
+        self.fake_decode = fake_decode
+        # real models/codecs would load HERE, once per actor
+
+    def _decode_real(self, payload: bytes, kind: str):
+        raise NotImplementedError(
+            "media decode requires PIL/cv2/ffmpeg — not available in this "
+            "container; run with fake_decode=True for the plumbing path"
+        )
+
+    def _decode_fake(self, payload: bytes) -> np.ndarray:
+        h = hashlib.blake2b(payload, digest_size=self.feature_dim * 4).digest()
+        return (
+            np.frombuffer(h, dtype=np.uint32).astype(np.float32)
+            / np.float32(2**32)
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload")
+        kinds = batch.column("kind").to_pylist()
+        feats = []
+        for i in range(len(batch)):
+            p = payloads[i].as_py()
+            if self.fake_decode:
+                feats.append(self._decode_fake(p))
+            else:
+                feats.append(self._decode_real(p, kinds[i]))
+        return pa.Table.from_pydict(
+            {
+                "media_id": batch.column("media_id"),
+                "kind": batch.column("kind"),
+                "feature": pa.array(
+                    [f.tolist() for f in feats], type=pa.list_(pa.float32())
+                ),
+                "n_bytes": batch.column("n_bytes"),
+            }
+        )
+
+
+def media_features(
+    media: ray.data.Dataset,
+    feature_dim: int = 16,
+    fake_decode: bool = True,
+    concurrency: int | tuple[int, int] = (1, 4),
+    batch_size: int = 64,  # small: payloads are wide rows
+) -> ray.data.Dataset:
+    return media.map_batches(
+        MediaFeatureActor,
+        fn_constructor_args=(feature_dim, fake_decode),
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+    )

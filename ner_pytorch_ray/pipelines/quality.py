@@ -1,0 +1,182 @@
+"""Text quality scoring, language-ID and fingerprinting (training-data ops).
+
+  * ``quality_stats`` — integer per-doc features (token/type/stopword/char
+    counts) — fully vectorized, SQL-oracle-able.
+  * ``doc_fingerprint`` — md5 content fingerprint (SQL-oracle-able) plus a
+    winnowing fingerprint set (rolling-hash minima) for robust overlap
+    detection (pytest-verified).
+  * ``language_id`` — character/stopword-profile heuristic returning
+    (doc_id, lang_pred, confidence); on this synthetic corpus the text is
+    language-independent so the heuristic is exercised for plumbing +
+    determinism, not accuracy.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+STOPWORDS = ("the", "a")
+
+
+def _quality_batch(batch: pa.Table) -> pa.Table:
+    text = batch.column("text")
+    toks = pc.split_pattern(text, pattern=" ")
+    n_tokens = pc.list_value_length(toks).cast(pa.int64())
+    flat = pc.list_flatten(toks)
+    lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    vals = np.asarray(flat, dtype=object)
+
+    n_types = np.empty(len(lens), dtype=np.int64)
+    n_stop = np.empty(len(lens), dtype=np.int64)
+    max_len = np.empty(len(lens), dtype=np.int64)
+    stop = set(STOPWORDS)
+    tok_lens = pc.utf8_length(flat).to_numpy().astype(np.int64)
+    is_stop = np.isin(vals, list(stop))
+    for i in range(len(lens)):
+        lo, hi = offsets[i], offsets[i + 1]
+        seg = vals[lo:hi]
+        n_types[i] = len(set(seg))
+        n_stop[i] = int(is_stop[lo:hi].sum())
+        max_len[i] = int(tok_lens[lo:hi].max()) if hi > lo else 0
+
+    return pa.Table.from_pydict(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": n_tokens,
+            "n_types": pa.array(n_types),
+            "n_stopwords": pa.array(n_stop),
+            "max_token_len": pa.array(max_len),
+            "n_chars": pc.utf8_length(text).cast(pa.int64()),
+        }
+    )
+
+
+def quality_stats(sf_dir: str) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(_quality_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- fingerprint
+def doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
+    """md5 hex fingerprint per document (exact-dup key, SQL: md5(text))."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def fp(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "fingerprint": pa.array(
+                    [hashlib.md5(t.encode()).hexdigest() for t in texts],
+                    type=pa.string(),
+                ),
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
+def winnow_fingerprints(
+    sf_dir: str, k: int = 4, window: int = 5
+) -> ray.data.Dataset:
+    """Winnowing (Schleimer et al. 2003): per doc, the set of per-window
+    minimum k-gram rolling hashes. Deterministic; output one row per
+    selected fingerprint (doc_id, fp:uint64)."""
+    from ner_pytorch_ray.pipelines.dedup import _stable_u64
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def winnow(batch: pa.Table) -> pa.Table:
+        out_doc, out_fp = [], []
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = t.split(" ")
+            if len(toks) < k:
+                continue
+            hs = np.fromiter(
+                (
+                    _stable_u64(" ".join(toks[i : i + k]))
+                    for i in range(len(toks) - k + 1)
+                ),
+                dtype=np.uint64,
+            )
+            if len(hs) <= window:
+                sel = {int(hs.min())}
+            else:
+                sel = set()
+                # sliding-window minima (small windows; simple loop)
+                for i in range(len(hs) - window + 1):
+                    sel.add(int(hs[i : i + window].min()))
+            out_doc.extend([d] * len(sel))
+            out_fp.extend(sorted(sel))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(out_doc, type=pa.int64()),
+                "fp": pa.array(out_fp, type=pa.uint64()),
+            }
+        )
+
+    return ds.map_batches(winnow, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- language id
+_LANG_PROFILES = {
+    # stopword/character heuristic profiles (tiny, deterministic)
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "la", "los", "las", "y"),
+    "zh": (),
+}
+
+
+def language_id(sf_dir: str) -> ray.data.Dataset:
+    """Heuristic LID: stopword-profile hit rates + CJK character ratio."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def lid(batch: pa.Table) -> pa.Table:
+        preds, confs = [], []
+        for t in batch.column("text").to_pylist():
+            toks = t.split(" ")
+            n = max(len(toks), 1)
+            cjk = sum(1 for ch in t if "一" <= ch <= "鿿")
+            if cjk / max(len(t), 1) > 0.2:
+                preds.append("zh")
+                confs.append(cjk / max(len(t), 1))
+                continue
+            best, score = "en", -1.0
+            for lang, words in _LANG_PROFILES.items():
+                if not words:
+                    continue
+                s = sum(1 for w in toks if w in words) / n
+                if s > score:
+                    best, score = lang, s
+            preds.append(best)
+            confs.append(max(score, 0.0))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang_pred": pa.array(preds, type=pa.string()),
+                "confidence": pa.array(confs, type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(lid, batch_format="pyarrow")

@@ -1,0 +1,187 @@
+"""Relational operator demos over the TPC-H-ish tables.
+
+Exercises the engine's generic operator surface (SURVEY.md §2.2/2.4/2.5/2.6):
+column-pruned reads, vectorized filters, broadcast hash joins (small side
+``ray.put``), two-phase aggregation combiners, global sort and top-k.
+Monetary aggregates are integer cents so results are bit-exact against the
+DuckDB oracles (no float-summation-order sensitivity).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+
+def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    # half_towards_infinity == DuckDB's round() (half away from zero), so the
+    # oracle comparison is bit-exact even on exact-.5 products
+    return pc.cast(
+        pc.round(
+            pc.multiply(col, pa.scalar(100.0)), round_mode="half_towards_infinity"
+        ),
+        pa.int64(),
+    )
+
+
+def lineitem_pricing(sf_dir: str) -> ray.data.Dataset:
+    """Pricing summary by (returnflag, linestatus) — sums in integer cents,
+    counts; classic partial->final aggregation."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pa.Table.from_pydict(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "qty_c": _cents(batch.column("l_quantity")),
+                "price_c": _cents(batch.column("l_extendedprice")),
+                "disc_c": _cents(batch.column("l_discount")),
+            }
+        ).to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty_cents=("qty_c", "sum"),
+            sum_price_cents=("price_c", "sum"),
+            sum_disc_cents=("disc_c", "sum"),
+            n_rows=("qty_c", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty_cents=("sum_qty_cents", "sum"),
+            sum_price_cents=("sum_price_cents", "sum"),
+            sum_disc_cents=("sum_disc_cents", "sum"),
+            n_rows=("n_rows", "sum"),
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .map_groups(merge, batch_format="pandas")
+        .sort(["l_returnflag", "l_linestatus"])
+    )
+
+
+def top_customers(sf_dir: str, n: int = 10) -> ray.data.Dataset:
+    """Top-n customers by total order value: broadcast join orders->customer
+    (small side ray.put), partial per-customer sums, global merge, top-k."""
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    name_of = dict(
+        zip(cust.column("c_custkey").to_pylist(), cust.column("c_name").to_pylist())
+    )
+    name_ref = ray.put(name_of)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    class JoinAgg:
+        def __init__(self, ref):
+            self.name_of = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            df = pa.Table.from_pydict(
+                {
+                    "o_custkey": batch.column("o_custkey"),
+                    "price_c": _cents(batch.column("o_totalprice")),
+                }
+            ).to_pandas()
+            g = df.groupby("o_custkey", as_index=False).agg(
+                total_cents=("price_c", "sum"), n_orders=("price_c", "size")
+            )
+            g["c_name"] = g["o_custkey"].map(self.name_of)
+            return pa.Table.from_pandas(
+                g.rename(columns={"o_custkey": "c_custkey"}), preserve_index=False
+            )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["c_custkey", "c_name"], as_index=False).agg(
+            total_cents=("total_cents", "sum"), n_orders=("n_orders", "sum")
+        )
+
+    agg = (
+        orders.map_batches(
+            JoinAgg, fn_constructor_args=(name_ref,), concurrency=(1, 4),
+            batch_format="pyarrow",
+        )
+        .groupby("c_custkey")
+        .map_groups(merge, batch_format="pandas")
+    )
+    top = agg.sort(["total_cents", "c_custkey"], descending=[True, False]).limit(n)
+    return top
+
+
+def events_by_type(sf_dir: str) -> ray.data.Dataset:
+    """Event counts + integer-cent value sums per (event_type)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pa.Table.from_pydict(
+            {
+                "event_type": batch.column("event_type"),
+                "value_c": _cents(batch.column("value")),
+            }
+        ).to_pandas()
+        g = df.groupby("event_type", as_index=False).agg(
+            n_events=("value_c", "size"), sum_value_cents=("value_c", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("event_type", as_index=False).agg(
+            n_events=("n_events", "sum"), sum_value_cents=("sum_value_cents", "sum")
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(merge, batch_format="pandas")
+        .sort("event_type")
+    )
+
+
+def orders_by_month(sf_dir: str) -> ray.data.Dataset:
+    """Orders per calendar month (timestamp functions + agg)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = pc.strftime(batch.column("o_orderdate"), format="%Y-%m")
+        vc = m.combine_chunks().value_counts() if isinstance(m, pa.ChunkedArray) else m.value_counts()
+        return pa.Table.from_pydict(
+            {
+                "month": vc.field("values").cast(pa.string()),
+                "n_orders": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("month", as_index=False).agg(n_orders=("n_orders", "sum"))
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("month")
+        .map_groups(merge, batch_format="pandas")
+        .sort("month")
+    )

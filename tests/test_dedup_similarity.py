@@ -1,0 +1,142 @@
+"""Dedup family + similarity search: brute-force ground truth and
+determinism checks (the SQL-oracle comparison runs in test_kg_pipeline)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_minhash_estimates_jaccard():
+    from ner_pytorch_ray.pipelines.dedup import minhash_signatures, doc_shingles
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(50)]
+    base = " ".join(rng.choice(vocab, size=80))
+    toks = base.split(" ")
+    # perturb 5 tokens -> high jaccard
+    near = list(toks)
+    for i in rng.choice(80, size=5, replace=False):
+        near[i] = "zzz"
+    far = " ".join(rng.choice(vocab, size=80))
+    texts = [base, " ".join(near), far]
+    sigs = minhash_signatures(texts, n_perm=128)
+
+    def jac(a, b):
+        A, B = set(doc_shingles(a).tolist()), set(doc_shingles(b).tolist())
+        return len(A & B) / len(A | B)
+
+    est_near = (sigs[0] == sigs[1]).mean()
+    est_far = (sigs[0] == sigs[2]).mean()
+    true_near, true_far = jac(texts[0], texts[1]), jac(texts[0], texts[2])
+    assert abs(est_near - true_near) < 0.15
+    assert est_far < 0.1 and true_far < 0.05
+    assert est_near > 0.5
+
+
+def test_minhash_lsh_equals_exact_on_testdata(ray_session):
+    """On the synthetic corpus the near-dup clusters are so separated
+    (jac >= 0.98 vs <= 0.14) that LSH@tau=0.5 must equal exact jaccard."""
+    from ner_pytorch_ray.pipelines.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    lsh = {
+        (r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(SF, tau=0.5).take_all()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(SF, tau=0.5).take_all()
+    }
+    assert lsh == exact
+    assert len(exact) > 0
+
+
+def test_simhash_pairs_vs_brute_force(ray_session):
+    import pyarrow.parquet as pq
+    from ner_pytorch_ray.pipelines.dedup import simhash64, simhash_pairs
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ids = np.asarray(t.column("doc_id").to_numpy())
+    sh = simhash64(t.column("text").to_pylist())
+    ai, bi = np.triu_indices(len(ids), k=1)
+    ham = np.array([bin(int(x)).count("1") for x in (sh[ai] ^ sh[bi])])
+    expected = {
+        (int(ids[a]), int(ids[b]), int(h))
+        for a, b, h in zip(ai[ham <= 3], bi[ham <= 3], ham[ham <= 3])
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_pairs(SF, max_hamming=3).take_all()
+    }
+    assert got == expected
+    assert len(got) > 0  # the corpus contains true near-dups
+
+
+def test_knn_topk_vs_brute_force(ray_session):
+    import pyarrow.parquet as pq
+    from ner_pytorch_ray.pipelines.similarity import knn_topk
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_numpy())
+    M = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    ids, M = ids[order], M[order]
+
+    got = knn_topk(SF, n_queries=5, k=4).to_pandas()
+    for q in range(5):
+        s = M @ M[q]
+        s[q] = -np.inf
+        top = np.lexsort((ids, -s))[:4]
+        exp = [int(ids[i]) for i in top]
+        g = got[got.query_id == q].sort_values("rank")
+        assert list(g.neighbor_id) == exp, (q, list(g.neighbor_id), exp)
+
+
+def test_ann_lsh_recall_and_determinism(ray_session):
+    from ner_pytorch_ray.pipelines.similarity import ann_lsh_topk, knn_topk
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_topk(SF, n_queries=10, k=5).take_all()
+    }
+    a1 = ann_lsh_topk(SF, n_queries=10, k=5).take_all()
+    a2 = ann_lsh_topk(SF, n_queries=10, k=5).take_all()
+    s1 = {(r["query_id"], r["neighbor_id"]) for r in a1}
+    s2 = {(r["query_id"], r["neighbor_id"]) for r in a2}
+    assert s1 == s2  # deterministic
+    # approximate: some recall, and every hit is a real vector pair
+    recall = len(s1 & exact) / len(exact)
+    assert recall > 0.05, recall
+
+
+def test_winnow_overlap_detects_near_dups(ray_session):
+    """Near-dup docs share most winnowing fingerprints; unrelated docs few."""
+    from ner_pytorch_ray.pipelines.dedup import ngram_jaccard_pairs
+    from ner_pytorch_ray.pipelines.quality import winnow_fingerprints
+
+    pairs = ngram_jaccard_pairs(SF, tau=0.5).take_all()
+    assert pairs
+    fps = {}
+    for r in winnow_fingerprints(SF).take_all():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    p = pairs[0]
+    a, b = fps[p["doc_a"]], fps[p["doc_b"]]
+    assert len(a & b) / len(a | b) > 0.5
+
+
+def test_language_id_runs_and_is_deterministic(ray_session):
+    from ner_pytorch_ray.pipelines.quality import language_id
+
+    r1 = sorted(
+        (r["doc_id"], r["lang_pred"]) for r in language_id(SF).take_all()
+    )
+    r2 = sorted(
+        (r["doc_id"], r["lang_pred"]) for r in language_id(SF).take_all()
+    )
+    assert r1 == r2
+    assert len(r1) == 500
+    assert all(l in {"en", "de", "fr", "es", "zh"} for _, l in r1)

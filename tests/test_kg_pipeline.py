@@ -168,17 +168,16 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
 
 
-@pytest.mark.parametrize(
-    "name",
-    [
-        "kg_edges",
-        "kg_nodes",
-        "kg_sentence_counts",
-        "vocab_count",
-        "doc_token_stats",
-        "lang_counts",
-    ],
-)
+def _oracle_names():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    return sorted(entrymod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", _oracle_names())
 def test_query_matches_oracle(ray_session, name):
     import sys
 
