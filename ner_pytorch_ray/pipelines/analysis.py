@@ -28,17 +28,15 @@ def _token_count_partial(batch: pa.Table) -> pa.Table:
     )
 
 
-def _merge_freq(df: pd.DataFrame) -> pd.DataFrame:
-    return df.groupby("token", sort=False, as_index=False).agg(freq=("freq", "sum"))
-
-
 def vocab_count(sf_dir: str) -> ray.data.Dataset:
     """token -> corpus frequency (A1). Partial value_counts per block, then a
     tiny groupby-sum shuffle; sorted by (-freq, token) like create_mapping
     (utils.py:59-67)."""
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
+
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
     partial = ds.map_batches(_token_count_partial, batch_format="pyarrow")
-    merged = partial.groupby("token").map_groups(_merge_freq, batch_format="pandas")
+    merged = grouped_sum(partial, ["token"], sum_cols=["freq"])
     return merged.sort(["freq", "token"], descending=[True, False])
 
 
@@ -82,14 +80,7 @@ def lang_counts(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("lang", sort=False, as_index=False).agg(
-            n_docs=("n_docs", "sum")
-        )
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("lang")
-        .map_groups(merge, batch_format="pandas")
-        .sort("lang")
-    )
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_sum(partials, ["lang"], sum_cols=["n_docs"]).sort("lang")

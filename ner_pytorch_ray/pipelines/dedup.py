@@ -36,18 +36,22 @@ _MERSENNE = (1 << 61) - 1
 
 
 def _stable_u64(s: str) -> int:
-    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
+    """Stable 63-bit hash (positive int64 — arrow/aggregate-transport safe)."""
+    v = int.from_bytes(
+        hashlib.blake2b(s.encode(), digest_size=8).digest(), "little"
+    )
+    return v & 0x7FFFFFFFFFFFFFFF
 
 
 def doc_shingles(text: str, k: int = _SHINGLE_K) -> np.ndarray:
-    """Distinct k-token shingle hashes (uint64) of a document."""
+    """Distinct k-token shingle hashes (int64) of a document."""
     toks = text.split(" ")
     if len(toks) < k:
-        return np.empty(0, dtype=np.uint64)
+        return np.empty(0, dtype=np.int64)
     hs = {
         _stable_u64(" ".join(toks[i : i + k])) for i in range(len(toks) - k + 1)
     }
-    return np.fromiter(hs, dtype=np.uint64, count=len(hs))
+    return np.fromiter(hs, dtype=np.int64, count=len(hs))
 
 
 # ------------------------------------------------------------------ exact
@@ -72,19 +76,19 @@ def exact_dedup(sf_dir: str) -> ray.data.Dataset:
         )
         return pa.Table.from_pandas(g[["h", "keeper", "n_copies"]], preserve_index=False)
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("h", as_index=False).agg(
-            keeper=("keeper", "min"), n_copies=("n_copies", "sum")
-        )
+    from ray.data.aggregate import Min, Sum
 
     merged = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("h")
-        .map_groups(merge, batch_format="pandas")
+        .aggregate(Min("keeper"), Sum("n_copies"))
     )
     return merged.map_batches(
-        lambda t: t.select(["keeper", "n_copies"]).set_column(
-            1, "n_copies", t.column("n_copies").cast(pa.int64())
+        lambda t: pa.Table.from_pydict(
+            {
+                "keeper": t.column("min(keeper)").cast(pa.int64()),
+                "n_copies": t.column("sum(n_copies)").cast(pa.int64()),
+            }
         ),
         batch_format="pyarrow",
     )
@@ -103,48 +107,22 @@ def _shingle_rows(batch: pa.Table, k: int) -> pa.Table:
         out_n.extend([n] * n)
     return pa.Table.from_pydict(
         {
-            "shingle": pa.array(out_sh, type=pa.uint64()),
+            "shingle": pa.array(out_sh, type=pa.int64()),
             "doc_id": pa.array(out_doc, type=pa.int64()),
             "n_doc": pa.array(out_n, type=pa.int64()),
         }
     )
 
 
-def _pairs_of_group(df: pd.DataFrame, max_group: int) -> pd.DataFrame:
-    frames = []
-    for _, g in df.groupby("shingle", sort=False):
-        if len(g) < 2 or len(g) > max_group:
-            continue
-        g = g.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        ns = g["n_doc"].to_numpy()
-        ai, bi = np.triu_indices(len(ids), k=1)
-        frames.append(
-            pd.DataFrame(
-                {
-                    "doc_a": ids[ai],
-                    "doc_b": ids[bi],
-                    "n_a": ns[ai],
-                    "n_b": ns[bi],
-                    "n_shared": 1,
-                }
-            )
-        )
-    if not frames:
-        return pd.DataFrame(
-            {
-                "doc_a": pd.Series([], dtype="int64"),
-                "doc_b": pd.Series([], dtype="int64"),
-                "n_a": pd.Series([], dtype="int64"),
-                "n_b": pd.Series([], dtype="int64"),
-                "n_shared": pd.Series([], dtype="int64"),
-            }
-        )
-    out = pd.concat(frames, ignore_index=True)
-    # block-local combine before the pair shuffle
-    return out.groupby(["doc_a", "doc_b", "n_a", "n_b"], as_index=False).agg(
-        n_shared=("n_shared", "sum")
-    )
+_PAIR_SCHEMA = pa.schema(
+    [
+        ("doc_a", pa.int64()),
+        ("doc_b", pa.int64()),
+        ("n_a", pa.int64()),
+        ("n_b", pa.int64()),
+        ("n_shared", pa.int64()),
+    ]
+)
 
 
 def ngram_jaccard_pairs(
@@ -152,31 +130,58 @@ def ngram_jaccard_pairs(
 ) -> ray.data.Dataset:
     """Exact near-dup pairs with |A∩B|/|A∪B| >= tau.
 
-    Inverted-index algorithm: shingle rows -> groupby(shingle) -> per-group
-    pairs (groups larger than ``max_group`` are dropped — a stop-word
-    shingle would otherwise explode quadratically; at tau>=0.1 such
-    shingles cannot decide a pair on their own) -> pair-count groupby ->
-    jaccard filter. Integer outputs only (doc_a, doc_b, n_shared, n_a, n_b).
+    Inverted-index algorithm: shingle rows -> collect (doc_id, n_doc) per
+    shingle (aggregate, not per-group UDF) -> vectorized pair generation ->
+    pair-count groupby-sum -> jaccard filter. Groups larger than
+    ``max_group`` are dropped (a stop-word shingle would explode
+    quadratically; at tau>=0.1 it cannot decide a pair alone). Integer
+    outputs only (doc_a, doc_b, n_shared, n_a, n_b).
     """
+    from ner_pytorch_ray.stages.groupby_utils import (
+        collect_tuples,
+        flat_map_groups,
+        grouped_sum,
+    )
+
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     shingles = ds.map_batches(lambda b: _shingle_rows(b, k), batch_format="pyarrow")
-    pair_partials = shingles.groupby("shingle").map_groups(
-        lambda df: _pairs_of_group(df, max_group), batch_format="pandas"
-    )
+    collected = collect_tuples(shingles, ["shingle"], ["doc_id", "n_doc"])
 
-    def merge_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["doc_a", "doc_b", "n_a", "n_b"], as_index=False).agg(
-            n_shared=("n_shared", "sum")
+    def gen_pairs(key, items) -> pa.Table:
+        if items is None or len(items) < 2 or len(items) > max_group:
+            return _PAIR_SCHEMA.empty_table()
+        items = sorted({tuple(x) for x in items})
+        ids = np.array([d for d, _ in items], dtype=np.int64)
+        ns = np.array([n for _, n in items], dtype=np.int64)
+        ai, bi = np.triu_indices(len(ids), k=1)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids[ai]),
+                pa.array(ids[bi]),
+                pa.array(ns[ai]),
+                pa.array(ns[bi]),
+                pa.array(np.ones(len(ai), dtype=np.int64)),
+            ],
+            schema=_PAIR_SCHEMA,
         )
-        c, na, nb = g["n_shared"], g["n_a"], g["n_b"]
-        g = g[c * 1.0 / (na + nb - c) >= tau]
-        return g[["doc_a", "doc_b", "n_shared", "n_a", "n_b"]]
 
-    return pair_partials.groupby(["doc_a", "doc_b"]).map_groups(
-        merge_pairs, batch_format="pandas"
+    pair_partials = flat_map_groups(collected, gen_pairs, ["shingle"])
+    merged = grouped_sum(
+        pair_partials, ["doc_a", "doc_b", "n_a", "n_b"], sum_cols=["n_shared"]
     )
+
+    def jac_filter(t: pa.Table) -> pa.Table:
+        c = t.column("n_shared").to_numpy()
+        na = t.column("n_a").to_numpy()
+        nb = t.column("n_b").to_numpy()
+        mask = c * 1.0 / (na + nb - c) >= tau
+        return t.filter(pa.array(mask)).select(
+            ["doc_a", "doc_b", "n_shared", "n_a", "n_b"]
+        )
+
+    return merged.map_batches(jac_filter, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------ minhash/LSH
@@ -186,23 +191,25 @@ _N_BANDS = 16  # 4 rows per band
 
 def _perm_params(n_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=n_perm, dtype=np.int64).astype(np.uint64)
-    b = rng.randint(0, _MERSENNE, size=n_perm, dtype=np.int64).astype(np.uint64)
+    # a < 2^31 and x < 2^32 keep a*x + b < 2^63: exact int64 arithmetic
+    a = rng.randint(1, 2**31, size=n_perm, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=n_perm, dtype=np.int64)
     return a, b
 
 
 def minhash_signatures(
     texts: list[str], n_perm: int = _N_PERM, k: int = _SHINGLE_K
 ) -> np.ndarray:
-    """[n_docs, n_perm] uint64 minhash signatures (vectorized per doc)."""
+    """[n_docs, n_perm] int64 minhash signatures (vectorized per doc)."""
     a, b = _perm_params(n_perm)
-    sigs = np.full((len(texts), n_perm), _MERSENNE, dtype=np.uint64)
+    sigs = np.full((len(texts), n_perm), _MERSENNE, dtype=np.int64)
     for i, t in enumerate(texts):
         hs = doc_shingles(t, k)
         if len(hs) == 0:
             continue
+        x = hs & 0xFFFFFFFF  # 32-bit shingle identity (exact in int64)
         # universal hash: (a*x + b) mod p, vectorized [n_perm, n_shingles]
-        vals = (a[:, None] * (hs[None, :] % _MERSENNE) + b[:, None]) % _MERSENNE
+        vals = (a[:, None] * x[None, :] + b[:, None]) % _MERSENNE
         sigs[i] = vals.min(axis=1)
     return sigs
 
@@ -232,52 +239,59 @@ def minhash_lsh_pairs(
         n = len(doc_ids)
         band_id = np.repeat(np.arange(n_bands, dtype=np.int32), n)
         doc_rep = np.tile(doc_ids, n_bands)
-        keys = np.empty(n * n_bands, dtype=np.uint64)
+        keys = np.empty(n * n_bands, dtype=np.int64)
         for bnd in range(n_bands):
-            seg = sigs[:, bnd * r : (bnd + 1) * r]
+            seg = sigs[:, bnd * r : (bnd + 1) * r].astype(np.uint64)
             kb = np.zeros(n, dtype=np.uint64)
             for j in range(r):
                 kb = kb * np.uint64(1099511628211) + seg[:, j]
-            keys[bnd * n : (bnd + 1) * n] = kb
+            # 63-bit band key: int64-transportable through aggregates
+            keys[bnd * n : (bnd + 1) * n] = (
+                kb & np.uint64(0x7FFFFFFFFFFFFFFF)
+            ).astype(np.int64)
         return pa.Table.from_pydict(
             {
                 "band": pa.array(band_id),
-                "key": pa.array(keys, type=pa.uint64()),
+                "key": pa.array(keys, type=pa.int64()),
                 "doc_id": pa.array(doc_rep, type=pa.int64()),
                 "sig": pa.array(
-                    np.tile(sigs, (n_bands, 1)).tolist(), type=pa.list_(pa.uint64())
+                    np.tile(sigs, (n_bands, 1)).tolist(), type=pa.list_(pa.int64())
                 ),
             }
         )
 
-    bands = ds.map_batches(band_rows, batch_format="pyarrow")
+    from ner_pytorch_ray.stages.groupby_utils import (
+        collect_tuples,
+        flat_map_groups,
+    )
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b = [], []
-        for _, g in df.groupby(["band", "key"], sort=False):
-            if len(g) < 2 or len(g) > max_bucket:
-                continue
-            g = g.sort_values("doc_id")
-            ids = g["doc_id"].to_numpy()
-            sigs = np.asarray(g["sig"].tolist(), dtype=np.uint64)
-            ai, bi = np.triu_indices(len(ids), k=1)
-            est = (sigs[ai] == sigs[bi]).mean(axis=1)
-            keep = est >= tau
-            out_a.extend(ids[ai[keep]].tolist())
-            out_b.extend(ids[bi[keep]].tolist())
-        return pd.DataFrame(
+    bands = ds.map_batches(band_rows, batch_format="pyarrow")
+    collected = collect_tuples(bands, ["band", "key"], ["doc_id", "sig"])
+    empty = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+
+    def bucket_pairs(key, items) -> pa.Table:
+        if items is None or len(items) < 2 or len(items) > max_bucket:
+            return empty.empty_table()
+        items = sorted({(d, tuple(sg)) for d, sg in items})
+        ids = np.array([d for d, _ in items], dtype=np.int64)
+        sigs = np.asarray([list(sg) for _, sg in items], dtype=np.int64)
+        ai, bi = np.triu_indices(len(ids), k=1)
+        est = (sigs[ai] == sigs[bi]).mean(axis=1)
+        keep = est >= tau
+        return pa.Table.from_pydict(
             {
-                "doc_a": pd.Series(out_a, dtype="int64"),
-                "doc_b": pd.Series(out_b, dtype="int64"),
+                "doc_a": pa.array(ids[ai[keep]], type=pa.int64()),
+                "doc_b": pa.array(ids[bi[keep]], type=pa.int64()),
             }
         )
 
-    pairs = bands.groupby(["band", "key"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
-    # same pair can surface from several bands -> distinct
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda df: df.drop_duplicates(), batch_format="pandas"
+    pairs = flat_map_groups(collected, bucket_pairs, ["band", "key"])
+    # same pair can surface from several bands -> distinct via count-agg
+    from ray.data.aggregate import Count
+
+    distinct = pairs.groupby(["doc_a", "doc_b"]).aggregate(Count())
+    return distinct.map_batches(
+        lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow"
     )
 
 
@@ -325,46 +339,53 @@ def simhash_pairs(
         band = np.repeat(np.arange(n_bands, dtype=np.int32), n)
         keys = np.concatenate(
             [(sh >> np.uint64(b * width)) & mask for b in range(n_bands)]
-        )
+        ).astype(np.int64)  # band keys < 2^width: int64-safe
         return pa.Table.from_pydict(
             {
                 "band": pa.array(band),
-                "key": pa.array(keys, type=pa.uint64()),
+                "key": pa.array(keys, type=pa.int64()),
                 "doc_id": pa.array(np.tile(doc_ids, n_bands), type=pa.int64()),
-                "sim": pa.array(np.tile(sh, n_bands), type=pa.uint64()),
+                # two's-complement view: bit pattern preserved, int64 transport
+                "sim": pa.array(np.tile(sh, n_bands).view(np.int64), type=pa.int64()),
             }
         )
+
+    from ner_pytorch_ray.stages.groupby_utils import (
+        collect_tuples,
+        flat_map_groups,
+    )
+    from ray.data.aggregate import Min
 
     bands = ds.map_batches(band_rows, batch_format="pyarrow")
+    collected = collect_tuples(bands, ["band", "key"], ["doc_id", "sim"])
+    empty = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("hamming", pa.int64())]
+    )
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        rows_a, rows_b, hams = [], [], []
-        for _, g in df.groupby(["band", "key"], sort=False):
-            if len(g) < 2:
-                continue
-            g = g.sort_values("doc_id").drop_duplicates("doc_id")
-            ids = g["doc_id"].to_numpy()
-            sims = g["sim"].to_numpy().astype(np.uint64)
-            ai, bi = np.triu_indices(len(ids), k=1)
-            x = sims[ai] ^ sims[bi]
-            ham = np.array([bin(int(v)).count("1") for v in x])
-            keep = ham <= max_hamming
-            rows_a.extend(ids[ai[keep]].tolist())
-            rows_b.extend(ids[bi[keep]].tolist())
-            hams.extend(ham[keep].tolist())
-        return pd.DataFrame(
+    def bucket_pairs(key, items) -> pa.Table:
+        if items is None or len(items) < 2:
+            return empty.empty_table()
+        items = sorted({tuple(x) for x in items})
+        ids = np.array([d for d, _ in items], dtype=np.int64)
+        sims = np.array([sm for _, sm in items], dtype=np.int64)
+        ai, bi = np.triu_indices(len(ids), k=1)
+        # XOR on the two's-complement view == XOR on the original uint64 bits
+        x = (sims[ai] ^ sims[bi]).view(np.uint64)
+        ham = np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
+        keep = ham <= max_hamming
+        return pa.Table.from_pydict(
             {
-                "doc_a": pd.Series(rows_a, dtype="int64"),
-                "doc_b": pd.Series(rows_b, dtype="int64"),
-                "hamming": pd.Series(hams, dtype="int64"),
+                "doc_a": pa.array(ids[ai[keep]], type=pa.int64()),
+                "doc_b": pa.array(ids[bi[keep]], type=pa.int64()),
+                "hamming": pa.array(ham[keep], type=pa.int64()),
             }
         )
 
-    pairs = bands.groupby(["band", "key"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda df: df.drop_duplicates(["doc_a", "doc_b"]), batch_format="pandas"
+    pairs = flat_map_groups(collected, bucket_pairs, ["band", "key"])
+    distinct = pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming"))
+    return distinct.map_batches(
+        lambda t: t.rename_columns(["doc_a", "doc_b", "hamming"]),
+        batch_format="pyarrow",
     )
 
 

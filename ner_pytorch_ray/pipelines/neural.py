@@ -31,9 +31,15 @@ DEFAULT_SEED = 1234
 
 
 def build_vocab_state(sentences: ray.data.Dataset) -> dict:
-    """Distributed vocab counts -> driver-side deterministic mappings."""
-    word_to_id, id_to_word = word_mapping(sentences, lower=True, min_freq=3)
-    char_to_id, id_to_char = char_mapping(sentences)
+    """Distributed vocab counts -> driver-side deterministic mappings.
+
+    One pass over the sentence stream for word+char counts (matching
+    loader.py:69-97 semantics: words lowered, freq>=3 cut; chars raw)."""
+    from ner_pytorch_ray.state.vocab import word_and_char_mapping
+
+    (word_to_id, id_to_word), (char_to_id, id_to_char) = word_and_char_mapping(
+        sentences, lower=True, min_freq=3
+    )
     tag_to_id, id_to_tag = tag_mapping_from_tagset(IOBES_TAGSET)
     return {
         "word_to_id": word_to_id,
@@ -66,13 +72,14 @@ def neural_tagged_sentences(
 ):
     """pages(sf_dir documents) -> tagged sentences (+ vocab/weights state).
 
-    Returns (tagged_ds, vocab, weights). The vocab build consumes the
-    sentence stream once (counts only — small shuffle); the main pass then
-    re-reads and tags. At 100 TB the vocab pass reads a sample or a
-    precomputed vocab table instead; the API takes any pages Dataset.
+    Returns (tagged_ds, vocab, weights). The sentence stream is materialized
+    once (object store, spills if large) because BOTH the vocab count and the
+    encode+tag pass consume it — without this, extract+split would execute
+    twice. At 100 TB you would persist sentences to parquet (the resumable
+    runner does exactly that) or build the vocab from a sample.
     """
     pages = pages_from_documents(sf_dir)
-    sents = sentences_stage(extract_stage(pages), zeros=True)
+    sents = sentences_stage(extract_stage(pages), zeros=True).materialize()
     vocab = build_vocab_state(sents)
     weights = frozen_weights(vocab, seed)
     encoded = encode_stage(sents, vocab["word_to_id"], vocab["char_to_id"])

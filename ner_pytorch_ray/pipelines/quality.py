@@ -114,7 +114,7 @@ def winnow_fingerprints(
                     _stable_u64(" ".join(toks[i : i + k]))
                     for i in range(len(toks) - k + 1)
                 ),
-                dtype=np.uint64,
+                dtype=np.int64,
             )
             if len(hs) <= window:
                 sel = {int(hs.min())}
@@ -128,7 +128,7 @@ def winnow_fingerprints(
         return pa.Table.from_pydict(
             {
                 "doc_id": pa.array(out_doc, type=pa.int64()),
-                "fp": pa.array(out_fp, type=pa.uint64()),
+                "fp": pa.array(out_fp, type=pa.int64()),
             }
         )
 

@@ -70,20 +70,15 @@ def _pairs_partial(batch: pa.Table) -> pa.Table:
     )
 
 
-def _merge_edges(batch: pd.DataFrame) -> pd.DataFrame:
-    g = (
-        batch.groupby(["subj", "pred", "obj"], sort=False, as_index=False)
-        .agg(weight=("weight", "sum"), sample_url=("sample_url", "min"))
-    )
-    return g
-
-
 def edges_from_linked(mentions: ray.data.Dataset) -> ray.data.Dataset:
     """linked mentions -> (subj, pred, obj, weight, sample_url), deduped,
     sorted by (subj, pred, obj)."""
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
+
     partial = mentions.map_batches(_pairs_partial, batch_format="pyarrow")
-    merged = partial.groupby(["subj", "pred", "obj"]).map_groups(
-        _merge_edges, batch_format="pandas"
+    merged = grouped_sum(
+        partial, ["subj", "pred", "obj"], sum_cols=["weight"],
+        min_cols=["sample_url"],
     )
     return merged.sort(["subj", "pred", "obj"])
 
@@ -103,17 +98,13 @@ def _nodes_partial(batch: pa.Table) -> pa.Table:
     )
 
 
-def _merge_nodes(batch: pd.DataFrame) -> pd.DataFrame:
-    return batch.groupby(
-        ["entity_id", "tag_type", "surface"], sort=False, as_index=False
-    ).agg(n_mentions=("n_mentions", "sum"))
-
-
 def nodes_from_linked(mentions: ray.data.Dataset) -> ray.data.Dataset:
     """Canonicalization (A4): groupby (entity_id, tag_type, surface) with a
     block-local partial count before the shuffle; sorted output."""
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
+
     partial = mentions.map_batches(_nodes_partial, batch_format="pyarrow")
-    merged = partial.groupby(["entity_id", "tag_type", "surface"]).map_groups(
-        _merge_nodes, batch_format="pandas"
+    merged = grouped_sum(
+        partial, ["entity_id", "tag_type", "surface"], sum_cols=["n_mentions"]
     )
     return merged.sort(["entity_id", "tag_type", "surface"])

@@ -1,0 +1,87 @@
+"""Shuffle helpers: native-aggregate groupbys instead of per-group UDF calls.
+
+``groupby().map_groups`` invokes the UDF once per group — measured ~8x
+slower than ``groupby().aggregate`` on many-small-group workloads (80k
+groups: 21s vs 2.7s at 8 CPUs). Every many-group shuffle in the engine goes
+through these helpers; ``map_groups`` remains only where groups are few
+(top-k merges) or the per-group logic is genuinely relational.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import AggregateFn, Count, Max, Min, Sum
+
+
+def grouped_sum(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    sum_cols: list[str],
+    min_cols: list[str] | None = None,
+) -> ray.data.Dataset:
+    """groupby(keys).sum(sum_cols)[.min(min_cols)] with original column names
+    restored (ray emits 'sum(col)' / 'min(col)')."""
+    aggs = [Sum(c) for c in sum_cols] + [Min(c) for c in (min_cols or [])]
+    out = ds.groupby(keys).aggregate(*aggs)
+    renames = {f"sum({c})": c for c in sum_cols}
+    renames.update({f"min({c})": c for c in (min_cols or [])})
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns([renames.get(n, n) for n in t.column_names])
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+def collect_tuples(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value_cols: list[str],
+    name: str = "items",
+) -> ray.data.Dataset:
+    """groupby(keys) -> one row per group with ``name`` = list of value
+    tuples. The group payload ships as a python list inside the aggregate
+    state — suitable for bucket-style groups (bounded size), not for
+    collecting whole partitions."""
+
+    def acc_block(a: list, block) -> list:
+        cols = [block.column(c).to_pylist() for c in value_cols]
+        a = list(a)
+        a.extend(zip(*cols))
+        return a
+
+    agg = AggregateFn(
+        init=lambda k: [],
+        accumulate_block=acc_block,
+        merge=lambda a, b: list(a) + list(b),
+        name=name,
+    )
+    return ds.groupby(keys).aggregate(agg)
+
+
+def flat_map_groups(
+    collected: ray.data.Dataset,
+    fn: Callable[[tuple, list], pa.Table | None],
+    keys: list[str],
+    items_col: str = "items",
+) -> ray.data.Dataset:
+    """Vectorized follow-up to ``collect_tuples``: ``fn(key_tuple, items)``
+    per *row* (group), executed many-per-batch inside map_batches."""
+
+    def run(batch: pa.Table) -> pa.Table:
+        key_cols = [batch.column(k).to_pylist() for k in keys]
+        items = batch.column(items_col).to_pylist()
+        outs = []
+        for i, it in enumerate(items):
+            kt = tuple(col[i] for col in key_cols)
+            t = fn(kt, it)
+            if t is not None and len(t):
+                outs.append(t)
+        if not outs:
+            return fn(None, None)  # must return an empty, typed table
+        return pa.concat_tables(outs)
+
+    return collected.map_batches(run, batch_format="pyarrow")

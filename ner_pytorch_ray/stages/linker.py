@@ -119,7 +119,7 @@ class LinkerActor:
 def link_stage(
     mentions: ray.data.Dataset,
     alias_table: pa.Table,
-    concurrency: int | tuple[int, int] = (1, 4),
+    concurrency: int | tuple[int, int] = (1, 16),
     min_cosine: float = 0.5,
     batch_size: int | None = 4096,
 ) -> ray.data.Dataset:

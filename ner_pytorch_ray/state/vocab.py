@@ -53,13 +53,10 @@ def _count_column(
             }
         )
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(name, sort=False, as_index=False).agg(freq=("freq", "sum"))
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
 
-    merged = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(name)
-        .map_groups(merge, batch_format="pandas")
+    merged = grouped_sum(
+        ds.map_batches(partial, batch_format="pyarrow"), [name], sum_cols=["freq"]
     )
     out: dict[str, int] = {}
     for b in merged.iter_batches(batch_format="pyarrow"):
@@ -104,13 +101,12 @@ def char_mapping(
             }
         )
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("char", sort=False, as_index=False).agg(freq=("freq", "sum"))
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
 
-    merged = (
-        sentences.map_batches(partial, batch_format="pyarrow")
-        .groupby("char")
-        .map_groups(merge, batch_format="pandas")
+    merged = grouped_sum(
+        sentences.map_batches(partial, batch_format="pyarrow"),
+        ["char"],
+        sum_cols=["freq"],
     )
     dico: dict[str, int] = {}
     for b in merged.iter_batches(batch_format="pyarrow"):
@@ -133,3 +129,59 @@ def tag_mapping_from_tagset(tags: list[str]) -> tuple[dict[str, int], dict[int, 
 IOBES_TAGSET = ["O"] + [
     f"{p}-{t}" for p in "BIES" for t in ("LOC", "MISC", "ORG", "PER")
 ]
+
+
+def word_and_char_mapping(
+    sentences: ray.data.Dataset, lower: bool = True, min_freq: int = 3
+) -> tuple[
+    tuple[dict[str, int], dict[int, str]], tuple[dict[str, int], dict[int, str]]
+]:
+    """Word + char vocab in ONE pass over the sentence stream.
+
+    The per-block partial emits both kinds of counts tagged by a ``kind``
+    column; a single groupby-sum shuffle merges them; the driver splits and
+    ranks. Halves the corpus reads of separate word_mapping/char_mapping.
+    """
+    from collections import Counter
+
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(batch.column("tokens"))
+        words = pc.utf8_lower(flat) if lower else flat
+        vc = words.value_counts()
+        w_keys = vc.field("values").to_pylist()
+        w_freqs = vc.field("counts").to_pylist()
+        c = Counter("".join(flat.to_pylist()))
+        return pa.Table.from_pydict(
+            {
+                "kind": pa.array(
+                    ["w"] * len(w_keys) + ["c"] * len(c), type=pa.string()
+                ),
+                "key": pa.array(w_keys + list(c.keys()), type=pa.string()),
+                "freq": pa.array(
+                    [int(f) for f in w_freqs] + list(c.values()), type=pa.int64()
+                ),
+            }
+        )
+
+    merged = grouped_sum(
+        sentences.map_batches(partial, batch_format="pyarrow"),
+        ["kind", "key"],
+        sum_cols=["freq"],
+    )
+    w_dico: dict[str, int] = {}
+    c_dico: dict[str, int] = {}
+    for b in merged.iter_batches(batch_format="pyarrow"):
+        for kind, k, v in zip(
+            b.column("kind").to_pylist(),
+            b.column("key").to_pylist(),
+            b.column("freq").to_pylist(),
+        ):
+            d = w_dico if kind == "w" else c_dico
+            d[k] = d.get(k, 0) + v
+    w_dico = {k: v for k, v in w_dico.items() if v >= min_freq}
+    w_dico[PAD] = 10000001
+    w_dico[UNK] = 10000000
+    c_dico[PAD] = 10000000
+    return create_mapping(w_dico), create_mapping(c_dico)
