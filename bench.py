@@ -142,6 +142,38 @@ def single_run(num_cpus: int, sf_dir: str) -> dict:
     }
 
 
+SCALING_REPLICATE = int(os.environ.get("GRAFT_SCALING_REPLICATE", "20"))
+
+
+def kg_scaling_job(num_cpus: int, sf_dir: str, replicate: int) -> dict:
+    """The headline KG DAG over a replicated (compute-dominated) corpus with
+    a FIXED block count, so both parallelism levels see identical work and
+    identical partitioning — only the worker count differs."""
+    ray = _init_ray(num_cpus)
+    try:
+        from ner_pytorch_ray.sources.pages import pages_from_documents
+        from ner_pytorch_ray.pipelines.kg import linked_mentions
+        from ner_pytorch_ray.stages.graph import edges_from_linked
+
+        pages = pages_from_documents(
+            sf_dir, replicate=replicate, override_num_blocks=128
+        )
+        t0 = time.perf_counter()
+        edges = edges_from_linked(linked_mentions(pages))
+        n_edges = edges.count()
+        secs = time.perf_counter() - t0
+    finally:
+        ray.shutdown()
+    n_docs = _corpus_stats(sf_dir)["n_docs"] * replicate
+    return {
+        "seconds": round(secs, 3),
+        "n_docs": n_docs,
+        "n_edges": n_edges,
+        "docs_per_sec": round(n_docs / secs, 2),
+        "num_cpus": num_cpus,
+    }
+
+
 def scaling_run(sf_dir: str, low: int = 8, high: int = 32) -> dict:
     """Same job at two parallelism levels in FRESH processes (the in-sandbox
     substitute for N vs 4N nodes; BASELINE.md scaling criterion)."""
@@ -151,7 +183,7 @@ def scaling_run(sf_dir: str, low: int = 8, high: int = 32) -> dict:
         env["RAY_GRAFT_CPUS"] = str(n)
         env["GRAFT_SF_DIR"] = sf_dir
         out = subprocess.run(
-            [sys.executable, __file__, "--json-only"],
+            [sys.executable, __file__, "--scaling-worker"],
             capture_output=True,
             text=True,
             env=env,
@@ -159,27 +191,24 @@ def scaling_run(sf_dir: str, low: int = 8, high: int = 32) -> dict:
         )
         line = out.stdout.strip().splitlines()[-1]
         results[n] = json.loads(line)
-    thr_low = results[low]["n_docs"] / results[low]["value"]
-    thr_high = results[high]["n_docs"] / results[high]["value"]
+    thr_low = results[low]["docs_per_sec"]
+    thr_high = results[high]["docs_per_sec"]
     eff = (thr_high / thr_low) / (high / low)
     return {
         "metric": "scaling efficiency (throughput ratio / cpu ratio)",
         "value": round(eff, 4),
         "unit": "ratio",
         "sf": sf_dir,
-        "low_cpus": low,
-        "high_cpus": high,
-        "throughput_low_docs_per_sec": round(thr_low, 2),
-        "throughput_high_docs_per_sec": round(thr_high, 2),
-        "seconds_low": results[low]["value"],
-        "seconds_high": results[high]["value"],
-        "queries_low": results[low]["queries"],
-        "queries_high": results[high]["queries"],
+        "replicate": SCALING_REPLICATE,
+        "low": results[low],
+        "high": results[high],
     }
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-worker" in sys.argv:
+        print(json.dumps(kg_scaling_job(NUM_CPUS, SF_DIR, SCALING_REPLICATE)))
+    elif "--scaling" in sys.argv:
         print(json.dumps(scaling_run(SF_DIR)))
     else:
         print(json.dumps(single_run(NUM_CPUS, SF_DIR)))

@@ -1,0 +1,452 @@
+"""Adversarial example generation — the reference's pipeline proper
+(gen_adv_pipline.py) re-expressed Ray-Data-first.
+
+Stages (composable via ``order``, mirroring ``--order rep,ppdb``,
+gen_adv_pipline.py:260-396):
+
+  * ``rep``  — entity-chunk replacement via the word bank + cosine k-NN
+    (Word_Replacement, word_rep.py:40-334): segment each sentence into
+    kept-tokens vs replaceable chunks (C2), probe the bank for
+    closest/farthest/seeded-random same-type chunks (J3), assemble variants
+    (C3) with retagged IOBES spans.
+  * ``ppdb`` — paraphrase-dictionary rewrite of O-runs; entity chunks
+    untouched (PPDB_Replacement, ppdb.py:119-144). The dictionary here is a
+    small deterministic synonym table (no PPDB file in the sandbox) behind
+    the same lookup semantics (unigram/bigram O-run hits).
+  * ``ppl``  — perplexity filter (gen_adv_pipline.py:200-234): keep variants
+    with ppl < 3x the source sentence's; top-up from the best rejected if
+    fewer than n survive (O5 fallback, :224-227). The LM is a broadcast
+    unigram model built from the corpus vocabulary (GPT-2 is unavailable —
+    semantics identical, scorer swapped; the scorer is an actor-pool stage
+    exactly like a GPU LM would be).
+
+Every random choice is seeded by (url, sent_id, variant key) — SURVEY §4's
+keyed-determinism requirement (the reference is unseeded; we must not be).
+
+Variant identity is carried as (url, sent_id, variant_id) key columns; the
+reference's positional alignment asserts (train.py:323-324) become key
+equality (J6).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ner_pytorch_ray.functions.spans import extract_spans
+from ner_pytorch_ray.sources.glove import pseudo_glove
+
+# ------------------------------------------------------------ segmentation
+def segment_sentence(
+    tokens: list[str], tags: list[str]
+) -> list[tuple[int, list[int]]]:
+    """C2: sentence -> [(is_chunk, token_indices)] in order
+    (word_rep.py:291-334 semantics via span algebra)."""
+    spans = extract_spans(tags)
+    out: list[tuple[int, list[int]]] = []
+    pos = 0
+    for sp in spans:
+        for i in range(pos, sp.begin):
+            out.append((0, [i]))
+        out.append((1, list(range(sp.begin, sp.end))))
+        pos = sp.end
+    for i in range(pos, len(tokens)):
+        out.append((0, [i]))
+    return out
+
+
+def retag(n: int, tag_type: str) -> list[str]:
+    """IOBES tags for a chunk of length n."""
+    if n == 1:
+        return [f"S-{tag_type}"]
+    return [f"B-{tag_type}"] + [f"I-{tag_type}"] * (n - 2) + [f"E-{tag_type}"]
+
+
+def _seed_of(*parts) -> int:
+    h = hashlib.blake2b("|".join(str(p) for p in parts).encode(), digest_size=4)
+    return int.from_bytes(h.digest(), "little")
+
+
+# ------------------------------------------------------------- word bank
+def build_word_bank(
+    tagged: ray.data.Dataset, dim: int = 32
+) -> dict:
+    """Distinct (tag_type, surface) chunk bank with pooled embeddings.
+
+    Dedup = grouped count over mention keys (D1: word_rep.py:151-153);
+    pooling (A3) = mean/min/max over per-word pseudo-GloVe vectors of the
+    surface tokens (word_rep.py:92-123) — computed after dedup, so the
+    shuffle moves only keys. Returns per-type normalized matrices for the
+    three pool methods + token lists.
+    """
+    from ner_pytorch_ray.stages.mentions import mentions_stage
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
+
+    mentions = mentions_stage(tagged)
+
+    def key_rows(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "tag_type": b.column("tag_type"),
+                "surface": b.column("surface"),
+                "n": pa.array([1] * len(b), type=pa.int64()),
+            }
+        )
+
+    distinct = grouped_sum(
+        mentions.map_batches(key_rows, batch_format="pyarrow"),
+        ["tag_type", "surface"],
+        sum_cols=["n"],
+    )
+    rows = distinct.take_all()  # bank is small relative to corpus
+
+    bank: dict[str, dict] = {}
+    vocab = sorted({w for r in rows for w in r["surface"].split(" ")})
+    wv = pseudo_glove(vocab, dim=dim)
+    by_type: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: (r["tag_type"], r["surface"])):
+        by_type.setdefault(r["tag_type"], []).append(r["surface"])
+    for t, surfaces in by_type.items():
+        toks_list = [s.split(" ") for s in surfaces]
+        mats = {}
+        for pool in ("mean", "min", "max"):
+            m = np.stack(
+                [
+                    pool_vectors([wv[w] for w in toks], pool)
+                    for toks in toks_list
+                ]
+            )
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            mats[pool] = (m / norms).astype(np.float32)
+        bank[t] = {"surfaces": surfaces, "tokens": toks_list, "mats": mats}
+    bank["_wv_vocab"] = vocab
+    bank["_dim"] = dim
+    return bank
+
+
+def pool_vectors(vecs: list[np.ndarray], method: str) -> np.ndarray:
+    a = np.asarray(vecs, dtype=np.float32)
+    if method == "min":
+        return a.min(axis=0)
+    if method == "max":
+        return a.max(axis=0)
+    return a.mean(axis=0)
+
+
+# ----------------------------------------------------------- 'rep' stage
+class ChunkReplacer:
+    """Actor: bank built once per worker from a broadcast ref (T4/T5)."""
+
+    def __init__(self, bank_ref, n_variants: int, pool: str, method: str):
+        bank = ray.get(bank_ref) if isinstance(bank_ref, ray.ObjectRef) else bank_ref
+        self.bank = bank
+        self.wv = pseudo_glove(bank["_wv_vocab"], dim=bank["_dim"])
+        self.n_variants = n_variants
+        self.pool = pool
+        self.method = method
+        self.dim = bank["_dim"]
+
+    def _candidates(self, tag_type: str, toks: list[str], seed: int) -> list[list[str]]:
+        entry = self.bank.get(tag_type)
+        if entry is None:
+            return []
+        k = self.n_variants
+        if self.method == "random":
+            rng = np.random.RandomState(seed)
+            idx = rng.randint(0, len(entry["tokens"]), size=k)
+            return [entry["tokens"][i] for i in idx]
+        q = pool_vectors(
+            [self.wv.get(w, np.zeros(self.dim, dtype=np.float32)) for w in toks],
+            self.pool,
+        )
+        n = np.linalg.norm(q)
+        q = q / n if n else q
+        if self.method == "farthest":
+            q = -q
+        sims = entry["mats"][self.pool] @ q
+        # deterministic rank: (-sim, surface) — skip self for 'closest'
+        order = np.lexsort((np.array(entry["surfaces"], dtype=object), -sims))
+        surface = " ".join(toks).lower()
+        out = []
+        for i in order:
+            if self.method != "farthest" and entry["surfaces"][i] == surface:
+                continue
+            out.append(entry["tokens"][i])
+            if len(out) >= k:
+                break
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        sent_ids = batch.column("sent_id").to_pylist()
+        tokens = batch.column("tokens").to_pylist()
+        tags = batch.column("tags").to_pylist()
+        o_url, o_sid, o_vid, o_toks, o_tags = [], [], [], [], []
+        for u, sid, toks, tgs in zip(urls, sent_ids, tokens, tags):
+            segs = segment_sentence(toks, tgs)
+            chunk_slots = [i for i, (c, _) in enumerate(segs) if c]
+            if not chunk_slots:
+                continue
+            # per-slot candidate lists (word_rep.py:255-289 assembly)
+            cands = {}
+            for slot in chunk_slots:
+                idxs = segs[slot][1]
+                ctoks = [toks[i] for i in idxs]
+                ttype = tags[0] if False else tgs[idxs[0]].partition("-")[2]
+                cands[slot] = self._candidates(
+                    ttype, ctoks, _seed_of(u, sid, slot)
+                )
+            n_out = min(
+                self.n_variants,
+                min((len(c) for c in cands.values()), default=0),
+            )
+            for v in range(n_out):
+                new_toks: list[str] = []
+                new_tags: list[str] = []
+                for i, (is_chunk, idxs) in enumerate(segs):
+                    if not is_chunk:
+                        new_toks.append(toks[idxs[0]])
+                        new_tags.append(tgs[idxs[0]])
+                    else:
+                        rep = cands[i][v]
+                        ttype = tgs[idxs[0]].partition("-")[2]
+                        new_toks.extend(rep)
+                        new_tags.extend(retag(len(rep), ttype))
+                o_url.append(u)
+                o_sid.append(sid)
+                o_vid.append(v)
+                o_toks.append(new_toks)
+                o_tags.append(new_tags)
+        return pa.Table.from_pydict(
+            {
+                "url": pa.array(o_url, type=pa.string()),
+                "sent_id": pa.array(o_sid, type=pa.int64()),
+                "variant_id": pa.array(o_vid, type=pa.int64()),
+                "tokens": pa.array(o_toks, type=pa.list_(pa.string())),
+                "tags": pa.array(o_tags, type=pa.list_(pa.string())),
+            }
+        )
+
+
+def rep_stage(
+    tagged: ray.data.Dataset,
+    bank: dict,
+    n_variants: int = 3,
+    pool: str = "mean",
+    method: str = "closest",
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    bank_ref = ray.put(bank)
+    return tagged.map_batches(
+        ChunkReplacer,
+        fn_constructor_args=(bank_ref, n_variants, pool, method),
+        concurrency=concurrency,
+        batch_format="pyarrow",
+    )
+
+
+# ----------------------------------------------------------- 'ppdb' stage
+# Deterministic synonym table over the synthetic vocabulary (stand-in for
+# the PPDB Equivalence dict, ppdb.py:36-76; same unigram lookup semantics).
+PARAPHRASES: dict[str, list[str]] = {
+    "fast": ["quick"],
+    "slow": ["sluggish"],
+    "big": ["large"],
+    "small": ["tiny"],
+    "merge": ["combine"],
+    "sort": ["order"],
+    "query": ["request"],
+}
+
+
+def ppdb_stage(
+    sentences: ray.data.Dataset, n_variants: int = 2
+) -> ray.data.Dataset:
+    """C4: rewrite O-run tokens via the paraphrase dict; entities untouched.
+    Seeded per (url, sent_id, variant)."""
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        sids = batch.column("sent_id").to_pylist()
+        tokens = batch.column("tokens").to_pylist()
+        tags = batch.column("tags").to_pylist()
+        o_url, o_sid, o_vid, o_toks, o_tags = [], [], [], [], []
+        for u, sid, toks, tgs in zip(urls, sids, tokens, tags):
+            hit_pos = [
+                i for i, (w, tg) in enumerate(zip(toks, tgs))
+                if tg == "O" and w in PARAPHRASES
+            ]
+            if not hit_pos:
+                continue
+            for v in range(n_variants):
+                rng = np.random.RandomState(_seed_of(u, sid, "ppdb", v))
+                new = list(toks)
+                changed = False
+                for i in hit_pos:
+                    opts = PARAPHRASES[new[i]]
+                    if rng.rand() < 0.7:
+                        new[i] = opts[rng.randint(0, len(opts))]
+                        changed = True
+                if not changed or new == toks:  # identity filter (M15)
+                    continue
+                o_url.append(u)
+                o_sid.append(sid)
+                o_vid.append(v)
+                o_toks.append(new)
+                o_tags.append(list(tgs))
+        return pa.Table.from_pydict(
+            {
+                "url": pa.array(o_url, type=pa.string()),
+                "sent_id": pa.array(o_sid, type=pa.int64()),
+                "variant_id": pa.array(o_vid, type=pa.int64()),
+                "tokens": pa.array(o_toks, type=pa.list_(pa.string())),
+                "tags": pa.array(o_tags, type=pa.list_(pa.string())),
+            }
+        )
+
+    return sentences.map_batches(rewrite, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ 'ppl' stage
+class UnigramLM:
+    """Broadcast unigram LM: ppl = exp(-mean log p(w)), add-1 smoothed.
+
+    Stand-in for the GPT-2 scorer (perplexity_est.py:18-82) with identical
+    pipeline semantics; an actor-pool stage exactly as a GPU LM would be.
+    """
+
+    def __init__(self, counts_ref):
+        counts = (
+            ray.get(counts_ref)
+            if isinstance(counts_ref, ray.ObjectRef)
+            else counts_ref
+        )
+        total = sum(counts.values()) + len(counts) + 1
+        self.logp = {
+            w: float(np.log((c + 1) / total)) for w, c in counts.items()
+        }
+        self.unk = float(np.log(1.0 / total))
+
+    def ppl(self, toks: list[str]) -> float:
+        if not toks:
+            return float("inf")
+        s = sum(self.logp.get(w, self.unk) for w in toks)
+        return float(np.exp(-s / len(toks)))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ppls = [self.ppl(t) for t in batch.column("tokens").to_pylist()]
+        return batch.append_column("ppl", pa.array(ppls, type=pa.float64()))
+
+
+def ppl_stage(ds: ray.data.Dataset, counts: dict, concurrency=(1, 8)):
+    ref = ray.put(counts)
+    return ds.map_batches(
+        UnigramLM,
+        fn_constructor_args=(ref,),
+        concurrency=concurrency,
+        batch_format="pyarrow",
+    )
+
+
+def ppl_filter(
+    variants: ray.data.Dataset,
+    sources: ray.data.Dataset,
+    counts: dict,
+    threshold: float = 3.0,
+    keep_n: int = 2,
+) -> ray.data.Dataset:
+    """M13/O5: keep variants with ppl < threshold * source_ppl; if fewer than
+    ``keep_n`` survive for a source sentence, top-up from the lowest-ppl
+    rejected ones (gen_adv_pipline.py:221-230).
+
+    Source ppls are computed once and broadcast (small: one float per
+    sentence); the per-source selection groups variants by (url, sent_id)
+    via collect aggregation.
+    """
+    from ner_pytorch_ray.stages.groupby_utils import collect_tuples, flat_map_groups
+
+    scored_src = ppl_stage(sources, counts)
+    src_ppl = {
+        (r["url"], r["sent_id"]): r["ppl"]
+        for r in scored_src.select_columns(["url", "sent_id", "ppl"]).take_all()
+    }
+    src_ref = ray.put(src_ppl)
+
+    scored = ppl_stage(variants, counts)
+    collected = collect_tuples(
+        scored, ["url", "sent_id"], ["variant_id", "ppl"], name="vs"
+    )
+    empty = pa.schema(
+        [
+            ("url", pa.string()),
+            ("sent_id", pa.int64()),
+            ("variant_id", pa.int64()),
+            ("ppl", pa.float64()),
+        ]
+    )
+
+    src_map_holder = {}
+
+    def select(key, items) -> pa.Table:
+        if items is None:
+            return empty.empty_table()
+        if not src_map_holder:
+            src_map_holder["m"] = ray.get(src_ref)
+        m = src_map_holder["m"]
+        u, sid = key
+        base = m.get((u, sid), float("inf"))
+        items = sorted({tuple(x) for x in items}, key=lambda x: (x[1], x[0]))
+        kept = [(v, p) for v, p in items if p < threshold * base]
+        if len(kept) < keep_n:  # top-up fallback
+            rejected = [x for x in items if x not in kept]
+            kept = kept + rejected[: keep_n - len(kept)]
+        return pa.Table.from_pydict(
+            {
+                "url": pa.array([u] * len(kept), type=pa.string()),
+                "sent_id": pa.array([sid] * len(kept), type=pa.int64()),
+                "variant_id": pa.array([v for v, _ in kept], type=pa.int64()),
+                "ppl": pa.array([p for _, p in kept], type=pa.float64()),
+            }
+        )
+
+    return flat_map_groups(collected, select, ["url", "sent_id"], items_col="vs")
+
+
+# ------------------------------------------------------------- pipeline
+def adv_pipeline(
+    sf_dir: str,
+    order: str = "rep,ppdb",
+    n_variants: int = 3,
+    method: str = "closest",
+):
+    """Composable stage list over gazetteer-tagged sentences (the reference's
+    --order contract). Returns the final variants Dataset."""
+    from ner_pytorch_ray.pipelines.kg import (
+        pages_from_documents,
+    )
+    from ner_pytorch_ray.stages.extract import extract_stage
+    from ner_pytorch_ray.stages.sentences import sentences_stage
+    from ner_pytorch_ray.stages.gazetteer import gazetteer_tag_stage
+
+    pages = pages_from_documents(sf_dir)
+    tagged = gazetteer_tag_stage(
+        sentences_stage(extract_stage(pages), zeros=True)
+    ).materialize()
+
+    current = tagged
+    for stage in order.split(","):
+        stage = stage.strip()
+        if stage == "rep":
+            bank = build_word_bank(tagged)
+            current = rep_stage(current, bank, n_variants, method=method)
+        elif stage == "ppdb":
+            current = ppdb_stage(current, n_variants=max(1, n_variants - 1))
+        else:
+            raise ValueError(f"unknown adv stage {stage!r}")
+    return current

@@ -75,22 +75,45 @@ def _documents_to_pages(batch: pa.Table) -> pa.Table:
 
 
 def pages_from_documents(
-    sf_dir: str, langs: list[str] | None = None
+    sf_dir: str,
+    langs: list[str] | None = None,
+    replicate: int = 1,
+    override_num_blocks: int | None = None,
 ) -> ray.data.Dataset:
     """Deterministic pages table derived from ``{sf_dir}/documents.parquet``.
 
     Column-pruned read (only what the pages shape needs); the html render is
     a stateless vectorized-ish map_batches (string building dominates).
+
+    ``replicate=R`` emits R deterministic copies of each document with
+    distinct doc_ids (benchmark-scale corpus synthesis — the scaling
+    criterion needs enough work to amortize fixed overheads).
     """
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text", "lang"],
+        **({"override_num_blocks": override_num_blocks} if override_num_blocks else {}),
     )
     if langs is not None:
         allowed = set(langs)
         ds = ds.filter(
             expr=f"lang in {sorted(allowed)!r}"
         )
+    if replicate > 1:
+        def rep(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy()
+            n = len(batch)
+            parts = []
+            for r in range(replicate):
+                t = batch.set_column(
+                    batch.schema.get_field_index("doc_id"),
+                    "doc_id",
+                    pa.array(ids * replicate + r, type=pa.int64()),
+                )
+                parts.append(t)
+            return pa.concat_tables(parts)
+
+        ds = ds.map_batches(rep, batch_format="pyarrow")
     return ds.map_batches(_documents_to_pages, batch_format="pyarrow")
 
 
