@@ -61,6 +61,48 @@ men AS (
 """
 
 
+# Mentions with sentence-relative positions (sentences are exact 12-token
+# windows, so begin = pos % 12); mention_id = ordinal within sentence.
+_KG_MENTIONS_POS_CTE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+tok AS (
+  SELECT doc_id, pos, w,
+         lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM (
+    SELECT doc_id,
+           CAST(generate_subscripts(t, 1) - 1 AS BIGINT) AS pos,
+           unnest(t) AS w
+    FROM toks
+  )
+),
+gaz(word, tag_type, ent) AS (
+  VALUES ('spark', 'ORG', 'org:spark'),
+         ('customer', 'PER', 'per:customer'),
+         ('stream', 'LOC', 'loc:stream'),
+         ('table', 'LOC', 'loc:table'),
+         ('vector', 'MISC', 'misc:vector')
+),
+menpos AS (
+  SELECT tok.doc_id, pos // 12 AS sent_id, pos % 12 AS b, pos % 12 + 1 AS e,
+         g.tag_type, g.word AS surface, g.ent
+  FROM tok JOIN gaz g ON tok.w = g.word
+  UNION ALL
+  SELECT doc_id, pos // 12, pos % 12, pos % 12 + 2,
+         'ORG', 'hash join', 'org:hash_join'
+  FROM tok
+  WHERE w = 'hash' AND w2 = 'join' AND (pos // 12) = ((pos + 1) // 12)
+),
+menid AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY doc_id, sent_id ORDER BY b) - 1
+             AS mention_id
+  FROM menpos
+)
+"""
+
+
 def entry() -> Any:
     """Flagship KG pipeline on sf0.001: pages -> ... -> sorted edges."""
     from ner_pytorch_ray.pipelines.kg import kg_from_documents
@@ -95,6 +137,104 @@ def _q_kg_sentence_counts(sf_dir: str):
         lambda t: t.rename_columns(["url", "n_sentences"]),
         batch_format="pyarrow",
     )
+
+
+def _q_kg_mentions(sf_dir: str):
+    from ner_pytorch_ray.sources.pages import pages_from_documents
+    from ner_pytorch_ray.stages.extract import extract_stage
+    from ner_pytorch_ray.stages.sentences import sentences_stage
+    from ner_pytorch_ray.stages.gazetteer import gazetteer_tag_stage
+    from ner_pytorch_ray.stages.mentions import mentions_stage
+
+    return mentions_stage(
+        gazetteer_tag_stage(
+            sentences_stage(extract_stage(pages_from_documents(sf_dir)))
+        )
+    )
+
+
+def _q_kg_linked(sf_dir: str):
+    from ner_pytorch_ray.pipelines.kg import linked_mentions
+    from ner_pytorch_ray.sources.pages import pages_from_documents
+
+    linked = linked_mentions(pages_from_documents(sf_dir))
+    return linked.select_columns(
+        [
+            "url",
+            "sent_id",
+            "mention_id",
+            "begin",
+            "end",
+            "tag_type",
+            "surface",
+            "entity_id",
+            "link_method",
+        ]
+    )
+
+
+def _q_vocab_mapping(sf_dir: str):
+    from ner_pytorch_ray.pipelines.analysis import vocab_mapping_table
+
+    return vocab_mapping_table(sf_dir)
+
+
+def _q_bpe_token_counts(sf_dir: str):
+    from ner_pytorch_ray.pipelines.analysis import bpe_token_counts
+
+    return bpe_token_counts(sf_dir)
+
+
+def _q_adv_rep_variants(sf_dir: str):
+    from ner_pytorch_ray.pipelines.adversarial import adv_pipeline
+
+    return adv_pipeline(sf_dir, order="rep", n_variants=2).drop_columns(
+        ["tokens", "tags"]
+    )
+
+
+def _q_adv_ppdb_variants(sf_dir: str):
+    from ner_pytorch_ray.pipelines.adversarial import adv_pipeline
+
+    return adv_pipeline(sf_dir, order="ppdb", n_variants=2).drop_columns(
+        ["tokens", "tags"]
+    )
+
+
+def _q_adv_ppl_filtered(sf_dir: str):
+    import ray
+    from ner_pytorch_ray.pipelines.adversarial import adv_pipeline, ppl_filter
+    from ner_pytorch_ray.pipelines.kg import pages_from_documents
+    from ner_pytorch_ray.pipelines.analysis import vocab_count
+    from ner_pytorch_ray.stages.extract import extract_stage
+    from ner_pytorch_ray.stages.sentences import sentences_stage
+    from ner_pytorch_ray.stages.gazetteer import gazetteer_tag_stage
+
+    counts = {
+        r["token"]: r["freq"] for r in vocab_count(sf_dir).take_all()
+    }
+    sources = gazetteer_tag_stage(
+        sentences_stage(extract_stage(pages_from_documents(sf_dir)), zeros=True)
+    )
+    variants = adv_pipeline(sf_dir, order="rep", n_variants=3)
+    return ppl_filter(variants, sources, counts).drop_columns(["ppl"])
+
+
+def _q_neural_mentions(sf_dir: str):
+    from ner_pytorch_ray.pipelines.neural import neural_mentions
+
+    men, _, _ = neural_mentions(sf_dir)
+    return men
+
+
+def _q_media_features(sf_dir: str):
+    from ner_pytorch_ray.pipelines.multimodal import (
+        media_features,
+        synthesize_media_from_documents,
+    )
+
+    feats = media_features(synthesize_media_from_documents(sf_dir))
+    return feats.drop_columns(["feature"])
 
 
 def _q_vocab_count(sf_dir: str):
@@ -211,9 +351,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # knowledge-graph DAG
         "kg_edges": _q_kg_edges,
         "kg_nodes": _q_kg_nodes,
+        "kg_mentions": _q_kg_mentions,
+        "kg_linked": _q_kg_linked,
         "kg_sentence_counts": _q_kg_sentence_counts,
+        # neural tagger path (model scoring — rows-only check)
+        "neural_mentions": _q_neural_mentions,
+        # adversarial-variant pipeline (seeded RNG — rows-only check)
+        "adv_rep_variants": _q_adv_rep_variants,
+        "adv_ppdb_variants": _q_adv_ppdb_variants,
+        "adv_ppl_filtered": _q_adv_ppl_filtered,
+        # multimodal plumbing (binary payloads — rows-only check)
+        "media_features": _q_media_features,
         # vocab / text analysis
         "vocab_count": _q_vocab_count,
+        "vocab_mapping": _q_vocab_mapping,
+        "bpe_token_counts": _q_bpe_token_counts,
         "doc_token_stats": _q_doc_token_stats,
         "lang_counts": _q_lang_counts,
         "quality_stats": _q_quality_stats,
@@ -264,6 +416,43 @@ SELECT ent AS entity_id, tag_type, surface, COUNT(*) AS n_mentions
 FROM men
 GROUP BY 1, 2, 3
 ORDER BY 1, 2, 3
+""",
+        "kg_mentions": _KG_MENTIONS_POS_CTE
+        + f"""
+SELECT {_URL_EXPR} AS url, sent_id,
+       CAST(mention_id AS BIGINT) AS mention_id,
+       CAST(b AS INTEGER) AS "begin",
+       CAST(e AS INTEGER) AS "end",
+       tag_type, surface
+FROM menid
+""",
+        "kg_linked": _KG_MENTIONS_POS_CTE
+        + f"""
+SELECT {_URL_EXPR} AS url, sent_id,
+       CAST(mention_id AS BIGINT) AS mention_id,
+       CAST(b AS INTEGER) AS "begin",
+       CAST(e AS INTEGER) AS "end",
+       tag_type, surface,
+       ent AS entity_id,
+       'exact' AS link_method
+FROM menid
+""",
+        "vocab_mapping": """
+SELECT token,
+       CAST(row_number() OVER (ORDER BY freq DESC, token) - 1 AS BIGINT)
+           AS word_id
+FROM (
+  SELECT token, COUNT(*) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token
+)
+""",
+        "bpe_token_counts": r"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+            AS BIGINT) AS n_bpe_tokens
+FROM documents
 """,
         "kg_sentence_counts": f"""
 SELECT {_URL_EXPR} AS url,

@@ -198,7 +198,7 @@ class ChunkReplacer:
             for slot in chunk_slots:
                 idxs = segs[slot][1]
                 ctoks = [toks[i] for i in idxs]
-                ttype = tags[0] if False else tgs[idxs[0]].partition("-")[2]
+                ttype = tgs[idxs[0]].partition("-")[2]
                 cands[slot] = self._candidates(
                     ttype, ctoks, _seed_of(u, sid, slot)
                 )
@@ -240,7 +240,7 @@ def rep_stage(
     n_variants: int = 3,
     pool: str = "mean",
     method: str = "closest",
-    concurrency=(1, 8),
+    concurrency=(1, 32),
 ) -> ray.data.Dataset:
     bank_ref = ray.put(bank)
     return tagged.map_batches(
@@ -344,7 +344,7 @@ class UnigramLM:
         return batch.append_column("ppl", pa.array(ppls, type=pa.float64()))
 
 
-def ppl_stage(ds: ray.data.Dataset, counts: dict, concurrency=(1, 8)):
+def ppl_stage(ds: ray.data.Dataset, counts: dict, concurrency=(1, 32)):
     ref = ray.put(counts)
     return ds.map_batches(
         UnigramLM,

@@ -47,6 +47,49 @@ def vocab_mapping(sf_dir: str) -> dict[str, int]:
     return {r["token"]: i for i, r in enumerate(rows)}
 
 
+def vocab_mapping_table(sf_dir: str) -> pa.Table:
+    """create_mapping as a table (token, word_id): contiguous ids ranked by
+    (-freq, token) — utils.py:59-67 determinism. Vocab is small by nature;
+    the ranking itself is the distributed vocab_count, only the tiny ranked
+    result is collected."""
+    rows = vocab_count(sf_dir).take_all()
+    return pa.Table.from_pydict(
+        {
+            "token": pa.array([r["token"] for r in rows], type=pa.string()),
+            "word_id": pa.array(range(len(rows)), type=pa.int64()),
+        }
+    )
+
+
+# BPE-ish tokenization regex (RE2-safe: identical semantics in pyarrow's
+# count_substring_regex and DuckDB's regexp_extract_all): letter runs,
+# digit runs, or single non-space symbols.
+BPE_TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def bpe_token_counts(sf_dir: str) -> ray.data.Dataset:
+    """Per-document token counts under whitespace AND a BPE-ish regex
+    tokenizer — the token-counting op of a training-data pipeline, fully
+    vectorized (one RE2 scan per batch column)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def stats(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        ws = pc.list_value_length(pc.split_pattern(text, pattern=" "))
+        bpe = pc.count_substring_regex(text, pattern=BPE_TOKEN_RE)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_ws_tokens": ws.cast(pa.int64()),
+                "n_bpe_tokens": bpe.cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
 def _doc_stats(batch: pa.Table) -> pa.Table:
     text = batch.column("text")
     toks = pc.split_pattern(text, pattern=" ")

@@ -429,6 +429,6 @@ def embedding_near_dup(sf_dir: str, tau: float = 0.45) -> ray.data.Dataset:
             )
 
     return ds.map_batches(
-        PairFinder, fn_constructor_args=(ref,), concurrency=(1, 4),
+        PairFinder, fn_constructor_args=(ref,), concurrency=(1, 32),
         batch_format="pyarrow",
     )

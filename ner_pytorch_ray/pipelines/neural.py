@@ -67,8 +67,10 @@ def frozen_weights(vocab: dict, seed: int = DEFAULT_SEED) -> dict[str, np.ndarra
 def neural_tagged_sentences(
     sf_dir: str,
     seed: int = DEFAULT_SEED,
-    concurrency: int | tuple[int, int] = (1, 8),
+    concurrency: int | tuple[int, int] = (1, 32),
     batch_size: int = 256,
+    replicate: int = 1,
+    override_num_blocks: int | None = None,
 ):
     """pages(sf_dir documents) -> tagged sentences (+ vocab/weights state).
 
@@ -78,9 +80,26 @@ def neural_tagged_sentences(
     twice. At 100 TB you would persist sentences to parquet (the resumable
     runner does exactly that) or build the vocab from a sample.
     """
-    pages = pages_from_documents(sf_dir)
-    sents = sentences_stage(extract_stage(pages), zeros=True).materialize()
-    vocab = build_vocab_state(sents)
+    pages = pages_from_documents(
+        sf_dir, replicate=replicate, override_num_blocks=override_num_blocks
+    )
+    if replicate > 1:
+        # replicated corpora (bench-scale synthesis) share the base corpus
+        # vocabulary — build it from ONE copy and stream the big pass.
+        # (At 100 TB you similarly build vocab from a sample/prior pass
+        # rather than materializing the full sentence stream twice.)
+        base = sentences_stage(
+            extract_stage(pages_from_documents(sf_dir)), zeros=True
+        )
+        vocab = build_vocab_state(base)
+        # materialize the replicated sentence stream once: it feeds the
+        # encode+tag pass and breaks fusion with the tiny shard-id source
+        # (fused bundling by row-count over a 128-row source serializes the
+        # pipeline into one task).
+        sents = sentences_stage(extract_stage(pages), zeros=True).materialize()
+    else:
+        sents = sentences_stage(extract_stage(pages), zeros=True).materialize()
+        vocab = build_vocab_state(sents)
     weights = frozen_weights(vocab, seed)
     encoded = encode_stage(sents, vocab["word_to_id"], vocab["char_to_id"])
     tagged = tagger_stage(

@@ -119,7 +119,7 @@ def top_customers(sf_dir: str, n: int = 10) -> ray.data.Dataset:
 
     agg = (
         orders.map_batches(
-            JoinAgg, fn_constructor_args=(name_ref,), concurrency=(1, 4),
+            JoinAgg, fn_constructor_args=(name_ref,), concurrency=(1, 32),
             batch_format="pyarrow",
         )
         .groupby("c_custkey")

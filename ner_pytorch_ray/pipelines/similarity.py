@@ -81,7 +81,7 @@ def knn_topk(
             )
 
     local = ds.map_batches(
-        LocalTopK, fn_constructor_args=(q_ref, k), concurrency=(1, 4),
+        LocalTopK, fn_constructor_args=(q_ref, k), concurrency=(1, 32),
         batch_format="pyarrow",
     )
 
@@ -175,7 +175,7 @@ def ann_lsh_topk(
 
     local = ds.map_batches(
         BucketTopK, fn_constructor_args=(q_ref, H, k, max_probe_distance),
-        concurrency=(1, 4), batch_format="pyarrow",
+        concurrency=(1, 32), batch_format="pyarrow",
     )
 
     def merge(df):

@@ -87,33 +87,69 @@ def pages_from_documents(
 
     ``replicate=R`` emits R deterministic copies of each document with
     distinct doc_ids (benchmark-scale corpus synthesis — the scaling
-    criterion needs enough work to amortize fixed overheads).
+    criterion needs enough work to amortize fixed overheads). The
+    replicated read is SHARDED: ``override_num_blocks`` (default 128)
+    independent tasks each read + slice their own logical row range, the
+    way a many-file 100 TB corpus parallelizes naturally — a single read
+    task emitting many blocks is paced serially by the streaming-generator
+    buffer and caps the whole pipeline.
     """
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet",
-        columns=["doc_id", "text", "lang"],
-        **({"override_num_blocks": override_num_blocks} if override_num_blocks else {}),
-    )
+    path = f"{sf_dir}/documents.parquet"
+    if replicate > 1:
+        import pyarrow.parquet as pq
+
+        n_rows = pq.read_metadata(path).num_rows
+        base_cache: dict[str, pa.Table] = {}  # per worker process
+        n_shards = int(override_num_blocks or 128)
+        total = replicate * n_rows
+        shards = ray.data.range(n_shards, override_num_blocks=n_shards)
+
+        def load_shard(batch: pa.Table) -> pa.Table:
+            base = base_cache.get(path)
+            if base is None:
+                base = pq.read_table(path, columns=["doc_id", "text", "lang"])
+                base_cache[path] = base
+            ids = base.column("doc_id").to_numpy()
+            parts = []
+            for s in batch.column("id").to_pylist():
+                lo = s * total // n_shards
+                hi = (s + 1) * total // n_shards
+                # logical row L = copy * n_rows + base_row
+                L = lo
+                while L < hi:
+                    copy, row = divmod(L, n_rows)
+                    take = min(hi - L, n_rows - row)
+                    t = base.slice(row, take)
+                    t = t.set_column(
+                        t.schema.get_field_index("doc_id"),
+                        "doc_id",
+                        pa.array(
+                            ids[row : row + take] * replicate + copy,
+                            type=pa.int64(),
+                        ),
+                    )
+                    parts.append(t)
+                    L += take
+            return pa.concat_tables(parts)
+
+        ds = shards.map_batches(
+            load_shard, batch_size=1, batch_format="pyarrow"
+        )
+    else:
+        ds = ray.data.read_parquet(
+            path,
+            columns=["doc_id", "text", "lang"],
+            **(
+                {"override_num_blocks": override_num_blocks}
+                if override_num_blocks
+                else {}
+            ),
+        )
     if langs is not None:
         allowed = set(langs)
         ds = ds.filter(
             expr=f"lang in {sorted(allowed)!r}"
         )
-    if replicate > 1:
-        def rep(batch: pa.Table) -> pa.Table:
-            ids = batch.column("doc_id").to_numpy()
-            n = len(batch)
-            parts = []
-            for r in range(replicate):
-                t = batch.set_column(
-                    batch.schema.get_field_index("doc_id"),
-                    "doc_id",
-                    pa.array(ids * replicate + r, type=pa.int64()),
-                )
-                parts.append(t)
-            return pa.concat_tables(parts)
-
-        ds = ds.map_batches(rep, batch_format="pyarrow")
     return ds.map_batches(_documents_to_pages, batch_format="pyarrow")
 
 

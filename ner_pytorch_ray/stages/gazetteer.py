@@ -51,6 +51,8 @@ def entity_for_surface(surface: str) -> tuple[str, str] | None:
 
 
 def _tag_batch(batch: pa.Table) -> pa.Table:
+    """Dictionary-encode the batch's tokens once, then match on int codes —
+    no per-word string comparison over the flattened values."""
     tokens = batch.column("tokens")
     if isinstance(tokens, pa.ChunkedArray):
         tokens = tokens.combine_chunks()
@@ -58,10 +60,18 @@ def _tag_batch(batch: pa.Table) -> pa.Table:
     lens = pc.list_value_length(tokens).to_numpy().astype(np.int64)
     offsets = np.zeros(len(lens) + 1, dtype=np.int64)
     np.cumsum(lens, out=offsets[1:])
-    values = np.asarray(flat, dtype=object)
-    n = len(values)
 
-    tags = np.full(n, "O", dtype=object)
+    enc = flat.dictionary_encode()
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    uniq = enc.dictionary.to_pylist()  # small: batch-local vocab
+    codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False), dtype=np.int64)
+    n = len(codes)
+    code_of = {w: k for k, w in enumerate(uniq)}
+
+    # tag table: 0 = 'O'; per gazetteer entry two ids (S- / B-,E-)
+    tag_strings = ["O"]
+    tag_idx = np.zeros(n, dtype=np.int32)
 
     # sentence-end boundary mask: True where position i and i+1 are in the
     # same sentence
@@ -71,21 +81,35 @@ def _tag_batch(batch: pa.Table) -> pa.Table:
 
     # bigram matches first (span starts)
     for (w1, w2), (typ, _eid) in BIGRAMS.items():
-        m1 = values == w1
+        c1, c2 = code_of.get(w1), code_of.get(w2)
+        if c1 is None or c2 is None or n == 0:
+            continue
+        m1 = codes == c1
         m2 = np.zeros(n, dtype=bool)
-        m2[:-1] = values[1:] == w2
-        start = m1 & m2 & same_sent
-        idx = np.nonzero(start)[0]
-        tags[idx] = f"B-{typ}"
-        tags[idx + 1] = f"E-{typ}"
+        m2[:-1] = codes[1:] == c2
+        idx = np.nonzero(m1 & m2 & same_sent)[0]
+        if len(idx):
+            b_id = len(tag_strings)
+            tag_strings += [f"B-{typ}", f"E-{typ}"]
+            tag_idx[idx] = b_id
+            tag_idx[idx + 1] = b_id + 1
 
     # unigrams (never overlap bigrams by construction)
     for w, (typ, _eid) in GAZETTEER.items():
-        tags[(values == w) & (tags == "O")] = f"S-{typ}"
+        c = code_of.get(w)
+        if c is None:
+            continue
+        hit = (codes == c) & (tag_idx == 0)
+        if hit.any():
+            s_id = len(tag_strings)
+            tag_strings.append(f"S-{typ}")
+            tag_idx[hit] = s_id
 
+    flat_tags = pc.take(
+        pa.array(tag_strings, type=pa.string()), pa.array(tag_idx)
+    )
     tag_arr = pa.ListArray.from_arrays(
-        pa.array(offsets, type=pa.int32()).cast(pa.int32()),
-        pa.array(tags.tolist(), type=pa.string()),
+        pa.array(offsets, type=pa.int32()).cast(pa.int32()), flat_tags
     )
     return batch.append_column("tags", tag_arr)
 

@@ -39,33 +39,30 @@ def _pairs_partial(batch: pa.Table) -> pa.Table:
                 "sample_url": pa.array([], type=pa.string()),
             }
         )
-    # distinct entities per sentence
+    # distinct entities per sentence, then a vectorized self-merge: one row
+    # per (sentence, unordered entity pair) — entity fan-out per sentence is
+    # small, so the merge is ~k^2 per sentence with tiny k
     df = df.drop_duplicates(["url", "sent_id", "entity_id"])
-    df = df.sort_values(["url", "sent_id", "entity_id"], kind="stable")
-
-    counts: dict[tuple[str, str], int] = {}
-    sample: dict[tuple[str, str], str] = {}
-    # iterate sentence groups (bounded by #sentences in the block)
-    for (url, _sid), g in df.groupby(["url", "sent_id"], sort=False):
-        ents = g["entity_id"].to_numpy()
-        k = len(ents)
-        if k < 2:
-            continue
-        for a in range(k - 1):
-            for b in range(a + 1, k):
-                key = (ents[a], ents[b])
-                counts[key] = counts.get(key, 0) + 1
-                prev = sample.get(key)
-                if prev is None or url < prev:
-                    sample[key] = url
-    keys = sorted(counts)
+    m = df.merge(df, on=["url", "sent_id"])
+    m = m[m["entity_id_x"] < m["entity_id_y"]]
+    if m.empty:
+        g = pd.DataFrame(
+            {"entity_id_x": [], "entity_id_y": [], "weight": [], "sample_url": []}
+        )
+    else:
+        g = (
+            m.groupby(["entity_id_x", "entity_id_y"], sort=True)
+            .agg(weight=("url", "size"), sample_url=("url", "min"))
+            .reset_index()
+        )
     return pa.Table.from_pydict(
         {
-            "subj": pa.array([k[0] for k in keys], type=pa.string()),
-            "pred": pa.array([CO_OCCURS] * len(keys), type=pa.string()),
-            "obj": pa.array([k[1] for k in keys], type=pa.string()),
-            "weight": pa.array([counts[k] for k in keys], type=pa.int64()),
-            "sample_url": pa.array([sample[k] for k in keys], type=pa.string()),
+            "subj": pa.array(g["entity_id_x"], type=pa.string()),
+            "pred": pa.array([CO_OCCURS] * len(g), type=pa.string()),
+            "obj": pa.array(g["entity_id_y"], type=pa.string()),
+            "weight": pa.array(g["weight"].to_numpy(dtype=np.int64)
+                               if len(g) else [], type=pa.int64()),
+            "sample_url": pa.array(g["sample_url"], type=pa.string()),
         }
     )
 

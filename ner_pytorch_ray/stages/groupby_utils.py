@@ -17,14 +17,38 @@ import ray.data
 from ray.data.aggregate import AggregateFn, Count, Max, Min, Sum
 
 
+def _auto_shuffle_blocks() -> int:
+    """Shuffle partition count ~ cluster CPUs. Ray's sort-based shuffle cost
+    grows with input block count (measured: groupby over 128 tiny blocks
+    ~2.9s vs 8 blocks ~0.35s at 8 CPUs) — combiner'd partials are small, so
+    coalescing to ~#CPUs blocks before the shuffle removes that fixed cost
+    without losing parallelism."""
+    try:
+        if ray.is_initialized():
+            return max(8, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        pass
+    return 8
+
+
 def grouped_sum(
     ds: ray.data.Dataset,
     keys: list[str],
     sum_cols: list[str],
     min_cols: list[str] | None = None,
+    shuffle_blocks: int | str | None = "auto",
 ) -> ray.data.Dataset:
     """groupby(keys).sum(sum_cols)[.min(min_cols)] with original column names
-    restored (ray emits 'sum(col)' / 'min(col)')."""
+    restored (ray emits 'sum(col)' / 'min(col)').
+
+    ``shuffle_blocks``: coalesce the (pre-aggregated, hence small) input to
+    this many blocks before the shuffle; "auto" = ~cluster CPUs; None =
+    leave the input block count alone (use when partials are themselves
+    large, e.g. huge keyspaces where per-block combine barely shrinks)."""
+    if shuffle_blocks == "auto":
+        shuffle_blocks = _auto_shuffle_blocks()
+    if shuffle_blocks:
+        ds = ds.repartition(shuffle_blocks)
     aggs = [Sum(c) for c in sum_cols] + [Min(c) for c in (min_cols or [])]
     out = ds.groupby(keys).aggregate(*aggs)
     renames = {f"sum({c})": c for c in sum_cols}

@@ -20,7 +20,9 @@ entity_id = "" and link_method = "none".
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -34,10 +36,12 @@ def build_alias_state(alias_table: pa.Table) -> dict:
     has_vec = "vec" in alias_table.column_names
     vecs = alias_table.column("vec").to_pylist() if has_vec else None
 
-    exact: dict[tuple[str, str], str] = {}
+    # exact keys are "tag_type\x00lower_surface" strings so the probe side
+    # can build them with one vectorized Arrow join + a C-speed Series.map
+    exact: dict[str, str] = {}
     per_type: dict[str, dict] = {}
     for i, (t, s, e) in enumerate(zip(tag_types, surfaces, entity_ids)):
-        exact.setdefault((t, s.lower()), e)
+        exact.setdefault(t + "\x00" + s.lower(), e)
         if has_vec:
             d = per_type.setdefault(t, {"ids": [], "vecs": []})
             d["ids"].append(e)
@@ -63,8 +67,6 @@ class LinkerActor:
         self.min_cosine = min_cosine
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        tag_types = batch.column("tag_type").to_pylist()
-        surfaces = batch.column("surface").to_pylist()
         n = len(batch)
         has_vec = "vec" in batch.column_names
         vecs = (
@@ -73,20 +75,25 @@ class LinkerActor:
             else None
         )
 
-        entity_ids = [""] * n
-        scores = np.zeros(n, dtype=np.float32)
-        methods = ["none"] * n
-
-        # exact pass
-        miss_idx: list[int] = []
-        for i, (t, s) in enumerate(zip(tag_types, surfaces)):
-            e = self.exact.get((t, s.lower()))
-            if e is not None:
-                entity_ids[i] = e
-                scores[i] = 1.0
-                methods[i] = "exact"
-            else:
-                miss_idx.append(i)
+        # exact pass: one Arrow key build + one C-speed map over the batch
+        tt = batch.column("tag_type")
+        if isinstance(tt, pa.ChunkedArray):
+            tt = tt.combine_chunks()
+        sf = batch.column("surface")
+        if isinstance(sf, pa.ChunkedArray):
+            sf = sf.combine_chunks()
+        keys = pc.binary_join_element_wise(
+            tt, pc.utf8_lower(sf), "\x00"
+        )
+        mapped = pd.Series(np.asarray(keys, dtype=object)).map(self.exact)
+        hit = mapped.notna().to_numpy()
+        entity_ids = mapped.fillna("").to_numpy(dtype=object).tolist()
+        scores = np.where(hit, np.float32(1.0), np.float32(0.0)).astype(
+            np.float32
+        )
+        methods = np.where(hit, "exact", "none").astype(object).tolist()
+        miss_idx = np.nonzero(~hit)[0].tolist()
+        tag_types = tt.to_pylist() if miss_idx else []
 
         # cosine fallback, batched per tag type (one matmul per type)
         if miss_idx and vecs is not None and self.mats:
@@ -119,11 +126,16 @@ class LinkerActor:
 def link_stage(
     mentions: ray.data.Dataset,
     alias_table: pa.Table,
-    concurrency: int | tuple[int, int] = (1, 16),
+    concurrency: int | tuple[int, int] = (1, 64),
     min_cosine: float = 0.5,
-    batch_size: int | None = 4096,
+    batch_size: int | None = None,
 ) -> ray.data.Dataset:
-    """Broadcast the alias state once (ray.put) and link on an actor pool."""
+    """Broadcast the alias state once (ray.put) and link on an actor pool.
+
+    ``batch_size=None`` means one task per input block: a fixed batch_size
+    here makes Ray bundle many small upstream blocks into few fused tasks,
+    which collapses the whole fused pipeline's parallelism.
+    """
     state_ref = ray.put(build_alias_state(alias_table))
     return mentions.map_batches(
         LinkerActor,

@@ -113,7 +113,9 @@ def _mentions_batch(batch: pa.Table) -> pa.Table:
     np.cumsum(lens, out=offsets[1:])
 
     flat_tags = pc.list_flatten(tags)
-    flat_toks = np.asarray(pc.list_flatten(tokens), dtype=object)
+    flat_toks_arr = pc.list_flatten(tokens)
+    if isinstance(flat_toks_arr, pa.ChunkedArray):
+        flat_toks_arr = flat_toks_arr.combine_chunks()
 
     begin, end, sent_of, start_tags = vectorized_spans(flat_tags, offsets)
 
@@ -122,9 +124,29 @@ def _mentions_batch(batch: pa.Table) -> pa.Table:
 
     n_sp = len(begin)
     sent_begin = offsets[sent_of] if n_sp else np.empty(0, dtype=np.int64)
-    surfaces = [
-        " ".join(flat_toks[b:e]).lower() for b, e in zip(begin, end)
-    ]
+    # surface build: vectorized lower+take for 1-token spans (the common
+    # case); python join only for the multi-token minority
+    if n_sp:
+        span_len = end - begin
+        first_tok = pc.utf8_lower(pc.take(flat_toks_arr, pa.array(begin)))
+        surfaces = np.asarray(first_tok, dtype=object)
+        multi = np.nonzero(span_len > 1)[0]
+        if len(multi):
+            # one gather of exactly the multi-span tokens, then join
+            all_idx = np.concatenate(
+                [np.arange(begin[i], end[i]) for i in multi]
+            )
+            toks = pc.utf8_lower(
+                pc.take(flat_toks_arr, pa.array(all_idx))
+            ).to_pylist()
+            pos = 0
+            for i in multi:
+                ln = int(span_len[i])
+                surfaces[i] = " ".join(toks[pos:pos + ln])
+                pos += ln
+        surfaces = surfaces.tolist()
+    else:
+        surfaces = []
     tag_types = [t.partition("-")[2] for t in start_tags]
 
     # mention_id: ordinal within sentence

@@ -59,7 +59,7 @@ def tagger_stage(
     encoded: ray.data.Dataset,
     weights,
     id_to_tag: dict[int, str],
-    concurrency: int | tuple[int, int] = (1, 16),
+    concurrency: int | tuple[int, int] = (1, 64),
     batch_size: int = 256,
 ) -> ray.data.Dataset:
     """encoded sentences -> + tags (IOBES strings) via the actor pool."""
