@@ -173,6 +173,12 @@ def _q_kg_linked(sf_dir: str):
     )
 
 
+def _q_kg_relations(sf_dir: str):
+    from ner_pytorch_ray.pipelines.kg import relations_from_documents
+
+    return relations_from_documents(sf_dir)
+
+
 def _q_vocab_mapping(sf_dir: str):
     from ner_pytorch_ray.pipelines.analysis import vocab_mapping_table
 
@@ -225,6 +231,29 @@ def _q_neural_mentions(sf_dir: str):
 
     men, _, _ = neural_mentions(sf_dir)
     return men
+
+
+def _q_neural_eval_metrics(sf_dir: str):
+    import pyarrow as pa
+    from ner_pytorch_ray.pipelines.neural import neural_eval
+
+    metrics, _ = neural_eval(sf_dir)
+    return pa.Table.from_pydict(
+        {
+            "metric": pa.array(sorted(metrics), type=pa.string()),
+            "value": pa.array(
+                [float(metrics[k]) for k in sorted(metrics)],
+                type=pa.float64(),
+            ),
+        }
+    )
+
+
+def _q_neural_confusion(sf_dir: str):
+    from ner_pytorch_ray.pipelines.neural import neural_eval
+
+    _, confusion = neural_eval(sf_dir)
+    return confusion
 
 
 def _q_media_features(sf_dir: str):
@@ -353,9 +382,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nodes": _q_kg_nodes,
         "kg_mentions": _q_kg_mentions,
         "kg_linked": _q_kg_linked,
+        "kg_relations": _q_kg_relations,
         "kg_sentence_counts": _q_kg_sentence_counts,
         # neural tagger path (model scoring — rows-only check)
         "neural_mentions": _q_neural_mentions,
+        "neural_eval_metrics": _q_neural_eval_metrics,
+        "neural_confusion": _q_neural_confusion,
         # adversarial-variant pipeline (seeded RNG — rows-only check)
         "adv_rep_variants": _q_adv_rep_variants,
         "adv_ppdb_variants": _q_adv_ppdb_variants,
@@ -436,6 +468,34 @@ SELECT {_URL_EXPR} AS url, sent_id,
        ent AS entity_id,
        'exact' AS link_method
 FROM menid
+""",
+        "kg_relations": _KG_MENTIONS_POS_CTE
+        + """
+, verbs AS (
+  SELECT doc_id, pos // 12 AS sent_id, pos % 12 AS vpos, w AS verb
+  FROM tok
+  WHERE w IN ('scan', 'filter', 'merge', 'sort', 'group', 'query')
+),
+relpairs AS (
+  SELECT DISTINCT m1.doc_id, m1.sent_id,
+         m1.ent AS subj,
+         (SELECT v.verb FROM verbs v
+          WHERE v.doc_id = m1.doc_id AND v.sent_id = m1.sent_id
+            AND v.vpos >= m1.e AND v.vpos < m2.b
+          ORDER BY v.vpos LIMIT 1) AS pred,
+         m2.ent AS obj
+  FROM menpos m1
+  JOIN menpos m2
+    ON m1.doc_id = m2.doc_id AND m1.sent_id = m2.sent_id AND m1.e <= m2.b
+)
+SELECT subj, pred, obj,
+       CAST(COUNT(*) AS BIGINT) AS weight,
+       MIN('https://doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+           || '.example.test/page') AS sample_url
+FROM relpairs
+WHERE pred IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY subj, pred, obj
 """,
         "vocab_mapping": """
 SELECT token,

@@ -58,6 +58,16 @@ def kg_from_documents(sf_dir: str, tagger: str = "gazetteer"):
     return edges_from_linked(linked), nodes_from_linked(linked)
 
 
+def relations_from_documents(sf_dir: str) -> ray.data.Dataset:
+    """Verb-pattern relations (stages/relations.py) over the documents-derived
+    pages: the KG DAG's 'relate' stage as a standalone sorted triple table."""
+    from ner_pytorch_ray.stages.relations import relations_from_tagged
+
+    pages = pages_from_documents(sf_dir)
+    tagged = gazetteer_tag_stage(sentences_stage(extract_stage(pages)))
+    return relations_from_tagged(tagged)
+
+
 def kg_from_pages_parquet(path: str, tagger: str = "gazetteer"):
     pages = read_pages(path)
     linked = linked_mentions(pages, tagger=tagger)

@@ -115,3 +115,55 @@ def neural_tagged_sentences(
 def neural_mentions(sf_dir: str, seed: int = DEFAULT_SEED, **kw):
     tagged, vocab, weights = neural_tagged_sentences(sf_dir, seed, **kw)
     return mentions_stage(tagged), vocab, weights
+
+
+def neural_eval(sf_dir: str, seed: int = DEFAULT_SEED):
+    """Score the neural tagger against the gazetteer reference labels:
+    micro/macro non-O accuracy + hit rate (A7, adv_example_eval.py:198-215),
+    span P/R/F1 (A5, conlleval), and the tag confusion matrix (A6).
+
+    Returns (metrics_dict, confusion_ds). The comparison dataset carries
+    both tag columns per sentence row — no join: both taggers run over the
+    same stream.
+    """
+    import pyarrow as pa
+
+    from ner_pytorch_ray.stages.gazetteer import gazetteer_tag_stage
+    from ner_pytorch_ray.stages.evaluate import (
+        confusion_matrix,
+        conlleval_score,
+        tag_accuracy_metrics,
+    )
+
+    pages = pages_from_documents(sf_dir)
+    sents = sentences_stage(extract_stage(pages), zeros=True).materialize()
+    vocab = build_vocab_state(sents)
+    weights = frozen_weights(vocab, seed)
+
+    def to_true(t: pa.Table) -> pa.Table:
+        names = ["tags_true" if n == "tags" else n for n in t.column_names]
+        return t.rename_columns(names)
+
+    labeled = gazetteer_tag_stage(sents).map_batches(
+        to_true, batch_format="pyarrow"
+    )
+    encoded = encode_stage(labeled, vocab["word_to_id"], vocab["char_to_id"])
+    tagged = tagger_stage(encoded, weights, vocab["id_to_tag"])
+
+    def to_pred(t: pa.Table) -> pa.Table:
+        names = ["tags_pred" if n == "tags" else n for n in t.column_names]
+        return t.rename_columns(names)
+
+    pairs = tagged.map_batches(to_pred, batch_format="pyarrow").select_columns(
+        ["tags_true", "tags_pred"]
+    ).materialize()
+
+    metrics = tag_accuracy_metrics(pairs)
+    metrics.update(
+        {
+            f"conlleval_{k}": v
+            for k, v in conlleval_score(pairs).items()
+            if k in ("precision", "recall", "f1")
+        }
+    )
+    return metrics, confusion_matrix(pairs)
