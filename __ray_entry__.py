@@ -233,6 +233,20 @@ def _q_neural_mentions(sf_dir: str):
     return men
 
 
+def _q_adv_topk(sf_dir: str):
+    """O4 (train.py:383-395): rank adversarial variants per source sentence
+    by unigram-LM perplexity (the sandbox loss stand-in), keep top-2."""
+    from ner_pytorch_ray.pipelines.adversarial import adv_pipeline, ppl_stage
+    from ner_pytorch_ray.pipelines.analysis import vocab_count
+    from ner_pytorch_ray.stages.groupby_utils import topk_by_group
+
+    counts = {r["token"]: r["freq"] for r in vocab_count(sf_dir).take_all()}
+    scored = ppl_stage(adv_pipeline(sf_dir, order="rep", n_variants=3), counts)
+    return topk_by_group(
+        scored, ["url", "sent_id"], "ppl", "variant_id", k=2, descending=True
+    )
+
+
 def _q_neural_eval_metrics(sf_dir: str):
     import pyarrow as pa
     from ner_pytorch_ray.pipelines.neural import neural_eval
@@ -392,6 +406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adv_rep_variants": _q_adv_rep_variants,
         "adv_ppdb_variants": _q_adv_ppdb_variants,
         "adv_ppl_filtered": _q_adv_ppl_filtered,
+        "adv_topk": _q_adv_topk,
         # multimodal plumbing (binary payloads — rows-only check)
         "media_features": _q_media_features,
         # vocab / text analysis

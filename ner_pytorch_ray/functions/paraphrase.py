@@ -221,3 +221,46 @@ def gen_paraphrases(
             new_text = new_text.replace(target, opts[k])
         out.add(new_text)
     return out
+
+
+def ppdb_orun_rewrite(
+    tokens: list[str],
+    tags: list[str],
+    paraphrase_dict: dict[str, set[str]],
+    seed: int = 0,
+) -> tuple[list[str], list[str], bool]:
+    """C4 (ppdb.py:119-144): walk the sentence; contiguous O-tagged runs are
+    lowered, paraphrased as a phrase (first generated paraphrase), and
+    re-emitted with 'O' tags; entity-tagged tokens pass through untouched.
+    Returns (new_tokens, new_tags, changed)."""
+    out_toks: list[str] = []
+    out_tags: list[str] = []
+    changed = False
+    run: list[str] = []
+
+    def flush(run_idx: int) -> None:
+        nonlocal changed
+        if not run:
+            return
+        paras = sorted(
+            gen_paraphrases(" ".join(run), paraphrase_dict, seed + run_idx)
+        )
+        words = run
+        if paras:
+            changed = True
+            words = paras[0].split()
+        out_toks.extend(words)
+        out_tags.extend(["O"] * len(words))
+        run.clear()
+
+    run_idx = 0
+    for w, tg in zip(tokens, tags):
+        if tg == "O":
+            run.append(w.lower())
+        else:
+            flush(run_idx)
+            run_idx += 1
+            out_toks.append(w)
+            out_tags.append(tg)
+    flush(run_idx)
+    return out_toks, out_tags, changed

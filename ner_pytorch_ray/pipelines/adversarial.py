@@ -313,6 +313,52 @@ def ppdb_stage(
     return sentences.map_batches(rewrite, batch_format="pyarrow")
 
 
+def ppdb_orun_stage(
+    sentences: ray.data.Dataset,
+    paraphrase_dict: dict[str, set] | None = None,
+) -> ray.data.Dataset:
+    """C4 with reference fidelity (ppdb.py:119-144): contiguous O-runs are
+    lowered and rewritten as phrases via the (parsed) PPDB dict — entity
+    chunks untouched; rows emitted only for changed sentences (the
+    reference's id_of_change_examples tracking becomes row presence).
+    ``paraphrase_dict`` defaults to the built-in synonym table lifted to
+    set-valued form; pass ``parse_ppdb(...)`` output for a real PPDB file.
+    """
+    from ner_pytorch_ray.functions.paraphrase import ppdb_orun_rewrite
+
+    if paraphrase_dict is None:
+        paraphrase_dict = {k: set(v) for k, v in PARAPHRASES.items()}
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        sids = batch.column("sent_id").to_pylist()
+        tokens = batch.column("tokens").to_pylist()
+        tags = batch.column("tags").to_pylist()
+        o_url, o_sid, o_vid, o_toks, o_tags = [], [], [], [], []
+        for u, sid, toks, tgs in zip(urls, sids, tokens, tags):
+            new_toks, new_tags, changed = ppdb_orun_rewrite(
+                toks, tgs, paraphrase_dict, seed=_seed_of(u, sid, "orun")
+            )
+            if not changed:
+                continue
+            o_url.append(u)
+            o_sid.append(sid)
+            o_vid.append(0)
+            o_toks.append(new_toks)
+            o_tags.append(new_tags)
+        return pa.Table.from_pydict(
+            {
+                "url": pa.array(o_url, type=pa.string()),
+                "sent_id": pa.array(o_sid, type=pa.int64()),
+                "variant_id": pa.array(o_vid, type=pa.int64()),
+                "tokens": pa.array(o_toks, type=pa.list_(pa.string())),
+                "tags": pa.array(o_tags, type=pa.list_(pa.string())),
+            }
+        )
+
+    return sentences.map_batches(rewrite, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------ 'ppl' stage
 class UnigramLM:
     """Broadcast unigram LM: ppl = exp(-mean log p(w)), add-1 smoothed.
@@ -447,6 +493,8 @@ def adv_pipeline(
             current = rep_stage(current, bank, n_variants, method=method)
         elif stage == "ppdb":
             current = ppdb_stage(current, n_variants=max(1, n_variants - 1))
+        elif stage == "orun":
+            current = ppdb_orun_stage(current)
         else:
             raise ValueError(f"unknown adv stage {stage!r}")
     return current

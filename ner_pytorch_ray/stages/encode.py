@@ -89,3 +89,56 @@ def encode_stage(
     return sentences.map_batches(
         make_encode_fn(word_to_id, char_to_id, lower), batch_format="pyarrow"
     )
+
+
+def insert_singletons_stage(
+    encoded: ray.data.Dataset,
+    singleton_ids: set[int],
+    unk_id: int = 1,
+    p: float = 0.5,
+    seed: int = 0,
+) -> ray.data.Dataset:
+    """M6 (utils.py:145-155, inlined loader.py:228-232): train-time
+    augmentation replacing singleton word ids with <UNK> with probability
+    ``p``. The reference draws from an unseeded global RNG; here every draw
+    is keyed by (url, sent_id, position, seed) so distributed re-execution
+    and retries reproduce bit-identically (SURVEY §4)."""
+    import hashlib
+
+    sing = np.array(sorted(singleton_ids), dtype=np.int64)
+
+    def aug(batch: pa.Table) -> pa.Table:
+        wids = batch.column("word_ids")
+        if isinstance(wids, pa.ChunkedArray):
+            wids = wids.combine_chunks()
+        lens = pc.list_value_length(wids).to_numpy().astype(np.int64)
+        offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        flat = np.asarray(
+            pc.list_flatten(wids).to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        ).copy()
+
+        urls = batch.column("url").to_pylist()
+        sids = batch.column("sent_id").to_pylist()
+        is_sing = np.isin(flat, sing)
+        for r in range(len(lens)):
+            lo, hi = offsets[r], offsets[r + 1]
+            idx = np.nonzero(is_sing[lo:hi])[0]
+            if not len(idx):
+                continue
+            h = hashlib.blake2b(
+                f"{urls[r]}|{sids[r]}|{seed}".encode(), digest_size=8
+            ).digest()
+            rng = np.random.RandomState(int.from_bytes(h[:4], "little"))
+            draws = rng.rand(hi - lo)
+            flat[lo + idx[draws[idx] < p]] = unk_id
+
+        out32 = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int64()).cast(pa.int32()),
+            pa.array(flat, type=pa.int32()),
+        )
+        i = batch.schema.get_field_index("word_ids")
+        return batch.set_column(i, "word_ids", out32)
+
+    return encoded.map_batches(aug, batch_format="pyarrow")

@@ -178,3 +178,42 @@ def confusion_matrix(
     partials = ds.map_batches(partial, batch_format="pyarrow")
     merged = grouped_sum(partials, ["true_tag", "pred_tag"], sum_cols=["n"])
     return merged.sort(["true_tag", "pred_tag"])
+
+
+# ------------------------------------------------------------------- S7
+def predictions_table(
+    ds: ray.data.Dataset,
+    true_col: str = "tags_true",
+    pred_col: str = "tags_pred",
+) -> ray.data.Dataset:
+    """Token-level prediction rows (url, sent_id, position, token, true,
+    pred) — the engine's S7 sink shape (eval.py:157-163 wrote `word true
+    pred` lines; key columns replace line order). Pair with
+    ``.write_parquet(out)``."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = batch.column("tokens")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        row_idx = np.repeat(np.arange(len(lens)), lens)
+        offs = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        pos = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(
+            offs[:-1], lens
+        )
+        take = pa.array(row_idx)
+        return pa.Table.from_pydict(
+            {
+                "url": pc.take(batch.column("url"), take),
+                "sent_id": pc.take(batch.column("sent_id"), take),
+                "position": pa.array(pos),
+                "token": pc.list_flatten(toks),
+                "true": pc.list_flatten(batch.column(true_col)),
+                "pred": pc.list_flatten(batch.column(pred_col)),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")

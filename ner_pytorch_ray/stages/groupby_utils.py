@@ -109,3 +109,45 @@ def flat_map_groups(
         return pa.concat_tables(outs)
 
     return collected.map_batches(run, batch_format="pyarrow")
+
+
+def topk_by_group(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    rank_col: str,
+    id_col: str,
+    k: int,
+    descending: bool = True,
+) -> ray.data.Dataset:
+    """Per-group top-k (O4, train.py:383-395 dynamic_inference: rank adv
+    variants by per-example loss desc, keep rank < k). Groups are bounded
+    (variants per sentence), so the group payload travels as a collect
+    aggregate; ties break on id_col asc for determinism."""
+    import pyarrow as pa  # noqa: F811 (local for worker serialization)
+
+    collected = collect_tuples(ds, keys, [id_col, rank_col], name="items")
+    key_fields = [(kk, pa.string() if kk == "url" else pa.int64()) for kk in keys]
+    empty = pa.schema(
+        key_fields
+        + [(id_col, pa.int64()), (rank_col, pa.float64()), ("rank", pa.int64())]
+    )
+
+    def pick(key, items):
+        if items is None or not items:
+            return empty.empty_table()
+        uniq = sorted(
+            {tuple(x) for x in items},
+            key=lambda x: (-x[1], x[0]) if descending else (x[1], x[0]),
+        )[:k]
+        n = len(uniq)
+        if not n:
+            return empty.empty_table()
+        cols = {}
+        for kk, kv in zip(keys, key):
+            cols[kk] = pa.array([kv] * n)
+        cols[id_col] = pa.array([int(i) for i, _ in uniq], type=pa.int64())
+        cols[rank_col] = pa.array([float(s) for _, s in uniq], type=pa.float64())
+        cols["rank"] = pa.array(range(n), type=pa.int64())
+        return pa.Table.from_pydict(cols)
+
+    return flat_map_groups(collected, pick, keys, items_col="items")
