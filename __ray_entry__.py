@@ -364,6 +364,24 @@ def _q_language_id(sf_dir: str):
     return language_id(sf_dir)
 
 
+def _q_tumbling_window(sf_dir: str):
+    from ner_pytorch_ray.pipelines.windows import tumbling_window_counts
+
+    return tumbling_window_counts(sf_dir, window_minutes=60)
+
+
+def _q_user_sessions(sf_dir: str):
+    from ner_pytorch_ray.pipelines.windows import user_sessions
+
+    return user_sessions(sf_dir, gap_minutes=30)
+
+
+def _q_order_revenue_join(sf_dir: str):
+    from ner_pytorch_ray.pipelines.windows import order_revenue_join
+
+    return order_revenue_join(sf_dir)
+
+
 def _q_lineitem_pricing(sf_dir: str):
     from ner_pytorch_ray.pipelines.relational import lineitem_pricing
 
@@ -433,6 +451,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": _q_top_customers,
         "events_by_type": _q_events_by_type,
         "orders_by_month": _q_orders_by_month,
+        # windowed / session / join operators
+        "tumbling_window": _q_tumbling_window,
+        "user_sessions": _q_user_sessions,
+        "order_revenue_join": _q_order_revenue_join,
     }
 
 
@@ -666,6 +688,49 @@ ORDER BY event_type
 SELECT strftime(o_orderdate, '%Y-%m') AS month,
        CAST(COUNT(*) AS BIGINT) AS n_orders
 FROM orders
+GROUP BY 1
+ORDER BY 1
+""",
+        "tumbling_window": """
+SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_value_cents
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+        "user_sessions": """
+WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+marked AS (
+  SELECT user_id, t,
+         CASE WHEN lag(t) OVER w IS NULL
+                   OR t - lag(t) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+),
+sid AS (
+  SELECT user_id, t,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY t
+                                ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM marked
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(t) AS start_us,
+       MAX(t) AS end_us
+FROM sid
+GROUP BY 1, 2
+""",
+        "order_revenue_join": """
+SELECT o.o_orderpriority,
+       CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_c2,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY 1
 ORDER BY 1
 """,

@@ -1,0 +1,100 @@
+"""Windowed aggregates, sessionization, and the hash join vs DuckDB."""
+
+import duckdb
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _con():
+    con = duckdb.connect()
+    for name in ("events", "lineitem", "orders"):
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{SF}/{name}.parquet')"
+        )
+    return con
+
+
+def _cmp(t: pd.DataFrame, o: pd.DataFrame):
+    cols = sorted(t.columns)
+    ts = t[cols].sort_values(cols).reset_index(drop=True)
+    os_ = o[cols].sort_values(cols).reset_index(drop=True)
+    assert ts.astype(str).equals(os_.astype(str)), (ts.head(), os_.head())
+
+
+def test_tumbling_window_vs_duckdb(ray_session):
+    from ner_pytorch_ray.pipelines.windows import tumbling_window_counts
+
+    t = tumbling_window_counts(SF, window_minutes=15).to_pandas()
+    o = _con().execute(
+        """
+        SELECT (epoch_us(ts) // 900000000) * 900000000 AS window_start_us,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+                   AS sum_value_cents
+        FROM events GROUP BY 1, 2
+        """
+    ).df()
+    assert len(t) > 0
+    _cmp(t, o)
+
+
+def test_sessions_vs_duckdb(ray_session):
+    from ner_pytorch_ray.pipelines.windows import user_sessions
+
+    t = user_sessions(SF, gap_minutes=10).to_pandas()
+    o = _con().execute(
+        """
+        WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+        marked AS (
+          SELECT user_id, t,
+                 CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 600000000
+                      THEN 1 ELSE 0 END AS new_session
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+        ),
+        sid AS (
+          SELECT user_id, t,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY t
+                                        ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+          FROM marked
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MIN(t) AS start_us, MAX(t) AS end_us
+        FROM sid GROUP BY 1, 2
+        """
+    ).df()
+    assert len(t) > 0
+    _cmp(t, o)
+
+
+def test_sessions_gap_semantics(ray_session):
+    """Events exactly at the gap boundary stay in one session (> not >=)."""
+    from ner_pytorch_ray.pipelines.windows import user_sessions
+
+    rows = user_sessions(SF, gap_minutes=10).take_all()
+    # every session's span is consistent with its event count
+    for r in rows[:200]:
+        assert r["end_us"] >= r["start_us"]
+        if r["n_events"] == 1:
+            assert r["end_us"] == r["start_us"]
+
+
+def test_join_vs_duckdb(ray_session):
+    from ner_pytorch_ray.pipelines.windows import order_revenue_join
+
+    t = order_revenue_join(SF).to_pandas()
+    o = _con().execute(
+        """
+        SELECT o.o_orderpriority,
+               CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                        * (100 - CAST(round(l.l_discount*100) AS BIGINT)))
+                    AS BIGINT) AS revenue_c2,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1
+        """
+    ).df()
+    _cmp(t, o)
