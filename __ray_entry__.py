@@ -233,6 +233,14 @@ def _q_neural_mentions(sf_dir: str):
     return men
 
 
+def _q_adv_para_variants(sf_dir: str):
+    from ner_pytorch_ray.pipelines.adversarial import adv_pipeline
+
+    return adv_pipeline(sf_dir, order="para").drop_columns(
+        ["tokens", "tags"]
+    )
+
+
 def _q_adv_topk(sf_dir: str):
     """O4 (train.py:383-395): rank adversarial variants per source sentence
     by unigram-LM perplexity (the sandbox loss stand-in), keep top-2."""
@@ -424,6 +432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adv_rep_variants": _q_adv_rep_variants,
         "adv_ppdb_variants": _q_adv_ppdb_variants,
         "adv_ppl_filtered": _q_adv_ppl_filtered,
+        "adv_para_variants": _q_adv_para_variants,
         "adv_topk": _q_adv_topk,
         # multimodal plumbing (binary payloads — rows-only check)
         "media_features": _q_media_features,

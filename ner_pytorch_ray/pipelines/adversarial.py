@@ -495,6 +495,13 @@ def adv_pipeline(
             current = ppdb_stage(current, n_variants=max(1, n_variants - 1))
         elif stage == "orun":
             current = ppdb_orun_stage(current)
+        elif stage == "para":
+            from ner_pytorch_ray.stages.parser import (
+                parser_stage,
+                paraphrase_stage,
+            )
+
+            current = paraphrase_stage(parser_stage(current))
         else:
             raise ValueError(f"unknown adv stage {stage!r}")
     return current
