@@ -260,6 +260,11 @@ def _q_neural_eval_metrics(sf_dir: str):
     from ner_pytorch_ray.pipelines.neural import neural_eval
 
     metrics, _ = neural_eval(sf_dir)
+    per_type = metrics.pop("per_type", {})
+    for typ, (p, r, f) in per_type.items():
+        metrics[f"precision_{typ}"] = p
+        metrics[f"recall_{typ}"] = r
+        metrics[f"f1_{typ}"] = f
     return pa.Table.from_pydict(
         {
             "metric": pa.array(sorted(metrics), type=pa.string()),
@@ -269,6 +274,13 @@ def _q_neural_eval_metrics(sf_dir: str):
             ),
         }
     )
+
+
+def _q_epoch_shuffle(sf_dir: str):
+    from ner_pytorch_ray.pipelines.neural import epoch_stream
+
+    shuffled, _, _ = epoch_stream(sf_dir, seed=7)
+    return shuffled.select_columns(["url", "sent_id"])
 
 
 def _q_neural_confusion(sf_dir: str):
@@ -428,6 +440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neural_mentions": _q_neural_mentions,
         "neural_eval_metrics": _q_neural_eval_metrics,
         "neural_confusion": _q_neural_confusion,
+        "epoch_shuffle": _q_epoch_shuffle,
         # adversarial-variant pipeline (seeded RNG — rows-only check)
         "adv_rep_variants": _q_adv_rep_variants,
         "adv_ppdb_variants": _q_adv_ppdb_variants,
@@ -559,6 +572,11 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))
             AS BIGINT) AS n_bpe_tokens
 FROM documents
+""",
+        "epoch_shuffle": f"""
+SELECT {_URL_EXPR} AS url, CAST(s AS BIGINT) AS sent_id
+FROM documents, (SELECT unnest(range(4000)) AS s) r
+WHERE s < ceil(len(string_split(text, ' ')) / 12.0)
 """,
         "kg_sentence_counts": f"""
 SELECT {_URL_EXPR} AS url,

@@ -505,3 +505,25 @@ def adv_pipeline(
         else:
             raise ValueError(f"unknown adv stage {stage!r}")
     return current
+
+
+# ------------------------------------------------------- stage materialize
+def materialize_stage(
+    ds: ray.data.Dataset, stage_dir: str, name: str
+) -> ray.data.Dataset:
+    """S5 stage-level resume (gen_adv_pipline.py:238-246,263-270: per-stage
+    pickle + --preprocess_set reload, re-expressed as parquet): write the
+    stage output under ``{stage_dir}/{name}/`` once; subsequent runs
+    short-circuit from disk."""
+    import os
+
+    import ray.data as rd
+
+    out = os.path.join(stage_dir, name)
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return rd.read_parquet(out)
+    ds.write_parquet(out)
+    with open(marker, "w", encoding="utf-8") as f:
+        f.write("done\n")
+    return rd.read_parquet(out)

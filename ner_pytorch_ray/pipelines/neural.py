@@ -159,11 +159,24 @@ def neural_eval(sf_dir: str, seed: int = DEFAULT_SEED):
     ).materialize()
 
     metrics = tag_accuracy_metrics(pairs)
+    cl = conlleval_score(pairs)
     metrics.update(
         {
             f"conlleval_{k}": v
-            for k, v in conlleval_score(pairs).items()
+            for k, v in cl.items()
             if k in ("precision", "recall", "f1")
         }
     )
+    metrics["per_type"] = cl.get("per_type", {})
     return metrics, confusion_matrix(pairs)
+
+
+def epoch_stream(
+    sf_dir: str, seed: int = 0, concurrency: int | tuple[int, int] = (1, 32)
+):
+    """O7 (train.py:410 np.random.permutation over batches): one training
+    epoch's encoded sentence stream, globally shuffled with a fixed seed —
+    `random_shuffle` is the distributed permutation; batch formation happens
+    wherever the consumer iterates (`iter_batches`)."""
+    tagged, vocab, weights = neural_tagged_sentences(sf_dir)
+    return tagged.random_shuffle(seed=seed), vocab, weights

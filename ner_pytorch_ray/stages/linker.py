@@ -158,3 +158,25 @@ def gazetteer_alias_table() -> pa.Table:
         for ws, (t, eid) in BIGRAMS.items()
     ]
     return pa.Table.from_pylist(rows)
+
+
+def union_alias_tables(*tables: pa.Table) -> pa.Table:
+    """D3/S9 (gen_adv_pipline.py:116-119 YAGO word-bank append): union of
+    alias tables with exact dedup on (tag_type, lower surface) keeping the
+    FIRST occurrence (word_rep.py:151-153 dedup-first semantics) — earlier
+    tables take precedence."""
+    seen: set[tuple[str, str]] = set()
+    keep: list[pa.Table] = []
+    for t in tables:
+        mask = []
+        for tt, s in zip(
+            t.column("tag_type").to_pylist(), t.column("surface").to_pylist()
+        ):
+            key = (tt, s.lower())
+            mask.append(key not in seen)
+            seen.add(key)
+        keep.append(t.filter(pa.array(mask)))
+    cols = set(keep[0].column_names)
+    if any(set(t.column_names) != cols for t in keep):
+        keep = [t.select(sorted(cols & set(t.column_names))) for t in keep]
+    return pa.concat_tables(keep, promote_options="default")
