@@ -226,8 +226,13 @@ def scaling_run(
         env["RAY_GRAFT_CPUS"] = str(n)
         env["GRAFT_SF_DIR"] = sf_dir
         best = None
-        for _ in range(trials):  # best-of-N per leg: scheduler jitter is
-            out = subprocess.run(  # large relative to the steady state
+        # best-of-N per leg: executor scheduling jitter is large relative to
+        # the steady state on the WIDE leg (measured 30-42 s spread at 8
+        # cores); the narrow leg is CPU-saturated and stable (+/-2%), so one
+        # trial suffices there.
+        leg_trials = 1 if n == low else trials
+        for _ in range(leg_trials):
+            out = subprocess.run(
                 [sys.executable, __file__, "--scaling-worker"],
                 capture_output=True,
                 text=True,
