@@ -241,6 +241,12 @@ def _q_adv_para_variants(sf_dir: str):
     )
 
 
+def _q_adv_stage_stats(sf_dir: str):
+    from ner_pytorch_ray.pipelines.adversarial import adv_stage_stats
+
+    return adv_stage_stats(sf_dir, order="rep,ppdb,orun")
+
+
 def _q_adv_topk(sf_dir: str):
     """O4 (train.py:383-395): rank adversarial variants per source sentence
     by unigram-LM perplexity (the sandbox loss stand-in), keep top-2."""
@@ -446,6 +452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adv_ppdb_variants": _q_adv_ppdb_variants,
         "adv_ppl_filtered": _q_adv_ppl_filtered,
         "adv_para_variants": _q_adv_para_variants,
+        "adv_stage_stats": _q_adv_stage_stats,
         "adv_topk": _q_adv_topk,
         # multimodal plumbing (binary payloads — rows-only check)
         "media_features": _q_media_features,

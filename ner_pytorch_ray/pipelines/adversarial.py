@@ -527,3 +527,71 @@ def materialize_stage(
     with open(marker, "w", encoding="utf-8") as f:
         f.write("done\n")
     return rd.read_parquet(out)
+
+
+def adv_stage_stats(sf_dir: str, order: str = "rep,ppdb,orun") -> pa.Table:
+    """A8 (gen_adv_pipline.py:162,183 '%Examples modified' prints): per
+    adversarial stage, source-sentence count, emitted variants, distinct
+    modified sources and the modification rate — as a small table."""
+    from ner_pytorch_ray.pipelines.kg import pages_from_documents
+    from ner_pytorch_ray.stages.extract import extract_stage
+    from ner_pytorch_ray.stages.sentences import sentences_stage
+    from ner_pytorch_ray.stages.gazetteer import gazetteer_tag_stage
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
+
+    tagged = gazetteer_tag_stage(
+        sentences_stage(extract_stage(pages_from_documents(sf_dir)), zeros=True)
+    ).materialize()
+    n_sources = tagged.count()
+
+    stages, n_vars, n_mod, rates = [], [], [], []
+    for stage in order.split(","):
+        stage = stage.strip()
+        if stage == "rep":
+            out = rep_stage(tagged, build_word_bank(tagged))
+        elif stage == "ppdb":
+            out = ppdb_stage(tagged)
+        elif stage == "orun":
+            out = ppdb_orun_stage(tagged)
+        elif stage == "para":
+            from ner_pytorch_ray.stages.parser import (
+                parser_stage,
+                paraphrase_stage,
+            )
+
+            out = paraphrase_stage(parser_stage(tagged))
+        else:
+            raise ValueError(f"unknown adv stage {stage!r}")
+
+        def key_rows(b: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict(
+                {
+                    "url": b.column("url"),
+                    "sent_id": b.column("sent_id"),
+                    "n": pa.array([1] * len(b), type=pa.int64()),
+                }
+            )
+
+        per_src = grouped_sum(
+            out.map_batches(key_rows, batch_format="pyarrow"),
+            ["url", "sent_id"],
+            sum_cols=["n"],
+        ).materialize()
+        total_variants = sum(
+            r["n"] for r in per_src.select_columns(["n"]).take_all()
+        )
+        modified = per_src.count()
+        stages.append(stage)
+        n_vars.append(int(total_variants))
+        n_mod.append(int(modified))
+        rates.append(float(modified) / n_sources if n_sources else 0.0)
+
+    return pa.Table.from_pydict(
+        {
+            "stage": pa.array(stages, type=pa.string()),
+            "n_sources": pa.array([n_sources] * len(stages), type=pa.int64()),
+            "n_variants": pa.array(n_vars, type=pa.int64()),
+            "n_modified_sources": pa.array(n_mod, type=pa.int64()),
+            "modification_rate": pa.array(rates, type=pa.float64()),
+        }
+    )
