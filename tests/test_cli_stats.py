@@ -1,11 +1,8 @@
 """conlleval CLI parity and adversarial stage modification stats."""
 
 
-def test_evaluate_lines_matches_reference_oracle():
+def test_evaluate_lines_matches_reference_oracle(reference_path):
     """Same numbers as the reference conlleval on a crafted pred file."""
-    import sys
-    import types
-
     from ner_pytorch_ray.conlleval_cli import evaluate_lines
 
     lines = [
@@ -19,18 +16,13 @@ def test_evaluate_lines_matches_reference_oracle():
     ]
     m = evaluate_lines(lines)
 
-    # reference oracle: /root/reference/conlleval.py evaluate() (pure module)
-    if "torch" not in sys.modules:
-        sys.modules["torch"] = types.ModuleType("torch")
-    sys.path.insert(0, "/root/reference")
-    try:
-        import conlleval as ref
+    # reference oracle: /root/reference/conlleval.py evaluate() (pure module,
+    # importable via the session fixture's torch stub + sys.path)
+    import conlleval as ref
 
-        true = ["S-ORG", "O", "S-MISC", "B-PER", "E-PER"]
-        pred = ["S-ORG", "O", "O", "B-PER", "E-PER"]
-        prec, rec, f1 = ref.evaluate(true, pred, verbose=False)
-    finally:
-        sys.path.remove("/root/reference")
+    true = ["S-ORG", "O", "S-MISC", "B-PER", "E-PER"]
+    pred = ["S-ORG", "O", "O", "B-PER", "E-PER"]
+    prec, rec, f1 = ref.evaluate(true, pred, verbose=False)
     assert abs(m["precision"] - prec) < 1e-9
     assert abs(m["recall"] - rec) < 1e-9
     assert abs(m["f1"] - f1) < 1e-9
