@@ -402,6 +402,12 @@ def _q_user_sessions(sf_dir: str):
     return user_sessions(sf_dir, gap_minutes=30)
 
 
+def _q_asof_attribution(sf_dir: str):
+    from ner_pytorch_ray.pipelines.windows import asof_error_attribution
+
+    return asof_error_attribution(sf_dir)
+
+
 def _q_order_revenue_join(sf_dir: str):
     from ner_pytorch_ray.pipelines.windows import order_revenue_join
 
@@ -484,6 +490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window": _q_tumbling_window,
         "user_sessions": _q_user_sessions,
         "order_revenue_join": _q_order_revenue_join,
+        "asof_attribution": _q_asof_attribution,
     }
 
 
@@ -756,6 +763,24 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        MAX(t) AS end_us
 FROM sid
 GROUP BY 1, 2
+""",
+        "asof_attribution": """
+WITH err AS (
+  SELECT user_id, event_id AS error_id, epoch_us(ts) AS t
+  FROM events WHERE event_type = 'error'
+),
+clk AS (
+  SELECT user_id, event_id AS click_id, epoch_us(ts) AS t
+  FROM events WHERE event_type = 'click'
+),
+ranked AS (
+  SELECT e.user_id, e.error_id, c.click_id, e.t - c.t AS gap_us,
+         ROW_NUMBER() OVER (PARTITION BY e.error_id
+                            ORDER BY c.t DESC, c.click_id DESC) AS rn
+  FROM err e JOIN clk c ON e.user_id = c.user_id AND c.t <= e.t
+)
+SELECT user_id, error_id, click_id, gap_us
+FROM ranked WHERE rn = 1
 """,
         "order_revenue_join": """
 SELECT o.o_orderpriority,

@@ -227,3 +227,86 @@ def order_revenue_join(sf_dir: str) -> ray.data.Dataset:
         sum_cols=["revenue_c2", "n_items"],
     )
     return merged.sort("o_orderpriority")
+
+
+def asof_error_attribution(sf_dir: str) -> ray.data.Dataset:
+    """As-of join: each 'error' event attributed to the most recent 'click'
+    by the same user at or before it (ties broken on higher event_id — the
+    rule is explicit so the DuckDB oracle is deterministic).
+
+    Ray expression: filter both sides at the read, collect per user (bounded
+    per-user volume), one sort + searchsorted per user inside the group
+    aggregate. At scale this is the standard per-key as-of pattern: the only
+    shuffle is the user-key groupby of two pre-filtered event streams.
+    """
+    from ner_pytorch_ray.stages.groupby_utils import (
+        collect_tuples,
+        flat_map_groups,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    ds = ds.filter(expr="event_type in ['error', 'click']")
+
+    def encode(batch: pa.Table) -> pa.Table:
+        # one tuple stream: positive ids = clicks, negative-offset = errors
+        is_err = pc.equal(batch.column("event_type"), "error")
+        return pa.Table.from_pydict(
+            {
+                "user_id": batch.column("user_id"),
+                "t": batch.column("ts").cast(pa.int64()),
+                "event_id": batch.column("event_id"),
+                "is_error": is_err.cast(pa.int8()),
+            }
+        )
+
+    collected = collect_tuples(
+        ds.map_batches(encode, batch_format="pyarrow"),
+        ["user_id"],
+        ["t", "event_id", "is_error"],
+        name="evs",
+    )
+
+    empty = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("error_id", pa.int64()),
+            ("click_id", pa.int64()),
+            ("gap_us", pa.int64()),
+        ]
+    )
+
+    def attribute(key, items) -> pa.Table:
+        if items is None or not items:
+            return empty.empty_table()
+        (uid,) = key
+        clicks = sorted(
+            [(t, e) for t, e, is_err in items if not is_err]
+        )  # (t, id) asc — ties resolved by higher id = later element
+        errors = sorted([(t, e) for t, e, is_err in items if is_err])
+        if not clicks or not errors:
+            return empty.empty_table()
+        ct = np.array([t for t, _ in clicks], dtype=np.int64)
+        out_err, out_clk, out_gap = [], [], []
+        for t, eid in errors:
+            i = int(np.searchsorted(ct, t, side="right")) - 1
+            if i < 0:
+                continue
+            # ties on t: clicks are sorted by (t, id), and side="right"
+            # lands after ALL equal-t clicks, so i is already the max-id tie
+            out_err.append(eid)
+            out_clk.append(clicks[i][1])
+            out_gap.append(t - clicks[i][0])
+        n = len(out_err)
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array([uid] * n, type=pa.int64()),
+                "error_id": pa.array(out_err, type=pa.int64()),
+                "click_id": pa.array(out_clk, type=pa.int64()),
+                "gap_us": pa.array(out_gap, type=pa.int64()),
+            }
+        )
+
+    return flat_map_groups(collected, attribute, ["user_id"], items_col="evs")

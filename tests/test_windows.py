@@ -98,3 +98,29 @@ def test_join_vs_duckdb(ray_session):
         """
     ).df()
     _cmp(t, o)
+
+
+def test_asof_attribution_vs_duckdb(ray_session):
+    from ner_pytorch_ray.pipelines.windows import asof_error_attribution
+
+    t = asof_error_attribution(SF).to_pandas()
+    o = _con().execute(
+        """
+        WITH err AS (SELECT user_id, event_id AS error_id, epoch_us(ts) AS t
+                     FROM events WHERE event_type = 'error'),
+        clk AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS t
+                FROM events WHERE event_type = 'click'),
+        ranked AS (
+          SELECT e.user_id, e.error_id, c.click_id, e.t - c.t AS gap_us,
+                 ROW_NUMBER() OVER (PARTITION BY e.error_id
+                                    ORDER BY c.t DESC, c.click_id DESC) AS rn
+          FROM err e JOIN clk c ON e.user_id = c.user_id AND c.t <= e.t
+        )
+        SELECT user_id, error_id, click_id, gap_us FROM ranked WHERE rn = 1
+        """
+    ).df()
+    assert len(t) > 0
+    _cmp(t, o)
+    # every gap non-negative; each error attributed at most once
+    assert (t["gap_us"] >= 0).all()
+    assert t["error_id"].is_unique
