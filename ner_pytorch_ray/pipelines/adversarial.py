@@ -411,20 +411,30 @@ def ppl_filter(
     ``keep_n`` survive for a source sentence, top-up from the lowest-ppl
     rejected ones (gen_adv_pipline.py:221-230).
 
-    Source ppls are computed once and broadcast (small: one float per
-    sentence); the per-source selection groups variants by (url, sent_id)
-    via collect aggregation.
+    Scale shape: the source sentence is tagged variant_id = -1 and UNIONED
+    with its variants, so ONE keyed groupby co-locates each sentence's base
+    ppl with its candidates — no driver-side source map (one float per
+    sentence is 100 GB-scale at corpus size), no broadcast.
     """
     from ner_pytorch_ray.stages.groupby_utils import collect_tuples, flat_map_groups
 
-    scored_src = ppl_stage(sources, counts)
-    src_ppl = {
-        (r["url"], r["sent_id"]): r["ppl"]
-        for r in scored_src.select_columns(["url", "sent_id", "ppl"]).take_all()
-    }
-    src_ref = ray.put(src_ppl)
+    def tag_source(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "url": b.column("url"),
+                "sent_id": b.column("sent_id"),
+                "variant_id": pa.array([-1] * len(b), type=pa.int64()),
+                "tokens": b.column("tokens"),
+            }
+        )
 
-    scored = ppl_stage(variants, counts)
+    base = sources.select_columns(["url", "sent_id", "tokens"]).map_batches(
+        tag_source, batch_format="pyarrow"
+    )
+    both = variants.select_columns(
+        ["url", "sent_id", "variant_id", "tokens"]
+    ).union(base)
+    scored = ppl_stage(both, counts)
     collected = collect_tuples(
         scored, ["url", "sent_id"], ["variant_id", "ppl"], name="vs"
     )
@@ -437,20 +447,20 @@ def ppl_filter(
         ]
     )
 
-    src_map_holder = {}
-
     def select(key, items) -> pa.Table:
         if items is None:
             return empty.empty_table()
-        if not src_map_holder:
-            src_map_holder["m"] = ray.get(src_ref)
-        m = src_map_holder["m"]
         u, sid = key
-        base = m.get((u, sid), float("inf"))
-        items = sorted({tuple(x) for x in items}, key=lambda x: (x[1], x[0]))
-        kept = [(v, p) for v, p in items if p < threshold * base]
+        uniq = sorted({tuple(x) for x in items}, key=lambda x: (x[1], x[0]))
+        base_ppl = min(
+            (p for v, p in uniq if v == -1), default=float("inf")
+        )
+        cands = [(v, p) for v, p in uniq if v != -1]
+        if not cands:
+            return empty.empty_table()
+        kept = [(v, p) for v, p in cands if p < threshold * base_ppl]
         if len(kept) < keep_n:  # top-up fallback
-            rejected = [x for x in items if x not in kept]
+            rejected = [x for x in cands if x not in kept]
             kept = kept + rejected[: keep_n - len(kept)]
         return pa.Table.from_pydict(
             {
@@ -577,9 +587,7 @@ def adv_stage_stats(sf_dir: str, order: str = "rep,ppdb,orun") -> pa.Table:
             ["url", "sent_id"],
             sum_cols=["n"],
         ).materialize()
-        total_variants = sum(
-            r["n"] for r in per_src.select_columns(["n"]).take_all()
-        )
+        total_variants = per_src.sum("n") or 0
         modified = per_src.count()
         stages.append(stage)
         n_vars.append(int(total_variants))
