@@ -408,6 +408,12 @@ def _q_asof_attribution(sf_dir: str):
     return asof_error_attribution(sf_dir)
 
 
+def _q_range_join_events(sf_dir: str):
+    from ner_pytorch_ray.pipelines.windows import range_join_events
+
+    return range_join_events(sf_dir, window_seconds=60)
+
+
 def _q_order_revenue_join(sf_dir: str):
     from ner_pytorch_ray.pipelines.windows import order_revenue_join
 
@@ -491,6 +497,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": _q_user_sessions,
         "order_revenue_join": _q_order_revenue_join,
         "asof_attribution": _q_asof_attribution,
+        "range_join_events": _q_range_join_events,
     }
 
 
@@ -763,6 +770,17 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        MAX(t) AS end_us
 FROM sid
 GROUP BY 1, 2
+""",
+        "range_join_events": """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events)
+SELECT a.user_id,
+       LEAST(a.event_id, b.event_id) AS event_a,
+       GREATEST(a.event_id, b.event_id) AS event_b,
+       b.t - a.t AS gap_us
+FROM e a
+JOIN e b ON a.user_id = b.user_id
+        AND b.t - a.t BETWEEN 0 AND 60000000
+        AND (a.t, a.event_id) < (b.t, b.event_id)
 """,
         "asof_attribution": """
 WITH err AS (

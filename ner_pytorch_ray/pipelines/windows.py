@@ -310,3 +310,76 @@ def asof_error_attribution(sf_dir: str) -> ray.data.Dataset:
         )
 
     return flat_map_groups(collected, attribute, ["user_id"], items_col="evs")
+
+
+def range_join_events(
+    sf_dir: str, window_seconds: int = 60
+) -> ray.data.Dataset:
+    """Range join: pairs of events by the same user within
+    ``window_seconds`` of each other (id_a < id_b). Per-user sorted
+    two-pointer sweep inside the keyed group — the standard distributed
+    range-join shape: partition on the equality key (user), sweep the range
+    predicate locally; no cross-user work ever shuffles."""
+    from ner_pytorch_ray.stages.groupby_utils import (
+        collect_tuples,
+        flat_map_groups,
+    )
+
+    win_us = window_seconds * 1_000_000
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "user_id": batch.column("user_id"),
+                "t": batch.column("ts").cast(pa.int64()),
+                "event_id": batch.column("event_id"),
+            }
+        )
+
+    collected = collect_tuples(
+        ds.map_batches(to_us, batch_format="pyarrow"),
+        ["user_id"],
+        ["t", "event_id"],
+        name="evs",
+    )
+
+    empty = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("event_a", pa.int64()),
+            ("event_b", pa.int64()),
+            ("gap_us", pa.int64()),
+        ]
+    )
+
+    def sweep(key, items) -> pa.Table:
+        if items is None or not items:
+            return empty.empty_table()
+        (uid,) = key
+        evs = sorted(items)  # by (t, id)
+        ts = np.array([t for t, _ in evs], dtype=np.int64)
+        ids = np.array([e for _, e in evs], dtype=np.int64)
+        out_a, out_b, out_gap = [], [], []
+        j_hi = np.searchsorted(ts, ts + win_us, side="right")
+        for i in range(len(evs)):
+            for j in range(i + 1, int(j_hi[i])):
+                a, b = ids[i], ids[j]
+                if a > b:
+                    a, b = b, a
+                out_a.append(int(a))
+                out_b.append(int(b))
+                out_gap.append(int(ts[j] - ts[i]))
+        n = len(out_a)
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array([uid] * n, type=pa.int64()),
+                "event_a": pa.array(out_a, type=pa.int64()),
+                "event_b": pa.array(out_b, type=pa.int64()),
+                "gap_us": pa.array(out_gap, type=pa.int64()),
+            }
+        )
+
+    return flat_map_groups(collected, sweep, ["user_id"], items_col="evs")

@@ -124,3 +124,24 @@ def test_asof_attribution_vs_duckdb(ray_session):
     # every gap non-negative; each error attributed at most once
     assert (t["gap_us"] >= 0).all()
     assert t["error_id"].is_unique
+
+
+def test_range_join_vs_duckdb(ray_session):
+    from ner_pytorch_ray.pipelines.windows import range_join_events
+
+    t = range_join_events(SF, window_seconds=1800).to_pandas()
+    o = _con().execute(
+        """
+        WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events)
+        SELECT a.user_id,
+               LEAST(a.event_id, b.event_id) AS event_a,
+               GREATEST(a.event_id, b.event_id) AS event_b,
+               b.t - a.t AS gap_us
+        FROM e a
+        JOIN e b ON a.user_id = b.user_id
+                AND b.t - a.t BETWEEN 0 AND 1800000000
+                AND (a.t, a.event_id) < (b.t, b.event_id)
+        """
+    ).df()
+    assert len(t) > 0
+    _cmp(t, o)
