@@ -266,10 +266,15 @@ PARAPHRASES: dict[str, list[str]] = {
 
 
 def ppdb_stage(
-    sentences: ray.data.Dataset, n_variants: int = 2
+    sentences: ray.data.Dataset,
+    n_variants: int = 2,
+    paraphrases: dict[str, list[str]] | None = None,
 ) -> ray.data.Dataset:
     """C4: rewrite O-run tokens via the paraphrase dict; entities untouched.
-    Seeded per (url, sent_id, variant)."""
+    Seeded per (url, sent_id, variant). ``paraphrases`` defaults to the
+    built-in synonym table; pass ``{k: sorted(v) for k, v in
+    parse_ppdb(...).items()}`` for a real PPDB file."""
+    PARAPHRASES_local = paraphrases if paraphrases is not None else PARAPHRASES
 
     def rewrite(batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
@@ -280,7 +285,7 @@ def ppdb_stage(
         for u, sid, toks, tgs in zip(urls, sids, tokens, tags):
             hit_pos = [
                 i for i, (w, tg) in enumerate(zip(toks, tgs))
-                if tg == "O" and w in PARAPHRASES
+                if tg == "O" and w in PARAPHRASES_local
             ]
             if not hit_pos:
                 continue
@@ -289,7 +294,7 @@ def ppdb_stage(
                 new = list(toks)
                 changed = False
                 for i in hit_pos:
-                    opts = PARAPHRASES[new[i]]
+                    opts = PARAPHRASES_local[new[i]]
                     if rng.rand() < 0.7:
                         new[i] = opts[rng.randint(0, len(opts))]
                         changed = True
@@ -512,6 +517,37 @@ def adv_pipeline(
             )
 
             current = paraphrase_stage(parser_stage(current))
+        elif stage == "ppl":
+            from ner_pytorch_ray.pipelines.analysis import vocab_count
+
+            counts = {
+                r["token"]: r["freq"] for r in vocab_count(sf_dir).take_all()
+            }
+            kept = ppl_filter(current, tagged, counts)
+            # keep only surviving (url, sent_id, variant_id) rows, tokens
+            # and tags intact (semi-join via broadcast of the kept keyset —
+            # the filter output is keep_n-bounded per sentence)
+            keys = {
+                (r["url"], r["sent_id"], r["variant_id"])
+                for r in kept.select_columns(
+                    ["url", "sent_id", "variant_id"]
+                ).take_all()
+            }
+            keys_ref = ray.put(keys)
+
+            def keep_rows(b: pa.Table) -> pa.Table:
+                ks = ray.get(keys_ref)
+                mask = [
+                    (u, s, v) in ks
+                    for u, s, v in zip(
+                        b.column("url").to_pylist(),
+                        b.column("sent_id").to_pylist(),
+                        b.column("variant_id").to_pylist(),
+                    )
+                ]
+                return b.filter(pa.array(mask))
+
+            current = current.map_batches(keep_rows, batch_format="pyarrow")
         else:
             raise ValueError(f"unknown adv stage {stage!r}")
     return current
