@@ -208,17 +208,17 @@ def _q_adv_ppdb_variants(sf_dir: str):
 
 
 def _q_adv_ppl_filtered(sf_dir: str):
-    import ray
-    from ner_pytorch_ray.pipelines.adversarial import adv_pipeline, ppl_filter
+    from ner_pytorch_ray.pipelines.adversarial import (
+        adv_pipeline,
+        ppl_filter,
+        unigram_counts,
+    )
     from ner_pytorch_ray.pipelines.kg import pages_from_documents
-    from ner_pytorch_ray.pipelines.analysis import vocab_count
     from ner_pytorch_ray.stages.extract import extract_stage
     from ner_pytorch_ray.stages.sentences import sentences_stage
     from ner_pytorch_ray.stages.gazetteer import gazetteer_tag_stage
 
-    counts = {
-        r["token"]: r["freq"] for r in vocab_count(sf_dir).take_all()
-    }
+    counts = unigram_counts(sf_dir)
     sources = gazetteer_tag_stage(
         sentences_stage(extract_stage(pages_from_documents(sf_dir)), zeros=True)
     )
@@ -250,11 +250,14 @@ def _q_adv_stage_stats(sf_dir: str):
 def _q_adv_topk(sf_dir: str):
     """O4 (train.py:383-395): rank adversarial variants per source sentence
     by unigram-LM perplexity (the sandbox loss stand-in), keep top-2."""
-    from ner_pytorch_ray.pipelines.adversarial import adv_pipeline, ppl_stage
-    from ner_pytorch_ray.pipelines.analysis import vocab_count
+    from ner_pytorch_ray.pipelines.adversarial import (
+        adv_pipeline,
+        ppl_stage,
+        unigram_counts,
+    )
     from ner_pytorch_ray.stages.groupby_utils import topk_by_group
 
-    counts = {r["token"]: r["freq"] for r in vocab_count(sf_dir).take_all()}
+    counts = unigram_counts(sf_dir)
     scored = ppl_stage(adv_pipeline(sf_dir, order="rep", n_variants=3), counts)
     return topk_by_group(
         scored, ["url", "sent_id"], "ppl", "variant_id", k=2, descending=True

@@ -13,9 +13,10 @@ gen_adv_pipline.py:260-396):
     untouched (PPDB_Replacement, ppdb.py:119-144). The dictionary here is a
     small deterministic synonym table (no PPDB file in the sandbox) behind
     the same lookup semantics (unigram/bigram O-run hits).
-  * ``ppl``  — perplexity filter (gen_adv_pipline.py:200-234): keep variants
-    with ppl < 3x the source sentence's; top-up from the best rejected if
-    fewer than n survive (O5 fallback, :224-227). The LM is a broadcast
+  * ``ppl``  — perplexity filter (gen_adv_pipline.py:200-234): keep the
+    first ``keep_n`` variants (index order) with ppl < 3x the source
+    sentence's; top-up from the remaining candidates in index order if
+    fewer pass (O5 fallback, :224-227). The LM is a broadcast
     unigram model built from the corpus vocabulary (GPT-2 is unavailable —
     semantics identical, scorer swapped; the scorer is an actor-pool stage
     exactly like a GPU LM would be).
@@ -271,9 +272,16 @@ def ppdb_stage(
     paraphrases: dict[str, list[str]] | None = None,
 ) -> ray.data.Dataset:
     """C4: rewrite O-run tokens via the paraphrase dict; entities untouched.
-    Seeded per (url, sent_id, variant). ``paraphrases`` defaults to the
-    built-in synonym table; pass ``{k: sorted(v) for k, v in
-    parse_ppdb(...).items()}`` for a real PPDB file."""
+    Seeded per (url, sent_id, parent variant, variant). ``paraphrases``
+    defaults to the built-in synonym table; pass ``{k: sorted(v) for k, v in
+    parse_ppdb(...).items()}`` for a real PPDB file.
+
+    Key identity (J6): when the input already carries a ``variant_id``
+    (this stage composed after another, e.g. order='rep,ppdb'), the output
+    key is ``parent_variant_id * n_variants + v`` — unique per (parent, v),
+    preserving positional variant identity through sequential stages the way
+    the reference's in-order list-of-lists does (gen_adv_pipline.py:260-396).
+    """
     PARAPHRASES_local = paraphrases if paraphrases is not None else PARAPHRASES
 
     def rewrite(batch: pa.Table) -> pa.Table:
@@ -281,8 +289,13 @@ def ppdb_stage(
         sids = batch.column("sent_id").to_pylist()
         tokens = batch.column("tokens").to_pylist()
         tags = batch.column("tags").to_pylist()
+        parent_vids = (
+            batch.column("variant_id").to_pylist()
+            if "variant_id" in batch.column_names
+            else [None] * len(batch)
+        )
         o_url, o_sid, o_vid, o_toks, o_tags = [], [], [], [], []
-        for u, sid, toks, tgs in zip(urls, sids, tokens, tags):
+        for u, sid, pvid, toks, tgs in zip(urls, sids, parent_vids, tokens, tags):
             hit_pos = [
                 i for i, (w, tg) in enumerate(zip(toks, tgs))
                 if tg == "O" and w in PARAPHRASES_local
@@ -290,7 +303,11 @@ def ppdb_stage(
             if not hit_pos:
                 continue
             for v in range(n_variants):
-                rng = np.random.RandomState(_seed_of(u, sid, "ppdb", v))
+                rng = np.random.RandomState(
+                    _seed_of(u, sid, "ppdb", v)
+                    if pvid is None
+                    else _seed_of(u, sid, "ppdb", pvid, v)
+                )
                 new = list(toks)
                 changed = False
                 for i in hit_pos:
@@ -302,7 +319,7 @@ def ppdb_stage(
                     continue
                 o_url.append(u)
                 o_sid.append(sid)
-                o_vid.append(v)
+                o_vid.append(v if pvid is None else pvid * n_variants + v)
                 o_toks.append(new)
                 o_tags.append(list(tgs))
         return pa.Table.from_pydict(
@@ -339,16 +356,27 @@ def ppdb_orun_stage(
         sids = batch.column("sent_id").to_pylist()
         tokens = batch.column("tokens").to_pylist()
         tags = batch.column("tags").to_pylist()
+        parent_vids = (
+            batch.column("variant_id").to_pylist()
+            if "variant_id" in batch.column_names
+            else [None] * len(batch)
+        )
         o_url, o_sid, o_vid, o_toks, o_tags = [], [], [], [], []
-        for u, sid, toks, tgs in zip(urls, sids, tokens, tags):
+        for u, sid, pvid, toks, tgs in zip(urls, sids, parent_vids, tokens, tags):
             new_toks, new_tags, changed = ppdb_orun_rewrite(
-                toks, tgs, paraphrase_dict, seed=_seed_of(u, sid, "orun")
+                toks,
+                tgs,
+                paraphrase_dict,
+                seed=_seed_of(u, sid, "orun")
+                if pvid is None
+                else _seed_of(u, sid, "orun", pvid),
             )
             if not changed:
                 continue
             o_url.append(u)
             o_sid.append(sid)
-            o_vid.append(0)
+            # one variant per input row: the parent key passes through (J6)
+            o_vid.append(0 if pvid is None else pvid)
             o_toks.append(new_toks)
             o_tags.append(new_tags)
         return pa.Table.from_pydict(
@@ -411,72 +439,116 @@ def ppl_filter(
     counts: dict,
     threshold: float = 3.0,
     keep_n: int = 2,
+    carry: bool = False,
 ) -> ray.data.Dataset:
-    """M13/O5: keep variants with ppl < threshold * source_ppl; if fewer than
-    ``keep_n`` survive for a source sentence, top-up from the lowest-ppl
-    rejected ones (gen_adv_pipline.py:221-230).
+    """M13/O5 with reference-parity selection (gen_adv_pipline.py:221-230):
+    candidates in variant_id order; keep those with ppl < threshold *
+    source_ppl, truncated to the FIRST ``keep_n`` that pass (``sel_index =
+    np.where(...)[0][:n]``); if fewer pass, top-up from the remaining
+    candidates in index order (the reference's ``set(range(100)) -
+    sel_index`` ascending-index fallback, :224-227).
 
     Scale shape: the source sentence is tagged variant_id = -1 and UNIONED
     with its variants, so ONE keyed groupby co-locates each sentence's base
     ppl with its candidates — no driver-side source map (one float per
     sentence is 100 GB-scale at corpus size), no broadcast.
+
+    ``carry=True`` ships tokens/tags through the keyed group so surviving
+    rows come back with their payload intact — the distributed alternative
+    to semi-joining the kept keyset against the variants afterwards (a
+    driver-side keyset broadcast is O(sentences x keep_n) driver memory).
+    The group payload is bounded (n variants + 1 source per sentence).
     """
     from ner_pytorch_ray.stages.groupby_utils import collect_tuples, flat_map_groups
 
-    def tag_source(b: pa.Table) -> pa.Table:
-        return pa.Table.from_pydict(
-            {
-                "url": b.column("url"),
-                "sent_id": b.column("sent_id"),
-                "variant_id": pa.array([-1] * len(b), type=pa.int64()),
-                "tokens": b.column("tokens"),
-            }
-        )
+    payload = ["tokens", "tags"] if carry else ["tokens"]
 
-    base = sources.select_columns(["url", "sent_id", "tokens"]).map_batches(
+    def tag_source(b: pa.Table) -> pa.Table:
+        cols = {
+            "url": b.column("url"),
+            "sent_id": b.column("sent_id"),
+            "variant_id": pa.array([-1] * len(b), type=pa.int64()),
+        }
+        for c in payload:
+            cols[c] = b.column(c)
+        return pa.Table.from_pydict(cols)
+
+    base = sources.select_columns(["url", "sent_id", *payload]).map_batches(
         tag_source, batch_format="pyarrow"
     )
     both = variants.select_columns(
-        ["url", "sent_id", "variant_id", "tokens"]
+        ["url", "sent_id", "variant_id", *payload]
     ).union(base)
     scored = ppl_stage(both, counts)
     collected = collect_tuples(
-        scored, ["url", "sent_id"], ["variant_id", "ppl"], name="vs"
+        scored,
+        ["url", "sent_id"],
+        ["variant_id", "ppl"] + (["tokens", "tags"] if carry else []),
+        name="vs",
     )
-    empty = pa.schema(
-        [
-            ("url", pa.string()),
-            ("sent_id", pa.int64()),
-            ("variant_id", pa.int64()),
-            ("ppl", pa.float64()),
+    fields = [
+        ("url", pa.string()),
+        ("sent_id", pa.int64()),
+        ("variant_id", pa.int64()),
+    ]
+    if carry:
+        fields += [
+            ("tokens", pa.list_(pa.string())),
+            ("tags", pa.list_(pa.string())),
         ]
-    )
+    fields.append(("ppl", pa.float64()))
+    empty = pa.schema(fields)
 
     def select(key, items) -> pa.Table:
         if items is None:
             return empty.empty_table()
         u, sid = key
-        uniq = sorted({tuple(x) for x in items}, key=lambda x: (x[1], x[0]))
-        base_ppl = min(
-            (p for v, p in uniq if v == -1), default=float("inf")
-        )
-        cands = [(v, p) for v, p in uniq if v != -1]
+        # dedup on (variant_id, ppl); candidates in variant_id order —
+        # variant_id is the positional index the reference selects by
+        by_vid: dict[int, tuple] = {}
+        for x in items:
+            by_vid.setdefault(x[0], tuple(x))
+        base_ppl = by_vid.get(-1, (None, float("inf")))[1]
+        cands = [by_vid[v] for v in sorted(by_vid) if v != -1]
         if not cands:
             return empty.empty_table()
-        kept = [(v, p) for v, p in cands if p < threshold * base_ppl]
-        if len(kept) < keep_n:  # top-up fallback
-            rejected = [x for x in cands if x not in kept]
-            kept = kept + rejected[: keep_n - len(kept)]
-        return pa.Table.from_pydict(
-            {
-                "url": pa.array([u] * len(kept), type=pa.string()),
-                "sent_id": pa.array([sid] * len(kept), type=pa.int64()),
-                "variant_id": pa.array([v for v, _ in kept], type=pa.int64()),
-                "ppl": pa.array([p for _, p in kept], type=pa.float64()),
-            }
-        )
+        kept = [c for c in cands if c[1] < threshold * base_ppl][:keep_n]
+        if len(kept) < keep_n:  # index-order top-up fallback
+            kept_ids = {c[0] for c in kept}
+            rest = [c for c in cands if c[0] not in kept_ids]
+            kept = kept + rest[: keep_n - len(kept)]
+        cols = {
+            "url": pa.array([u] * len(kept), type=pa.string()),
+            "sent_id": pa.array([sid] * len(kept), type=pa.int64()),
+            "variant_id": pa.array([c[0] for c in kept], type=pa.int64()),
+        }
+        if carry:
+            cols["tokens"] = pa.array(
+                [list(c[2]) for c in kept], type=pa.list_(pa.string())
+            )
+            cols["tags"] = pa.array(
+                [list(c[3]) for c in kept], type=pa.list_(pa.string())
+            )
+        cols["ppl"] = pa.array([c[1] for c in kept], type=pa.float64())
+        return pa.Table.from_pydict(cols)
 
     return flat_map_groups(collected, select, ["url", "sent_id"], items_col="vs")
+
+
+def unigram_counts(sf_dir: str, top_k: int = 65536) -> dict[str, int]:
+    """Corpus unigram counts for the LM stand-in, capped to the ``top_k``
+    most frequent tokens via a DISTRIBUTED sort+limit (web-scale vocab is
+    ~1e8 tokens; the LM is a GPT-2 stand-in, so truncating the tail to
+    <unk> is semantically free — only the top-K dict ships to the driver)."""
+    from ner_pytorch_ray.pipelines.analysis import vocab_count
+
+    rows = (
+        vocab_count(sf_dir)
+        .sort(["freq", "token"], descending=[True, False])
+        .limit(top_k)
+        .take_all()
+    )
+    return {r["token"]: r["freq"] for r in rows}
 
 
 # ------------------------------------------------------------- pipeline
@@ -518,36 +590,13 @@ def adv_pipeline(
 
             current = paraphrase_stage(parser_stage(current))
         elif stage == "ppl":
-            from ner_pytorch_ray.pipelines.analysis import vocab_count
-
-            counts = {
-                r["token"]: r["freq"] for r in vocab_count(sf_dir).take_all()
-            }
-            kept = ppl_filter(current, tagged, counts)
-            # keep only surviving (url, sent_id, variant_id) rows, tokens
-            # and tags intact (semi-join via broadcast of the kept keyset —
-            # the filter output is keep_n-bounded per sentence)
-            keys = {
-                (r["url"], r["sent_id"], r["variant_id"])
-                for r in kept.select_columns(
-                    ["url", "sent_id", "variant_id"]
-                ).take_all()
-            }
-            keys_ref = ray.put(keys)
-
-            def keep_rows(b: pa.Table) -> pa.Table:
-                ks = ray.get(keys_ref)
-                mask = [
-                    (u, s, v) in ks
-                    for u, s, v in zip(
-                        b.column("url").to_pylist(),
-                        b.column("sent_id").to_pylist(),
-                        b.column("variant_id").to_pylist(),
-                    )
-                ]
-                return b.filter(pa.array(mask))
-
-            current = current.map_batches(keep_rows, batch_format="pyarrow")
+            # tokens/tags ride through the keyed group (carry=True): the
+            # surviving rows come back payload-intact with no driver-side
+            # keyset broadcast — fully distributed, take_all-free
+            counts = unigram_counts(sf_dir)
+            current = ppl_filter(
+                current, tagged, counts, carry=True
+            ).drop_columns(["ppl"])
         else:
             raise ValueError(f"unknown adv stage {stage!r}")
     return current
@@ -562,6 +611,7 @@ def materialize_stage(
     stage output under ``{stage_dir}/{name}/`` once; subsequent runs
     short-circuit from disk."""
     import os
+    import shutil
 
     import ray.data as rd
 
@@ -569,6 +619,11 @@ def materialize_stage(
     marker = os.path.join(out, "_DONE")
     if os.path.exists(marker):
         return rd.read_parquet(out)
+    if os.path.exists(out):
+        # no marker but the dir exists: a previous attempt crashed between
+        # write_parquet and the marker — rerunning would append new
+        # UUID-named fragments next to the stale ones and duplicate rows
+        shutil.rmtree(out)
     ds.write_parquet(out)
     with open(marker, "w", encoding="utf-8") as f:
         f.write("done\n")

@@ -133,8 +133,15 @@ def paraphrase_stage(
         tokens = batch.column("tokens").to_pylist()
         tags = batch.column("tags").to_pylist()
         deps = batch.column("deps").to_pylist()
+        parent_vids = (
+            batch.column("variant_id").to_pylist()
+            if "variant_id" in batch.column_names
+            else [None] * len(batch)
+        )
         o_url, o_sid, o_vid, o_toks, o_tags = [], [], [], [], []
-        for u, sid, toks, tgs, dp in zip(urls, sids, tokens, tags, deps):
+        for u, sid, pvid, toks, tgs, dp in zip(
+            urls, sids, parent_vids, tokens, tags, deps
+        ):
             if len(toks) < 2:
                 continue
             units, unit_tags, _, _ = combine_tag(toks, tgs)
@@ -156,10 +163,11 @@ def paraphrase_stage(
                 deprels.append(d["deprel"])
                 upos.append(d["upos"])
                 start += len(unit.split(" "))
+            seed_key = (
+                f"{u}|{sid}|para" if pvid is None else f"{u}|{sid}|{pvid}|para"
+            )
             seed = int.from_bytes(
-                hashlib.blake2b(
-                    f"{u}|{sid}|para".encode(), digest_size=4
-                ).digest(),
+                hashlib.blake2b(seed_key.encode(), digest_size=4).digest(),
                 "little",
             )
             order = reorder_sentence(
@@ -174,7 +182,8 @@ def paraphrase_stage(
                 new_tags.extend(unit_tags[ui].split(" "))
             o_url.append(u)
             o_sid.append(sid)
-            o_vid.append(0)
+            # one variant per input row: the parent key passes through (J6)
+            o_vid.append(0 if pvid is None else pvid)
             o_toks.append(new_toks)
             o_tags.append(new_tags)
         return pa.Table.from_pydict(

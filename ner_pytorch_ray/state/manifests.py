@@ -32,7 +32,9 @@ def input_fingerprint(sf_dir: str, stage: str, n_shards: int, shard: int) -> str
     h.update(f"{stage}:{n_shards}:{shard}".encode())
     doc_path = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(doc_path)
-    h.update(f"{doc_path}:{st.st_size}".encode())
+    # size alone is spoofable by same-size regenerated data; mtime_ns makes
+    # any rewrite invalidate the shard
+    h.update(f"{doc_path}:{st.st_size}:{st.st_mtime_ns}".encode())
     return h.hexdigest()
 
 

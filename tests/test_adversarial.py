@@ -123,7 +123,90 @@ def test_ppl_filter_semantics(ray_session):
         ]
     )
     out2 = ppl_filter(variants2, sources, counts, threshold=1.0, keep_n=2)
-    assert len(out2.take_all()) == 2  # lowest-ppl rejected ones topped up
+    # index-order top-up (reference's ascending-index fallback)
+    assert sorted(r["variant_id"] for r in out2.take_all()) == [0, 1]
+
+
+def test_ppl_filter_caps_at_keep_n_in_index_order(ray_session):
+    """Reference parity (gen_adv_pipline.py:222-230): sel_index[:n] keeps the
+    FIRST n passing candidates by index, not the n lowest-ppl ones."""
+    import ray.data
+    from ner_pytorch_ray.pipelines.adversarial import ppl_filter
+
+    counts = {"good": 1000, "ok": 100}
+    sources = ray.data.from_items(
+        [{"url": "u", "sent_id": 0, "tokens": ["good", "good", "ok"]}]
+    )
+    # all four pass the threshold; variant 3 has the LOWEST ppl but the
+    # cap keeps index order [0, 1]
+    variants = ray.data.from_items(
+        [
+            {"url": "u", "sent_id": 0, "variant_id": 0,
+             "tokens": ["ok", "ok", "ok"]},
+            {"url": "u", "sent_id": 0, "variant_id": 1,
+             "tokens": ["good", "ok", "ok"]},
+            {"url": "u", "sent_id": 0, "variant_id": 2,
+             "tokens": ["good", "good", "ok"]},
+            {"url": "u", "sent_id": 0, "variant_id": 3,
+             "tokens": ["good", "good", "good"]},
+        ]
+    )
+    out = ppl_filter(variants, sources, counts, threshold=10.0, keep_n=2)
+    assert sorted(r["variant_id"] for r in out.take_all()) == [0, 1]
+
+
+def test_ppl_filter_carries_payload(ray_session):
+    """carry=True ships tokens/tags through the keyed group — the
+    distributed replacement for the kept-keyset semi-join."""
+    import ray.data
+    from ner_pytorch_ray.pipelines.adversarial import ppl_filter
+
+    counts = {"good": 1000}
+    sources = ray.data.from_items(
+        [{"url": "u", "sent_id": 0, "tokens": ["good", "good"],
+          "tags": ["O", "O"]}]
+    )
+    variants = ray.data.from_items(
+        [
+            {"url": "u", "sent_id": 0, "variant_id": 0,
+             "tokens": ["good", "zzz"], "tags": ["O", "S-ORG"]},
+        ]
+    )
+    out = ppl_filter(variants, sources, counts, keep_n=1, carry=True).take_all()
+    assert len(out) == 1
+    assert out[0]["tokens"] == ["good", "zzz"]
+    assert out[0]["tags"] == ["O", "S-ORG"]
+
+
+def test_adv_ppl_path_is_take_all_free(ray_session, monkeypatch):
+    """The composable 'ppl' stage must not collect the variant keyset on the
+    driver (VERDICT r1: O(sentences x keep_n) driver memory). unigram_counts
+    is patched out (its top-K take_all is bounded and legitimate); any other
+    take_all in the path trips the guard."""
+    import ray.data
+    from ner_pytorch_ray.pipelines import adversarial
+
+    monkeypatch.setattr(
+        adversarial, "unigram_counts", lambda sf, top_k=65536: {"the": 10}
+    )
+
+    def forbidden(self, *a, **k):
+        raise AssertionError("take_all() called inside the adv ppl path")
+
+    monkeypatch.setattr(ray.data.Dataset, "take_all", forbidden)
+    out = adversarial.adv_pipeline(SF, order="orun,ppl")
+    assert out.count() > 0
+
+
+def test_unigram_counts_top_k_cap(ray_session):
+    from ner_pytorch_ray.pipelines.adversarial import unigram_counts
+
+    full = unigram_counts(SF)
+    capped = unigram_counts(SF, top_k=5)
+    assert len(capped) == 5
+    # capped = the 5 most frequent tokens of the full table
+    top5 = sorted(full.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert capped == dict(top5)
 
 
 def test_full_order_rep_ppdb(ray_session):
@@ -131,7 +214,18 @@ def test_full_order_rep_ppdb(ray_session):
 
     out = adv_pipeline(SF, order="rep,ppdb", n_variants=2).take_all()
     assert out
-    # keys unique per (url, sent_id, variant)... ppdb re-variants rep rows:
-    # every row still carries valid aligned columns
+    # J6 key identity: (url, sent_id, variant_id) unique even after a
+    # second stage re-variants the first stage's rows
+    keys = [(r["url"], r["sent_id"], r["variant_id"]) for r in out]
+    assert len(keys) == len(set(keys))
     for r in out[:100]:
         assert len(r["tokens"]) == len(r["tags"])
+
+
+def test_full_order_rep_para_keys_unique(ray_session):
+    from ner_pytorch_ray.pipelines.adversarial import adv_pipeline
+
+    out = adv_pipeline(SF, order="rep,para", n_variants=2).take_all()
+    assert out
+    keys = [(r["url"], r["sent_id"], r["variant_id"]) for r in out]
+    assert len(keys) == len(set(keys))
