@@ -504,9 +504,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+_EXPECTED = os.path.join(_REPO, "tests", "expected")
+
+
+def _expected_oracles() -> dict[str, str]:
+    """Frozen expected-output parquet oracles (sf=0.01) for queries whose
+    semantics are not ANSI-SQL-expressible: frozen-model Viterbi decode and
+    seeded adversarial variant generation. The files are produced by
+    ``tools/make_expected.py`` — a SINGLE-PROCESS sequential recomputation
+    (plain Python loops, no ray.data) — so the gate checks that distributed
+    execution reproduces a partitioning-free truth exactly."""
+    names = [
+        "neural_mentions",
+        "neural_eval_metrics",
+        "neural_confusion",
+        "adv_rep_variants",
+        "adv_ppdb_variants",
+        "adv_para_variants",
+        "adv_ppl_filtered",
+        "adv_topk",
+        "adv_stage_stats",
+        "ann_lsh_topk",
+    ]
+    return {
+        n: f"SELECT * FROM read_parquet('{_EXPECTED}/{n}.parquet')"
+        for n in names
+        if os.path.exists(os.path.join(_EXPECTED, f"{n}.parquet"))
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (same column names, same values)."""
-    return {
+    out = _expected_oracles()
+    out["media_features"] = """
+SELECT doc_id AS media_id, 'image' AS kind,
+       CAST((8 + CAST(md5_number_upper(CAST(doc_id AS VARCHAR) || ':w')
+                      & 9223372036854775807 AS BIGINT) % 56)
+            * (8 + CAST(md5_number_upper(CAST(doc_id AS VARCHAR) || ':h')
+                        & 9223372036854775807 AS BIGINT) % 56) AS BIGINT)
+           AS n_bytes
+FROM documents
+"""
+    out.update({
         "kg_edges": _KG_MENTIONS_CTE
         + f"""
 , pairs AS (
@@ -638,6 +677,85 @@ FROM documents
 """,
         "doc_fingerprint": """
 SELECT doc_id, md5(text) AS fingerprint FROM documents
+""",
+        # _stable_u64(s) == md5_number_upper(s) & (2^63 - 1): first 8 md5
+        # bytes little-endian, masked to 63 bits (dedup.py:_stable_u64)
+        "winnow_fingerprints": """
+WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, i,
+         CAST(md5_number_upper(t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4])
+              & 9223372036854775807 AS BIGINT) AS h,
+         len(t) - 3 AS n_gram
+  FROM toks, (SELECT unnest(range(4000)) AS i) r
+  WHERE i + 4 <= len(t)
+),
+winmin AS (
+  SELECT doc_id, i, n_gram,
+         CASE WHEN n_gram <= 5 THEN MIN(h) OVER (PARTITION BY doc_id)
+              ELSE MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)
+         END AS fp
+  FROM grams
+)
+SELECT DISTINCT doc_id, fp FROM winmin
+WHERE n_gram <= 5 OR i <= n_gram - 5
+""",
+        # brute-force hamming<=3 pairs over exact 63-bit simhashes — the
+        # banded implementation must have perfect recall (4-band pigeonhole)
+        "simhash_pairs": """
+WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+wc AS (
+  SELECT doc_id, w, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY 1, 2
+),
+wh AS (
+  SELECT doc_id, c,
+         CAST(md5_number_upper(w) & 9223372036854775807 AS BIGINT) AS h
+  FROM wc
+),
+bits AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN (h >> b) & 1 = 1 THEN c ELSE -c END) AS acc
+  FROM wh, (SELECT unnest(range(63)) AS b) r
+  GROUP BY 1, 2
+),
+sh AS (
+  SELECT doc_id,
+         SUM(CASE WHEN acc > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sim
+  FROM bits GROUP BY 1
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= 3
+""",
+        "language_id": """
+WITH toks AS (
+  SELECT doc_id, text, string_split(text, ' ') AS t,
+         greatest(len(string_split(text, ' ')), 1) AS n,
+         length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]',
+                                              '', 'g')) AS cjk,
+         greatest(length(text), 1) AS nc
+  FROM documents
+),
+rates AS (
+  SELECT doc_id, cjk * 1.0 / nc AS cjk_ratio,
+    len(list_filter(t, x -> x IN ('the','a','of','and','to'))) * 1.0 / n AS s_en,
+    len(list_filter(t, x -> x IN ('der','die','und','das','ist'))) * 1.0 / n AS s_de,
+    len(list_filter(t, x -> x IN ('le','la','et','les','des'))) * 1.0 / n AS s_fr,
+    len(list_filter(t, x -> x IN ('el','la','los','las','y'))) * 1.0 / n AS s_es
+  FROM toks
+)
+SELECT doc_id,
+  CASE WHEN cjk_ratio > 0.2 THEN 'zh'
+       WHEN s_es > greatest(s_en, s_de, s_fr) THEN 'es'
+       WHEN s_fr > greatest(s_en, s_de) THEN 'fr'
+       WHEN s_de > s_en THEN 'de'
+       ELSE 'en' END AS lang_pred,
+  CASE WHEN cjk_ratio > 0.2 THEN cjk_ratio
+       ELSE greatest(s_en, s_de, s_fr, s_es) END AS confidence
+FROM rates
 """,
         "exact_dedup": """
 SELECT CAST(MIN(doc_id) AS BIGINT) AS keeper,
@@ -814,4 +932,5 @@ JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY 1
 ORDER BY 1
 """,
-    }
+    })
+    return out

@@ -36,10 +36,13 @@ _MERSENNE = (1 << 61) - 1
 
 
 def _stable_u64(s: str) -> int:
-    """Stable 63-bit hash (positive int64 — arrow/aggregate-transport safe)."""
-    v = int.from_bytes(
-        hashlib.blake2b(s.encode(), digest_size=8).digest(), "little"
-    )
+    """Stable 63-bit hash (positive int64 — arrow/aggregate-transport safe).
+
+    md5-based so it is DuckDB-expressible for the driver's oracle gate:
+    ``CAST(md5_number_upper(s) & 9223372036854775807 AS BIGINT)`` produces
+    the identical value (md5_number_upper = first 8 md5 bytes, little-endian).
+    """
+    v = int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
     return v & 0x7FFFFFFFFFFFFFFF
 
 

@@ -41,12 +41,22 @@ def synthesize_media_from_documents(sf_dir: str, kind: str = "image") -> ray.dat
         f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
     )
 
+    def _u64(s: str) -> int:
+        # == dedup._stable_u64: md5-based, SQL-expressible for the oracle
+        # gate (md5_number_upper(s) & (2^63-1)); inlined so the pickled UDF
+        # has no deferred package import on the worker
+        v = int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+        return v & 0x7FFFFFFFFFFFFFFF
+
     def to_media(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy()
         payloads, widths, heights = [], [], []
         for d in ids:
+            # md5-derived dims; payload bytes stay numpy-rng (only the
+            # dropped 'feature' column depends on them)
+            w = 8 + _u64(f"{int(d)}:w") % 56
+            h = 8 + _u64(f"{int(d)}:h") % 56
             rng = np.random.RandomState(int(d) % (2**31))
-            w, h = int(rng.randint(8, 64)), int(rng.randint(8, 64))
             payloads.append(rng.bytes(w * h))
             widths.append(w)
             heights.append(h)

@@ -116,16 +116,48 @@ def _hyperplanes(dim: int, n_bits: int, seed: int = 11) -> np.ndarray:
     return rng.normal(size=(n_bits, dim)).astype(np.float64)
 
 
+def _popcount16_lut() -> np.ndarray:
+    """16-bit popcount lookup table (vectorized hamming for sigs <= 64 bits)."""
+    v = np.arange(1 << 16, dtype=np.uint16)
+    c = np.zeros(1 << 16, dtype=np.uint8)
+    while v.any():
+        c += (v & 1).astype(np.uint8)
+        v >>= 1
+    return c
+
+
+def _popcount(x: np.ndarray, lut: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array via 4x16-bit LUT chunks."""
+    x = x.astype(np.uint64)
+    out = lut[(x & np.uint64(0xFFFF)).astype(np.uint32)].astype(np.int64)
+    for shift in (16, 32, 48):
+        out += lut[((x >> np.uint64(shift)) & np.uint64(0xFFFF)).astype(np.uint32)]
+    return out
+
+
 def ann_lsh_topk(
     sf_dir: str,
     n_queries: int = 10,
     k: int = 5,
     n_bits: int = 12,
     max_probe_distance: int = 2,
+    n_bands: int = 4,
 ) -> ray.data.Dataset:
-    """Approximate top-k: random-hyperplane signatures bucket the corpus;
-    each query only scores candidates whose signature is within
-    ``max_probe_distance`` bits of its own (multi-probe LSH)."""
+    """Approximate top-k: random-hyperplane signatures; each query scores
+    only candidates within ``max_probe_distance`` signature bits.
+
+    Bucket-native shape (no per-query corpus scan): signatures split into
+    ``n_bands`` bands; a pair within hamming ``max_d < n_bands`` agrees
+    EXACTLY on >= n_bands - max_d bands (pigeonhole), so candidates are
+    found by an in-batch hash-join of corpus band keys against the
+    broadcast query band index — cost is proportional to bucket collisions,
+    not n_queries x batch_rows, and the output is IDENTICAL to the
+    exhaustive hamming scan. Hamming verification is LUT-popcount
+    vectorized. The corpus streams; only (band_key -> query rows) dicts are
+    broadcast — the same shape works at 10^12 corpus rows with the query
+    set sharded if it outgrows a broadcast.
+    """
+    assert max_probe_distance < n_bands
     ids, M = _load_matrix(sf_dir)
     q_mask = ids < n_queries
     q_ids, Q = ids[q_mask], M[q_mask]
@@ -140,41 +172,107 @@ def ann_lsh_topk(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
 
+    # band boundaries: n_bits split as evenly as possible
+    widths = [n_bits // n_bands + (1 if b < n_bits % n_bands else 0)
+              for b in range(n_bands)]
+    shifts = np.cumsum([0] + widths[:-1]).tolist()
+
+    def _band_keys(keys: np.ndarray, band: int) -> np.ndarray:
+        mask = np.uint64((1 << widths[band]) - 1)
+        return (keys >> np.uint64(shifts[band])) & mask
+
     class BucketTopK:
-        def __init__(self, q_ref, H, k, max_d):
+        def __init__(self, q_ref, k, max_d):
             self.q_ids, self.Q, self.q_keys = ray.get(q_ref)
-            self.H, self.k, self.max_d = H, k, max_d
+            self.k, self.max_d = k, max_d
+            self.lut = _popcount16_lut()
+            # per-band inverted index: band_key -> query row indices
+            self.band_idx = []
+            for band in range(n_bands):
+                bk = _band_keys(self.q_keys, band)
+                order = np.argsort(bk, kind="stable")
+                uniq, starts = np.unique(bk[order], return_index=True)
+                d = {
+                    int(u): order[s:e]
+                    for u, s, e in zip(
+                        uniq, starts, list(starts[1:]) + [len(order)]
+                    )
+                }
+                self.band_idx.append(d)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             c_ids = np.asarray(batch.column("vec_id").to_numpy())
             C = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
             C /= np.linalg.norm(C, axis=1, keepdims=True)
-            sigs = (C @ self.H.T > 0).astype(np.uint64)
+            sigs = (C @ H.T > 0).astype(np.uint64)
             keys = np.zeros(len(c_ids), dtype=np.uint64)
-            for b in range(self.H.shape[0]):
+            for b in range(H.shape[0]):
                 keys |= sigs[:, b] << np.uint64(b)
-            out_q, out_n, out_s = [], [], []
-            for qi in range(len(self.q_ids)):
-                x = keys ^ self.q_keys[qi]
-                ham = np.array([bin(int(v)).count("1") for v in x])
-                cand = np.nonzero((ham <= self.max_d) & (c_ids != self.q_ids[qi]))[0]
-                if len(cand) == 0:
-                    continue
-                s = C[cand] @ self.Q[qi]
-                order = np.lexsort((c_ids[cand], -s))[: self.k]
-                out_q.extend([int(self.q_ids[qi])] * len(order))
-                out_n.extend(c_ids[cand][order].tolist())
-                out_s.extend(s[order].tolist())
+
+            # hash-join corpus band keys against the query band index
+            pair_q: list[np.ndarray] = []
+            pair_c: list[np.ndarray] = []
+            for band in range(n_bands):
+                idx = self.band_idx[band]
+                bk = _band_keys(keys, band)
+                order = np.argsort(bk, kind="stable")
+                uniq, starts = np.unique(bk[order], return_index=True)
+                ends = list(starts[1:]) + [len(order)]
+                for u, s, e in zip(uniq, starts, ends):
+                    qrows = idx.get(int(u))
+                    if qrows is None:
+                        continue
+                    crows = order[s:e]
+                    pair_q.append(np.repeat(qrows, len(crows)))
+                    pair_c.append(np.tile(crows, len(qrows)))
+            if not pair_q:
+                return pa.Table.from_pydict(
+                    {
+                        "query_id": pa.array([], type=pa.int64()),
+                        "neighbor_id": pa.array([], type=pa.int64()),
+                        "score": pa.array([], type=pa.float64()),
+                    }
+                )
+            qi = np.concatenate(pair_q)
+            ci = np.concatenate(pair_c)
+            # dedup pairs found via several bands
+            key = qi.astype(np.int64) * len(c_ids) + ci
+            _, first = np.unique(key, return_index=True)
+            qi, ci = qi[first], ci[first]
+            # vectorized hamming verify + self-exclusion
+            ham = _popcount(self.q_keys[qi] ^ keys[ci], self.lut)
+            keep = (ham <= self.max_d) & (self.q_ids[qi] != c_ids[ci])
+            qi, ci = qi[keep], ci[keep]
+            if not len(qi):
+                return pa.Table.from_pydict(
+                    {
+                        "query_id": pa.array([], type=pa.int64()),
+                        "neighbor_id": pa.array([], type=pa.int64()),
+                        "score": pa.array([], type=pa.float64()),
+                    }
+                )
+            s = np.einsum("ij,ij->i", self.Q[qi], C[ci])
+            # per-query local top-k: sort (query, -score, neighbor_id)
+            order = np.lexsort((c_ids[ci], -s, qi))
+            qi, ci, s = qi[order], ci[order], s[order]
+            # rank within query, keep rank < k
+            starts = np.r_[0, np.nonzero(np.diff(qi))[0] + 1]
+            rank = np.arange(len(qi)) - np.repeat(
+                starts, np.diff(np.r_[starts, len(qi)])
+            )
+            keep = rank < self.k
             return pa.Table.from_pydict(
                 {
-                    "query_id": pa.array(out_q, type=pa.int64()),
-                    "neighbor_id": pa.array(out_n, type=pa.int64()),
-                    "score": pa.array(out_s, type=pa.float64()),
+                    "query_id": pa.array(
+                        self.q_ids[qi[keep]], type=pa.int64()
+                    ),
+                    "neighbor_id": pa.array(c_ids[ci[keep]], type=pa.int64()),
+                    "score": pa.array(s[keep], type=pa.float64()),
                 }
             )
 
     local = ds.map_batches(
-        BucketTopK, fn_constructor_args=(q_ref, H, k, max_probe_distance),
+        BucketTopK, fn_constructor_args=(q_ref, k, max_probe_distance),
         concurrency=(1, 32), batch_format="pyarrow",
     )
 

@@ -29,6 +29,8 @@ import pyarrow as pa
 import ray.data
 
 from ner_pytorch_ray.functions.projection import reorder_sentence
+from ner_pytorch_ray.stages.gazetteer import BIGRAMS, GAZETTEER
+from ner_pytorch_ray.stages.relations import VERB_LEXICON
 
 DEP_TYPE = pa.list_(
     pa.struct(
@@ -52,9 +54,8 @@ class ParserActor:
                 "UDPipe model files are unavailable in this container; "
                 "backend='rules' is the deterministic stand-in"
             )
-        from ner_pytorch_ray.stages.relations import VERB_LEXICON
-        from ner_pytorch_ray.stages.gazetteer import GAZETTEER, BIGRAMS
-
+        # module-top imports: cloudpickle captures the globals by value, so
+        # the actor constructs on workers regardless of their cwd/sys.path
         self.verbs = frozenset(VERB_LEXICON)
         self.propn = frozenset(GAZETTEER) | {
             w for pair in BIGRAMS for w in pair

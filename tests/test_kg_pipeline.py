@@ -174,7 +174,14 @@ def _oracle_names():
     sys.path.insert(0, "/root/repo")
     import __ray_entry__ as entrymod
 
-    return sorted(entrymod.oracle_sql().keys())
+    # expected-parquet oracles are frozen at sf0.01 (the driver's gate
+    # scale) — they cannot be compared at this test's sf0.001; those paths
+    # are covered by dedicated tests (test_neural_e2e, test_adversarial).
+    return sorted(
+        n
+        for n, sql in entrymod.oracle_sql().items()
+        if "tests/expected" not in sql
+    )
 
 
 @pytest.mark.parametrize("name", _oracle_names())

@@ -1,0 +1,558 @@
+"""Generate expected-output parquet oracles for queries whose semantics are
+not ANSI-SQL-expressible (frozen-model scoring, seeded variant generation).
+
+Everything here is SINGLE-PROCESS and sequential — plain Python loops over
+``documents.parquet`` rows, no ray.data — so the files pin the distributed
+pipelines' output against an execution that shares none of the partitioning,
+batching, shuffling or actor machinery. Pure per-sentence functions
+(span algebra, seeded RNG derivation, the frozen numpy model) are shared
+with the library on purpose: they are unit-tested against the reference
+(msps9341012/NER-pytorch) separately; what these files verify is that the
+RAY DATA execution — any partitioning, any concurrency — reproduces the
+sequential truth exactly.
+
+Usage:  python tools/make_expected.py [sf_dir] [out_dir]
+Defaults: /root/testdata/sf0.01 -> tests/expected/
+The driver's oracle gate reads them via DuckDB read_parquet (see
+__ray_entry__.oracle_sql).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+import sys
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from ner_pytorch_ray.functions.spans import extract_spans
+from ner_pytorch_ray.functions.conlleval import (
+    ChunkCounts,
+    count_chunks,
+    evaluate_counts,
+)
+from ner_pytorch_ray.functions.paraphrase import combine_tag
+from ner_pytorch_ray.functions.projection import reorder_sentence
+from ner_pytorch_ray.sources.glove import pseudo_glove
+from ner_pytorch_ray.sources.pages import SENT_TOKENS, doc_url
+from ner_pytorch_ray.stages.gazetteer import BIGRAMS, GAZETTEER
+from ner_pytorch_ray.state.model import NumpyBiLSTMCRF, init_weights
+from ner_pytorch_ray.state.vocab import (
+    IOBES_TAGSET,
+    PAD,
+    UNK,
+    create_mapping,
+    tag_mapping_from_tagset,
+)
+from ner_pytorch_ray.pipelines.adversarial import (
+    PARAPHRASES,
+    _seed_of,
+    pool_vectors,
+    retag,
+    segment_sentence,
+)
+
+
+# ------------------------------------------------------------ corpus -> rows
+def load_docs(sf_dir: str) -> list[tuple[int, str]]:
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return list(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+
+
+def sentence_rows(sf_dir: str, zeros: bool = True):
+    """(url, sent_id, tokens) — sequential mirror of pages->extract->split."""
+    out = []
+    for doc_id, text in load_docs(sf_dir):
+        url = doc_url(doc_id)
+        toks = text.split(" ") if text else []
+        for sid, i in enumerate(range(0, len(toks), SENT_TOKENS)):
+            line = " ".join(toks[i : i + SENT_TOKENS])
+            if zeros:
+                line = re.sub(r"\d", "0", line)
+            if not line:
+                continue
+            out.append((url, sid, line.split(" ")))
+    return out
+
+
+def gaz_tags(tokens: list[str]) -> list[str]:
+    tags = ["O"] * len(tokens)
+    for i in range(len(tokens) - 1):
+        hit = BIGRAMS.get((tokens[i], tokens[i + 1]))
+        if hit and tags[i] == "O" and tags[i + 1] == "O":
+            tags[i], tags[i + 1] = f"B-{hit[0]}", f"E-{hit[0]}"
+    for i, w in enumerate(tokens):
+        if tags[i] == "O" and w in GAZETTEER:
+            tags[i] = f"S-{GAZETTEER[w][0]}"
+    return tags
+
+
+def mentions_of(tokens: list[str], tags: list[str]):
+    """(mention_id, begin, end, tag_type, surface) per sentence."""
+    rows = []
+    for mid, sp in enumerate(sorted(extract_spans(tags), key=lambda s: s.begin)):
+        rows.append(
+            (mid, sp.begin, sp.end, sp.type, " ".join(tokens[sp.begin : sp.end]))
+        )
+    return rows
+
+
+MENTIONS_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("sent_id", pa.int64()),
+        ("mention_id", pa.int64()),
+        ("begin", pa.int32()),
+        ("end", pa.int32()),
+        ("tag_type", pa.string()),
+        ("surface", pa.string()),
+    ]
+)
+
+
+def mentions_table(rows_with_tags) -> pa.Table:
+    cols = {k: [] for k in MENTIONS_SCHEMA.names}
+    for url, sid, toks, tags in rows_with_tags:
+        for mid, b, e, typ, surf in mentions_of(toks, tags):
+            cols["url"].append(url)
+            cols["sent_id"].append(sid)
+            cols["mention_id"].append(mid)
+            cols["begin"].append(b)
+            cols["end"].append(e)
+            cols["tag_type"].append(typ)
+            cols["surface"].append(surf)
+    return pa.Table.from_pydict(cols, schema=MENTIONS_SCHEMA)
+
+
+# ------------------------------------------------------------- neural oracle
+def neural_pred_tags(sents, seed: int = 1234):
+    """Sequential vocab build + per-sentence (batch=1) Viterbi decode."""
+    w_dico: Counter = Counter()
+    c_dico: Counter = Counter()
+    for _, _, toks in sents:
+        w_dico.update(w.lower() for w in toks)
+        c_dico.update("".join(toks))
+    w_dico = {k: v for k, v in w_dico.items() if v >= 3}
+    w_dico[PAD] = 10000001
+    w_dico[UNK] = 10000000
+    word_to_id, _ = create_mapping(w_dico)
+    c_dico = dict(c_dico)
+    c_dico[PAD] = 10000000
+    char_to_id, _ = create_mapping(c_dico)
+    tag_to_id, id_to_tag = tag_mapping_from_tagset(IOBES_TAGSET)
+    weights = init_weights(
+        n_words=len(word_to_id),
+        n_chars=len(char_to_id),
+        n_tags=len(tag_to_id),
+        word_dim=50,
+        char_dim=16,
+        char_out=16,
+        hidden=32,
+        seed=seed,
+    )
+    model = NumpyBiLSTMCRF(weights)
+    unk_id = word_to_id[UNK]
+    out = []
+    for url, sid, toks in sents:
+        wids = [word_to_id.get(t.lower(), unk_id) for t in toks]
+        cids = [[char_to_id[c] for c in t if c in char_to_id] for t in toks]
+        path = model.decode([wids], [cids])[0]
+        out.append((url, sid, toks, [id_to_tag[t] for t in path]))
+    return out
+
+
+def conlleval_tables(pairs):
+    """(metrics_table, confusion_table) from (true, pred) tag-list pairs,
+    mirroring __ray_entry__._q_neural_eval_metrics / _q_neural_confusion."""
+    total = ChunkCounts()
+    conf: Counter = Counter()
+    correct_non_o = total_non_o = macro_n = hits = 0
+    macro_sum = 0.0
+    for t_tags, p_tags in pairs:
+        total.merge(count_chunks(t_tags, p_tags))
+        for t, p in zip(t_tags, p_tags):
+            conf[(t, p)] += 1
+        nz = [(t, p) for t, p in zip(t_tags, p_tags) if t != "O"]
+        correct_non_o += sum(1 for t, p in nz if t == p)
+        total_non_o += len(nz)
+        if nz:
+            macro_sum += sum(1 for t, p in nz if t == p) / len(nz)
+            macro_n += 1
+        if any(t != p for t, p in zip(t_tags, p_tags)):
+            hits += 1
+    n_sent = len(pairs)
+    cl = evaluate_counts(total)
+    metrics = {
+        "micro_acc": correct_non_o / total_non_o if total_non_o else float("nan"),
+        "macro_acc": macro_sum / macro_n if macro_n else float("nan"),
+        "hit_rate": hits / n_sent if n_sent else float("nan"),
+        "n_sentences": n_sent,
+    }
+    metrics.update(
+        {f"conlleval_{k}": v for k, v in cl.items() if k in ("precision", "recall", "f1")}
+    )
+    for typ, (p, r, f) in cl.get("per_type", {}).items():
+        metrics[f"precision_{typ}"] = p
+        metrics[f"recall_{typ}"] = r
+        metrics[f"f1_{typ}"] = f
+    mt = pa.Table.from_pydict(
+        {
+            "metric": pa.array(sorted(metrics), type=pa.string()),
+            "value": pa.array(
+                [float(metrics[k]) for k in sorted(metrics)], type=pa.float64()
+            ),
+        }
+    )
+    keys = sorted(conf)
+    ct = pa.Table.from_pydict(
+        {
+            "true_tag": pa.array([k[0] for k in keys], type=pa.string()),
+            "pred_tag": pa.array([k[1] for k in keys], type=pa.string()),
+            "n": pa.array([conf[k] for k in keys], type=pa.int64()),
+        }
+    )
+    return mt, ct
+
+
+# -------------------------------------------------------- adversarial oracle
+def build_bank(tagged, dim: int = 32):
+    """Sequential mirror of adversarial.build_word_bank."""
+    distinct = sorted(
+        {
+            (typ, surf)
+            for _, _, toks, tags in tagged
+            for _, _, _, typ, surf in mentions_of(toks, tags)
+        }
+    )
+    vocab = sorted({w for _, s in distinct for w in s.split(" ")})
+    wv = pseudo_glove(vocab, dim=dim)
+    by_type: dict[str, list[str]] = {}
+    for t, s in distinct:
+        by_type.setdefault(t, []).append(s)
+    bank: dict[str, dict] = {}
+    for t, surfaces in by_type.items():
+        toks_list = [s.split(" ") for s in surfaces]
+        mats = {}
+        for pool in ("mean", "min", "max"):
+            m = np.stack([pool_vectors([wv[w] for w in tk], pool) for tk in toks_list])
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            mats[pool] = (m / norms).astype(np.float32)
+        bank[t] = {"surfaces": surfaces, "tokens": toks_list, "mats": mats}
+    bank["_wv"] = wv
+    bank["_dim"] = dim
+    return bank
+
+
+def rep_candidates(bank, tag_type, toks, seed, k, pool="mean", method="closest"):
+    entry = bank.get(tag_type)
+    if entry is None:
+        return []
+    if method == "random":
+        rng = np.random.RandomState(seed)
+        idx = rng.randint(0, len(entry["tokens"]), size=k)
+        return [entry["tokens"][i] for i in idx]
+    wv, dim = bank["_wv"], bank["_dim"]
+    q = pool_vectors(
+        [wv.get(w, np.zeros(dim, dtype=np.float32)) for w in toks], pool
+    )
+    n = np.linalg.norm(q)
+    q = q / n if n else q
+    if method == "farthest":
+        q = -q
+    sims = entry["mats"][pool] @ q
+    order = np.lexsort((np.array(entry["surfaces"], dtype=object), -sims))
+    surface = " ".join(toks).lower()
+    out = []
+    for i in order:
+        if method != "farthest" and entry["surfaces"][i] == surface:
+            continue
+        out.append(entry["tokens"][i])
+        if len(out) >= k:
+            break
+    return out
+
+
+def rep_variants(tagged, bank, n_variants, method="closest", pool="mean"):
+    """(url, sent_id, variant_id, tokens, tags) — mirror of ChunkReplacer."""
+    out = []
+    for u, sid, toks, tgs in tagged:
+        segs = segment_sentence(toks, tgs)
+        chunk_slots = [i for i, (c, _) in enumerate(segs) if c]
+        if not chunk_slots:
+            continue
+        cands = {}
+        for slot in chunk_slots:
+            idxs = segs[slot][1]
+            ctoks = [toks[i] for i in idxs]
+            ttype = tgs[idxs[0]].partition("-")[2]
+            cands[slot] = rep_candidates(
+                bank, ttype, ctoks, _seed_of(u, sid, slot), n_variants, pool, method
+            )
+        n_out = min(n_variants, min((len(c) for c in cands.values()), default=0))
+        for v in range(n_out):
+            new_toks, new_tags = [], []
+            for i, (is_chunk, idxs) in enumerate(segs):
+                if not is_chunk:
+                    new_toks.append(toks[idxs[0]])
+                    new_tags.append(tgs[idxs[0]])
+                else:
+                    rep = cands[i][v]
+                    ttype = tgs[idxs[0]].partition("-")[2]
+                    new_toks.extend(rep)
+                    new_tags.extend(retag(len(rep), ttype))
+            out.append((u, sid, v, new_toks, new_tags))
+    return out
+
+
+def ppdb_variants(tagged, n_variants):
+    out = []
+    for u, sid, toks, tgs in tagged:
+        hit_pos = [
+            i
+            for i, (w, tg) in enumerate(zip(toks, tgs))
+            if tg == "O" and w in PARAPHRASES
+        ]
+        if not hit_pos:
+            continue
+        for v in range(n_variants):
+            rng = np.random.RandomState(_seed_of(u, sid, "ppdb", v))
+            new = list(toks)
+            changed = False
+            for i in hit_pos:
+                opts = PARAPHRASES[new[i]]
+                if rng.rand() < 0.7:
+                    new[i] = opts[rng.randint(0, len(opts))]
+                    changed = True
+            if not changed or new == toks:
+                continue
+            out.append((u, sid, v, new, list(tgs)))
+    return out
+
+
+def orun_variants(tagged):
+    from ner_pytorch_ray.functions.paraphrase import ppdb_orun_rewrite
+
+    pd_dict = {k: set(v) for k, v in PARAPHRASES.items()}
+    out = []
+    for u, sid, toks, tgs in tagged:
+        new_toks, new_tags, changed = ppdb_orun_rewrite(
+            toks, tgs, pd_dict, seed=_seed_of(u, sid, "orun")
+        )
+        if changed:
+            out.append((u, sid, 0, new_toks, new_tags))
+    return out
+
+
+def para_variants(tagged):
+    """Mirror of parser_stage + paraphrase_stage (rules backend)."""
+    from ner_pytorch_ray.stages.parser import ParserActor
+
+    parser = ParserActor("rules")
+    out = []
+    for u, sid, toks, tgs in tagged:
+        if len(toks) < 2:
+            continue
+        dp = parser._parse(toks)
+        units, unit_tags, _, _ = combine_tag(toks, tgs)
+        tok2unit = []
+        for ui, unit in enumerate(units):
+            tok2unit.extend([ui] * len(unit.split(" ")))
+        heads, deprels, upos = [], [], []
+        start = 0
+        for ui, unit in enumerate(units):
+            d = dp[start]
+            h_tok = int(d["head"])
+            if h_tok == 0:
+                heads.append(0)
+            else:
+                hu = tok2unit[h_tok - 1]
+                heads.append(0 if hu == ui else hu + 1)
+            deprels.append(d["deprel"])
+            upos.append(d["upos"])
+            start += len(unit.split(" "))
+        seed = int.from_bytes(
+            hashlib.blake2b(f"{u}|{sid}|para".encode(), digest_size=4).digest(),
+            "little",
+        )
+        order = reorder_sentence(heads, deprels, upos, seed, temperature=1.0)
+        if order == sorted(order):
+            continue
+        out.append((u, sid, 0))
+    return out
+
+
+def unigram_lm(sf_dir: str, top_k: int = 65536):
+    c: Counter = Counter()
+    for _, text in load_docs(sf_dir):
+        c.update(text.split(" "))
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+    counts = dict(top)
+    total = sum(counts.values()) + len(counts) + 1
+    logp = {w: float(np.log((n + 1) / total)) for w, n in counts.items()}
+    unk = float(np.log(1.0 / total))
+
+    def ppl(toks):
+        if not toks:
+            return float("inf")
+        s = sum(logp.get(w, unk) for w in toks)
+        return float(np.exp(-s / len(toks)))
+
+    return ppl
+
+
+def keys_table(rows) -> pa.Table:
+    return pa.Table.from_pydict(
+        {
+            "url": pa.array([r[0] for r in rows], type=pa.string()),
+            "sent_id": pa.array([r[1] for r in rows], type=pa.int64()),
+            "variant_id": pa.array([r[2] for r in rows], type=pa.int64()),
+        }
+    )
+
+
+# ----------------------------------------------------------------- ANN oracle
+def ann_lsh_expected(
+    sf_dir: str, n_queries=10, k=5, n_bits=12, max_d=2
+) -> pa.Table:
+    """Exhaustive single-process recompute of the multi-probe LSH contract:
+    candidates = hamming(sig_q, sig_c) <= max_d over ALL corpus rows, then
+    exact cosine top-k with (-score, vec_id) tie-break. The banded
+    distributed implementation must produce exactly this (pigeonhole
+    recall argument, similarity.py:ann_lsh_topk)."""
+    from ner_pytorch_ray.pipelines.similarity import _hyperplanes
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_numpy())
+    M = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    ids, M = ids[order], M[order]
+    H = _hyperplanes(M.shape[1], n_bits)
+    sigs = (M @ H.T > 0).astype(np.uint64)
+    keys = np.zeros(len(ids), dtype=np.uint64)
+    for b in range(n_bits):
+        keys |= sigs[:, b] << np.uint64(b)
+    rows = []
+    for qpos in np.nonzero(ids < n_queries)[0]:
+        ham = np.array(
+            [bin(int(keys[qpos] ^ kc)).count("1") for kc in keys]
+        )
+        cand = np.nonzero((ham <= max_d) & (ids != ids[qpos]))[0]
+        if not len(cand):
+            continue
+        s = M[cand] @ M[qpos]
+        sel = np.lexsort((ids[cand], -s))[:k]
+        for r, i in enumerate(sel, start=1):
+            rows.append((int(ids[qpos]), int(ids[cand][i]), r))
+    return pa.Table.from_pydict(
+        {
+            "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "neighbor_id": pa.array([r[1] for r in rows], type=pa.int64()),
+            "rank": pa.array([r[2] for r in rows], type=pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------- main
+def main(sf_dir: str, out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write(name: str, table: pa.Table):
+        pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"))
+        print(f"{name}: {table.num_rows} rows")
+
+    write("ann_lsh_topk", ann_lsh_expected(sf_dir))
+
+    sents = sentence_rows(sf_dir, zeros=True)
+    tagged = [(u, s, t, gaz_tags(t)) for u, s, t in sents]
+
+    # neural path
+    pred = neural_pred_tags(sents)
+    write("neural_mentions", mentions_table(pred))
+    pairs = [
+        (tt, pt)
+        for (_, _, _, tt), (_, _, _, pt) in zip(tagged, pred)
+    ]
+    mt, ct = conlleval_tables(pairs)
+    write("neural_eval_metrics", mt)
+    write("neural_confusion", ct)
+
+    # adversarial path
+    bank = build_bank(tagged)
+    rep2 = rep_variants(tagged, bank, n_variants=2)
+    write("adv_rep_variants", keys_table(rep2))
+    write("adv_ppdb_variants", keys_table(ppdb_variants(tagged, n_variants=1)))
+    write("adv_para_variants", keys_table(para_variants(tagged)))
+
+    ppl = unigram_lm(sf_dir)
+    rep3 = rep_variants(tagged, bank, n_variants=3)
+    base_ppl = {(u, s): ppl(t) for u, s, t in sents}
+    by_sent: dict[tuple, list] = {}
+    for u, s, v, toks, _ in rep3:
+        by_sent.setdefault((u, s), []).append((v, ppl(toks)))
+    filtered, topk = [], []
+    for (u, s), cands in sorted(by_sent.items()):
+        cands.sort()
+        bp = base_ppl[(u, s)]
+        kept = [c for c in cands if c[1] < 3.0 * bp][:2]
+        if len(kept) < 2:
+            kept_ids = {c[0] for c in kept}
+            kept += [c for c in cands if c[0] not in kept_ids][: 2 - len(kept)]
+        filtered.extend((u, s, v) for v, _ in kept)
+        # adv_topk: rank by ppl desc (ties: variant_id asc), keep top 2
+        ranked = sorted(cands, key=lambda c: (-c[1], c[0]))[:2]
+        topk.extend((u, s, v, p, r) for r, (v, p) in enumerate(ranked))
+    write("adv_ppl_filtered", keys_table(filtered))
+    write(
+        "adv_topk",
+        pa.Table.from_pydict(
+            {
+                "url": pa.array([r[0] for r in topk], type=pa.string()),
+                "sent_id": pa.array([r[1] for r in topk], type=pa.int64()),
+                "variant_id": pa.array([r[2] for r in topk], type=pa.int64()),
+                "ppl": pa.array([r[3] for r in topk], type=pa.float64()),
+                "rank": pa.array([r[4] for r in topk], type=pa.int64()),
+            }
+        ),
+    )
+
+    # adv_stage_stats over order rep,ppdb,orun (defaults: rep n=3, ppdb n=2)
+    n_sources = len(tagged)
+    stats = []
+    for stage, rows in (
+        ("rep", rep3),
+        ("ppdb", ppdb_variants(tagged, n_variants=2)),
+        ("orun", orun_variants(tagged)),
+    ):
+        mod = {(r[0], r[1]) for r in rows}
+        stats.append((stage, len(rows), len(mod), len(mod) / n_sources))
+    write(
+        "adv_stage_stats",
+        pa.Table.from_pydict(
+            {
+                "stage": pa.array([s[0] for s in stats], type=pa.string()),
+                "n_sources": pa.array([n_sources] * len(stats), type=pa.int64()),
+                "n_variants": pa.array([s[1] for s in stats], type=pa.int64()),
+                "n_modified_sources": pa.array(
+                    [s[2] for s in stats], type=pa.int64()
+                ),
+                "modification_rate": pa.array(
+                    [s[3] for s in stats], type=pa.float64()
+                ),
+            }
+        ),
+    )
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "tests", "expected")
+    main(sf, out)
