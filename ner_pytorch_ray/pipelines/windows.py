@@ -89,15 +89,45 @@ def tumbling_window_counts(
     return merged.sort(["window_start_us", "event_type"])
 
 
-def user_sessions(
-    sf_dir: str, gap_minutes: int = 30
+def _merge_islands(islands: list[tuple[int, int, int]], gap_us: int):
+    """Merge session islands [(start, end, n), ...] under the gap rule.
+
+    An island is a set of events whose consecutive gaps are all <= gap_us.
+    Merging islands sorted by start whenever ``next.start <= cur.end +
+    gap_us`` is EXACTLY event-level sessionization of the union: if b.start
+    falls inside [a.start, a.end], it lies between two consecutive events of
+    a that are <= gap_us apart, so b connects to a; if b.start > a.end, the
+    union's largest internal gap at the seam is b.start - a.end.
+    """
+    islands = sorted(islands)
+    out: list[list[int]] = []
+    for s, e, n in islands:
+        if out and s <= out[-1][1] + gap_us:
+            out[-1][1] = max(out[-1][1], e)
+            out[-1][2] += n
+        else:
+            out.append([s, e, n])
+    return out
+
+
+def user_sessions_ds(
+    events: ray.data.Dataset, gap_minutes: int = 30, chunk_minutes: int | None = None
 ) -> ray.data.Dataset:
-    """Session windows per user: a new session starts when the gap since the
-    previous event exceeds ``gap_minutes`` (classic gaps-and-islands).
+    """Session windows per user (gaps-and-islands), skew-hardened.
 
     Output: (user_id, session_id, n_events, start_us, end_us), session_id
-    0-based per user in time order. The per-user event list is bounded, so
-    it travels through a collect aggregate keyed by user — one shuffle.
+    0-based per user in time order. ``events`` needs columns (user_id, ts).
+
+    Scale shape — NO per-user event collect anywhere:
+      1. block-local partial sessionization collapses each block to islands
+         (start, end, n) per user — dense hot users collapse ~event_count x
+         here already;
+      2. islands group by (user, time-chunk) and merge — the salt bounds a
+         group by one chunk's islands;
+      3. chunk-merged islands group by user for the boundary merge. Since
+         distinct islands after step 2 are > gap_us apart, a user's state
+         here is <= chunk_span/gap_us islands per chunk — bounded by the
+         time range, INDEPENDENT of the user's event count.
     """
     from ner_pytorch_ray.stages.groupby_utils import (
         collect_tuples,
@@ -105,23 +135,62 @@ def user_sessions(
     )
 
     gap_us = gap_minutes * US_PER_MIN
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
-    )
+    chunk_us = (chunk_minutes or gap_minutes * 48) * US_PER_MIN
 
-    def to_us(batch: pa.Table) -> pa.Table:
+    def block_islands(batch: pa.Table) -> pa.Table:
+        uid = np.asarray(batch.column("user_id").to_numpy())
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        order = np.lexsort((ts, uid))
+        uid, ts = uid[order], ts[order]
+        new = np.ones(len(ts), dtype=bool)
+        if len(ts) > 1:
+            new[1:] = (uid[1:] != uid[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
+        starts_idx = np.nonzero(new)[0]
+        starts = ts[starts_idx]
+        ends = np.maximum.reduceat(ts, starts_idx) if len(ts) else np.array([], dtype=np.int64)
+        counts = np.diff(np.r_[starts_idx, len(ts)])
         return pa.Table.from_pydict(
             {
-                "user_id": batch.column("user_id"),
-                "ts_us": batch.column("ts").cast(pa.int64()),
+                "user_id": pa.array(uid[starts_idx], type=pa.int64()),
+                "chunk": pa.array(starts // chunk_us, type=pa.int64()),
+                "start_us": pa.array(starts, type=pa.int64()),
+                "end_us": pa.array(ends, type=pa.int64()),
+                "n": pa.array(counts, type=pa.int64()),
             }
         )
 
-    collected = collect_tuples(
-        ds.map_batches(to_us, batch_format="pyarrow"),
-        ["user_id"],
-        ["ts_us"],
-        name="stamps",
+    partial = events.map_batches(block_islands, batch_format="pyarrow")
+
+    chunk_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("start_us", pa.int64()),
+            ("end_us", pa.int64()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def merge_chunk(key, items) -> pa.Table:
+        if items is None or not items:
+            return chunk_schema.empty_table()
+        uid, _chunk = key
+        merged = _merge_islands([tuple(x) for x in items], gap_us)
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array([uid] * len(merged), type=pa.int64()),
+                "start_us": pa.array([m[0] for m in merged], type=pa.int64()),
+                "end_us": pa.array([m[1] for m in merged], type=pa.int64()),
+                "n": pa.array([m[2] for m in merged], type=pa.int64()),
+            }
+        )
+
+    chunk_merged = flat_map_groups(
+        collect_tuples(
+            partial, ["user_id", "chunk"], ["start_us", "end_us", "n"], name="isl"
+        ),
+        merge_chunk,
+        ["user_id", "chunk"],
+        items_col="isl",
     )
 
     empty = pa.schema(
@@ -134,29 +203,39 @@ def user_sessions(
         ]
     )
 
-    def sessions(key, items) -> pa.Table:
+    def finalize(key, items) -> pa.Table:
         if items is None or not items:
             return empty.empty_table()
         (uid,) = key
-        ts = np.sort(np.array([t[0] for t in items], dtype=np.int64))
-        new = np.ones(len(ts), dtype=bool)
-        new[1:] = (ts[1:] - ts[:-1]) > gap_us
-        sid = np.cumsum(new) - 1
-        n_sessions = int(sid[-1]) + 1
-        starts = ts[new]
-        ends = np.maximum.reduceat(ts, np.nonzero(new)[0])
-        counts = np.bincount(sid, minlength=n_sessions)
+        merged = _merge_islands([tuple(x) for x in items], gap_us)
+        n = len(merged)
         return pa.Table.from_pydict(
             {
-                "user_id": pa.array([uid] * n_sessions, type=pa.int64()),
-                "session_id": pa.array(range(n_sessions), type=pa.int64()),
-                "n_events": pa.array(counts, type=pa.int64()),
-                "start_us": pa.array(starts, type=pa.int64()),
-                "end_us": pa.array(ends, type=pa.int64()),
+                "user_id": pa.array([uid] * n, type=pa.int64()),
+                "session_id": pa.array(range(n), type=pa.int64()),
+                "n_events": pa.array([m[2] for m in merged], type=pa.int64()),
+                "start_us": pa.array([m[0] for m in merged], type=pa.int64()),
+                "end_us": pa.array([m[1] for m in merged], type=pa.int64()),
             }
         )
 
-    return flat_map_groups(collected, sessions, ["user_id"], items_col="stamps")
+    return flat_map_groups(
+        collect_tuples(
+            chunk_merged, ["user_id"], ["start_us", "end_us", "n"], name="isl"
+        ),
+        finalize,
+        ["user_id"],
+        items_col="isl",
+    )
+
+
+def user_sessions(
+    sf_dir: str, gap_minutes: int = 30, chunk_minutes: int | None = None
+) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return user_sessions_ds(ds, gap_minutes, chunk_minutes)
 
 
 def order_revenue_join(sf_dir: str) -> ray.data.Dataset:
@@ -229,34 +308,40 @@ def order_revenue_join(sf_dir: str) -> ray.data.Dataset:
     return merged.sort("o_orderpriority")
 
 
-def asof_error_attribution(sf_dir: str) -> ray.data.Dataset:
+def asof_error_attribution_ds(
+    events: ray.data.Dataset, chunk_minutes: int = 24 * 60
+) -> ray.data.Dataset:
     """As-of join: each 'error' event attributed to the most recent 'click'
     by the same user at or before it (ties broken on higher event_id — the
     rule is explicit so the DuckDB oracle is deterministic).
 
-    Ray expression: filter both sides at the read, collect per user (bounded
-    per-user volume), one sort + searchsorted per user inside the group
-    aggregate. At scale this is the standard per-key as-of pattern: the only
-    shuffle is the user-key groupby of two pre-filtered event streams.
+    Skew-hardened shape — no per-user event collect:
+      1. events group by (user, time-chunk); errors resolve against
+         IN-CHUNK clicks locally (one sort + searchsorted); unresolved
+         errors and a one-row per-chunk last-click summary are emitted;
+      2. the tiny (user x chunk) summary table groups by user (state <=
+         number of chunks) and emits a carry row — the latest click strictly
+         before each chunk that reported unresolved errors;
+      3. a distributed hash join attaches the carry to the unresolved
+         errors on (user, chunk). Every stage's group state is bounded by a
+         chunk, not by a user's lifetime event count.
     """
     from ner_pytorch_ray.stages.groupby_utils import (
         collect_tuples,
         flat_map_groups,
     )
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet",
-        columns=["event_id", "ts", "user_id", "event_type"],
-    )
-    ds = ds.filter(expr="event_type in ['error', 'click']")
+    chunk_us = chunk_minutes * US_PER_MIN
+    ds = events.filter(expr="event_type in ['error', 'click']")
 
     def encode(batch: pa.Table) -> pa.Table:
-        # one tuple stream: positive ids = clicks, negative-offset = errors
         is_err = pc.equal(batch.column("event_type"), "error")
+        t = batch.column("ts").cast(pa.int64())
         return pa.Table.from_pydict(
             {
                 "user_id": batch.column("user_id"),
-                "t": batch.column("ts").cast(pa.int64()),
+                "chunk": pc.divide(t, chunk_us),
+                "t": t,
                 "event_id": batch.column("event_id"),
                 "is_error": is_err.cast(pa.int8()),
             }
@@ -264,12 +349,12 @@ def asof_error_attribution(sf_dir: str) -> ray.data.Dataset:
 
     collected = collect_tuples(
         ds.map_batches(encode, batch_format="pyarrow"),
-        ["user_id"],
+        ["user_id", "chunk"],
         ["t", "event_id", "is_error"],
         name="evs",
     )
 
-    empty = pa.schema(
+    out_schema = pa.schema(
         [
             ("user_id", pa.int64()),
             ("error_id", pa.int64()),
@@ -277,72 +362,229 @@ def asof_error_attribution(sf_dir: str) -> ray.data.Dataset:
             ("gap_us", pa.int64()),
         ]
     )
+    # stage-1 union row: kind 0 = resolved pair, 1 = unresolved error,
+    # 2 = chunk click summary (last (t, id) click of the chunk)
+    mid_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("chunk", pa.int64()),
+            ("kind", pa.int8()),
+            ("a", pa.int64()),  # resolved: error_id | unresolved: error_id | summary: click t
+            ("b", pa.int64()),  # resolved: click_id | unresolved: error t  | summary: click id
+            ("gap_us", pa.int64()),
+        ]
+    )
 
-    def attribute(key, items) -> pa.Table:
+    def resolve_chunk(key, items) -> pa.Table:
         if items is None or not items:
-            return empty.empty_table()
-        (uid,) = key
-        clicks = sorted(
-            [(t, e) for t, e, is_err in items if not is_err]
-        )  # (t, id) asc — ties resolved by higher id = later element
+            return mid_schema.empty_table()
+        uid, chunk = key
+        clicks = sorted([(t, e) for t, e, is_err in items if not is_err])
         errors = sorted([(t, e) for t, e, is_err in items if is_err])
-        if not clicks or not errors:
-            return empty.empty_table()
-        ct = np.array([t for t, _ in clicks], dtype=np.int64)
-        out_err, out_clk, out_gap = [], [], []
-        for t, eid in errors:
-            i = int(np.searchsorted(ct, t, side="right")) - 1
-            if i < 0:
-                continue
-            # ties on t: clicks are sorted by (t, id), and side="right"
-            # lands after ALL equal-t clicks, so i is already the max-id tie
-            out_err.append(eid)
-            out_clk.append(clicks[i][1])
-            out_gap.append(t - clicks[i][0])
-        n = len(out_err)
+        rows = []  # (kind, a, b, gap)
+        if clicks:
+            last_t, last_id = clicks[-1]
+            rows.append((2, last_t, last_id, 0))
+        if errors:
+            ct = np.array([t for t, _ in clicks], dtype=np.int64)
+            for t, eid in errors:
+                i = int(np.searchsorted(ct, t, side="right")) - 1
+                if i >= 0:
+                    # clicks sorted by (t, id); side='right' lands after all
+                    # equal-t clicks, so i is already the max-id tie
+                    rows.append((0, eid, clicks[i][1], t - clicks[i][0]))
+                else:
+                    rows.append((1, eid, t, 0))
+        n = len(rows)
         return pa.Table.from_pydict(
             {
                 "user_id": pa.array([uid] * n, type=pa.int64()),
-                "error_id": pa.array(out_err, type=pa.int64()),
-                "click_id": pa.array(out_clk, type=pa.int64()),
-                "gap_us": pa.array(out_gap, type=pa.int64()),
+                "chunk": pa.array([chunk] * n, type=pa.int64()),
+                "kind": pa.array([r[0] for r in rows], type=pa.int8()),
+                "a": pa.array([r[1] for r in rows], type=pa.int64()),
+                "b": pa.array([r[2] for r in rows], type=pa.int64()),
+                "gap_us": pa.array([r[3] for r in rows], type=pa.int64()),
             }
         )
 
-    return flat_map_groups(collected, attribute, ["user_id"], items_col="evs")
+    mid = flat_map_groups(
+        collected, resolve_chunk, ["user_id", "chunk"], items_col="evs"
+    ).materialize()
+
+    def pick_resolved(batch: pa.Table) -> pa.Table:
+        res = batch.filter(pc.equal(batch.column("kind"), 0))
+        return pa.Table.from_pydict(
+            {
+                "user_id": res.column("user_id"),
+                "error_id": res.column("a"),
+                "click_id": res.column("b"),
+                "gap_us": res.column("gap_us"),
+            }
+        )
+
+    resolved = mid.map_batches(pick_resolved, batch_format="pyarrow")
+
+    # stage 2: per-user carry — latest click strictly before each chunk
+    # with unresolved errors; state is one tuple per (user, chunk), not
+    # per event
+    def pick_meta(batch: pa.Table) -> pa.Table:
+        m = batch.filter(pc.not_equal(batch.column("kind"), 0))
+        return pa.Table.from_pydict(
+            {
+                "user_id": m.column("user_id"),
+                "chunk": m.column("chunk"),
+                "kind": m.column("kind"),
+                "a": m.column("a"),
+                "b": m.column("b"),
+            }
+        )
+
+    carry_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("chunk", pa.int64()),
+            ("carry_t", pa.int64()),
+            ("carry_id", pa.int64()),
+        ]
+    )
+
+    def carries(key, items) -> pa.Table:
+        if items is None or not items:
+            return carry_schema.empty_table()
+        (uid,) = key
+        summaries = {}  # chunk -> (last_t, last_id); dedup'd per chunk
+        unresolved_chunks = set()
+        for chunk, kind, a, b in items:
+            if kind == 2:
+                summaries[chunk] = (a, b)
+            else:
+                unresolved_chunks.add(chunk)
+        if not summaries or not unresolved_chunks:
+            return carry_schema.empty_table()
+        sum_chunks = sorted(summaries)
+        sum_t = [summaries[c] for c in sum_chunks]
+        rows = []
+        for c in sorted(unresolved_chunks):
+            i = int(np.searchsorted(np.array(sum_chunks), c, side="left")) - 1
+            if i >= 0:
+                t, eid = sum_t[i]
+                rows.append((c, t, eid))
+        n = len(rows)
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array([uid] * n, type=pa.int64()),
+                "chunk": pa.array([r[0] for r in rows], type=pa.int64()),
+                "carry_t": pa.array([r[1] for r in rows], type=pa.int64()),
+                "carry_id": pa.array([r[2] for r in rows], type=pa.int64()),
+            }
+        )
+
+    meta = mid.map_batches(pick_meta, batch_format="pyarrow")
+    carry = flat_map_groups(
+        collect_tuples(meta, ["user_id"], ["chunk", "kind", "a", "b"], name="m"),
+        carries,
+        ["user_id"],
+        items_col="m",
+    )
+
+    def pick_unresolved(batch: pa.Table) -> pa.Table:
+        u = batch.filter(pc.equal(batch.column("kind"), 1))
+        return pa.Table.from_pydict(
+            {
+                "uu_id": u.column("user_id"),
+                "uchunk": u.column("chunk"),
+                "error_id": u.column("a"),
+                "err_t": u.column("b"),
+            }
+        )
+
+    unresolved = mid.map_batches(pick_unresolved, batch_format="pyarrow")
+    joined = unresolved.join(
+        carry,
+        join_type="inner",
+        num_partitions=16,
+        on=("uu_id", "uchunk"),
+        right_on=("user_id", "chunk"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "user_id": batch.column("uu_id"),
+                "error_id": batch.column("error_id"),
+                "click_id": batch.column("carry_id"),
+                "gap_us": pc.subtract(
+                    batch.column("err_t"), batch.column("carry_t")
+                ),
+            }
+        )
+
+    late = joined.map_batches(finish, batch_format="pyarrow")
+    return resolved.union(late)
 
 
-def range_join_events(
-    sf_dir: str, window_seconds: int = 60
+def asof_error_attribution(
+    sf_dir: str, chunk_minutes: int = 24 * 60
+) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    return asof_error_attribution_ds(ds, chunk_minutes)
+
+
+def range_join_events_ds(
+    events: ray.data.Dataset,
+    window_seconds: int = 60,
+    chunk_multiple: int = 16,
 ) -> ray.data.Dataset:
     """Range join: pairs of events by the same user within
-    ``window_seconds`` of each other (id_a < id_b). Per-user sorted
-    two-pointer sweep inside the keyed group — the standard distributed
-    range-join shape: partition on the equality key (user), sweep the range
-    predicate locally; no cross-user work ever shuffles."""
+    ``window_seconds`` of each other (id_a < id_b).
+
+    Skew-hardened banded shape: events band by (user, t // chunk_us) with
+    ``chunk_us = chunk_multiple * win_us``; each event is ALSO sent as a
+    guest to the previous band (any qualifying pair spans at most one band
+    boundary since win_us <= chunk_us). The per-band sweep emits a pair
+    only when the EARLIER event is home in that band — each pair exactly
+    once. Group state is bounded by ~2x one band's events, not a user's
+    lifetime; the sweep itself is the standard sorted two-pointer."""
     from ner_pytorch_ray.stages.groupby_utils import (
         collect_tuples,
         flat_map_groups,
     )
 
     win_us = window_seconds * 1_000_000
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
-    )
+    chunk_us = max(1, chunk_multiple) * win_us
 
-    def to_us(batch: pa.Table) -> pa.Table:
+    def to_banded(batch: pa.Table) -> pa.Table:
+        uid = np.asarray(batch.column("user_id").to_numpy())
+        t = batch.column("ts").cast(pa.int64()).to_numpy()
+        eid = np.asarray(batch.column("event_id").to_numpy())
+        home = t // chunk_us
+        # home copy + guest copy in the previous band
         return pa.Table.from_pydict(
             {
-                "user_id": batch.column("user_id"),
-                "t": batch.column("ts").cast(pa.int64()),
-                "event_id": batch.column("event_id"),
+                "user_id": pa.array(np.concatenate([uid, uid]), type=pa.int64()),
+                "band": pa.array(
+                    np.concatenate([home, home - 1]), type=pa.int64()
+                ),
+                "t": pa.array(np.concatenate([t, t]), type=pa.int64()),
+                "event_id": pa.array(
+                    np.concatenate([eid, eid]), type=pa.int64()
+                ),
+                "is_home": pa.array(
+                    np.concatenate(
+                        [np.ones(len(t), dtype=np.int8), np.zeros(len(t), dtype=np.int8)]
+                    ),
+                    type=pa.int8(),
+                ),
             }
         )
 
     collected = collect_tuples(
-        ds.map_batches(to_us, batch_format="pyarrow"),
-        ["user_id"],
-        ["t", "event_id"],
+        events.map_batches(to_banded, batch_format="pyarrow"),
+        ["user_id", "band"],
+        ["t", "event_id", "is_home"],
         name="evs",
     )
 
@@ -358,13 +600,16 @@ def range_join_events(
     def sweep(key, items) -> pa.Table:
         if items is None or not items:
             return empty.empty_table()
-        (uid,) = key
-        evs = sorted(items)  # by (t, id)
-        ts = np.array([t for t, _ in evs], dtype=np.int64)
-        ids = np.array([e for _, e in evs], dtype=np.int64)
+        uid, _band = key
+        evs = sorted({tuple(x) for x in items})  # by (t, id, is_home)
+        ts = np.array([t for t, _, _ in evs], dtype=np.int64)
+        ids = np.array([e for _, e, _ in evs], dtype=np.int64)
+        home = np.array([h for _, _, h in evs], dtype=np.int8)
         out_a, out_b, out_gap = [], [], []
         j_hi = np.searchsorted(ts, ts + win_us, side="right")
         for i in range(len(evs)):
+            if not home[i]:
+                continue  # pair counted from the earlier event's home band
             for j in range(i + 1, int(j_hi[i])):
                 a, b = ids[i], ids[j]
                 if a > b:
@@ -382,4 +627,15 @@ def range_join_events(
             }
         )
 
-    return flat_map_groups(collected, sweep, ["user_id"], items_col="evs")
+    return flat_map_groups(
+        collected, sweep, ["user_id", "band"], items_col="evs"
+    )
+
+
+def range_join_events(
+    sf_dir: str, window_seconds: int = 60, chunk_multiple: int = 16
+) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    return range_join_events_ds(ds, window_seconds, chunk_multiple)
