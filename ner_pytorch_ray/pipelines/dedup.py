@@ -11,9 +11,10 @@ Five dedup families, all Ray-Data-first (SURVEY.md §2.7 + task brief):
                      never materializes the pair matrix)
   * SimHash        — 64-bit signature, 4-band pigeonhole buckets, hamming
                      verify
-  * embedding cosine — near-dup pairs over the embeddings table (brute-force
-                     broadcast matmul at small scale; LSH variant in
-                     similarity.py is the scale path)
+  * embedding cosine — near-dup pairs over the embeddings table, routed by
+                     corpus size: brute-force broadcast matmul below the
+                     threshold, hyperplane-LSH buckets + exact in-bucket
+                     verify above it (embedding_near_dup_lsh)
 
 Every stochastic choice is seeded/keyed (hash functions fixed by constants),
 so outputs are identical under retries and any partitioning.
@@ -393,14 +394,26 @@ def simhash_pairs(
 
 
 # ------------------------------------------------------- embedding cosine
-def embedding_near_dup(sf_dir: str, tau: float = 0.45) -> ray.data.Dataset:
+def embedding_near_dup(
+    sf_dir: str, tau: float = 0.45, lsh_threshold: int = 100_000
+) -> ray.data.Dataset:
     """All pairs (a < b) with cosine >= tau over the embeddings table.
 
-    Small-side broadcast: the normalized matrix is ``ray.put`` once; each
-    batch does one float64 matmul against it. (The LSH-bucketed variant for
-    scale lives in similarity.py.)
+    Routed by corpus size (parquet metadata, no read):
+      * n <= ``lsh_threshold``: exact O(n^2) broadcast-matmul path — the
+        matrix fits a broadcast and the quadratic is cheap;
+      * n  > ``lsh_threshold``: hyperplane-LSH bucketed path
+        (``embedding_near_dup_lsh``) — candidates from signature-band
+        buckets, exact cosine verify in-bucket; the only shuffle moves
+        (band, key, vec_id, embedding) rows. Recall is probabilistic
+        (documented there); both paths verify pairs exactly, so precision
+        is 1 either way.
     """
     import pyarrow.parquet as pq
+
+    n_rows = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    if n_rows > lsh_threshold:
+        return embedding_near_dup_lsh(sf_dir, tau)
 
     full = pq.read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
@@ -434,4 +447,92 @@ def embedding_near_dup(sf_dir: str, tau: float = 0.45) -> ray.data.Dataset:
     return ds.map_batches(
         PairFinder, fn_constructor_args=(ref,), concurrency=(1, 32),
         batch_format="pyarrow",
+    )
+
+
+def embedding_near_dup_lsh(
+    sf_dir: str,
+    tau: float = 0.45,
+    n_bits: int = 16,
+    n_bands: int = 8,
+    max_bucket: int = 2000,
+) -> ray.data.Dataset:
+    """Hyperplane-LSH near-dup pairs — the 100 TB path.
+
+    Each vector gets an ``n_bits`` random-hyperplane signature split into
+    ``n_bands`` bands; vectors sharing ANY band key land in a bucket, and
+    pairs verify by EXACT cosine >= tau inside the bucket (precision 1).
+    Recall: a pair at angle theta collides on one band with prob
+    (1 - theta/pi)^(n_bits/n_bands) per band; at tau=0.45 (theta ~ 63deg,
+    2-bit bands) that is ~0.42/band -> ~99% over 8 bands. Buckets larger
+    than ``max_bucket`` are dropped (a degenerate hub region would go
+    quadratic; raise n_bits to split it instead). The shuffle moves
+    (band, key, vec_id, embedding) rows only.
+    """
+    from ner_pytorch_ray.pipelines.similarity import _hyperplanes
+    from ner_pytorch_ray.stages.groupby_utils import (
+        collect_tuples,
+        flat_map_groups,
+    )
+    from ray.data.aggregate import Count
+
+    assert n_bits % n_bands == 0
+    width = n_bits // n_bands
+    mask = np.uint64((1 << width) - 1)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id").to_numpy())
+        M = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        H = _hyperplanes(M.shape[1], n_bits)
+        sigs = (M @ H.T > 0).astype(np.uint64)
+        keys = np.zeros(len(ids), dtype=np.uint64)
+        for b in range(n_bits):
+            keys |= sigs[:, b] << np.uint64(b)
+        n = len(ids)
+        band = np.repeat(np.arange(n_bands, dtype=np.int32), n)
+        bkeys = np.concatenate(
+            [((keys >> np.uint64(b * width)) & mask) for b in range(n_bands)]
+        ).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "band": pa.array(band),
+                "key": pa.array(bkeys, type=pa.int64()),
+                "vec_id": pa.array(np.tile(ids, n_bands), type=pa.int64()),
+                "emb": pa.array(
+                    np.tile(M, (n_bands, 1)).tolist(),
+                    type=pa.list_(pa.float64()),
+                ),
+            }
+        )
+
+    bands = ds.map_batches(band_rows, batch_format="pyarrow")
+    collected = collect_tuples(bands, ["band", "key"], ["vec_id", "emb"])
+    empty = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])
+
+    def bucket_pairs(key, items) -> pa.Table:
+        if items is None or len(items) < 2 or len(items) > max_bucket:
+            return empty.empty_table()
+        seen = {}
+        for vid, emb in items:
+            seen.setdefault(vid, emb)
+        ids = np.array(sorted(seen), dtype=np.int64)
+        M = np.asarray([seen[v] for v in ids], dtype=np.float64)
+        S = M @ M.T
+        ai, bi = np.nonzero(np.triu(S >= tau, k=1))
+        return pa.Table.from_pydict(
+            {
+                "vec_a": pa.array(ids[ai], type=pa.int64()),
+                "vec_b": pa.array(ids[bi], type=pa.int64()),
+            }
+        )
+
+    pairs = flat_map_groups(collected, bucket_pairs, ["band", "key"])
+    distinct = pairs.groupby(["vec_a", "vec_b"]).aggregate(Count())
+    return distinct.map_batches(
+        lambda t: t.select(["vec_a", "vec_b"]), batch_format="pyarrow"
     )

@@ -140,3 +140,30 @@ def test_language_id_runs_and_is_deterministic(ray_session):
     assert r1 == r2
     assert len(r1) == 500
     assert all(l in {"en", "de", "fr", "es", "zh"} for _, l in r1)
+
+
+def test_embedding_near_dup_paths_identical(ray_session):
+    """The routed exact path and the LSH-bucketed scale path must agree at
+    the routing threshold (precision is exact in both; LSH recall at
+    tau=0.45 / 8 bands is ~ 1 on this data — verified, not assumed)."""
+    from ner_pytorch_ray.pipelines.dedup import (
+        embedding_near_dup,
+        embedding_near_dup_lsh,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_dup(sf, 0.45).take_all()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_dup_lsh(sf, 0.45).take_all()
+    }
+    assert exact == lsh
+    # routing: a tiny threshold forces the LSH path through the public entry
+    routed = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_dup(sf, 0.45, lsh_threshold=1).take_all()
+    }
+    assert routed == exact
