@@ -264,6 +264,14 @@ def _q_adv_topk(sf_dir: str):
     )
 
 
+def _q_adv_topk_loss(sf_dir: str):
+    """O4 with the reference's true signal (train.py:383-395): variants
+    ranked per sentence by frozen-model CRF NLL (T3), keep top-2."""
+    from ner_pytorch_ray.pipelines.neural import adv_nll_topk
+
+    return adv_nll_topk(sf_dir, order="rep", n_variants=3, k=2)
+
+
 def _q_neural_eval_metrics(sf_dir: str):
     import pyarrow as pa
     from ner_pytorch_ray.pipelines.neural import neural_eval
@@ -469,6 +477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adv_para_variants": _q_adv_para_variants,
         "adv_stage_stats": _q_adv_stage_stats,
         "adv_topk": _q_adv_topk,
+        "adv_topk_loss": _q_adv_topk_loss,
         # multimodal plumbing (binary payloads — rows-only check)
         "media_features": _q_media_features,
         # vocab / text analysis
@@ -523,6 +532,7 @@ def _expected_oracles() -> dict[str, str]:
         "adv_para_variants",
         "adv_ppl_filtered",
         "adv_topk",
+        "adv_topk_loss",
         "adv_stage_stats",
         "ann_lsh_topk",
     ]

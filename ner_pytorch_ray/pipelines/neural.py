@@ -171,6 +171,37 @@ def neural_eval(sf_dir: str, seed: int = DEFAULT_SEED):
     return metrics, confusion_matrix(pairs)
 
 
+def adv_nll_topk(
+    sf_dir: str,
+    order: str = "rep",
+    n_variants: int = 3,
+    k: int = 2,
+    seed: int = DEFAULT_SEED,
+):
+    """O4 with the reference's TRUE ranking signal (train.py:383-395
+    dynamic_inference): adversarial variants ranked per source sentence by
+    CRF NLL under the frozen model (highest loss = hardest example first),
+    keep top-``k``. Vocab/weights come from the SOURCE corpus, as in the
+    reference where the model was trained before adversarial augmentation.
+    Output: (url, sent_id, variant_id, nll, rank)."""
+    from ner_pytorch_ray.pipelines.adversarial import adv_pipeline
+    from ner_pytorch_ray.stages.groupby_utils import topk_by_group
+    from ner_pytorch_ray.stages.tagger import nll_stage
+
+    sents = sentences_stage(
+        extract_stage(pages_from_documents(sf_dir)), zeros=True
+    ).materialize()
+    vocab = build_vocab_state(sents)
+    weights = frozen_weights(vocab, seed)
+
+    variants = adv_pipeline(sf_dir, order=order, n_variants=n_variants)
+    encoded = encode_stage(variants, vocab["word_to_id"], vocab["char_to_id"])
+    scored = nll_stage(encoded, weights, vocab["tag_to_id"])
+    return topk_by_group(
+        scored, ["url", "sent_id"], "nll", "variant_id", k=k, descending=True
+    )
+
+
 def epoch_stream(
     sf_dir: str, seed: int = 0, concurrency: int | tuple[int, int] = (1, 32)
 ):

@@ -73,3 +73,58 @@ def tagger_stage(
         batch_size=batch_size,
         batch_format="pyarrow",
     )
+
+
+class NllActor:
+    """T3: per-sentence CRF negative log-likelihood of the row's own tags
+    (crf.py:47-65 loss, avg=False) — the ranking signal of the reference's
+    dynamic inference (train.py:383-395). Same actor-pool shape as the
+    tagger: weights once per actor, masked batch DP per call."""
+
+    def __init__(self, weights, tag_to_id: dict[str, int]):
+        if isinstance(weights, ray.ObjectRef):
+            weights = ray.get(weights)
+        if isinstance(weights, str):
+            weights = load_weights(weights)
+        self.model = NumpyBiLSTMCRF(weights)
+        self.tag_to_id = dict(tag_to_id)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        word_ids = batch.column("word_ids").to_pylist()
+        char_ids = batch.column("char_ids").to_pylist()
+        tags = batch.column("tags").to_pylist()
+        if not word_ids:
+            return batch.append_column("nll", pa.array([], type=pa.float64()))
+        tag_ids = [[self.tag_to_id[t] for t in ts] for ts in tags]
+        order = sorted(range(len(word_ids)), key=lambda i: -len(word_ids[i]))
+        vals_sorted = self.model.nll(
+            [word_ids[i] for i in order],
+            [char_ids[i] for i in order],
+            [tag_ids[i] for i in order],
+        )
+        vals = np.empty(len(word_ids), dtype=np.float64)
+        vals[order] = vals_sorted
+        # float32 GEMM is shape-dependent at ~1e-7; round so the value is
+        # independent of batch composition (ranking gaps are >> 1e-4)
+        vals = np.round(vals, 4)
+        return batch.append_column("nll", pa.array(vals, type=pa.float64()))
+
+
+def nll_stage(
+    encoded: ray.data.Dataset,
+    weights,
+    tag_to_id: dict[str, int],
+    concurrency: int | tuple[int, int] = (1, 64),
+    batch_size: int = 256,
+) -> ray.data.Dataset:
+    """encoded+tagged sentences -> + nll (float64) via the actor pool."""
+    weights_ref = (
+        weights if isinstance(weights, (str, ray.ObjectRef)) else ray.put(weights)
+    )
+    return encoded.map_batches(
+        NllActor,
+        fn_constructor_args=(weights_ref, tag_to_id),
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+    )

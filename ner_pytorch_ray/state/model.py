@@ -228,3 +228,67 @@ class NumpyBiLSTMCRF:
             return []
         feats, lens = self._features(word_ids_list, char_ids_list)
         return self.viterbi(feats, lens)
+
+    # ------------------------------------------------------------------- nll
+    def _gold_score(
+        self, feats: np.ndarray, tags: np.ndarray, lens: np.ndarray
+    ) -> np.ndarray:
+        """Score of the provided tag path (crf.py:67-90 __score_sentence):
+        sum of masked emission + transition scores, START prepended, final
+        transition to STOP from the last real tag."""
+        B, L, C = feats.shape
+        trans = self.w["trans"].astype(np.float64)
+        mask = (np.arange(L)[None, :] < lens[:, None]).astype(np.float64)
+        bi = np.arange(B)[:, None]
+        ti = np.arange(L)[None, :]
+        emit = feats.astype(np.float64)[bi, ti, tags]  # [B, L]
+        prev = np.concatenate(
+            [np.full((B, 1), self.start_idx, dtype=np.int64), tags[:, :-1]],
+            axis=1,
+        )
+        tr = trans[tags, prev]  # [B, L]: prev -> tag
+        last_tag = tags[np.arange(B), np.maximum(lens - 1, 0)]
+        last = trans[self.stop_idx, last_tag]
+        return ((emit + tr) * mask).sum(axis=1) + last
+
+    def _forward_score(self, feats: np.ndarray, lens: np.ndarray) -> np.ndarray:
+        """log partition via the masked forward algorithm
+        (crf.py:137-159 __forward_algorithm)."""
+        B, L, C = feats.shape
+        trans = self.w["trans"].astype(np.float64)
+        scores = np.full((B, C), IMPOSSIBLE, dtype=np.float64)
+        scores[:, self.start_idx] = 0.0
+        mask = (np.arange(L)[None, :] < lens[:, None]).astype(np.float64)
+        f64 = feats.astype(np.float64)
+        for t in range(L):
+            # [B, to, from] = scores[B, from] + trans[to, from] + feat[B, to]
+            acc = scores[:, None, :] + trans[None, :, :] + f64[:, t, :][:, :, None]
+            mx = acc.max(axis=2)
+            score_t = mx + np.log(np.exp(acc - mx[:, :, None]).sum(axis=2))
+            m = mask[:, t][:, None]
+            scores = score_t * m + scores * (1.0 - m)
+        final = scores + trans[self.stop_idx][None, :]
+        mx = final.max(axis=1)
+        return mx + np.log(np.exp(final - mx[:, None]).sum(axis=1))
+
+    def nll(
+        self,
+        word_ids_list: list[list[int]],
+        char_ids_list: list[list[list[int]]],
+        tag_ids_list: list[list[int]],
+    ) -> np.ndarray:
+        """T3: per-sentence CRF negative log-likelihood (crf.py:47-65 loss
+        with avg=False — the reference's train.py:383-395 dynamic_inference
+        ranks adversarial variants by exactly this). Batch-invariant: the
+        DP is masked by true lengths, so any batching yields the same
+        per-sentence values."""
+        if not word_ids_list:
+            return np.zeros(0, dtype=np.float64)
+        feats, lens = self._features(word_ids_list, char_ids_list)
+        L = feats.shape[1]
+        tags = np.zeros((len(tag_ids_list), L), dtype=np.int64)
+        for i, ts in enumerate(tag_ids_list):
+            tags[i, : len(ts)] = ts
+        return self._forward_score(feats, lens) - self._gold_score(
+            feats, tags, lens
+        )

@@ -179,3 +179,64 @@ def test_encode_stage(ray_session):
     # unknown chars silently dropped; chars keep case so 'T'/'S' miss
     # (loader.py:162-163, case note at arguments.py:14)
     assert out["char_ids"] == [[2, 3], [], [3]]
+
+
+def test_crf_nll_matches_path_enumeration():
+    """T3 parity: forward-score partition == logsumexp over ALL tag paths,
+    gold score == direct path score (crf.py:47-89 semantics), on a tiny
+    random model — independent brute-force oracle."""
+    import numpy as np
+    from ner_pytorch_ray.state.model import (
+        IMPOSSIBLE,
+        NumpyBiLSTMCRF,
+        init_weights,
+    )
+
+    w = init_weights(
+        n_words=7, n_chars=5, n_tags=6, word_dim=4, char_dim=3,
+        char_out=3, hidden=4, seed=9,
+    )
+    model = NumpyBiLSTMCRF(w)
+    start, stop = model.start_idx, model.stop_idx
+    real_tags = [t for t in range(6) if t not in (start, stop)]
+
+    sents = [([1, 2, 3], [[1], [2, 3], [4]], [0, 1, 2]),
+             ([4, 5], [[2], [1, 4]], [3, 0])]
+    nll = model.nll(
+        [s[0] for s in sents], [s[1] for s in sents], [s[2] for s in sents]
+    )
+
+    import itertools
+
+    trans = w["trans"].astype(np.float64)
+    for si, (wids, cids, tids) in enumerate(sents):
+        feats, lens = model._features([wids], [cids])
+        f = feats[0].astype(np.float64)
+        n = len(wids)
+
+        def path_score(path):
+            s = trans[path[0], start] + f[0, path[0]]
+            for t in range(1, n):
+                s += trans[path[t], path[t - 1]] + f[t, path[t]]
+            return s + trans[stop, path[-1]]
+
+        # partition over ALL tag paths (including START/STOP-labeled
+        # positions — the reference's DP ranges over every class C)
+        all_scores = [path_score(p) for p in itertools.product(range(6), repeat=n)]
+        logz = np.logaddexp.reduce(all_scores)
+        gold = path_score(tids)
+        assert abs(float(nll[si]) - round(float(logz - gold), 4)) < 1e-3
+
+
+def test_nll_stage_batch_invariant(ray_session):
+    """Distributed NLL == per-sentence single-process values under any
+    batching (the rounded value is batch-composition independent)."""
+    import numpy as np
+    import ray.data
+    from ner_pytorch_ray.pipelines.neural import adv_nll_topk
+
+    a = {(r["url"], r["sent_id"], r["variant_id"]): (r["nll"], r["rank"])
+         for r in adv_nll_topk("/root/testdata/sf0.001").take_all()}
+    b = {(r["url"], r["sent_id"], r["variant_id"]): (r["nll"], r["rank"])
+         for r in adv_nll_topk("/root/testdata/sf0.001").take_all()}
+    assert a == b and len(a) > 0

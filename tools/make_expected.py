@@ -132,8 +132,9 @@ def mentions_table(rows_with_tags) -> pa.Table:
 
 
 # ------------------------------------------------------------- neural oracle
-def neural_pred_tags(sents, seed: int = 1234):
-    """Sequential vocab build + per-sentence (batch=1) Viterbi decode."""
+def build_model_state(sents, seed: int = 1234):
+    """Sequential vocab build + frozen model (mirrors pipelines/neural.py
+    vocab semantics: words lowered / min_freq 3, chars raw, fixed tagset)."""
     w_dico: Counter = Counter()
     c_dico: Counter = Counter()
     for _, _, toks in sents:
@@ -157,15 +158,51 @@ def neural_pred_tags(sents, seed: int = 1234):
         hidden=32,
         seed=seed,
     )
-    model = NumpyBiLSTMCRF(weights)
+    return word_to_id, char_to_id, tag_to_id, id_to_tag, NumpyBiLSTMCRF(weights)
+
+
+def encode_sentence(toks, word_to_id, char_to_id):
     unk_id = word_to_id[UNK]
+    wids = [word_to_id.get(t.lower(), unk_id) for t in toks]
+    cids = [[char_to_id[c] for c in t if c in char_to_id] for t in toks]
+    return wids, cids
+
+
+def neural_pred_tags(sents, seed: int = 1234):
+    """Per-sentence (batch=1) Viterbi decode."""
+    word_to_id, char_to_id, _, id_to_tag, model = build_model_state(sents, seed)
     out = []
     for url, sid, toks in sents:
-        wids = [word_to_id.get(t.lower(), unk_id) for t in toks]
-        cids = [[char_to_id[c] for c in t if c in char_to_id] for t in toks]
+        wids, cids = encode_sentence(toks, word_to_id, char_to_id)
         path = model.decode([wids], [cids])[0]
         out.append((url, sid, toks, [id_to_tag[t] for t in path]))
     return out
+
+
+def adv_topk_loss_expected(sents, variants, k=2, seed: int = 1234) -> pa.Table:
+    """Per-sentence (batch=1) CRF NLL of each adversarial variant, ranked
+    desc per source sentence (train.py:383-395 semantics)."""
+    word_to_id, char_to_id, tag_to_id, _, model = build_model_state(sents, seed)
+    by_sent: dict[tuple, list] = {}
+    for u, sid, v, toks, tags in variants:
+        wids, cids = encode_sentence(toks, word_to_id, char_to_id)
+        tids = [tag_to_id[t] for t in tags]
+        # round as the distributed NllActor does (shape-dependent f32 GEMM)
+        nll = round(float(model.nll([wids], [cids], [tids])[0]), 4)
+        by_sent.setdefault((u, sid), []).append((v, nll))
+    rows = []
+    for (u, sid), cands in sorted(by_sent.items()):
+        ranked = sorted(set(cands), key=lambda c: (-c[1], c[0]))[:k]
+        rows.extend((u, sid, v, n, r) for r, (v, n) in enumerate(ranked))
+    return pa.Table.from_pydict(
+        {
+            "url": pa.array([r[0] for r in rows], type=pa.string()),
+            "sent_id": pa.array([r[1] for r in rows], type=pa.int64()),
+            "variant_id": pa.array([r[2] for r in rows], type=pa.int64()),
+            "nll": pa.array([r[3] for r in rows], type=pa.float64()),
+            "rank": pa.array([r[4] for r in rows], type=pa.int64()),
+        }
+    )
 
 
 def conlleval_tables(pairs):
@@ -494,6 +531,7 @@ def main(sf_dir: str, out_dir: str) -> None:
 
     ppl = unigram_lm(sf_dir)
     rep3 = rep_variants(tagged, bank, n_variants=3)
+    write("adv_topk_loss", adv_topk_loss_expected(sents, rep3))
     base_ppl = {(u, s): ppl(t) for u, s, t in sents}
     by_sent: dict[tuple, list] = {}
     for u, s, v, toks, _ in rep3:
