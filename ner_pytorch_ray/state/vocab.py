@@ -81,6 +81,55 @@ def word_mapping(
     return create_mapping(dico)
 
 
+def augment_with_pretrained(
+    dico: dict[str, int],
+    pretrained: set[str],
+    words: "ray.data.Dataset | list[str] | None" = None,
+) -> tuple[dict[str, int], dict[str, int], dict[int, str]]:
+    """J2 (loader.py:176-211 augment_with_pretrained): extend the word dico
+    with pretrained-embedding words at freq 0 before ranking.
+
+    ``words`` selects the augmentation set:
+      * None — every pretrained word joins the dico;
+      * a list (or a Dataset of sentence rows, reduced distributively to
+        its distinct tokens first) — typically the dev/test words; a word
+        joins iff any of [word, word.lower(), zero_digits(word.lower())]
+        has a pretrained embedding (the reference's exact membership test).
+
+    Returns (augmented_dico, word_to_id, id_to_word) like the reference.
+    """
+    import re
+
+    dico = dict(dico)
+    if words is None:
+        for word in sorted(pretrained):
+            if word not in dico:
+                dico[word] = 0
+    else:
+        if isinstance(words, ray.data.Dataset):
+            # distinct tokens via the distributed counter; only the small
+            # distinct-word table reaches the driver
+            def words_of(batch: pa.Table) -> pa.Array:
+                return pc.list_flatten(batch.column("tokens"))
+
+            words = sorted(_count_column(words, words_of, "word"))
+        for word in words:
+            if (
+                any(
+                    x in pretrained
+                    for x in [
+                        word,
+                        word.lower(),
+                        re.sub(r"\d", "0", word.lower()),
+                    ]
+                )
+                and word not in dico
+            ):
+                dico[word] = 0
+    word_to_id, id_to_word = create_mapping(dico)
+    return dico, word_to_id, id_to_word
+
+
 def char_mapping(
     sentences: ray.data.Dataset,
 ) -> tuple[dict[str, int], dict[int, str]]:

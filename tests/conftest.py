@@ -22,9 +22,17 @@ def reference_path():
         torch = types.ModuleType("torch")
         torch.nn = types.ModuleType("torch.nn")
         torch.nn.init = types.ModuleType("torch.nn.init")
+        torch.nn.Module = type("Module", (), {})  # class-def base only
+        torch.nn.functional = types.ModuleType("torch.nn.functional")
+        torch.autograd = types.ModuleType("torch.autograd")
+        torch.autograd.Variable = type("Variable", (), {})
+        torch.optim = types.ModuleType("torch.optim")
         sys.modules["torch"] = torch
         sys.modules["torch.nn"] = torch.nn
         sys.modules["torch.nn.init"] = torch.nn.init
+        sys.modules["torch.nn.functional"] = torch.nn.functional
+        sys.modules["torch.autograd"] = torch.autograd
+        sys.modules["torch.optim"] = torch.optim
     if REFERENCE_PATH not in sys.path:
         sys.path.insert(0, REFERENCE_PATH)
     return REFERENCE_PATH

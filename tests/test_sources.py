@@ -78,3 +78,59 @@ def test_glove_reader_roundtrip(tmp_path):
     a = pseudo_glove(["x", "y"], dim=8)
     b = pseudo_glove(["x", "y"], dim=8)
     np.testing.assert_array_equal(a["x"], b["x"])
+
+
+def test_augment_with_pretrained_matches_reference(reference_path, tmp_path):
+    """J2 differential test: our augment_with_pretrained == the reference's
+    (loader.py:176-211) on the same dico / embedding file / dev-test words,
+    for both the words-list and the take-everything modes."""
+    import loader as ref_loader  # /root/reference/loader.py (torch stubbed)
+
+    from ner_pytorch_ray.state.vocab import augment_with_pretrained
+
+    emb = tmp_path / "emb.txt"
+    emb.write_text(
+        "\n".join(
+            f"{w} " + " ".join(["0.1"] * 4)
+            for w in ["alpha", "beta", "gamma", "x0y", "mixedcase"]
+        )
+        + "\n"
+    )
+    dico = {"alpha": 5, "existing": 3}
+    words = ["Beta", "x9y", "MixedCase", "nowhere", "alpha"]
+
+    ref_dico, ref_w2i, ref_i2w = ref_loader.augment_with_pretrained(
+        dict(dico), str(emb), list(words)
+    )
+    from ner_pytorch_ray.sources.glove import pretrained_vocab
+
+    got_dico, got_w2i, got_i2w = augment_with_pretrained(
+        dict(dico), pretrained_vocab(str(emb)), list(words)
+    )
+    assert got_dico == ref_dico
+    assert got_w2i == ref_w2i
+
+    ref_dico2, ref_w2i2, _ = ref_loader.augment_with_pretrained(
+        dict(dico), str(emb), None
+    )
+    got_dico2, got_w2i2, _ = augment_with_pretrained(
+        dict(dico), pretrained_vocab(str(emb)), None
+    )
+    assert got_dico2 == ref_dico2
+    assert got_w2i2 == ref_w2i2
+
+
+def test_augment_with_pretrained_dataset_words(ray_session):
+    """Dataset form: dev/test words reduced distributively first."""
+    import ray.data
+
+    from ner_pytorch_ray.state.vocab import augment_with_pretrained
+
+    dev = ray.data.from_items(
+        [{"tokens": ["beta", "zzz"]}, {"tokens": ["x9y", "beta"]}]
+    )
+    dico = {"alpha": 5}
+    pre = {"alpha", "beta", "x0y"}
+    got_dico, w2i, _ = augment_with_pretrained(dico, pre, dev)
+    assert got_dico == {"alpha": 5, "beta": 0, "x9y": 0}
+    assert set(w2i) == {"alpha", "beta", "x9y"}
