@@ -335,6 +335,12 @@ def _q_lang_counts(sf_dir: str):
     return lang_counts(sf_dir)
 
 
+def _q_subword_offsets(sf_dir: str):
+    from ner_pytorch_ray.pipelines.analysis import subword_offsets
+
+    return subword_offsets(sf_dir)
+
+
 def _q_exact_dedup(sf_dir: str):
     from ner_pytorch_ray.pipelines.dedup import exact_dedup
 
@@ -488,6 +494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_counts": _q_lang_counts,
         "quality_stats": _q_quality_stats,
         "doc_fingerprint": _q_doc_fingerprint,
+        "subword_offsets": _q_subword_offsets,
         "winnow_fingerprints": _q_winnow,
         "language_id": _q_language_id,
         # dedup family
@@ -687,6 +694,29 @@ FROM documents
 """,
         "doc_fingerprint": """
 SELECT doc_id, md5(text) AS fingerprint FROM documents
+""",
+        # C7 first-subword offsets; the deterministic subword rule is
+        # regexp-identical between functions/subword.py and this oracle
+        "subword_offsets": f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+tok AS (
+  SELECT doc_id, CAST(generate_subscripts(t, 1) - 1 AS BIGINT) AS pos,
+         regexp_replace(unnest(t), '[0-9]', '0', 'g') AS w
+  FROM toks
+),
+sub AS (
+  SELECT doc_id, pos // 12 AS sent_id, pos % 12 AS position, w,
+         CAST(len(regexp_extract_all(w, '[a-z]{{1,4}}|[0-9]{{1,4}}|[^a-z0-9]'))
+              AS BIGINT) AS n_subwords
+  FROM tok
+)
+SELECT {_URL_EXPR} AS url, sent_id, position, w AS token,
+       CAST(1 + COALESCE(SUM(n_subwords) OVER (
+                PARTITION BY doc_id, sent_id ORDER BY position
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS sub_start,
+       n_subwords
+FROM sub
 """,
         # _stable_u64(s) == md5_number_upper(s) & (2^63 - 1): first 8 md5
         # bytes little-endian, masked to 63 bits (dedup.py:_stable_u64)

@@ -127,3 +127,64 @@ def lang_counts(sf_dir: str) -> ray.data.Dataset:
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return grouped_sum(partials, ["lang"], sum_cols=["n_docs"]).sort("lang")
+
+
+def subword_offsets(sf_dir: str) -> ray.data.Dataset:
+    """C7 (get_bert_embedding.py:59-63): per-token first-subword index in
+    the sentence's subword stream (1-based; position 0 = [CLS]).
+
+    Per batch: unique tokens resolve their piece count ONCE (dictionary
+    encode), then offsets are a per-sentence cumulative sum — no per-token
+    re-tokenization. Output: (url, sent_id, position, token, sub_start,
+    n_subwords), SQL-verifiable via regexp_extract_all + a window cumsum.
+    """
+    from ner_pytorch_ray.functions.subword import subword_tokenize
+    from ner_pytorch_ray.sources.pages import pages_from_documents
+    from ner_pytorch_ray.stages.extract import extract_stage
+    from ner_pytorch_ray.stages.sentences import sentences_stage
+
+    sents = sentences_stage(
+        extract_stage(pages_from_documents(sf_dir)), zeros=True
+    )
+
+    def offs(batch: pa.Table) -> pa.Table:
+        tokens = batch.column("tokens")
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        lens = pc.list_value_length(tokens).to_numpy().astype(np.int64)
+        offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        flat = pc.list_flatten(tokens)
+        enc = flat.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        uniq = enc.dictionary.to_pylist()
+        codes = np.asarray(
+            enc.indices.to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        piece_of = np.array(
+            [len(subword_tokenize(w)) for w in uniq], dtype=np.int64
+        )
+        n_sub = piece_of[codes]
+        # per-sentence exclusive cumsum + 1
+        cs = np.zeros(len(n_sub) + 1, dtype=np.int64)
+        np.cumsum(n_sub, out=cs[1:])
+        sent_base = np.repeat(cs[offsets[:-1]], lens)
+        sub_start = cs[:-1] - sent_base + 1
+        row_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        position = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(
+            offsets[:-1], lens
+        )
+        take = pa.array(row_idx)
+        return pa.Table.from_pydict(
+            {
+                "url": pc.take(batch.column("url"), take),
+                "sent_id": pc.take(batch.column("sent_id"), take),
+                "position": pa.array(position, type=pa.int64()),
+                "token": flat.cast(pa.string()),
+                "sub_start": pa.array(sub_start, type=pa.int64()),
+                "n_subwords": pa.array(n_sub, type=pa.int64()),
+            }
+        )
+
+    return sents.map_batches(offs, batch_format="pyarrow")

@@ -204,3 +204,41 @@ def test_counts_serialization_roundtrip():
     d = c.to_lists()
     c2 = ChunkCounts.from_lists(d)
     assert evaluate_counts(c) == evaluate_counts(c2)
+
+
+def test_first_subword_offsets_reference_semantics():
+    """C7 (get_bert_embedding.py:59-63): start=1 ([CLS] at 0), each word
+    takes the index of its first subword piece."""
+    from ner_pytorch_ray.functions.subword import (
+        first_subword_offsets,
+        subword_tokenize,
+    )
+
+    toks = ["streaming", "db", ",", "x09"]
+    starts, counts = first_subword_offsets(toks)
+    assert counts == [len(subword_tokenize(w)) for w in toks]
+    assert starts[0] == 1
+    for i in range(1, len(toks)):
+        assert starts[i] == starts[i - 1] + counts[i - 1]
+    # pieces: 'streaming' -> ['stre','amin','g']; 'x09' -> ['x','09']
+    assert subword_tokenize("streaming") == ["stre", "amin", "g"]
+    assert subword_tokenize("x09") == ["x", "09"]
+
+
+def test_chunk_subword_embedding_window_quirk():
+    """Multi-word chunks pool len-in-WORDS rows from the first subword
+    (the reference's window rule, get_bert_embedding.py:110-121), not the
+    chunk's true subword span."""
+    import numpy as np
+
+    from ner_pytorch_ray.functions.subword import chunk_subword_embedding
+
+    emb = np.arange(20, dtype=np.float64).reshape(10, 2)
+    single = chunk_subword_embedding(3, 1, emb, "mean")
+    assert (single == emb[3]).all()
+    mean2 = chunk_subword_embedding(3, 2, emb, "mean")
+    assert (mean2 == emb[3:5].mean(axis=0)).all()
+    max2 = chunk_subword_embedding(3, 2, emb, "max")
+    assert (max2 == emb[3:5].max(axis=0)).all()
+    first_only = chunk_subword_embedding(3, 2, emb, "first")
+    assert (first_only == emb[3]).all()
