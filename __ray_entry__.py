@@ -317,6 +317,29 @@ def _q_media_features(sf_dir: str):
     return feats.drop_columns(["feature"])
 
 
+def _q_media_frames(sf_dir: str):
+    from ner_pytorch_ray.pipelines.multimodal import (
+        frame_sample,
+        synthesize_video_from_documents,
+    )
+
+    return frame_sample(synthesize_video_from_documents(sf_dir)).drop_columns(
+        ["frame_payload"]
+    )
+
+
+def _q_audio_windows(sf_dir: str):
+    from ner_pytorch_ray.pipelines.multimodal import (
+        audio_window_features,
+        synthesize_media_from_documents,
+    )
+
+    feats = audio_window_features(
+        synthesize_media_from_documents(sf_dir, kind="audio")
+    )
+    return feats.drop_columns(["feature"])
+
+
 def _q_vocab_count(sf_dir: str):
     from ner_pytorch_ray.pipelines.analysis import vocab_count
 
@@ -484,8 +507,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adv_stage_stats": _q_adv_stage_stats,
         "adv_topk": _q_adv_topk,
         "adv_topk_loss": _q_adv_topk_loss,
-        # multimodal plumbing (binary payloads — rows-only check)
+        # multimodal plumbing (binary payloads; metadata SQL-oracled)
         "media_features": _q_media_features,
+        "media_frames": _q_media_frames,
+        "audio_windows": _q_audio_windows,
         # vocab / text analysis
         "vocab_count": _q_vocab_count,
         "vocab_mapping": _q_vocab_mapping,
@@ -561,6 +586,41 @@ SELECT doc_id AS media_id, 'image' AS kind,
                         & 9223372036854775807 AS BIGINT) % 56) AS BIGINT)
            AS n_bytes
 FROM documents
+"""
+    out["media_frames"] = """
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         CAST((8 + CAST(md5_number_upper(CAST(doc_id AS VARCHAR) || ':w')
+                        & 9223372036854775807 AS BIGINT) % 56)
+              * (8 + CAST(md5_number_upper(CAST(doc_id AS VARCHAR) || ':h')
+                          & 9223372036854775807 AS BIGINT) % 56) AS BIGINT)
+             AS n_bytes
+  FROM documents
+),
+frames AS (
+  SELECT media_id, n_bytes // 256 AS n_frames,
+         least(4, n_bytes // 256) AS k
+  FROM dims
+)
+SELECT media_id,
+       CAST((i * n_frames) // k AS BIGINT) AS frame_idx,
+       CAST(((i * n_frames) // k) * 256 AS BIGINT) AS byte_offset
+FROM frames, (SELECT unnest(range(4)) AS i) r
+WHERE k > 0 AND i < k
+"""
+    out["audio_windows"] = """
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         CAST((8 + CAST(md5_number_upper(CAST(doc_id AS VARCHAR) || ':w')
+                        & 9223372036854775807 AS BIGINT) % 56)
+              * (8 + CAST(md5_number_upper(CAST(doc_id AS VARCHAR) || ':h')
+                          & 9223372036854775807 AS BIGINT) % 56) AS BIGINT)
+             AS n_bytes
+  FROM documents
+)
+SELECT media_id, CAST(w AS BIGINT) AS window_id
+FROM dims, (SELECT unnest(range(10)) AS w) r
+WHERE w < n_bytes // 512
 """
     out.update({
         "kg_edges": _KG_MENTIONS_CTE

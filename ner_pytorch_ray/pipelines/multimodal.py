@@ -139,3 +139,142 @@ def media_features(
         batch_size=batch_size,
         batch_format="pyarrow",
     )
+
+
+def synthesize_video_from_documents(
+    sf_dir: str, bytes_per_frame: int = 256
+) -> ray.data.Dataset:
+    """Deterministic fake video table: payload length implies a frame count
+    (n_frames = n_bytes // bytes_per_frame) — metadata-real, content-fake."""
+    media = synthesize_media_from_documents(sf_dir, kind="video")
+
+    def add_frames(batch: pa.Table) -> pa.Table:
+        nb = batch.column("n_bytes").to_numpy()
+        return batch.append_column(
+            "n_frames",
+            pa.array((nb // bytes_per_frame).astype(np.int64), type=pa.int64()),
+        )
+
+    return media.map_batches(add_frames, batch_format="pyarrow")
+
+
+class FrameSampleActor:
+    """Video frame sampling: emit up to ``max_frames`` evenly-spaced frames
+    per clip as rows (media_id, frame_idx, byte_offset, frame_payload).
+
+    Real decode (ffmpeg) is ABSENT in this container — the real path raises
+    ``NotImplementedError`` (clearly-marked stub). The fake path slices the
+    payload at the computed offsets, so offsets/row-explosion/batch sizing —
+    the Ray-side plumbing — are real and SQL-verifiable (offsets are pure
+    integer arithmetic on n_bytes).
+    """
+
+    def __init__(
+        self,
+        max_frames: int = 4,
+        bytes_per_frame: int = 256,
+        fake_decode: bool = True,
+    ):
+        self.max_frames = max_frames
+        self.bpf = bytes_per_frame
+        self.fake_decode = fake_decode
+        # a real ffmpeg/codec context would initialize HERE, once per actor
+
+    def _frame_offsets(self, n_frames: int) -> list[int]:
+        k = min(self.max_frames, n_frames)
+        if k <= 0:
+            return []
+        # evenly spaced: frame i of k samples frame floor(i * n_frames / k)
+        return [(i * n_frames) // k for i in range(k)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake_decode:
+            raise NotImplementedError(
+                "video decode requires ffmpeg — unavailable in this container"
+            )
+        payloads = batch.column("payload")
+        ids = batch.column("media_id").to_pylist()
+        n_frames = batch.column("n_frames").to_pylist()
+        o_id, o_idx, o_off, o_payload = [], [], [], []
+        for i, (mid, nf) in enumerate(zip(ids, n_frames)):
+            p = payloads[i].as_py()
+            for fi in self._frame_offsets(int(nf)):
+                off = fi * self.bpf
+                o_id.append(mid)
+                o_idx.append(fi)
+                o_off.append(off)
+                o_payload.append(p[off : off + self.bpf])
+        return pa.Table.from_pydict(
+            {
+                "media_id": pa.array(o_id, type=pa.int64()),
+                "frame_idx": pa.array(o_idx, type=pa.int64()),
+                "byte_offset": pa.array(o_off, type=pa.int64()),
+                "frame_payload": pa.array(o_payload, type=pa.binary()),
+            }
+        )
+
+
+def frame_sample(
+    video: ray.data.Dataset,
+    max_frames: int = 4,
+    bytes_per_frame: int = 256,
+    fake_decode: bool = True,
+    concurrency: int | tuple[int, int] = (1, 4),
+    batch_size: int = 32,  # frames explode rows: keep input batches small
+) -> ray.data.Dataset:
+    return video.map_batches(
+        FrameSampleActor,
+        fn_constructor_args=(max_frames, bytes_per_frame, fake_decode),
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+    )
+
+
+def audio_window_features(
+    media: ray.data.Dataset,
+    window_bytes: int = 512,
+    feature_dim: int = 8,
+    concurrency: int | tuple[int, int] = (1, 4),
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """Windowed 'spectral' features over an audio payload: one row per
+    fixed-size byte window (media_id, window_id, feature). The transform is
+    a deterministic hash of the window bytes (real DSP libs are absent);
+    the windowing/row-explosion/actor plumbing is the real part."""
+
+    class AudioWindowActor:
+        def __init__(self):
+            self.dim = feature_dim
+
+        def _feat(self, window: bytes) -> list[float]:
+            h = hashlib.blake2b(window, digest_size=self.dim * 4).digest()
+            return (
+                np.frombuffer(h, dtype=np.uint32).astype(np.float32)
+                / np.float32(2**32)
+            ).tolist()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            payloads = batch.column("payload")
+            ids = batch.column("media_id").to_pylist()
+            o_id, o_w, o_f = [], [], []
+            for i, mid in enumerate(ids):
+                p = payloads[i].as_py()
+                for w in range(len(p) // window_bytes):
+                    o_id.append(mid)
+                    o_w.append(w)
+                    o_f.append(self._feat(p[w * window_bytes : (w + 1) * window_bytes]))
+            return pa.Table.from_pydict(
+                {
+                    "media_id": pa.array(o_id, type=pa.int64()),
+                    "window_id": pa.array(o_w, type=pa.int64()),
+                    "feature": pa.array(o_f, type=pa.list_(pa.float32())),
+                }
+            )
+
+    return media.map_batches(
+        AudioWindowActor,
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+    )

@@ -135,8 +135,23 @@ def link_stage(
     ``batch_size=None`` means one task per input block: a fixed batch_size
     here makes Ray bundle many small upstream blocks into few fused tasks,
     which collapses the whole fused pipeline's parallelism.
+
+    Exact-only alias tables (no ``vec`` column) skip the actor pool: the
+    probe state is a small dict captured by a plain task UDF (pickled once
+    per stage, cached in warm workers), which removes the actor-pool
+    spin-up (~3 s on a cold first query) and lets the stage fuse with its
+    upstream map. The cosine-capable path keeps the actor pool (matrices +
+    per-actor state belong in ``__init__``).
     """
-    state_ref = ray.put(build_alias_state(alias_table))
+    state = build_alias_state(alias_table)
+    if not state["mats"]:
+        linker = LinkerActor(state, min_cosine)  # plain callable, no actors
+        return mentions.map_batches(
+            linker.__call__,
+            batch_size=batch_size,
+            batch_format="pyarrow",
+        )
+    state_ref = ray.put(state)
     return mentions.map_batches(
         LinkerActor,
         fn_constructor_args=(state_ref, min_cosine),
