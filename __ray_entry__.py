@@ -406,6 +406,12 @@ def _q_ann_lsh_topk(sf_dir: str):
     return ann_lsh_topk(sf_dir, n_queries=10, k=5)
 
 
+def _q_ivf_topk(sf_dir: str):
+    from ner_pytorch_ray.pipelines.similarity import ivf_topk
+
+    return ivf_topk(sf_dir, n_queries=10, k=5)
+
+
 def _q_quality_stats(sf_dir: str):
     from ner_pytorch_ray.pipelines.quality import quality_stats
 
@@ -531,6 +537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_topk": _q_knn_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ivf_topk": _q_ivf_topk,
         # relational operator demos
         "lineitem_pricing": _q_lineitem_pricing,
         "top_customers": _q_top_customers,
@@ -567,6 +574,7 @@ def _expected_oracles() -> dict[str, str]:
         "adv_topk_loss",
         "adv_stage_stats",
         "ann_lsh_topk",
+        "ivf_topk",
     ]
     return {
         n: f"SELECT * FROM read_parquet('{_EXPECTED}/{n}.parquet')"

@@ -299,3 +299,128 @@ def ann_lsh_topk(
         )
 
     return local.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+# ------------------------------------------------------------------ IVF ANN
+def _fit_centroids(
+    M: np.ndarray, n_centroids: int, n_iter: int = 5, seed: int = 23
+) -> np.ndarray:
+    """Deterministic spherical k-means on (a sample of) the corpus.
+
+    At 10^12 rows the fit input is a driver-side SAMPLE (standard IVF
+    practice — centroid quality needs ~100x n_centroids vectors, not the
+    corpus); assignment stays fully distributed. Seeded init + fixed
+    iteration count => bit-reproducible centroids."""
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(M), size=min(len(M), n_centroids), replace=False)
+    C = M[np.sort(idx)].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(M @ C.T, axis=1)
+        for c in range(len(C)):
+            members = M[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    C[c] = v / n
+    return C
+
+
+def ivf_topk(
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    sample: int = 4096,
+) -> ray.data.Dataset:
+    """IVF (inverted-file) approximate top-k — the centroid-bucketed scale
+    path next to the LSH one.
+
+    Fit: spherical k-means on a bounded driver-side sample (first
+    ``sample`` vec_ids — deterministic), centroids broadcast. Probe: each
+    query scores only corpus rows whose nearest centroid is among the
+    query's ``n_probe`` closest centroids — per batch a vectorized
+    centroid-assignment matmul plus one masked score matmul per probe
+    bucket. The corpus streams; shuffle-free (local top-k rows merge per
+    query, exactly like knn_topk).
+    """
+    ids, M = _load_matrix(sf_dir)
+    C = _fit_centroids(M[:sample], n_centroids)
+    q_mask = ids < n_queries
+    q_ids, Q = ids[q_mask], M[q_mask]
+    # per-query probe sets: n_probe nearest centroids
+    probe = np.argsort(-(Q @ C.T), axis=1, kind="stable")[:, :n_probe]
+    q_ref = ray.put((q_ids, Q, probe))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    class IvfTopK:
+        def __init__(self, q_ref, C, k):
+            self.q_ids, self.Q, self.probe = ray.get(q_ref)
+            self.C, self.k = C, k
+            # centroid -> query rows probing it (inverted probe index)
+            self.by_centroid: dict[int, np.ndarray] = {}
+            for c in range(len(C)):
+                rows = np.nonzero((self.probe == c).any(axis=1))[0]
+                if len(rows):
+                    self.by_centroid[c] = rows
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            c_ids = np.asarray(batch.column("vec_id").to_numpy())
+            Cm = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+            Cm /= np.linalg.norm(Cm, axis=1, keepdims=True)
+            assign = np.argmax(Cm @ self.C.T, axis=1)
+            out_q, out_n, out_s = [], [], []
+            for c in np.unique(assign):
+                qrows = self.by_centroid.get(int(c))
+                if qrows is None:
+                    continue
+                rows = np.nonzero(assign == c)[0]
+                S = self.Q[qrows] @ Cm[rows].T  # [nq_probe, n_bucket]
+                S[self.q_ids[qrows][:, None] == c_ids[rows][None, :]] = -np.inf
+                for qi_local in range(len(qrows)):
+                    s = S[qi_local]
+                    order = np.lexsort((c_ids[rows], -s))[: self.k]
+                    sel = order[np.isfinite(s[order])]
+                    out_q.extend([int(self.q_ids[qrows[qi_local]])] * len(sel))
+                    out_n.extend(c_ids[rows][sel].tolist())
+                    out_s.extend(s[sel].tolist())
+            return pa.Table.from_pydict(
+                {
+                    "query_id": pa.array(out_q, type=pa.int64()),
+                    "neighbor_id": pa.array(out_n, type=pa.int64()),
+                    "score": pa.array(out_s, type=pa.float64()),
+                }
+            )
+
+    local = ds.map_batches(
+        IvfTopK, fn_constructor_args=(q_ref, C, k), concurrency=(1, 32),
+        batch_format="pyarrow",
+    )
+
+    def merge(df):
+        import pandas as pd
+
+        out = []
+        for qid, g in df.groupby("query_id", sort=False):
+            g = g.sort_values(
+                ["score", "neighbor_id"], ascending=[False, True], kind="stable"
+            ).head(k)
+            g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+            out.append(g[["query_id", "neighbor_id", "rank"]])
+        return (
+            pd.concat(out, ignore_index=True)
+            if out
+            else pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype="int64"),
+                    "neighbor_id": pd.Series([], dtype="int64"),
+                    "rank": pd.Series([], dtype="int64"),
+                }
+            )
+        )
+
+    return local.groupby("query_id").map_groups(merge, batch_format="pandas")

@@ -167,3 +167,31 @@ def test_embedding_near_dup_paths_identical(ray_session):
         for r in embedding_near_dup(sf, 0.45, lsh_threshold=1).take_all()
     }
     assert routed == exact
+
+
+def test_ivf_topk_recall_vs_brute(ray_session):
+    """IVF is approximate by probe count, not broken: with 4/16 probes its
+    top-5 should overlap the exact top-5 substantially, and at full probe
+    width (n_probe = n_centroids) it must equal brute force exactly."""
+    from ner_pytorch_ray.pipelines.similarity import ivf_topk, knn_topk
+
+    sf = "/root/testdata/sf0.001"
+    brute = {}
+    for r in knn_topk(sf, n_queries=10, k=5).take_all():
+        brute.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx = {}
+    for r in ivf_topk(sf, n_queries=10, k=5).take_all():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(brute[q] & approx.get(q, set())) for q in brute)
+    total = sum(len(v) for v in brute.values())
+    assert hits / total >= 0.5
+
+    full = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ivf_topk(sf, n_queries=10, k=5, n_probe=16).take_all()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in knn_topk(sf, n_queries=10, k=5).take_all()
+    }
+    assert full == exact

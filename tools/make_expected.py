@@ -498,6 +498,45 @@ def ann_lsh_expected(
     )
 
 
+def ivf_topk_expected(
+    sf_dir: str, n_queries=10, k=5, n_centroids=16, n_probe=4, sample=4096
+) -> pa.Table:
+    """Sequential recompute of the IVF contract: same deterministic
+    centroid fit, full-corpus nearest-centroid assignment, per-query probe
+    sets, exact top-k among probed buckets."""
+    from ner_pytorch_ray.pipelines.similarity import _fit_centroids
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_numpy())
+    M = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    ids, M = ids[order], M[order]
+    C = _fit_centroids(M[:sample], n_centroids)
+    assign = np.argmax(M @ C.T, axis=1)
+    rows = []
+    for qpos in np.nonzero(ids < n_queries)[0]:
+        probe = set(
+            np.argsort(-(M[qpos] @ C.T), kind="stable")[:n_probe].tolist()
+        )
+        cand = np.nonzero(
+            np.isin(assign, list(probe)) & (ids != ids[qpos])
+        )[0]
+        if not len(cand):
+            continue
+        s = M[cand] @ M[qpos]
+        sel = np.lexsort((ids[cand], -s))[:k]
+        for r, i in enumerate(sel, start=1):
+            rows.append((int(ids[qpos]), int(ids[cand][i]), r))
+    return pa.Table.from_pydict(
+        {
+            "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "neighbor_id": pa.array([r[1] for r in rows], type=pa.int64()),
+            "rank": pa.array([r[2] for r in rows], type=pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------- main
 def main(sf_dir: str, out_dir: str) -> None:
     os.makedirs(out_dir, exist_ok=True)
@@ -507,6 +546,7 @@ def main(sf_dir: str, out_dir: str) -> None:
         print(f"{name}: {table.num_rows} rows")
 
     write("ann_lsh_topk", ann_lsh_expected(sf_dir))
+    write("ivf_topk", ivf_topk_expected(sf_dir))
 
     sents = sentence_rows(sf_dir, zeros=True)
     tagged = [(u, s, t, gaz_tags(t)) for u, s, t in sents]
