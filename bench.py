@@ -142,12 +142,49 @@ def run_queries(sf_dir: str) -> tuple[dict, dict]:
     return timings, aux
 
 
+def run_extras(sf_dir: str) -> dict:
+    """Round-2 operator timings, reported OUTSIDE the headline total so the
+    headline stays comparable across rounds. Includes the ANN query-scaling
+    demonstration: bucket-native ann_lsh_topk at 10 vs 1000 queries — the
+    per-query cost must not scale with n_queries x corpus (the r1 version
+    rescanned every corpus row per query)."""
+    extras: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        fn()
+        extras[name] = round(time.perf_counter() - t0, 3)
+
+    from ner_pytorch_ray.pipelines.similarity import ann_lsh_topk, ivf_topk
+    from ner_pytorch_ray.pipelines.windows import (
+        asof_error_attribution,
+        user_sessions,
+    )
+    from ner_pytorch_ray.pipelines.neural import adv_nll_topk
+
+    timed("ann_lsh_q10", lambda: ann_lsh_topk(sf_dir, n_queries=10, k=5).count())
+    timed(
+        "ann_lsh_q1000",
+        lambda: ann_lsh_topk(sf_dir, n_queries=1000, k=5).count(),
+    )
+    extras["ann_perquery_ratio"] = round(
+        (extras["ann_lsh_q1000"] / 1000.0) / max(extras["ann_lsh_q10"] / 10.0, 1e-9),
+        3,
+    )
+    timed("ivf_topk", lambda: ivf_topk(sf_dir, n_queries=10, k=5).count())
+    timed("user_sessions", lambda: user_sessions(sf_dir).count())
+    timed("asof_attribution", lambda: asof_error_attribution(sf_dir).count())
+    timed("adv_nll_topk", lambda: adv_nll_topk(sf_dir).count())
+    return extras
+
+
 def single_run(num_cpus: int, sf_dir: str) -> dict:
     ray = _init_ray(num_cpus)
     try:
         t0 = time.perf_counter()
         timings, aux = run_queries(sf_dir)
         total = round(time.perf_counter() - t0, 3)
+        extras = run_extras(sf_dir)
     finally:
         ray.shutdown()
     stats = _corpus_stats(sf_dir)
@@ -157,6 +194,7 @@ def single_run(num_cpus: int, sf_dir: str) -> dict:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "extras": extras,
         "aux": aux,
         "sf": sf_dir,
         "num_cpus": num_cpus,

@@ -62,20 +62,14 @@ def lineitem_pricing(sf_dir: str) -> ray.data.Dataset:
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty_cents=("sum_qty_cents", "sum"),
-            sum_price_cents=("sum_price_cents", "sum"),
-            sum_disc_cents=("sum_disc_cents", "sum"),
-            n_rows=("n_rows", "sum"),
-        )
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .map_groups(merge, batch_format="pandas")
-        .sort(["l_returnflag", "l_linestatus"])
+    merged = grouped_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        sum_cols=["sum_qty_cents", "sum_price_cents", "sum_disc_cents", "n_rows"],
     )
+    return merged.sort(["l_returnflag", "l_linestatus"])
 
 
 def top_customers(sf_dir: str, n: int = 10) -> ray.data.Dataset:
@@ -112,18 +106,15 @@ def top_customers(sf_dir: str, n: int = 10) -> ray.data.Dataset:
                 g.rename(columns={"o_custkey": "c_custkey"}), preserve_index=False
             )
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(["c_custkey", "c_name"], as_index=False).agg(
-            total_cents=("total_cents", "sum"), n_orders=("n_orders", "sum")
-        )
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
 
-    agg = (
+    agg = grouped_sum(
         orders.map_batches(
             JoinAgg, fn_constructor_args=(name_ref,), concurrency=(1, 32),
             batch_format="pyarrow",
-        )
-        .groupby("c_custkey")
-        .map_groups(merge, batch_format="pandas")
+        ),
+        ["c_custkey", "c_name"],
+        sum_cols=["total_cents", "n_orders"],
     )
     top = agg.sort(["total_cents", "c_custkey"], descending=[True, False]).limit(n)
     return top
@@ -147,17 +138,14 @@ def events_by_type(sf_dir: str) -> ray.data.Dataset:
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("event_type", as_index=False).agg(
-            n_events=("n_events", "sum"), sum_value_cents=("sum_value_cents", "sum")
-        )
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("event_type")
-        .map_groups(merge, batch_format="pandas")
-        .sort("event_type")
+    merged = grouped_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"],
+        sum_cols=["n_events", "sum_value_cents"],
     )
+    return merged.sort("event_type")
 
 
 def orders_by_month(sf_dir: str) -> ray.data.Dataset:
@@ -176,12 +164,11 @@ def orders_by_month(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("month", as_index=False).agg(n_orders=("n_orders", "sum"))
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("month")
-        .map_groups(merge, batch_format="pandas")
-        .sort("month")
+    merged = grouped_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["month"],
+        sum_cols=["n_orders"],
     )
+    return merged.sort("month")
