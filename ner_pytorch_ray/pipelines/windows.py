@@ -318,13 +318,16 @@ def asof_error_attribution_ds(
     Skew-hardened shape — no per-user event collect:
       1. events group by (user, time-chunk); errors resolve against
          IN-CHUNK clicks locally (one sort + searchsorted); unresolved
-         errors and a one-row per-chunk last-click summary are emitted;
-      2. the tiny (user x chunk) summary table groups by user (state <=
-         number of chunks) and emits a carry row — the latest click strictly
-         before each chunk that reported unresolved errors;
-      3. a distributed hash join attaches the carry to the unresolved
-         errors on (user, chunk). Every stage's group state is bounded by a
-         chunk, not by a user's lifetime event count.
+         errors, one DISTINCT (user, chunk) unresolved marker, and a
+         one-row per-chunk last-click summary are emitted;
+      2. the tiny (user x chunk) summary/marker table groups by user
+         (state <= 2x number of chunks) and emits a carry row — the latest
+         click strictly before each chunk that reported unresolved errors;
+      3. carry rows union with the unresolved errors and a (user, chunk)
+         groupby co-locates them (group = that chunk's unresolved errors
+         + 1 carry row) — same collect/flat_map machinery as stage 1, no
+         JoinOperator. Every stage's group state is bounded by a chunk,
+         not by a user's lifetime event count.
     """
     from ner_pytorch_ray.stages.groupby_utils import (
         collect_tuples,
@@ -387,6 +390,7 @@ def asof_error_attribution_ds(
             rows.append((2, last_t, last_id, 0))
         if errors:
             ct = np.array([t for t, _ in clicks], dtype=np.int64)
+            any_unresolved = False
             for t, eid in errors:
                 i = int(np.searchsorted(ct, t, side="right")) - 1
                 if i >= 0:
@@ -395,6 +399,11 @@ def asof_error_attribution_ds(
                     rows.append((0, eid, clicks[i][1], t - clicks[i][0]))
                 else:
                     rows.append((1, eid, t, 0))
+                    any_unresolved = True
+            if any_unresolved:
+                # ONE marker row per (user, chunk): the per-user carry pass
+                # sees markers + summaries, never the error rows themselves
+                rows.append((3, 0, 0, 0))
         n = len(rows)
         return pa.Table.from_pydict(
             {
@@ -425,10 +434,10 @@ def asof_error_attribution_ds(
     resolved = mid.map_batches(pick_resolved, batch_format="pyarrow")
 
     # stage 2: per-user carry — latest click strictly before each chunk
-    # with unresolved errors; state is one tuple per (user, chunk), not
-    # per event
+    # with unresolved errors; the collect sees ONLY summary (kind 2) and
+    # marker (kind 3) rows: <= 2 per (user, chunk), never per event
     def pick_meta(batch: pa.Table) -> pa.Table:
-        m = batch.filter(pc.not_equal(batch.column("kind"), 0))
+        m = batch.filter(pc.greater_equal(batch.column("kind"), 2))
         return pa.Table.from_pydict(
             {
                 "user_id": m.column("user_id"),
@@ -479,7 +488,7 @@ def asof_error_attribution_ds(
             }
         )
 
-    meta = mid.map_batches(pick_meta, batch_format="pyarrow")
+    meta = mid.map_batches(pick_meta, batch_format="pyarrow").repartition(8)
     carry = flat_map_groups(
         collect_tuples(meta, ["user_id"], ["chunk", "kind", "a", "b"], name="m"),
         carries,
@@ -487,39 +496,72 @@ def asof_error_attribution_ds(
         items_col="m",
     )
 
+    # stage 3: co-locate carry + unresolved errors per (user, chunk) with
+    # the same collect machinery (kind 1 = error, kind 4 = carry) — no
+    # JoinOperator (measured 2-5x slower here under whole-pool sharing)
     def pick_unresolved(batch: pa.Table) -> pa.Table:
         u = batch.filter(pc.equal(batch.column("kind"), 1))
         return pa.Table.from_pydict(
             {
-                "uu_id": u.column("user_id"),
-                "uchunk": u.column("chunk"),
-                "error_id": u.column("a"),
-                "err_t": u.column("b"),
+                "user_id": u.column("user_id"),
+                "chunk": u.column("chunk"),
+                "kind": pa.array(
+                    np.ones(len(u), dtype=np.int8), type=pa.int8()
+                ),
+                "a": u.column("a"),  # error_id
+                "b": u.column("b"),  # error t
+            }
+        )
+
+    def carry_rows(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "user_id": batch.column("user_id"),
+                "chunk": batch.column("chunk"),
+                "kind": pa.array(
+                    np.full(len(batch), 4, dtype=np.int8), type=pa.int8()
+                ),
+                "a": batch.column("carry_id"),
+                "b": batch.column("carry_t"),
             }
         )
 
     unresolved = mid.map_batches(pick_unresolved, batch_format="pyarrow")
-    joined = unresolved.join(
-        carry,
-        join_type="inner",
-        num_partitions=16,
-        on=("uu_id", "uchunk"),
-        right_on=("user_id", "chunk"),
-    )
+    both = unresolved.union(
+        carry.map_batches(carry_rows, batch_format="pyarrow")
+    ).repartition(8)
 
-    def finish(batch: pa.Table) -> pa.Table:
+    def late_resolve(key, items) -> pa.Table:
+        if items is None or not items:
+            return out_schema.empty_table()
+        uid, _chunk = key
+        carry_t = carry_id = None
+        errs = []
+        for kind, a, b in items:
+            if kind == 4:
+                carry_t, carry_id = b, a
+            else:
+                errs.append((a, b))
+        if carry_t is None or not errs:
+            return out_schema.empty_table()
+        n = len(errs)
         return pa.Table.from_pydict(
             {
-                "user_id": batch.column("uu_id"),
-                "error_id": batch.column("error_id"),
-                "click_id": batch.column("carry_id"),
-                "gap_us": pc.subtract(
-                    batch.column("err_t"), batch.column("carry_t")
+                "user_id": pa.array([uid] * n, type=pa.int64()),
+                "error_id": pa.array([e for e, _ in errs], type=pa.int64()),
+                "click_id": pa.array([carry_id] * n, type=pa.int64()),
+                "gap_us": pa.array(
+                    [t - carry_t for _, t in errs], type=pa.int64()
                 ),
             }
         )
 
-    late = joined.map_batches(finish, batch_format="pyarrow")
+    late = flat_map_groups(
+        collect_tuples(both, ["user_id", "chunk"], ["kind", "a", "b"], name="x"),
+        late_resolve,
+        ["user_id", "chunk"],
+        items_col="x",
+    )
     return resolved.union(late)
 
 
