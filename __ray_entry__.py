@@ -358,6 +358,18 @@ def _q_lang_counts(sf_dir: str):
     return lang_counts(sf_dir)
 
 
+def _q_repetition_stats(sf_dir: str):
+    from ner_pytorch_ray.pipelines.quality import repetition_stats
+
+    return repetition_stats(sf_dir)
+
+
+def _q_hash_sample(sf_dir: str):
+    from ner_pytorch_ray.pipelines.quality import hash_sample
+
+    return hash_sample(sf_dir, rate_pct=10)
+
+
 def _q_subword_offsets(sf_dir: str):
     from ner_pytorch_ray.pipelines.analysis import subword_offsets
 
@@ -525,6 +537,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_counts": _q_lang_counts,
         "quality_stats": _q_quality_stats,
         "doc_fingerprint": _q_doc_fingerprint,
+        "repetition_stats": _q_repetition_stats,
+        "hash_sample": _q_hash_sample,
         "subword_offsets": _q_subword_offsets,
         "winnow_fingerprints": _q_winnow,
         "language_id": _q_language_id,
@@ -762,6 +776,53 @@ FROM documents
 """,
         "doc_fingerprint": """
 SELECT doc_id, md5(text) AS fingerprint FROM documents
+""",
+        # Gopher-style n-gram repetition signals (integer counts + exact
+        # float division on both sides)
+        "repetition_stats": """
+WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, n,
+         t[i+1] || CASE WHEN n >= 2 THEN ' ' || t[i+2] ELSE '' END
+                || CASE WHEN n >= 3 THEN ' ' || t[i+3] ELSE '' END AS g
+  FROM toks,
+       (SELECT unnest(range(3)) + 1 AS n) ns,
+       (SELECT unnest(range(4000)) AS i) r
+  WHERE i + n <= len(t)
+),
+agg AS (
+  SELECT doc_id, n, COUNT(*) AS total,
+         COUNT(*) - COUNT(DISTINCT g) AS dup
+  FROM grams GROUP BY 1, 2
+),
+piv AS (
+  SELECT doc_id,
+         MAX(CASE WHEN n = 1 THEN total END) AS t1,
+         MAX(CASE WHEN n = 1 THEN dup END) AS d1,
+         MAX(CASE WHEN n = 2 THEN total END) AS t2,
+         MAX(CASE WHEN n = 2 THEN dup END) AS d2,
+         MAX(CASE WHEN n = 3 THEN total END) AS t3,
+         MAX(CASE WHEN n = 3 THEN dup END) AS d3
+  FROM agg GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(t1, 0) AS BIGINT) AS n1_total,
+       CAST(COALESCE(d1, 0) AS BIGINT) AS n1_dup,
+       CASE WHEN COALESCE(t1, 0) > 0 THEN d1 * 1.0 / t1 ELSE 0.0 END AS n1_dup_frac,
+       CAST(COALESCE(t2, 0) AS BIGINT) AS n2_total,
+       CAST(COALESCE(d2, 0) AS BIGINT) AS n2_dup,
+       CASE WHEN COALESCE(t2, 0) > 0 THEN d2 * 1.0 / t2 ELSE 0.0 END AS n2_dup_frac,
+       CAST(COALESCE(t3, 0) AS BIGINT) AS n3_total,
+       CAST(COALESCE(d3, 0) AS BIGINT) AS n3_dup,
+       CASE WHEN COALESCE(t3, 0) > 0 THEN d3 * 1.0 / t3 ELSE 0.0 END AS n3_dup_frac
+FROM documents d LEFT JOIN piv ON d.doc_id = piv.doc_id
+""",
+        # deterministic md5 document sampling (keep iff hash % 100 < rate)
+        "hash_sample": """
+SELECT doc_id, n_chars
+FROM documents
+WHERE CAST(md5_number_upper('s0:' || CAST(doc_id AS VARCHAR))
+           & 9223372036854775807 AS BIGINT) % 100 < 10
 """,
         # C7 first-subword offsets; the deterministic subword rule is
         # regexp-identical between functions/subword.py and this oracle

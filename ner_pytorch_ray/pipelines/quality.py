@@ -180,3 +180,77 @@ def language_id(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ds.map_batches(lid, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- repetition
+def repetition_stats(sf_dir: str, max_ngram: int = 3) -> ray.data.Dataset:
+    """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1
+    analog for this corpus shape): for n in 1..max_ngram, the fraction of
+    n-gram occurrences that are repeats of an already-seen n-gram
+    (1 - distinct/total). High values flag boilerplate/spam for filtering.
+
+    Vectorized per batch with one pandas duplicated() pass per n; integer
+    numerators/denominators are emitted alongside the fractions so the SQL
+    oracle compares exactly.
+    """
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def rep(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        cols: dict[str, list] = {"doc_id": doc_ids}
+        for n in range(1, max_ngram + 1):
+            tot_l, dup_l = [], []
+            for t in texts:
+                toks = t.split(" ")
+                total = max(len(toks) - n + 1, 0)
+                if total <= 0:
+                    tot_l.append(0)
+                    dup_l.append(0)
+                    continue
+                grams = {}
+                for i in range(total):
+                    g = tuple(toks[i : i + n])
+                    grams[g] = grams.get(g, 0) + 1
+                dup_l.append(total - len(grams))
+                tot_l.append(total)
+            cols[f"n{n}_total"] = tot_l
+            cols[f"n{n}_dup"] = dup_l
+        out = {"doc_id": pa.array(cols["doc_id"], type=pa.int64())}
+        for n in range(1, max_ngram + 1):
+            out[f"n{n}_total"] = pa.array(cols[f"n{n}_total"], type=pa.int64())
+            out[f"n{n}_dup"] = pa.array(cols[f"n{n}_dup"], type=pa.int64())
+            out[f"n{n}_dup_frac"] = pa.array(
+                [
+                    d * 1.0 / t if t else 0.0
+                    for d, t in zip(cols[f"n{n}_dup"], cols[f"n{n}_total"])
+                ],
+                type=pa.float64(),
+            )
+        return pa.Table.from_pydict(out)
+
+    return ds.map_batches(rep, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------- sampling
+def hash_sample(sf_dir: str, rate_pct: int = 10, salt: str = "s0") -> ray.data.Dataset:
+    """Deterministic stratum-free document sampling: keep a doc iff
+    md5-hash(salt || doc_id) mod 100 < rate_pct. The standard reproducible
+    corpus-subsetting op at web scale — no RNG state, stable under any
+    partitioning/retry, SQL-expressible for the oracle gate."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def _u64(s: str) -> int:
+        v = int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+        return v & 0x7FFFFFFFFFFFFFFF
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        mask = [(_u64(f"{salt}:{d}") % 100) < rate_pct for d in ids]
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
