@@ -65,11 +65,22 @@ def collect_tuples(
     keys: list[str],
     value_cols: list[str],
     name: str = "items",
+    shuffle_blocks: int | str | None = None,
 ) -> ray.data.Dataset:
     """groupby(keys) -> one row per group with ``name`` = list of value
     tuples. The group payload ships as a python list inside the aggregate
     state — suitable for bucket-style groups (bounded size), not for
-    collecting whole partitions."""
+    collecting whole partitions.
+
+    ``shuffle_blocks``: optionally coalesce the input before the shuffle
+    (Ray's sort-based aggregate cost grows with input block count). Unlike
+    ``grouped_sum`` this defaults to None — collect inputs are NOT
+    pre-aggregated, so a repartition is a full extra exchange; opt in only
+    when the input is known-small (e.g. signature band rows)."""
+    if shuffle_blocks == "auto":
+        shuffle_blocks = _auto_shuffle_blocks()
+    if shuffle_blocks:
+        ds = ds.repartition(shuffle_blocks)
 
     def acc_block(a: list, block) -> list:
         cols = [block.column(c).to_pylist() for c in value_cols]
