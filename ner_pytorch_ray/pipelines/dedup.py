@@ -204,7 +204,11 @@ def _perm_params(n_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
 def minhash_signatures(
     texts: list[str], n_perm: int = _N_PERM, k: int = _SHINGLE_K
 ) -> np.ndarray:
-    """[n_docs, n_perm] int64 minhash signatures (vectorized per doc)."""
+    """[n_docs, n_perm] int64 minhash signatures (vectorized per doc).
+
+    Docs with no shingles (< k tokens) keep the all-sentinel row; callers
+    banding signatures must EXCLUDE them (an empty shingle set has no
+    meaningful jaccard and two such docs would otherwise always pair)."""
     a, b = _perm_params(n_perm)
     sigs = np.full((len(texts), n_perm), _MERSENNE, dtype=np.int64)
     for i, t in enumerate(texts):
@@ -239,7 +243,14 @@ def minhash_lsh_pairs(
 
     def band_rows(batch: pa.Table) -> pa.Table:
         doc_ids = np.asarray(batch.column("doc_id").to_numpy())
-        sigs = minhash_signatures(batch.column("text").to_pylist(), n_perm)
+        texts = batch.column("text").to_pylist()
+        sigs = minhash_signatures(texts, n_perm)
+        # shingle-less docs (< k tokens) have no jaccard identity: drop
+        # before banding (matches the shingle-set oracle semantics)
+        has = np.array(
+            [len(t.split(" ")) >= _SHINGLE_K for t in texts], dtype=bool
+        )
+        doc_ids, sigs = doc_ids[has], sigs[has]
         n = len(doc_ids)
         band_id = np.repeat(np.arange(n_bands, dtype=np.int32), n)
         doc_rep = np.tile(doc_ids, n_bands)
