@@ -293,6 +293,12 @@ def _q_neural_eval_metrics(sf_dir: str):
     )
 
 
+def _q_neural_epoch_loss(sf_dir: str):
+    from ner_pytorch_ray.pipelines.neural import neural_epoch_loss
+
+    return neural_epoch_loss(sf_dir)
+
+
 def _q_epoch_shuffle(sf_dir: str):
     from ner_pytorch_ray.pipelines.neural import epoch_stream
 
@@ -305,6 +311,14 @@ def _q_neural_confusion(sf_dir: str):
 
     _, confusion = neural_eval(sf_dir)
     return confusion
+
+
+def _q_tag_embeddings(sf_dir: str):
+    """S6 sink: distinct (tag_type, surface) -> mean pooled chunk embedding
+    via the C7 subword-offset rule (pseudo-BERT backend)."""
+    from ner_pytorch_ray.pipelines.embeddings import tag_embedding_table
+
+    return tag_embedding_table(sf_dir)
 
 
 def _q_media_features(sf_dir: str):
@@ -516,6 +530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neural_mentions": _q_neural_mentions,
         "neural_eval_metrics": _q_neural_eval_metrics,
         "neural_confusion": _q_neural_confusion,
+        "neural_epoch_loss": _q_neural_epoch_loss,
         "epoch_shuffle": _q_epoch_shuffle,
         # adversarial-variant pipeline (seeded RNG — rows-only check)
         "adv_rep_variants": _q_adv_rep_variants,
@@ -523,6 +538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adv_ppl_filtered": _q_adv_ppl_filtered,
         "adv_para_variants": _q_adv_para_variants,
         "adv_stage_stats": _q_adv_stage_stats,
+        "tag_embeddings": _q_tag_embeddings,
         "adv_topk": _q_adv_topk,
         "adv_topk_loss": _q_adv_topk_loss,
         # multimodal plumbing (binary payloads; metadata SQL-oracled)
@@ -580,6 +596,7 @@ def _expected_oracles() -> dict[str, str]:
         "neural_mentions",
         "neural_eval_metrics",
         "neural_confusion",
+        "neural_epoch_loss",
         "adv_rep_variants",
         "adv_ppdb_variants",
         "adv_para_variants",
@@ -589,6 +606,7 @@ def _expected_oracles() -> dict[str, str]:
         "adv_stage_stats",
         "ann_lsh_topk",
         "ivf_topk",
+        "tag_embeddings",
     ]
     return {
         n: f"SELECT * FROM read_parquet('{_EXPECTED}/{n}.parquet')"

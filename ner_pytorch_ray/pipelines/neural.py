@@ -202,6 +202,49 @@ def adv_nll_topk(
     )
 
 
+def neural_epoch_loss(sf_dir: str, seed: int = DEFAULT_SEED):
+    """One evaluation epoch's corpus CRF NLL under the frozen model against
+    the gazetteer labels — the distributed analog of the reference's
+    per-epoch loss logging (train.py:404-447 accumulates loss/count over
+    the epoch). Returns a 1-row table (n_sentences, total_nll, mean_nll);
+    totals round at 4 decimals (matching the per-sentence NllActor
+    rounding) so the value is summation-order independent."""
+    import pyarrow as pa
+
+    from ner_pytorch_ray.stages.gazetteer import gazetteer_tag_stage
+    from ner_pytorch_ray.stages.tagger import nll_stage
+
+    pages = pages_from_documents(sf_dir)
+    sents = sentences_stage(extract_stage(pages), zeros=True).materialize()
+    vocab = build_vocab_state(sents)
+    weights = frozen_weights(vocab, seed)
+    labeled = gazetteer_tag_stage(sents)
+    encoded = encode_stage(labeled, vocab["word_to_id"], vocab["char_to_id"])
+    scored = nll_stage(encoded, weights, vocab["tag_to_id"])
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        # integer ten-thousandths: float summation order cannot move the
+        # 4th decimal of the total
+        v = np.rint(batch.column("nll").to_numpy() * 10000).astype(np.int64)
+        return pa.Table.from_pydict({"nll_i": pa.array(v, type=pa.int64())})
+
+    ints = scored.map_batches(to_int, batch_format="pyarrow").materialize()
+    n = ints.count()
+    total_i = int(ints.sum("nll_i") or 0)
+    total = total_i / 10000.0
+    return pa.Table.from_pydict(
+        {
+            "n_sentences": pa.array([n], type=pa.int64()),
+            "total_nll": pa.array([total], type=pa.float64()),
+            "mean_nll": pa.array(
+                [round(total / n, 6) if n else 0.0], type=pa.float64()
+            ),
+        }
+    )
+
+
 def epoch_stream(
     sf_dir: str, seed: int = 0, concurrency: int | tuple[int, int] = (1, 32)
 ):

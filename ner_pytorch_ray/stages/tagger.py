@@ -96,16 +96,19 @@ class NllActor:
         if not word_ids:
             return batch.append_column("nll", pa.array([], type=pa.float64()))
         tag_ids = [[self.tag_to_id[t] for t in ts] for ts in tags]
-        order = sorted(range(len(word_ids)), key=lambda i: -len(word_ids[i]))
-        vals_sorted = self.model.nll(
-            [word_ids[i] for i in order],
-            [char_ids[i] for i in order],
-            [tag_ids[i] for i in order],
+        # per-sentence (batch=1) compute: float32 GEMM is SHAPE-dependent
+        # (~1e-7), so batched features would make the scalar depend on
+        # batch composition and fail the frozen-oracle gate. Scoring is a
+        # verification-grade path: bit-reproducibility beats the ~2x GEMM
+        # batching win here (decode keeps batched features — argmax is
+        # robust to 1e-7). Rounding stays as a documentation of precision.
+        vals = np.array(
+            [
+                float(self.model.nll([w], [c], [t])[0])
+                for w, c, t in zip(word_ids, char_ids, tag_ids)
+            ],
+            dtype=np.float64,
         )
-        vals = np.empty(len(word_ids), dtype=np.float64)
-        vals[order] = vals_sorted
-        # float32 GEMM is shape-dependent at ~1e-7; round so the value is
-        # independent of batch composition (ranking gaps are >> 1e-4)
         vals = np.round(vals, 4)
         return batch.append_column("nll", pa.array(vals, type=pa.float64()))
 

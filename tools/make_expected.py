@@ -537,6 +537,57 @@ def ivf_topk_expected(
     )
 
 
+def neural_epoch_loss_expected(sents, tagged, seed: int = 1234) -> pa.Table:
+    """Sequential recompute: per-sentence (batch=1) CRF NLL of the
+    gazetteer labels, rounded to 4 decimals like NllActor, totalled."""
+    word_to_id, char_to_id, tag_to_id, _, model = build_model_state(sents, seed)
+    total_i = 0  # integer ten-thousandths: summation-order independent
+    n = 0
+    for _, _, toks, tags in tagged:
+        wids, cids = encode_sentence(toks, word_to_id, char_to_id)
+        tids = [tag_to_id[t] for t in tags]
+        nll4 = round(float(model.nll([wids], [cids], [tids])[0]), 4)
+        total_i += int(np.rint(nll4 * 10000))
+        n += 1
+    total = total_i / 10000.0
+    return pa.Table.from_pydict(
+        {
+            "n_sentences": pa.array([n], type=pa.int64()),
+            "total_nll": pa.array([total], type=pa.float64()),
+            "mean_nll": pa.array(
+                [round(total / n, 6) if n else 0.0], type=pa.float64()
+            ),
+        }
+    )
+
+
+def tag_embeddings_expected(tagged, dim=16, pooling="mean") -> pa.Table:
+    """Sequential mirror of pipelines/embeddings.tag_embedding_table."""
+    from ner_pytorch_ray.pipelines.embeddings import chunk_rows
+
+    acc: dict[tuple, list] = {}
+    for _, _, toks, tags in tagged:
+        for t, s, vec in chunk_rows(toks, tags, dim, pooling):
+            st = acc.get((t, s))
+            if st is None:
+                acc[(t, s)] = [vec.copy(), 1]
+            else:
+                st[0] += vec
+                st[1] += 1
+    keys = sorted(acc)
+    return pa.Table.from_pydict(
+        {
+            "tag_type": pa.array([k[0] for k in keys], type=pa.string()),
+            "surface": pa.array([k[1] for k in keys], type=pa.string()),
+            "n_occurrences": pa.array([acc[k][1] for k in keys], type=pa.int64()),
+            "embedding": pa.array(
+                [np.round(acc[k][0] / acc[k][1], 6).tolist() for k in keys],
+                type=pa.list_(pa.float64()),
+            ),
+        }
+    )
+
+
 # ---------------------------------------------------------------------- main
 def main(sf_dir: str, out_dir: str) -> None:
     os.makedirs(out_dir, exist_ok=True)
@@ -561,6 +612,9 @@ def main(sf_dir: str, out_dir: str) -> None:
     mt, ct = conlleval_tables(pairs)
     write("neural_eval_metrics", mt)
     write("neural_confusion", ct)
+
+    write("tag_embeddings", tag_embeddings_expected(tagged))
+    write("neural_epoch_loss", neural_epoch_loss_expected(sents, tagged))
 
     # adversarial path
     bank = build_bank(tagged)
