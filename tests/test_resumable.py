@@ -59,3 +59,29 @@ def test_resume_noop_when_complete(ray_session, tmp_path):
     run_resumable_kg(SF, out, n_shards=2)
     info = run_resumable_kg(SF, out, n_shards=2)
     assert info["ran_shards"] == 0 and info["skipped_shards"] == 2
+
+
+def test_kg_cli_run_and_resume(ray_session, tmp_path, capsys):
+    """The job-submit entrypoint: full run, then a resume that skips every
+    shard and reproduces identical edges."""
+    import pyarrow.parquet as pq
+
+    from ner_pytorch_ray.kg_cli import main
+
+    out = str(tmp_path / "kg")
+    assert main(["--sf_dir", SF, "--out", out, "--n_shards", "4"]) == 0
+    first = capsys.readouterr().out
+    assert "ran 4 shards, skipped 0" in first
+    edges1 = pq.read_table(out + "/edges").to_pydict()
+
+    assert main(["--sf_dir", SF, "--out", out, "--n_shards", "4"]) == 0
+    second = capsys.readouterr().out
+    assert "ran 0 shards, skipped 4" in second
+    edges2 = pq.read_table(out + "/edges").to_pydict()
+    assert edges1 == edges2
+
+    # --resume-only on a complete run succeeds; on a fresh dir it fails
+    assert main(["--sf_dir", SF, "--out", out, "--n_shards", "4",
+                 "--resume-only"]) == 0
+    assert main(["--sf_dir", SF, "--out", str(tmp_path / "empty"),
+                 "--n_shards", "4", "--resume-only"]) == 1
