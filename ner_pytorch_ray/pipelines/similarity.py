@@ -22,8 +22,21 @@ import ray
 import ray.data
 
 
-def _load_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+def _load_matrix(
+    sf_dir: str, max_vec_id: int | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Driver-side load of (a prefix of) the embeddings table.
+
+    ``max_vec_id`` pushes a row filter into the parquet read: the ANN/kNN
+    entry points only need the QUERY vectors (and a bounded fit sample) on
+    the driver — never the 10^12-row corpus, which streams through
+    map_batches."""
+    filters = [("vec_id", "<", max_vec_id)] if max_vec_id is not None else None
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=filters,
+    )
     ids = np.asarray(t.column("vec_id").to_numpy())
     M = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
     M /= np.linalg.norm(M, axis=1, keepdims=True)
@@ -37,14 +50,13 @@ def knn_topk(
     """Top-k cosine neighbors for the first ``n_queries`` vec_ids.
 
     The *corpus* streams (map_batches over the embeddings table); the small
-    query matrix is broadcast. Each batch emits its local top-k per query;
-    a final per-query groupby merges local top-ks (classic distributed
-    top-k: shuffle moves n_queries * k rows per block, not the corpus).
-    Output: (query_id, neighbor_id, rank) — integers only.
+    query matrix is broadcast (driver reads ONLY the query rows via a
+    pushed-down parquet filter). Each batch emits its local top-k per
+    query; a final per-query groupby merges local top-ks (classic
+    distributed top-k: shuffle moves n_queries * k rows per block, not the
+    corpus). Output: (query_id, neighbor_id, rank) — integers only.
     """
-    ids, M = _load_matrix(sf_dir)
-    q_mask = ids < n_queries
-    q_ids, Q = ids[q_mask], M[q_mask]
+    q_ids, Q = _load_matrix(sf_dir, max_vec_id=n_queries)
     q_ref = ray.put((q_ids, Q))
 
     ds = ray.data.read_parquet(
@@ -158,10 +170,8 @@ def ann_lsh_topk(
     set sharded if it outgrows a broadcast.
     """
     assert max_probe_distance < n_bands
-    ids, M = _load_matrix(sf_dir)
-    q_mask = ids < n_queries
-    q_ids, Q = ids[q_mask], M[q_mask]
-    H = _hyperplanes(M.shape[1], n_bits)
+    q_ids, Q = _load_matrix(sf_dir, max_vec_id=n_queries)
+    H = _hyperplanes(Q.shape[1], n_bits)
     q_sigs = (Q @ H.T > 0).astype(np.uint64)
     q_keys = np.zeros(len(q_ids), dtype=np.uint64)
     for b in range(n_bits):
@@ -345,7 +355,7 @@ def ivf_topk(
     bucket. The corpus streams; shuffle-free (local top-k rows merge per
     query, exactly like knn_topk).
     """
-    ids, M = _load_matrix(sf_dir)
+    ids, M = _load_matrix(sf_dir, max_vec_id=max(sample, n_queries))
     C = _fit_centroids(M[:sample], n_centroids)
     q_mask = ids < n_queries
     q_ids, Q = ids[q_mask], M[q_mask]
