@@ -221,6 +221,12 @@ def single_run(num_cpus: int, sf_dir: str) -> dict:
 SCALING_REPLICATE = int(os.environ.get("GRAFT_SCALING_REPLICATE", "32"))
 SCALING_LOW = int(os.environ.get("GRAFT_SCALING_LOW", "2"))
 SCALING_HIGH = int(os.environ.get("GRAFT_SCALING_HIGH", "8"))
+# job = neural (BiLSTM-CRF tagging, the default / r1-comparable) or kg
+# (gazetteer triple construction — the north-star "triples/sec" pipeline;
+# lighter per-doc compute, so it needs a larger replicate to amortize
+# fixed executor costs: default 128)
+SCALING_JOB = os.environ.get("GRAFT_SCALING_JOB", "neural")
+SCALING_KG_REPLICATE = int(os.environ.get("GRAFT_SCALING_KG_REPLICATE", "128"))
 
 
 def neural_scaling_job(num_cpus: int, sf_dir: str, replicate: int) -> dict:
@@ -248,6 +254,36 @@ def neural_scaling_job(num_cpus: int, sf_dir: str, replicate: int) -> dict:
         "n_docs": n_docs,
         "n_mentions": n_mentions,
         "docs_per_sec": round(n_docs / secs, 2),
+        "num_cpus": num_cpus,
+    }
+
+
+def kg_scaling_job(num_cpus: int, sf_dir: str, replicate: int) -> dict:
+    """pages -> extract -> sentences -> tag -> mentions -> link -> edges:
+    the end-to-end triple pipeline, sharded replicated corpus."""
+    os.sched_setaffinity(0, range(num_cpus))
+    ray = _init_ray(num_cpus)
+    try:
+        from ner_pytorch_ray.sources.pages import pages_from_documents
+        from ner_pytorch_ray.pipelines.kg import linked_mentions
+        from ner_pytorch_ray.stages.graph import edges_from_linked
+
+        t0 = time.perf_counter()
+        pages = pages_from_documents(
+            sf_dir, replicate=replicate, override_num_blocks=128
+        )
+        rows = edges_from_linked(linked_mentions(pages)).take_all()
+        secs = time.perf_counter() - t0
+        n_pairs = sum(r["weight"] for r in rows)
+    finally:
+        ray.shutdown()
+    n_docs = _corpus_stats(sf_dir)["n_docs"] * replicate
+    return {
+        "seconds": round(secs, 3),
+        "n_docs": n_docs,
+        "n_pair_instances": int(n_pairs),
+        "docs_per_sec": round(n_docs / secs, 2),
+        "triples_per_sec": round(n_pairs / secs, 2),
         "num_cpus": num_cpus,
     }
 
@@ -285,13 +321,18 @@ def scaling_run(
     thr_low = results[low]["docs_per_sec"]
     thr_high = results[high]["docs_per_sec"]
     eff = (thr_high / thr_low) / (high / low)
+    job_desc = (
+        "kg_edges (extract -> tag -> mention -> link -> triples)"
+        if SCALING_JOB == "kg"
+        else "neural_mentions (BiLSTM-CRF tag -> mention extract)"
+    )
     return {
         "metric": "scaling efficiency (throughput ratio / cpu ratio)",
         "value": round(eff, 4),
         "unit": "ratio",
         "sf": sf_dir,
-        "job": "neural_mentions (BiLSTM-CRF tag -> mention extract)",
-        "replicate": SCALING_REPLICATE,
+        "job": job_desc,
+        "replicate": SCALING_KG_REPLICATE if SCALING_JOB == "kg" else SCALING_REPLICATE,
         "pinned": True,
         "low": results[low],
         "high": results[high],
@@ -300,7 +341,10 @@ def scaling_run(
 
 if __name__ == "__main__":
     if "--scaling-worker" in sys.argv:
-        print(json.dumps(neural_scaling_job(NUM_CPUS, SF_DIR, SCALING_REPLICATE)))
+        if SCALING_JOB == "kg":
+            print(json.dumps(kg_scaling_job(NUM_CPUS, SF_DIR, SCALING_KG_REPLICATE)))
+        else:
+            print(json.dumps(neural_scaling_job(NUM_CPUS, SF_DIR, SCALING_REPLICATE)))
     elif "--scaling" in sys.argv:
         print(json.dumps(scaling_run(SF_DIR)))
     else:
