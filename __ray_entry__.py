@@ -372,6 +372,12 @@ def _q_lang_counts(sf_dir: str):
     return lang_counts(sf_dir)
 
 
+def _q_tfidf_top_terms(sf_dir: str):
+    from ner_pytorch_ray.pipelines.analysis import tfidf_top_terms
+
+    return tfidf_top_terms(sf_dir, k=5)
+
+
 def _q_repetition_stats(sf_dir: str):
     from ner_pytorch_ray.pipelines.quality import repetition_stats
 
@@ -553,6 +559,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_counts": _q_lang_counts,
         "quality_stats": _q_quality_stats,
         "doc_fingerprint": _q_doc_fingerprint,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "repetition_stats": _q_repetition_stats,
         "hash_sample": _q_hash_sample,
         "subword_offsets": _q_subword_offsets,
@@ -794,6 +801,29 @@ FROM documents
 """,
         "doc_fingerprint": """
 SELECT doc_id, md5(text) AS fingerprint FROM documents
+""",
+        # tf-idf with a scaled-integer idf surrogate (exact cross-engine;
+        # ln differs in the last ulp between libms)
+        "tfidf_top_terms": """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.w, tf.tf, df.df,
+         tf.tf * ((1000000 * n.n) // df.df) AS score_i
+  FROM tf JOIN df ON tf.w = df.w, n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score_i DESC, w ASC) AS rk
+  FROM scored
+)
+SELECT doc_id, w AS term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(score_i AS BIGINT) AS score_i, CAST(rk AS BIGINT) AS rank
+FROM ranked WHERE rk <= 5
 """,
         # Gopher-style n-gram repetition signals (integer counts + exact
         # float division on both sides)

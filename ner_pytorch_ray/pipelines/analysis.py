@@ -188,3 +188,84 @@ def subword_offsets(sf_dir: str) -> ray.data.Dataset:
         )
 
     return sents.map_batches(offs, batch_format="pyarrow")
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 5) -> ray.data.Dataset:
+    """Per-document top-``k`` terms by tf-idf (A1-family corpus statistic
+    every training-data pipeline needs for keyword/boilerplate analysis).
+
+    idf uses a SCALED-INTEGER surrogate — ``idf_i = (1_000_000 * N) // df``
+    — instead of ``ln(N/df)``: rank-equivalent per fixed tf (monotone in
+    N/df), and exactly representable, so the driver's DuckDB oracle
+    compares bit-for-bit (libm ``ln`` differs across engines in the last
+    ulp). score_i = tf * idf_i; ties break on term asc.
+
+    Scale shape: per-block (doc, term, tf) partials (docs never split
+    across blocks after the read); the df table is a grouped count whose
+    result broadcasts via ``ray.put`` (vocab-sized — at web scale swap the
+    broadcast for a term-keyed join; the rest is unchanged); top-k is a
+    per-doc sort inside map_batches, no global shuffle.
+    """
+    from collections import Counter
+
+    import ray as _ray
+
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(set(t.split(" ")))
+        return pa.Table.from_pydict(
+            {
+                "term": pa.array(list(c.keys()), type=pa.string()),
+                "df": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    df_tbl = grouped_sum(
+        ds.map_batches(df_partial, batch_format="pyarrow"), ["term"], ["df"]
+    )
+    df_map: dict[str, int] = {}
+    for b in df_tbl.iter_batches(batch_format="pyarrow"):
+        for t, d in zip(b.column("term").to_pylist(), b.column("df").to_pylist()):
+            df_map[t] = df_map.get(t, 0) + d
+    n_docs = ds.count()
+    df_ref = _ray.put(df_map)
+
+    def topk(batch: pa.Table) -> pa.Table:
+        dfm = _ray.get(df_ref)
+        out = {c: [] for c in ("doc_id", "term", "tf", "df", "score_i", "rank")}
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            tf = Counter(t.split(" "))
+            scored = sorted(
+                (
+                    (-c * ((1_000_000 * n_docs) // dfm[w]), w, c)
+                    for w, c in tf.items()
+                ),
+            )[:k]
+            for r, (neg_s, w, c) in enumerate(scored, start=1):
+                out["doc_id"].append(d)
+                out["term"].append(w)
+                out["tf"].append(c)
+                out["df"].append(dfm[w])
+                out["score_i"].append(-neg_s)
+                out["rank"].append(r)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                "term": pa.array(out["term"], type=pa.string()),
+                "tf": pa.array(out["tf"], type=pa.int64()),
+                "df": pa.array(out["df"], type=pa.int64()),
+                "score_i": pa.array(out["score_i"], type=pa.int64()),
+                "rank": pa.array(out["rank"], type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(topk, batch_format="pyarrow")
