@@ -372,6 +372,12 @@ def _q_lang_counts(sf_dir: str):
     return lang_counts(sf_dir)
 
 
+def _q_token_count_quantiles(sf_dir: str):
+    from ner_pytorch_ray.pipelines.analysis import token_count_quantiles
+
+    return token_count_quantiles(sf_dir)
+
+
 def _q_tfidf_top_terms(sf_dir: str):
     from ner_pytorch_ray.pipelines.analysis import tfidf_top_terms
 
@@ -560,6 +566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_stats": _q_quality_stats,
         "doc_fingerprint": _q_doc_fingerprint,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "token_count_quantiles": _q_token_count_quantiles,
         "repetition_stats": _q_repetition_stats,
         "hash_sample": _q_hash_sample,
         "subword_offsets": _q_subword_offsets,
@@ -801,6 +808,15 @@ FROM documents
 """,
         "doc_fingerprint": """
 SELECT doc_id, md5(text) AS fingerprint FROM documents
+""",
+        # discrete quantiles over the per-doc token-count histogram
+        "token_count_quantiles": """
+SELECT CAST(0.25 AS DOUBLE) AS p,
+       quantile_disc(len(string_split(text, ' ')), 0.25) AS n_tokens FROM documents
+UNION ALL SELECT 0.5, quantile_disc(len(string_split(text, ' ')), 0.5) FROM documents
+UNION ALL SELECT 0.75, quantile_disc(len(string_split(text, ' ')), 0.75) FROM documents
+UNION ALL SELECT 0.9, quantile_disc(len(string_split(text, ' ')), 0.9) FROM documents
+UNION ALL SELECT 0.99, quantile_disc(len(string_split(text, ' ')), 0.99) FROM documents
 """,
         # tf-idf with a scaled-integer idf surrogate (exact cross-engine;
         # ln differs in the last ulp between libms)

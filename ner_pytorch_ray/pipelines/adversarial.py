@@ -75,7 +75,7 @@ def _seed_of(*parts) -> int:
 
 # ------------------------------------------------------------- word bank
 def build_word_bank(
-    tagged: ray.data.Dataset, dim: int = 32
+    tagged: ray.data.Dataset, dim: int = 32, max_per_type: int = 100_000
 ) -> dict:
     """Distinct (tag_type, surface) chunk bank with pooled embeddings.
 
@@ -84,6 +84,12 @@ def build_word_bank(
     surface tokens (word_rep.py:92-123) — computed after dedup, so the
     shuffle moves only keys. Returns per-type normalized matrices for the
     three pool methods + token lists.
+
+    The driver collect is BOUNDED: each tag type keeps its ``max_per_type``
+    most-mentioned surfaces (ties: surface asc), selected distributively
+    before take_all — a web-scale entity vocabulary cannot blow the
+    driver; at test scales the cap is far above the bank size, so outputs
+    are unchanged.
     """
     from ner_pytorch_ray.stages.mentions import mentions_stage
     from ner_pytorch_ray.stages.groupby_utils import grouped_sum
@@ -104,7 +110,20 @@ def build_word_bank(
         ["tag_type", "surface"],
         sum_cols=["n"],
     )
-    rows = distinct.take_all()  # bank is small relative to corpus
+
+    def head_per_type(df):
+        # groups = tag types (a handful): per-group frequency cut is the
+        # one place map_groups is the right tool (few, bounded groups)
+        return (
+            df.sort_values(["n", "surface"], ascending=[False, True])
+            .head(max_per_type)
+            .reset_index(drop=True)
+        )
+
+    capped = distinct.groupby("tag_type").map_groups(
+        head_per_type, batch_format="pandas"
+    )
+    rows = capped.take_all()  # bounded: <= n_types * max_per_type
 
     bank: dict[str, dict] = {}
     vocab = sorted({w for r in rows for w in r["surface"].split(" ")})

@@ -269,3 +269,61 @@ def tfidf_top_terms(sf_dir: str, k: int = 5) -> ray.data.Dataset:
         )
 
     return ds.map_batches(topk, batch_format="pyarrow")
+
+
+def token_count_quantiles(
+    sf_dir: str, ps: tuple = (0.25, 0.5, 0.75, 0.9, 0.99)
+) -> ray.data.Dataset:
+    """Discrete quantiles of per-document token counts — the classic
+    two-phase distributed percentile: block-local value histograms (token
+    counts are small-cardinality ints) -> tiny grouped sum -> driver-side
+    cumulative walk. quantile_disc semantics: smallest value whose
+    cumulative count reaches ceil(p * N). No sort of the data, ever."""
+    import math
+
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def hist(batch: pa.Table) -> pa.Table:
+        counts = pc.list_value_length(
+            pc.split_pattern(batch.column("text"), pattern=" ")
+        ).cast(pa.int64())
+        vc = counts.combine_chunks().value_counts() if isinstance(
+            counts, pa.ChunkedArray
+        ) else counts.value_counts()
+        return pa.Table.from_pydict(
+            {
+                "n_tokens": vc.field("values").cast(pa.int64()),
+                "freq": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    merged = grouped_sum(
+        ds.map_batches(hist, batch_format="pyarrow"), ["n_tokens"], ["freq"]
+    )
+    # the histogram is tiny (distinct token counts), the walk is driver-side
+    pairs = sorted(
+        (r["n_tokens"], r["freq"])
+        for b in merged.iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    )
+    total = sum(f for _, f in pairs)
+    out_p, out_v = [], []
+    for p in ps:
+        need = max(1, math.ceil(p * total))
+        acc = 0
+        for v, f in pairs:
+            acc += f
+            if acc >= need:
+                out_p.append(float(p))
+                out_v.append(int(v))
+                break
+    return pa.Table.from_pydict(
+        {
+            "p": pa.array(out_p, type=pa.float64()),
+            "n_tokens": pa.array(out_v, type=pa.int64()),
+        }
+    )
