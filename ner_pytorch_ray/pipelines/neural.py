@@ -230,9 +230,14 @@ def neural_epoch_loss(sf_dir: str, seed: int = DEFAULT_SEED):
         v = np.rint(batch.column("nll").to_numpy() * 10000).astype(np.int64)
         return pa.Table.from_pydict({"nll_i": pa.array(v, type=pa.int64())})
 
-    ints = scored.map_batches(to_int, batch_format="pyarrow").materialize()
-    n = ints.count()
-    total_i = int(ints.sum("nll_i") or 0)
+    from ray.data.aggregate import Count, Sum
+
+    # one streaming pass for both statistics — no materialization
+    agg = scored.map_batches(to_int, batch_format="pyarrow").aggregate(
+        Sum("nll_i"), Count()
+    )
+    n = int(agg["count()"] or 0)
+    total_i = int(agg["sum(nll_i)"] or 0)
     total = total_i / 10000.0
     return pa.Table.from_pydict(
         {
