@@ -82,8 +82,14 @@ def _acc_partial(batch: pa.Table, true_col: str, pred_col: str) -> pa.Table:
         sent_idx, weights=(eq & non_o), minlength=len(lens)
     )
     has_nonO = per_sent_nonO > 0
-    macro_sum = float(
-        (per_sent_correct[has_nonO] / per_sent_nonO[has_nonO]).sum()
+    # per-sentence accuracies accumulate as integer billionths: float
+    # summation order across blocks/merges cannot move the total
+    macro_sum = int(
+        np.rint(
+            1_000_000_000
+            * per_sent_correct[has_nonO]
+            / per_sent_nonO[has_nonO]
+        ).sum()
     )
     macro_n = int(has_nonO.sum())
 
@@ -94,7 +100,7 @@ def _acc_partial(batch: pa.Table, true_col: str, pred_col: str) -> pa.Table:
         {
             "correct_non_o": pa.array([correct_non_o], type=pa.int64()),
             "total_non_o": pa.array([total_non_o], type=pa.int64()),
-            "macro_sum": pa.array([macro_sum], type=pa.float64()),
+            "macro_sum": pa.array([macro_sum], type=pa.int64()),
             "macro_n": pa.array([macro_n], type=pa.int64()),
             "hit_sentences": pa.array([hits], type=pa.int64()),
             "n_sentences": pa.array([len(lens)], type=pa.int64()),
@@ -114,7 +120,7 @@ def tag_accuracy_metrics(
     tot = {
         "correct_non_o": 0,
         "total_non_o": 0,
-        "macro_sum": 0.0,
+        "macro_sum": 0,
         "macro_n": 0,
         "hit_sentences": 0,
         "n_sentences": 0,
@@ -129,7 +135,7 @@ def tag_accuracy_metrics(
             else float("nan")
         ),
         "macro_acc": (
-            tot["macro_sum"] / tot["macro_n"]
+            tot["macro_sum"] / 1_000_000_000 / tot["macro_n"]
             if tot["macro_n"]
             else float("nan")
         ),

