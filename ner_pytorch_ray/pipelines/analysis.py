@@ -190,7 +190,9 @@ def subword_offsets(sf_dir: str) -> ray.data.Dataset:
     return sents.map_batches(offs, batch_format="pyarrow")
 
 
-def tfidf_top_terms(sf_dir: str, k: int = 5) -> ray.data.Dataset:
+def tfidf_top_terms(
+    sf_dir: str, k: int = 5, broadcast_df: bool = True
+) -> ray.data.Dataset:
     """Per-document top-``k`` terms by tf-idf (A1-family corpus statistic
     every training-data pipeline needs for keyword/boilerplate analysis).
 
@@ -201,10 +203,14 @@ def tfidf_top_terms(sf_dir: str, k: int = 5) -> ray.data.Dataset:
     ulp). score_i = tf * idf_i; ties break on term asc.
 
     Scale shape: per-block (doc, term, tf) partials (docs never split
-    across blocks after the read); the df table is a grouped count whose
-    result broadcasts via ``ray.put`` (vocab-sized — at web scale swap the
-    broadcast for a term-keyed join; the rest is unchanged); top-k is a
-    per-doc sort inside map_batches, no global shuffle.
+    across blocks after the read). Two df attachment paths:
+      * ``broadcast_df=True`` (default): the df table ships once via
+        ``ray.put`` — right while the vocabulary fits a broadcast;
+      * ``broadcast_df=False``: term-keyed collect co-locates each term's
+        df with its (doc, tf) postings, then a doc-keyed collect rebuilds
+        per-doc postings for the top-k cut — two bounded-group shuffles,
+        no vocab-sized object anywhere (the 10^8-term path). Both paths
+        emit identical rows (tested).
     """
     from collections import Counter
 
@@ -230,11 +236,13 @@ def tfidf_top_terms(sf_dir: str, k: int = 5) -> ray.data.Dataset:
     df_tbl = grouped_sum(
         ds.map_batches(df_partial, batch_format="pyarrow"), ["term"], ["df"]
     )
+    n_docs = ds.count()
+    if not broadcast_df:
+        return _tfidf_via_join(ds, df_tbl, n_docs, k)
     df_map: dict[str, int] = {}
     for b in df_tbl.iter_batches(batch_format="pyarrow"):
         for t, d in zip(b.column("term").to_pylist(), b.column("df").to_pylist()):
             df_map[t] = df_map.get(t, 0) + d
-    n_docs = ds.count()
     df_ref = _ray.put(df_map)
 
     def topk(batch: pa.Table) -> pa.Table:
@@ -327,3 +335,119 @@ def token_count_quantiles(
             "n_tokens": pa.array(out_v, type=pa.int64()),
         }
     )
+
+
+def _tfidf_via_join(
+    ds: ray.data.Dataset, df_tbl: ray.data.Dataset, n_docs: int, k: int
+) -> ray.data.Dataset:
+    """Broadcast-free tf-idf: term-keyed df attachment + doc-keyed top-k.
+
+    Postings (doc_id, term, tf) union with df rows (term marked doc_id=-1);
+    one term-keyed collect attaches df to every posting (group = one term's
+    postings — the same bounded-bucket shape as the shingle index, with the
+    stop-term caveat that a term in EVERY doc makes its group corpus-sized;
+    such terms have minimal idf and could be capped like stop-shingles);
+    one doc-keyed collect then rebuilds per-doc postings for the local
+    top-k cut."""
+    from collections import Counter
+
+    from ner_pytorch_ray.stages.groupby_utils import (
+        collect_tuples,
+        flat_map_groups,
+    )
+
+    def postings(batch: pa.Table) -> pa.Table:
+        out = {"term": [], "doc_id": [], "tf": []}
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            for w, c in Counter(t.split(" ")).items():
+                out["term"].append(w)
+                out["doc_id"].append(d)
+                out["tf"].append(c)
+        return pa.Table.from_pydict(
+            {
+                "term": pa.array(out["term"], type=pa.string()),
+                "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                "tf": pa.array(out["tf"], type=pa.int64()),
+            }
+        )
+
+    def df_rows(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "term": batch.column("term"),
+                "doc_id": pa.array([-1] * len(batch), type=pa.int64()),
+                "tf": batch.column("df"),
+            }
+        )
+
+    both = ds.map_batches(postings, batch_format="pyarrow").union(
+        df_tbl.map_batches(df_rows, batch_format="pyarrow")
+    )
+    per_term = collect_tuples(both, ["term"], ["doc_id", "tf"], name="p")
+
+    attach_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("term", pa.string()),
+            ("tf", pa.int64()),
+            ("df", pa.int64()),
+        ]
+    )
+
+    def attach(key, items) -> pa.Table:
+        if items is None or not items:
+            return attach_schema.empty_table()
+        (term,) = key
+        df = next((tf for d, tf in items if d == -1), None)
+        if df is None:
+            return attach_schema.empty_table()
+        docs = [(d, tf) for d, tf in items if d != -1]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array([d for d, _ in docs], type=pa.int64()),
+                "term": pa.array([term] * len(docs), type=pa.string()),
+                "tf": pa.array([tf for _, tf in docs], type=pa.int64()),
+                "df": pa.array([df] * len(docs), type=pa.int64()),
+            }
+        )
+
+    attached = flat_map_groups(per_term, attach, ["term"], items_col="p")
+    per_doc = collect_tuples(attached, ["doc_id"], ["term", "tf", "df"], name="p")
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("term", pa.string()),
+            ("tf", pa.int64()),
+            ("df", pa.int64()),
+            ("score_i", pa.int64()),
+            ("rank", pa.int64()),
+        ]
+    )
+
+    def topk(key, items) -> pa.Table:
+        if items is None or not items:
+            return out_schema.empty_table()
+        (doc_id,) = key
+        scored = sorted(
+            (
+                (-tf * ((1_000_000 * n_docs) // df), w, tf, df)
+                for w, tf, df in {tuple(x) for x in items}
+            )
+        )[:k]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array([doc_id] * len(scored), type=pa.int64()),
+                "term": pa.array([s[1] for s in scored], type=pa.string()),
+                "tf": pa.array([s[2] for s in scored], type=pa.int64()),
+                "df": pa.array([s[3] for s in scored], type=pa.int64()),
+                "score_i": pa.array([-s[0] for s in scored], type=pa.int64()),
+                "rank": pa.array(
+                    range(1, len(scored) + 1), type=pa.int64()
+                ),
+            }
+        )
+
+    return flat_map_groups(per_doc, topk, ["doc_id"], items_col="p")

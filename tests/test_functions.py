@@ -242,3 +242,18 @@ def test_chunk_subword_embedding_window_quirk():
     assert (max2 == emb[3:5].max(axis=0)).all()
     first_only = chunk_subword_embedding(3, 2, emb, "first")
     assert (first_only == emb[3]).all()
+
+
+def test_tfidf_join_path_equals_broadcast(ray_session):
+    """The broadcast-free (term-keyed collect) tf-idf path must emit
+    exactly the broadcast path's rows."""
+    from ner_pytorch_ray.pipelines.analysis import tfidf_top_terms
+
+    sf = "/root/testdata/sf0.001"
+    key = lambda r: (r["doc_id"], r["rank"], r["term"], r["tf"], r["df"],
+                     r["score_i"])
+    a = sorted(key(r) for r in tfidf_top_terms(sf).take_all())
+    b = sorted(
+        key(r) for r in tfidf_top_terms(sf, broadcast_df=False).take_all()
+    )
+    assert a == b and len(a) > 0
