@@ -245,38 +245,55 @@ def tfidf_top_terms(
             df_map[t] = df_map.get(t, 0) + d
     df_ref = _ray.put(df_map)
 
-    def topk(batch: pa.Table) -> pa.Table:
-        dfm = _ray.get(df_ref)
-        out = {c: [] for c in ("doc_id", "term", "tf", "df", "score_i", "rank")}
-        for d, t in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            tf = Counter(t.split(" "))
-            scored = sorted(
-                (
-                    (-c * ((1_000_000 * n_docs) // dfm[w]), w, c)
-                    for w, c in tf.items()
-                ),
-            )[:k]
-            for r, (neg_s, w, c) in enumerate(scored, start=1):
-                out["doc_id"].append(d)
-                out["term"].append(w)
-                out["tf"].append(c)
-                out["df"].append(dfm[w])
-                out["score_i"].append(-neg_s)
-                out["rank"].append(r)
-        return pa.Table.from_pydict(
-            {
-                "doc_id": pa.array(out["doc_id"], type=pa.int64()),
-                "term": pa.array(out["term"], type=pa.string()),
-                "tf": pa.array(out["tf"], type=pa.int64()),
-                "df": pa.array(out["df"], type=pa.int64()),
-                "score_i": pa.array(out["score_i"], type=pa.int64()),
-                "rank": pa.array(out["rank"], type=pa.int64()),
-            }
-        )
+    class TopK:
+        """Actor pool: the vocab-sized df dict is fetched/deserialized ONCE
+        per worker in __init__ (not once per batch — per-batch ray.get of a
+        broadcast is the anti-pattern every other broadcast consumer in the
+        package avoids)."""
 
-    return ds.map_batches(topk, batch_format="pyarrow")
+        def __init__(self, df_ref, n_docs, k):
+            import ray as _r
+
+            self.dfm = _r.get(df_ref)
+            self.n_docs, self.k = n_docs, k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            dfm, n_docs, k = self.dfm, self.n_docs, self.k
+            out = {c: [] for c in ("doc_id", "term", "tf", "df", "score_i", "rank")}
+            for d, t in zip(
+                batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+            ):
+                tf = Counter(t.split(" "))
+                scored = sorted(
+                    (
+                        (-c * ((1_000_000 * n_docs) // dfm[w]), w, c)
+                        for w, c in tf.items()
+                    ),
+                )[:k]
+                for r, (neg_s, w, c) in enumerate(scored, start=1):
+                    out["doc_id"].append(d)
+                    out["term"].append(w)
+                    out["tf"].append(c)
+                    out["df"].append(dfm[w])
+                    out["score_i"].append(-neg_s)
+                    out["rank"].append(r)
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                    "term": pa.array(out["term"], type=pa.string()),
+                    "tf": pa.array(out["tf"], type=pa.int64()),
+                    "df": pa.array(out["df"], type=pa.int64()),
+                    "score_i": pa.array(out["score_i"], type=pa.int64()),
+                    "rank": pa.array(out["rank"], type=pa.int64()),
+                }
+            )
+
+    return ds.map_batches(
+        TopK,
+        fn_constructor_args=(df_ref, n_docs, k),
+        concurrency=(1, 32),
+        batch_format="pyarrow",
+    )
 
 
 def token_count_quantiles(

@@ -32,6 +32,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from ner_pytorch_ray.pipelines.similarity import normalized_rows
+
 _SHINGLE_K = 3
 _MERSENNE = (1 << 61) - 1
 
@@ -347,9 +349,12 @@ def simhash_pairs(
     within ``max_hamming < n_bands`` must agree exactly on >= 1 band, so
     bucket-by-band has perfect recall. Output: (doc_a, doc_b, hamming).
     """
+    from ner_pytorch_ray.pipelines.similarity import _popcount, _popcount16_lut
+
     assert max_hamming < n_bands
     width = 64 // n_bands
     mask = np.uint64((1 << width) - 1)
+    _SIM_LUT = _popcount16_lut()
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
@@ -395,7 +400,7 @@ def simhash_pairs(
         ai, bi = np.triu_indices(len(ids), k=1)
         # XOR on the two's-complement view == XOR on the original uint64 bits
         x = (sims[ai] ^ sims[bi]).view(np.uint64)
-        ham = np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
+        ham = _popcount(x, _SIM_LUT)
         keep = ham <= max_hamming
         return pa.Table.from_pydict(
             {
@@ -439,8 +444,7 @@ def embedding_near_dup(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     ids = np.asarray(full.column("vec_id").to_numpy())
-    M = np.asarray(full.column("embedding").to_pylist(), dtype=np.float64)
-    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    M = normalized_rows(full.column("embedding"))
     ref = ray.put((ids, M))
 
     ds = ray.data.read_parquet(
@@ -453,8 +457,7 @@ def embedding_near_dup(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             q_ids = np.asarray(batch.column("vec_id").to_numpy())
-            Q = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
-            Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+            Q = normalized_rows(batch.column("embedding"))
             S = Q @ self.M.T
             qi, mi = np.nonzero((S >= tau) & (q_ids[:, None] < self.ids[None, :]))
             return pa.Table.from_pydict(
@@ -506,8 +509,7 @@ def embedding_near_dup_lsh(
 
     def band_rows(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column("vec_id").to_numpy())
-        M = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
-        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        M = normalized_rows(batch.column("embedding"))
         H = _hyperplanes(M.shape[1], n_bits)
         sigs = (M @ H.T > 0).astype(np.uint64)
         keys = np.zeros(len(ids), dtype=np.uint64)
@@ -518,15 +520,17 @@ def embedding_near_dup_lsh(
         bkeys = np.concatenate(
             [((keys >> np.uint64(b * width)) & mask) for b in range(n_bands)]
         ).astype(np.int64)
+        # float32 little-endian bytes, ONE binary cell per row: the collect
+        # aggregate ships python tuples, and a bytes object is ~10x lighter
+        # than a python list of floats (same packing the minhash path uses);
+        # ~2x corpus bytes through the wire instead of 8x float64 lists.
+        emb32 = [r.astype("<f4").tobytes() for r in M]
         return pa.Table.from_pydict(
             {
                 "band": pa.array(band),
                 "key": pa.array(bkeys, type=pa.int64()),
                 "vec_id": pa.array(np.tile(ids, n_bands), type=pa.int64()),
-                "emb": pa.array(
-                    np.tile(M, (n_bands, 1)).tolist(),
-                    type=pa.list_(pa.float64()),
-                ),
+                "emb": pa.array(emb32 * n_bands, type=pa.binary()),
             }
         )
 
@@ -541,7 +545,12 @@ def embedding_near_dup_lsh(
         for vid, emb in items:
             seen.setdefault(vid, emb)
         ids = np.array(sorted(seen), dtype=np.int64)
-        M = np.asarray([seen[v] for v in ids], dtype=np.float64)
+        # unpack float32 bytes; renormalize in float64 (quantization nudges
+        # the norm off 1 by ~1e-7 — renormalizing keeps cosine exact-unit)
+        M = np.stack(
+            [np.frombuffer(seen[v], dtype="<f4").astype(np.float64) for v in ids]
+        )
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
         S = M @ M.T
         ai, bi = np.nonzero(np.triu(S >= tau, k=1))
         return pa.Table.from_pydict(

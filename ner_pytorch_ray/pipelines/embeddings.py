@@ -62,14 +62,31 @@ def chunk_rows(tokens: list[str], tags: list[str], dim: int, pooling: str):
     return out
 
 
+def vec_billionths(vec: np.ndarray) -> np.ndarray:
+    """Quantize a chunk vector to integer billionths (int64). Integer sums
+    are associative/commutative, so the distributed occurrence mean is
+    bit-identical under ANY partitioning / collect order — float partials
+    rounded at the end are NOT (a value near a 5e-7 boundary can flip the
+    last rounded digit under a different summation order)."""
+    return np.round(vec * 1e9).astype(np.int64)
+
+
+def mean_from_billionths(total: np.ndarray, n: int) -> np.ndarray:
+    """Finalize: scaled-integer total -> float mean rounded to 6 decimals
+    (one deterministic float op per element, no order dependence)."""
+    return np.round(total / 1e9 / n, 6)
+
+
 def tag_embedding_table(
     sf_dir: str, dim: int = 16, pooling: str = "mean"
 ) -> ray.data.Dataset:
     """The distributed sink: tagged sentences -> one row per distinct
     (tag_type, surface) with the MEAN pooled chunk embedding over all its
     occurrences and the occurrence count. Output columns: tag_type,
-    surface, n_occurrences, embedding (rounded to 6 decimals so the value
-    is summation-order independent for the oracle gate)."""
+    surface, n_occurrences, embedding. Occurrence vectors accumulate in
+    INTEGER billionths (``vec_billionths``) so the mean is
+    summation-order-independent — exact under the driver's bit-exact
+    oracle gate regardless of partitioning."""
     from ner_pytorch_ray.sources.pages import pages_from_documents
     from ner_pytorch_ray.stages.extract import extract_stage
     from ner_pytorch_ray.stages.gazetteer import gazetteer_tag_stage
@@ -89,11 +106,12 @@ def tag_embedding_table(
         acc: dict[tuple[str, str], list] = {}
         for toks, tgs in zip(tokens, tags):
             for t, s, vec in chunk_rows(toks, tgs, dim, pooling):
+                iv = vec_billionths(vec)
                 st = acc.get((t, s))
                 if st is None:
-                    acc[(t, s)] = [vec.copy(), 1]
+                    acc[(t, s)] = [iv, 1]
                 else:
-                    st[0] += vec
+                    st[0] = st[0] + iv
                     st[1] += 1
         keys = sorted(acc)
         return pa.Table.from_pydict(
@@ -101,7 +119,7 @@ def tag_embedding_table(
                 "tag_type": pa.array([k[0] for k in keys], type=pa.string()),
                 "surface": pa.array([k[1] for k in keys], type=pa.string()),
                 "vec": pa.array(
-                    [acc[k][0].astype("<f8").tobytes() for k in keys],
+                    [acc[k][0].astype("<i8").tobytes() for k in keys],
                     type=pa.binary(),
                 ),
                 "n": pa.array([acc[k][1] for k in keys], type=pa.int64()),
@@ -125,12 +143,12 @@ def tag_embedding_table(
         if items is None or not items:
             return empty.empty_table()
         t, s = key
-        total = np.zeros(dim, dtype=np.float64)
+        total = np.zeros(dim, dtype=np.int64)
         n = 0
         for vec_bytes, cnt in items:
-            total += np.frombuffer(vec_bytes, dtype="<f8")
+            total = total + np.frombuffer(vec_bytes, dtype="<i8")
             n += int(cnt)
-        mean = np.round(total / n, 6)
+        mean = mean_from_billionths(total, n)
         return pa.Table.from_pydict(
             {
                 "tag_type": pa.array([t], type=pa.string()),

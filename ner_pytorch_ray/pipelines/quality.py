@@ -189,9 +189,9 @@ def repetition_stats(sf_dir: str, max_ngram: int = 3) -> ray.data.Dataset:
     n-gram occurrences that are repeats of an already-seen n-gram
     (1 - distinct/total). High values flag boilerplate/spam for filtering.
 
-    Vectorized per batch with one pandas duplicated() pass per n; integer
-    numerators/denominators are emitted alongside the fractions so the SQL
-    oracle compares exactly.
+    Per-doc dict-based n-gram counting (bounded by doc length, no
+    cross-doc state); integer numerators/denominators are emitted alongside
+    the fractions so the SQL oracle compares exactly.
     """
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]

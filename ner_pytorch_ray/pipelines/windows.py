@@ -340,10 +340,14 @@ def asof_error_attribution_ds(
     def encode(batch: pa.Table) -> pa.Table:
         is_err = pc.equal(batch.column("event_type"), "error")
         t = batch.column("ts").cast(pa.int64())
+        # floor division (like user_sessions / range_join) — pc.divide
+        # truncates toward zero, which would make chunk 0 span
+        # (-chunk_us, chunk_us) for negative timestamps
+        chunk = np.asarray(t.to_numpy(zero_copy_only=False)) // chunk_us
         return pa.Table.from_pydict(
             {
                 "user_id": batch.column("user_id"),
-                "chunk": pc.divide(t, chunk_us),
+                "chunk": pa.array(chunk, type=pa.int64()),
                 "t": t,
                 "event_id": batch.column("event_id"),
                 "is_error": is_err.cast(pa.int8()),

@@ -566,17 +566,24 @@ def neural_epoch_loss_expected(sents, tagged, seed: int = 1234) -> pa.Table:
 
 
 def tag_embeddings_expected(tagged, dim=16, pooling="mean") -> pa.Table:
-    """Sequential mirror of pipelines/embeddings.tag_embedding_table."""
-    from ner_pytorch_ray.pipelines.embeddings import chunk_rows
+    """Sequential mirror of pipelines/embeddings.tag_embedding_table
+    (same integer-billionths accumulation, so the mean is identical under
+    any summation order)."""
+    from ner_pytorch_ray.pipelines.embeddings import (
+        chunk_rows,
+        mean_from_billionths,
+        vec_billionths,
+    )
 
     acc: dict[tuple, list] = {}
     for _, _, toks, tags in tagged:
         for t, s, vec in chunk_rows(toks, tags, dim, pooling):
+            iv = vec_billionths(vec)
             st = acc.get((t, s))
             if st is None:
-                acc[(t, s)] = [vec.copy(), 1]
+                acc[(t, s)] = [iv, 1]
             else:
-                st[0] += vec
+                st[0] = st[0] + iv
                 st[1] += 1
     keys = sorted(acc)
     return pa.Table.from_pydict(
@@ -585,7 +592,10 @@ def tag_embeddings_expected(tagged, dim=16, pooling="mean") -> pa.Table:
             "surface": pa.array([k[1] for k in keys], type=pa.string()),
             "n_occurrences": pa.array([acc[k][1] for k in keys], type=pa.int64()),
             "embedding": pa.array(
-                [np.round(acc[k][0] / acc[k][1], 6).tolist() for k in keys],
+                [
+                    mean_from_billionths(acc[k][0], acc[k][1]).tolist()
+                    for k in keys
+                ],
                 type=pa.list_(pa.float64()),
             ),
         }
