@@ -27,6 +27,25 @@ import ray.data
 US_PER_MIN = 60_000_000
 
 
+def read_events(sf_dir: str, columns: list[str]) -> ray.data.Dataset:
+    """events.parquet read with a metadata-sized block count.
+
+    Ray's default read fan-out (~2x CPUs) turns a small file into dozens of
+    near-empty blocks whose per-task dispatch dominates wall time (measured
+    ~2.6 s for a trivial map over 64 tiny blocks at 32 CPUs). For small
+    inputs, cap the fan-out by row count; for large inputs leave Ray's
+    byte-targeted default alone (the scale path is unchanged)."""
+    import pyarrow.parquet as pq
+
+    n_rows = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    kwargs = {}
+    if n_rows < 500_000:
+        kwargs["override_num_blocks"] = max(1, n_rows // 50_000)
+    return ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=columns, **kwargs
+    )
+
+
 def tumbling_window_counts(
     sf_dir: str, window_minutes: int = 60
 ) -> ray.data.Dataset:
@@ -38,9 +57,7 @@ def tumbling_window_counts(
     from ner_pytorch_ray.stages.groupby_utils import grouped_sum
 
     width = window_minutes * US_PER_MIN
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
-    )
+    ds = read_events(sf_dir, ["ts", "event_type", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
         us = batch.column("ts").cast(pa.int64()).to_numpy()
@@ -186,7 +203,8 @@ def user_sessions_ds(
 
     chunk_merged = flat_map_groups(
         collect_tuples(
-            partial, ["user_id", "chunk"], ["start_us", "end_us", "n"], name="isl"
+            partial, ["user_id", "chunk"], ["start_us", "end_us", "n"],
+            name="isl", shuffle_blocks="auto",  # islands are pre-combined
         ),
         merge_chunk,
         ["user_id", "chunk"],
@@ -221,7 +239,8 @@ def user_sessions_ds(
 
     return flat_map_groups(
         collect_tuples(
-            chunk_merged, ["user_id"], ["start_us", "end_us", "n"], name="isl"
+            chunk_merged, ["user_id"], ["start_us", "end_us", "n"],
+            name="isl", shuffle_blocks="auto",
         ),
         finalize,
         ["user_id"],
@@ -232,17 +251,25 @@ def user_sessions_ds(
 def user_sessions(
     sf_dir: str, gap_minutes: int = 30, chunk_minutes: int | None = None
 ) -> ray.data.Dataset:
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
-    )
+    ds = read_events(sf_dir, ["user_id", "ts"])
     return user_sessions_ds(ds, gap_minutes, chunk_minutes)
 
 
 def order_revenue_join(sf_dir: str) -> ray.data.Dataset:
     """Large-x-large hash join demo: lineitem ⋈ orders on the order key,
     then revenue cents per order priority (both sides stream through Ray
-    Data's partitioned hash join — no driver materialization)."""
+    Data's partitioned hash join — no driver materialization).
+
+    ``num_partitions`` is sized from parquet metadata (rows only, no read):
+    each join partition carries a fixed actor/dispatch cost (measured ~2 s
+    at 16 partitions vs ~0.4 s at 2 on a 60 k-row input), so small inputs
+    get few partitions while 100 TB inputs scale to wide fan-out."""
+    import pyarrow.parquet as pq
+
     from ner_pytorch_ray.stages.groupby_utils import grouped_sum
+
+    n_rows = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+    n_parts = int(min(64, max(2, n_rows // 250_000)))
 
     lineitem = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -268,7 +295,7 @@ def order_revenue_join(sf_dir: str) -> ray.data.Dataset:
     joined = lineitem.map_batches(rev, batch_format="pyarrow").join(
         orders,
         join_type="inner",
-        num_partitions=16,
+        num_partitions=n_parts,
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )
@@ -316,6 +343,10 @@ def asof_error_attribution_ds(
     rule is explicit so the DuckDB oracle is deterministic).
 
     Skew-hardened shape — no per-user event collect:
+      0. a block-local combiner packs each block's (user, chunk) events
+         into three binary cells (t/id/is_error arrays) — the shuffle moves
+         one packed row per (user, chunk) per block, not per event, and the
+         collect aggregate's python-tuple state stays tiny;
       1. events group by (user, time-chunk); errors resolve against
          IN-CHUNK clicks locally (one sort + searchsorted); unresolved
          errors, one DISTINCT (user, chunk) unresolved marker, and a
@@ -335,30 +366,65 @@ def asof_error_attribution_ds(
     )
 
     chunk_us = chunk_minutes * US_PER_MIN
-    ds = events.filter(expr="event_type in ['error', 'click']")
 
-    def encode(batch: pa.Table) -> pa.Table:
-        is_err = pc.equal(batch.column("event_type"), "error")
-        t = batch.column("ts").cast(pa.int64())
-        # floor division (like user_sessions / range_join) — pc.divide
-        # truncates toward zero, which would make chunk 0 span
-        # (-chunk_us, chunk_us) for negative timestamps
-        chunk = np.asarray(t.to_numpy(zero_copy_only=False)) // chunk_us
+    def encode_pack(batch: pa.Table) -> pa.Table:
+        # filter + encode + block-local pack in ONE task (a separate
+        # Filter operator doubles per-block dispatch cost)
+        keep = pc.is_in(
+            batch.column("event_type"), value_set=pa.array(["error", "click"])
+        )
+        batch = batch.filter(keep)
+        t = np.asarray(
+            batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        uid = np.asarray(batch.column("user_id").to_numpy())
+        eid = np.asarray(batch.column("event_id").to_numpy())
+        er = (
+            pc.equal(batch.column("event_type"), "error")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int8)
+        )
+        # floor division (like user_sessions / range_join) — truncation
+        # toward zero would make chunk 0 span (-chunk_us, chunk_us) for
+        # negative timestamps
+        chunk = t // chunk_us
+        order = np.lexsort((eid, t, chunk, uid))
+        uid, chunk, t, eid, er = (
+            uid[order], chunk[order], t[order], eid[order], er[order]
+        )
+        new = np.ones(len(t), dtype=bool)
+        if len(t) > 1:
+            new[1:] = (uid[1:] != uid[:-1]) | (chunk[1:] != chunk[:-1])
+        starts = np.nonzero(new)[0]
+        ends = np.r_[starts[1:], len(t)] if len(starts) else starts
         return pa.Table.from_pydict(
             {
-                "user_id": batch.column("user_id"),
-                "chunk": pa.array(chunk, type=pa.int64()),
-                "t": t,
-                "event_id": batch.column("event_id"),
-                "is_error": is_err.cast(pa.int8()),
+                "user_id": pa.array(uid[starts], type=pa.int64()),
+                "chunk": pa.array(chunk[starts], type=pa.int64()),
+                "tb": pa.array(
+                    [t[s:e].astype("<i8").tobytes() for s, e in zip(starts, ends)],
+                    type=pa.binary(),
+                ),
+                "ib": pa.array(
+                    [eid[s:e].astype("<i8").tobytes() for s, e in zip(starts, ends)],
+                    type=pa.binary(),
+                ),
+                "eb": pa.array(
+                    [er[s:e].astype("<i1").tobytes() for s, e in zip(starts, ends)],
+                    type=pa.binary(),
+                ),
             }
         )
 
+    # packed input is pre-combined (one row per (user, chunk) per block),
+    # so coalescing to ~#CPUs blocks before the sort-aggregate is cheap and
+    # removes its block-count-proportional fixed cost
     collected = collect_tuples(
-        ds.map_batches(encode, batch_format="pyarrow"),
+        events.map_batches(encode_pack, batch_format="pyarrow"),
         ["user_id", "chunk"],
-        ["t", "event_id", "is_error"],
+        ["tb", "ib", "eb"],
         name="evs",
+        shuffle_blocks="auto",
     )
 
     out_schema = pa.schema(
@@ -386,8 +452,13 @@ def asof_error_attribution_ds(
         if items is None or not items:
             return mid_schema.empty_table()
         uid, chunk = key
-        clicks = sorted([(t, e) for t, e, is_err in items if not is_err])
-        errors = sorted([(t, e) for t, e, is_err in items if is_err])
+        t = np.concatenate([np.frombuffer(tb, dtype="<i8") for tb, _, _ in items])
+        eid = np.concatenate([np.frombuffer(ib, dtype="<i8") for _, ib, _ in items])
+        er = np.concatenate(
+            [np.frombuffer(eb, dtype="<i1") for _, _, eb in items]
+        ).astype(bool)
+        clicks = sorted(zip(t[~er].tolist(), eid[~er].tolist()))
+        errors = sorted(zip(t[er].tolist(), eid[er].tolist()))
         rows = []  # (kind, a, b, gap)
         if clicks:
             last_t, last_id = clicks[-1]
@@ -492,9 +563,12 @@ def asof_error_attribution_ds(
             }
         )
 
-    meta = mid.map_batches(pick_meta, batch_format="pyarrow").repartition(8)
+    meta = mid.map_batches(pick_meta, batch_format="pyarrow")
     carry = flat_map_groups(
-        collect_tuples(meta, ["user_id"], ["chunk", "kind", "a", "b"], name="m"),
+        collect_tuples(
+            meta, ["user_id"], ["chunk", "kind", "a", "b"], name="m",
+            shuffle_blocks="auto",
+        ),
         carries,
         ["user_id"],
         items_col="m",
@@ -533,7 +607,7 @@ def asof_error_attribution_ds(
     unresolved = mid.map_batches(pick_unresolved, batch_format="pyarrow")
     both = unresolved.union(
         carry.map_batches(carry_rows, batch_format="pyarrow")
-    ).repartition(8)
+    )
 
     def late_resolve(key, items) -> pa.Table:
         if items is None or not items:
@@ -561,7 +635,10 @@ def asof_error_attribution_ds(
         )
 
     late = flat_map_groups(
-        collect_tuples(both, ["user_id", "chunk"], ["kind", "a", "b"], name="x"),
+        collect_tuples(
+            both, ["user_id", "chunk"], ["kind", "a", "b"], name="x",
+            shuffle_blocks="auto",
+        ),
         late_resolve,
         ["user_id", "chunk"],
         items_col="x",
@@ -572,10 +649,7 @@ def asof_error_attribution_ds(
 def asof_error_attribution(
     sf_dir: str, chunk_minutes: int = 24 * 60
 ) -> ray.data.Dataset:
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet",
-        columns=["event_id", "ts", "user_id", "event_type"],
-    )
+    ds = read_events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
     return asof_error_attribution_ds(ds, chunk_minutes)
 
 
@@ -681,7 +755,5 @@ def range_join_events_ds(
 def range_join_events(
     sf_dir: str, window_seconds: int = 60, chunk_multiple: int = 16
 ) -> ray.data.Dataset:
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
-    )
+    ds = read_events(sf_dir, ["event_id", "ts", "user_id"])
     return range_join_events_ds(ds, window_seconds, chunk_multiple)
