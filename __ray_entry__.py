@@ -306,6 +306,17 @@ def _q_epoch_shuffle(sf_dir: str):
     return shuffled.select_columns(["url", "sent_id"])
 
 
+def _q_training_curve(sf_dir: str):
+    """Distributed training epochs (train.py:404-516 analog): 3 full-batch
+    SGD epochs of the CRF head on teacher-distillation labels; the curve
+    (epoch, n_train, mean_nll, dev_f1) is bit-deterministic under any
+    partitioning (integer gradient sums), so it hash-matches the frozen
+    sequential recompute."""
+    from ner_pytorch_ray.pipelines.training import train_loop
+
+    return train_loop(sf_dir, n_epochs=3, patience=10)
+
+
 def _q_neural_confusion(sf_dir: str):
     from ner_pytorch_ray.pipelines.neural import neural_eval
 
@@ -544,6 +555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neural_confusion": _q_neural_confusion,
         "neural_epoch_loss": _q_neural_epoch_loss,
         "epoch_shuffle": _q_epoch_shuffle,
+        "training_curve": _q_training_curve,
         # adversarial-variant pipeline (seeded RNG — rows-only check)
         "adv_rep_variants": _q_adv_rep_variants,
         "adv_ppdb_variants": _q_adv_ppdb_variants,
@@ -611,6 +623,7 @@ def _expected_oracles() -> dict[str, str]:
         "neural_eval_metrics",
         "neural_confusion",
         "neural_epoch_loss",
+        "training_curve",
         "adv_rep_variants",
         "adv_ppdb_variants",
         "adv_para_variants",

@@ -156,10 +156,13 @@ class NumpyBiLSTMCRF:
             out[:, t, :] = h
         return out
 
-    def _features(
+    def hidden_states(
         self, word_ids_list: list[list[int]], char_ids_list: list[list[list[int]]]
     ) -> tuple[np.ndarray, np.ndarray]:
-        """Padded emissions [B, L, C] + lengths [B]."""
+        """Padded BiLSTM hidden states [B, L, 2H] + lengths [B] — the
+        frozen-backbone output the trainable CRF head (fc + transitions)
+        consumes in the distributed training epoch (train.py:404-516
+        analog: embeddings/char-CNN/LSTM stay frozen, the head learns)."""
         w = self.w
         B = len(word_ids_list)
         lens = np.array([len(s) for s in word_ids_list], dtype=np.int64)
@@ -187,7 +190,13 @@ class NumpyBiLSTMCRF:
         for bi, n in enumerate(lens):
             h_bw[bi, :n] = h_bw_r[bi, :n][::-1]
 
-        h = np.concatenate([h_fw, h_bw], axis=2)  # [B, L, 2H]
+        return np.concatenate([h_fw, h_bw], axis=2), lens  # [B, L, 2H]
+
+    def _features(
+        self, word_ids_list: list[list[int]], char_ids_list: list[list[list[int]]]
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Padded emissions [B, L, C] + lengths [B]."""
+        h, lens = self.hidden_states(word_ids_list, char_ids_list)
         feats = h @ self.w["fc_w"].T + self.w["fc_b"]
         return feats.astype(np.float32), lens
 
@@ -292,3 +301,122 @@ class NumpyBiLSTMCRF:
         return self._forward_score(feats, lens) - self._gold_score(
             feats, tags, lens
         )
+
+
+# ===================================================================== head
+# Trainable CRF head (fc + transitions) over the frozen BiLSTM backbone —
+# the analytic-gradient core of the distributed training epoch
+# (pipelines/training.py; reference lifecycle train.py:404-516, where
+# loss.backward() differentiates the same NLL; here the CRF-layer gradient
+# is computed in closed form via forward-backward marginals).
+
+
+def _logsumexp(a: np.ndarray, axis: int) -> np.ndarray:
+    mx = a.max(axis=axis, keepdims=True)
+    return (mx + np.log(np.exp(a - mx).sum(axis=axis, keepdims=True))).squeeze(
+        axis=axis
+    )
+
+
+def head_emissions(h: np.ndarray, fc_w: np.ndarray, fc_b: np.ndarray) -> np.ndarray:
+    """[n, 2H] hidden states -> [n, C] emission scores (float64)."""
+    return h.astype(np.float64) @ fc_w.astype(np.float64).T + fc_b.astype(
+        np.float64
+    )
+
+
+def crf_head_grads(
+    h: np.ndarray,
+    tag_ids: np.ndarray,
+    fc_w: np.ndarray,
+    fc_b: np.ndarray,
+    trans: np.ndarray,
+    start_idx: int,
+    stop_idx: int,
+) -> tuple[float, np.ndarray, np.ndarray, np.ndarray]:
+    """Per-sentence CRF NLL + analytic gradients for the trainable head.
+
+    NLL = logZ - gold_score (crf.py:47-65 semantics). Gradients by
+    forward-backward:
+      * d/d emissions[t, c]   = unary marginal p(y_t = c)       - 1[gold]
+      * d/d trans[i, j]       = pairwise marginal p(y_{t-1}=j, y_t=i)
+                                (+ START/STOP expected counts)  - gold counts
+      * d_fc_w = d_emissions^T @ h ; d_fc_b = sum_t d_emissions[t]
+    The structurally-pinned IMPOSSIBLE entries (row INTO start, column FROM
+    stop — init_weights) get zero gradient so they stay pinned under SGD.
+    All float64; returns (nll, d_fc_w [C,2H], d_fc_b [C], d_trans [C,C]).
+    """
+    h = h.astype(np.float64)
+    T = trans.astype(np.float64)
+    feats = head_emissions(h, fc_w, fc_b)  # [n, C]
+    n, C = feats.shape
+    gold = np.asarray(tag_ids, dtype=np.int64)
+
+    # forward
+    alpha = np.empty((n, C), dtype=np.float64)
+    alpha[0] = T[:, start_idx] + feats[0]
+    for t in range(1, n):
+        alpha[t] = _logsumexp(alpha[t - 1][None, :] + T, axis=1) + feats[t]
+    log_z = float(_logsumexp((alpha[n - 1] + T[stop_idx])[None, :], axis=1)[0])
+
+    # backward
+    beta = np.empty((n, C), dtype=np.float64)
+    beta[n - 1] = T[stop_idx]
+    for t in range(n - 2, -1, -1):
+        # acc[i, j] = trans[i, j] + feats[t+1, i] + beta[t+1, i]
+        beta[t] = _logsumexp(T + (feats[t + 1] + beta[t + 1])[:, None], axis=0)
+
+    # unary marginals / emission gradient
+    m = np.exp(alpha + beta - log_z)  # [n, C]
+    d_feats = m.copy()
+    d_feats[np.arange(n), gold] -= 1.0
+    d_fc_w = d_feats.T @ h
+    d_fc_b = d_feats.sum(axis=0)
+
+    # pairwise marginals / transition gradient
+    d_trans = np.zeros((C, C), dtype=np.float64)
+    for t in range(1, n):
+        d_trans += np.exp(
+            alpha[t - 1][None, :] + T + (feats[t] + beta[t])[:, None] - log_z
+        )
+    d_trans[:, start_idx] += m[0]        # expected START -> y_0
+    d_trans[stop_idx, :] += m[n - 1]     # expected y_last -> STOP
+    prev = start_idx
+    for t in range(n):
+        d_trans[gold[t], prev] -= 1.0
+        prev = int(gold[t])
+    d_trans[stop_idx, prev] -= 1.0
+    d_trans[start_idx, :] = 0.0  # pinned IMPOSSIBLE row (into START)
+    d_trans[:, stop_idx] = 0.0   # pinned IMPOSSIBLE column (from STOP)
+
+    # gold score -> nll
+    emit = float(feats[np.arange(n), gold].sum())
+    tr = float(T[gold[0], start_idx] + T[stop_idx, gold[n - 1]])
+    if n > 1:
+        tr += float(T[gold[1:], gold[:-1]].sum())
+    nll = log_z - (emit + tr)
+    return nll, d_fc_w, d_fc_b, d_trans
+
+
+def viterbi_path(
+    feats: np.ndarray, trans: np.ndarray, start_idx: int, stop_idx: int
+) -> list[int]:
+    """Single-sentence Viterbi over precomputed emissions [n, C]
+    (crf.py:91-135 semantics — used by the training dev-eval, where
+    emissions come from cached hidden states and the LEARNED head)."""
+    T = trans.astype(np.float64)
+    n, C = feats.shape
+    score = np.full(C, IMPOSSIBLE, dtype=np.float64)
+    score[start_idx] = 0.0
+    bps = np.zeros((n, C), dtype=np.int64)
+    for t in range(n):
+        acc = score[None, :] + T  # [to, from]
+        bps[t] = np.argmax(acc, axis=1)
+        score = acc.max(axis=1) + feats[t]
+    score = score + T[stop_idx]
+    tag = int(np.argmax(score))
+    path = [tag]
+    for t in range(n - 1, 0, -1):
+        tag = int(bps[t, tag])
+        path.append(tag)
+    return path[::-1]

@@ -602,6 +602,133 @@ def tag_embeddings_expected(tagged, dim=16, pooling="mean") -> pa.Table:
     )
 
 
+def training_curve_expected(
+    sents,
+    n_epochs: int = 3,
+    lr: float = 6.0,
+    lr_decay: float = 0.3,
+    momentum: float = 0.5,
+    clip: float = 5.0,
+    seed: int = 1234,
+    dev_mod: int = 5,
+) -> pa.Table:
+    """Sequential mirror of pipelines/training.train_loop (teacher labels):
+    plain python loop over sentences — per-sentence frozen-backbone
+    features, teacher-head Viterbi labels, integer-summed analytic
+    gradients, the same driver-side SGD — no ray.data anywhere."""
+    from ner_pytorch_ray.functions.conlleval import (
+        ChunkCounts,
+        count_chunks,
+        evaluate_counts,
+    )
+    from ner_pytorch_ray.pipelines.training import (
+        GRAD_SCALE,
+        NLL_SCALE,
+        _dev_of,
+        sgd_step,
+    )
+    from ner_pytorch_ray.state.model import (
+        crf_head_grads,
+        head_emissions,
+        viterbi_path,
+    )
+
+    word_to_id, char_to_id, tag_to_id, id_to_tag, model = build_model_state(
+        sents, seed
+    )
+    n_tags = len(tag_to_id)
+    start, stop = n_tags - 2, n_tags - 1
+    tw = init_weights(
+        n_words=len(word_to_id),
+        n_chars=len(char_to_id),
+        n_tags=n_tags,
+        word_dim=50,
+        char_dim=16,
+        char_out=16,
+        hidden=32,
+        seed=seed + 1,
+    )
+    teacher = (
+        tw["fc_w"].astype(np.float64),
+        tw["fc_b"].astype(np.float64),
+        tw["trans"].astype(np.float64),
+    )
+
+    cache = []
+    for url, sid, toks in sents:
+        wids, cids = encode_sentence(toks, word_to_id, char_to_id)
+        h, _ = model.hidden_states([wids], [cids])
+        hn = h[0, : len(wids)].astype("<f4")
+        feats = head_emissions(hn.astype(np.float64), teacher[0], teacher[1])
+        tids = np.array(
+            viterbi_path(feats, teacher[2], start, stop), dtype=np.int64
+        )
+        cache.append((hn, tids, _dev_of(url, int(sid), dev_mod)))
+
+    w0 = model.w
+    head = (
+        w0["fc_w"].astype(np.float64).copy(),
+        w0["fc_b"].astype(np.float64).copy(),
+        w0["trans"].astype(np.float64).copy(),
+    )
+    momenta = tuple(np.zeros_like(p) for p in head)
+
+    def f1_of(head):
+        total = ChunkCounts()
+        for hn, tids, is_dev in cache:
+            if not is_dev:
+                continue
+            feats = head_emissions(hn.astype(np.float64), head[0], head[1])
+            pred = viterbi_path(feats, head[2], start, stop)
+            total.merge(
+                count_chunks(
+                    [id_to_tag[t] for t in tids], [id_to_tag[t] for t in pred]
+                )
+            )
+        return float(evaluate_counts(total)["f1"])
+
+    rows = [(0, 0, 0.0, f1_of(head))]
+    C, H2 = head[0].shape
+    for epoch in range(1, n_epochs + 1):
+        gw = np.zeros((C, H2), dtype=np.int64)
+        gb = np.zeros(C, dtype=np.int64)
+        gt = np.zeros((C, C), dtype=np.int64)
+        nll_i = 0
+        n = 0
+        n_tok = 0
+        for hn, tids, is_dev in cache:
+            if is_dev:
+                continue
+            nll, dw, db, dt = crf_head_grads(
+                np.frombuffer(hn.tobytes(), dtype="<f4").reshape(hn.shape),
+                tids, head[0], head[1], head[2], start, stop,
+            )
+            gw += np.rint(dw * GRAD_SCALE).astype(np.int64)
+            gb += np.rint(db * GRAD_SCALE).astype(np.int64)
+            gt += np.rint(dt * GRAD_SCALE).astype(np.int64)
+            nll_i += int(round(nll * NLL_SCALE))
+            n += 1
+            n_tok += len(tids)
+        mean_nll = (nll_i / NLL_SCALE) / n if n else 0.0
+        grads = tuple(
+            g.astype(np.float64) / GRAD_SCALE / max(n_tok, 1)
+            for g in (gw, gb, gt)
+        )
+        lr_t = lr / (1.0 + lr_decay * (epoch - 1))
+        sgd_step(head, momenta, grads, lr_t, momentum, clip)
+        rows.append((epoch, n, round(mean_nll, 4), f1_of(head)))
+    return pa.Table.from_pydict(
+        {
+            "epoch": pa.array([r[0] for r in rows], type=pa.int64()),
+            "n_train": pa.array([r[1] for r in rows], type=pa.int64()),
+            "mean_nll": pa.array([r[2] for r in rows], type=pa.float64()),
+            "dev_f1": pa.array(
+                [round(r[3], 6) for r in rows], type=pa.float64()
+            ),
+        }
+    )
+
+
 # ---------------------------------------------------------------------- main
 def main(sf_dir: str, out_dir: str) -> None:
     os.makedirs(out_dir, exist_ok=True)
@@ -629,6 +756,7 @@ def main(sf_dir: str, out_dir: str) -> None:
 
     write("tag_embeddings", tag_embeddings_expected(tagged))
     write("neural_epoch_loss", neural_epoch_loss_expected(sents, tagged))
+    write("training_curve", training_curve_expected(sents))
 
     # adversarial path
     bank = build_bank(tagged)
