@@ -442,11 +442,42 @@ class UnigramLM:
         return batch.append_column("ppl", pa.array(ppls, type=pa.float64()))
 
 
-def ppl_stage(ds: ray.data.Dataset, counts: dict, concurrency=(1, 32)):
+class PplEstimator(UnigramLM):
+    """T7 backend seam (mirrors stages/parser.ParserActor's ``backend=``):
+
+      * ``backend="unigram"`` — the deterministic broadcast stand-in
+        (this class's parent), same actor-pool dataflow as a GPU LM;
+      * ``backend="gpt2"`` — the reference's real scorer
+        (perplexity_est.py:18-82, batched CE with attention-mask lengths);
+        torch/transformers are not in this container, so it raises a
+        clearly-marked stub error. On a GPU cluster, swapping the real
+        model in is THIS constructor argument, not a rewrite.
+    """
+
+    BACKENDS = ("unigram", "gpt2")
+
+    def __init__(self, counts_ref, backend: str = "unigram"):
+        if backend == "gpt2":
+            raise NotImplementedError(
+                "backend='gpt2' needs torch+transformers (reference "
+                "perplexity_est.py:18-82); unavailable in this container — "
+                "use backend='unigram'"
+            )
+        if backend != "unigram":
+            raise ValueError(f"unknown ppl backend {backend!r}")
+        super().__init__(counts_ref)
+
+
+def ppl_stage(
+    ds: ray.data.Dataset,
+    counts: dict,
+    concurrency=(1, 32),
+    backend: str = "unigram",
+):
     ref = ray.put(counts)
     return ds.map_batches(
-        UnigramLM,
-        fn_constructor_args=(ref,),
+        PplEstimator,
+        fn_constructor_args=(ref, backend),
         concurrency=concurrency,
         batch_format="pyarrow",
     )

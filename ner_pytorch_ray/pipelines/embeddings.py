@@ -37,21 +37,47 @@ def piece_embedding(pieces: list[str], dim: int) -> np.ndarray:
     return np.stack([wv[p] for p in pieces]) if pieces else np.zeros((0, dim))
 
 
-def sentence_subword_matrix(tokens: list[str], dim: int) -> np.ndarray:
+def resolve_embedding_backend(backend: str):
+    """T8 backend seam (mirrors stages/parser.ParserActor's ``backend=``):
+    ``"pseudo"`` = the deterministic per-piece vectors above; ``"bert"`` =
+    the reference's real encoder (get_bert_embedding.py:24-132) — torch
+    is not in this container, so it raises a clearly-marked stub error.
+    The offset/pooling/sink machinery is backend-agnostic: a real encoder
+    slots in as this one constructor-level choice."""
+    if backend == "pseudo":
+        return piece_embedding
+    if backend == "bert":
+        raise NotImplementedError(
+            "backend='bert' needs torch+transformers (reference "
+            "get_bert_embedding.py:24-132); unavailable in this container — "
+            "use backend='pseudo'"
+        )
+    raise ValueError(f"unknown embedding backend {backend!r}")
+
+
+def sentence_subword_matrix(
+    tokens: list[str], dim: int, backend: str = "pseudo"
+) -> np.ndarray:
     """[1 + n_subwords, dim]: row 0 = [CLS] (zeros), then every word's
     pieces in order — the matrix the offset rule (C7) indexes into."""
     pieces = [p for w in tokens for p in subword_tokenize(w)]
-    emb = piece_embedding(pieces, dim)
+    emb = resolve_embedding_backend(backend)(pieces, dim)
     return np.vstack([np.zeros((1, dim), dtype=emb.dtype), emb])
 
 
-def chunk_rows(tokens: list[str], tags: list[str], dim: int, pooling: str):
+def chunk_rows(
+    tokens: list[str],
+    tags: list[str],
+    dim: int,
+    pooling: str,
+    backend: str = "pseudo",
+):
     """Per entity chunk: (tag_type, lower surface, pooled vec)."""
     spans = extract_spans(tags)
     if not spans:
         return []
     starts, _ = first_subword_offsets(tokens)
-    sub = sentence_subword_matrix(tokens, dim)
+    sub = sentence_subword_matrix(tokens, dim, backend)
     out = []
     for sp in spans:
         first = starts[sp.begin]
@@ -78,7 +104,7 @@ def mean_from_billionths(total: np.ndarray, n: int) -> np.ndarray:
 
 
 def tag_embedding_table(
-    sf_dir: str, dim: int = 16, pooling: str = "mean"
+    sf_dir: str, dim: int = 16, pooling: str = "mean", backend: str = "pseudo"
 ) -> ray.data.Dataset:
     """The distributed sink: tagged sentences -> one row per distinct
     (tag_type, surface) with the MEAN pooled chunk embedding over all its
@@ -96,6 +122,8 @@ def tag_embedding_table(
         flat_map_groups,
     )
 
+    resolve_embedding_backend(backend)  # fail fast on stub backends
+
     tagged = gazetteer_tag_stage(
         sentences_stage(extract_stage(pages_from_documents(sf_dir)), zeros=True)
     )
@@ -105,7 +133,7 @@ def tag_embedding_table(
         tags = batch.column("tags").to_pylist()
         acc: dict[tuple[str, str], list] = {}
         for toks, tgs in zip(tokens, tags):
-            for t, s, vec in chunk_rows(toks, tgs, dim, pooling):
+            for t, s, vec in chunk_rows(toks, tgs, dim, pooling, backend):
                 iv = vec_billionths(vec)
                 st = acc.get((t, s))
                 if st is None:

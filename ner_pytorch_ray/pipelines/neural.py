@@ -30,13 +30,52 @@ from ner_pytorch_ray.state.model import init_weights
 DEFAULT_SEED = 1234
 
 
-def build_vocab_state(sentences: ray.data.Dataset) -> dict:
+def sample_sentences(
+    sentences: ray.data.Dataset, fraction: float, salt: str = "vocab"
+) -> ray.data.Dataset:
+    """Deterministic url-keyed sentence sample (md5, like hash_sample):
+    whole documents are kept or dropped together, stable under retries and
+    partitioning."""
+    import hashlib
+
+    import pyarrow as pa
+
+    thresh = int(fraction * 1_000_000)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        mask = [
+            int.from_bytes(
+                hashlib.md5(f"{salt}|{u}".encode()).digest()[:8], "little"
+            )
+            % 1_000_000
+            < thresh
+            for u in urls
+        ]
+        return batch.filter(pa.array(mask, type=pa.bool_()))
+
+    return sentences.map_batches(keep, batch_format="pyarrow")
+
+
+def build_vocab_state(
+    sentences: ray.data.Dataset, sample_fraction: float | None = None
+) -> dict:
     """Distributed vocab counts -> driver-side deterministic mappings.
 
     One pass over the sentence stream for word+char counts (matching
-    loader.py:69-97 semantics: words lowered, freq>=3 cut; chars raw)."""
+    loader.py:69-97 semantics: words lowered, freq>=3 cut; chars raw).
+
+    ``sample_fraction``: the 100 TB mode — count over a deterministic
+    url-keyed sample instead of the full corpus (vocabulary quality needs
+    corpus-representative frequencies, not the exact corpus; OOV words hit
+    the <UNK> fallback exactly as reference loader.py:158 does). With a
+    sample the vocab pass reads a FRACTION of the data and the main
+    sentence stream no longer needs to be materialized for double
+    consumption."""
     from ner_pytorch_ray.state.vocab import word_and_char_mapping
 
+    if sample_fraction is not None and sample_fraction < 1.0:
+        sentences = sample_sentences(sentences, sample_fraction)
     (word_to_id, id_to_word), (char_to_id, id_to_char) = word_and_char_mapping(
         sentences, lower=True, min_freq=3
     )
@@ -71,32 +110,43 @@ def neural_tagged_sentences(
     batch_size: int = 256,
     replicate: int = 1,
     override_num_blocks: int | None = None,
+    vocab_sample: float | None = None,
 ):
     """pages(sf_dir documents) -> tagged sentences (+ vocab/weights state).
 
-    Returns (tagged_ds, vocab, weights). The sentence stream is materialized
-    once (object store, spills if large) because BOTH the vocab count and the
-    encode+tag pass consume it — without this, extract+split would execute
-    twice. At 100 TB you would persist sentences to parquet (the resumable
-    runner does exactly that) or build the vocab from a sample.
+    Returns (tagged_ds, vocab, weights).
+
+    ``vocab_sample``: the 100 TB vocab mode — the vocabulary is counted
+    over a deterministic url-keyed SAMPLE of the base corpus
+    (build_vocab_state), and the main sentence stream is consumed exactly
+    once by encode+tag, fully streaming (no materialization of the big
+    pass). Default None keeps the exact-corpus vocabulary: the stream is
+    then materialized once because BOTH the vocab count and the encode+tag
+    pass consume it.
     """
     pages = pages_from_documents(
         sf_dir, replicate=replicate, override_num_blocks=override_num_blocks
     )
     if replicate > 1:
         # replicated corpora (bench-scale synthesis) share the base corpus
-        # vocabulary — build it from ONE copy and stream the big pass.
-        # (At 100 TB you similarly build vocab from a sample/prior pass
-        # rather than materializing the full sentence stream twice.)
+        # vocabulary — build it from ONE copy (optionally sampled) and
+        # stream the big pass.
         base = sentences_stage(
             extract_stage(pages_from_documents(sf_dir)), zeros=True
         )
-        vocab = build_vocab_state(base)
+        vocab = build_vocab_state(base, sample_fraction=vocab_sample)
         # materialize the replicated sentence stream once: it feeds the
         # encode+tag pass and breaks fusion with the tiny shard-id source
         # (fused bundling by row-count over a 128-row source serializes the
         # pipeline into one task).
         sents = sentences_stage(extract_stage(pages), zeros=True).materialize()
+    elif vocab_sample is not None:
+        # vocab from the sampled base; the big pass streams end-to-end
+        base = sentences_stage(
+            extract_stage(pages_from_documents(sf_dir)), zeros=True
+        )
+        vocab = build_vocab_state(base, sample_fraction=vocab_sample)
+        sents = sentences_stage(extract_stage(pages), zeros=True)
     else:
         sents = sentences_stage(extract_stage(pages), zeros=True).materialize()
         vocab = build_vocab_state(sents)
