@@ -38,6 +38,18 @@ def input_fingerprint(sf_dir: str, stage: str, n_shards: int, shard: int) -> str
     return h.hexdigest()
 
 
+def chained_fingerprint(*parts: str) -> str:
+    """Fingerprint of a DERIVED shard: hash of (stage definition, upstream
+    shard fingerprint(s), source fingerprint). A re-run of any upstream
+    shard (new fingerprint) transitively invalidates its dependents — the
+    lineage chain of the multi-stage adversarial runner."""
+    h = hashlib.blake2b(digest_size=16)
+    for p in parts:
+        h.update(p.encode())
+        h.update(b"\0")
+    return h.hexdigest()
+
+
 def write_manifest(
     out_dir: str,
     stage: str,
