@@ -364,6 +364,85 @@ def _fit_centroids(
     return C
 
 
+_FIT_SCALE = 1_000_000_000
+
+
+def fit_centroids_distributed(
+    ds: ray.data.Dataset,
+    init: np.ndarray,
+    n_iter: int = 5,
+    concurrency: int | tuple[int, int] = (1, 32),
+) -> np.ndarray:
+    """Distributed spherical k-means refinement (the 100 TB fit path).
+
+    Each iteration is ONE streaming pass over the embeddings Dataset: a
+    per-batch assignment matmul against the broadcast centroids, then
+    per-centroid partial sums quantized to INTEGER billionths — integer
+    addition is order-independent, so the fitted centroids are
+    bit-identical under any partitioning / CPU count (property-tested).
+    The shuffle-free reduce moves n_centroids rows per batch (vector sums
+    as binary cells), never corpus rows."""
+    C = init.astype(np.float64).copy()
+    n_c, dim = C.shape
+
+    class AssignPartials:
+        def __init__(self, c_ref):
+            self.C = ray.get(c_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            M = normalized_rows(batch.column("embedding"))
+            if not len(M):
+                return pa.Table.from_pydict(
+                    {
+                        "centroid": pa.array([], type=pa.int32()),
+                        "n": pa.array([], type=pa.int64()),
+                        "vsum": pa.array([], type=pa.binary()),
+                    }
+                )
+            assign = np.argmax(M @ self.C.T, axis=1)
+            cents, counts = np.unique(assign, return_counts=True)
+            # quantize per ROW, then sum integers: a per-batch float sum
+            # would make the rounded partial depend on batch composition
+            Mi = np.rint(M * _FIT_SCALE).astype(np.int64)
+            sums = [
+                Mi[assign == c].sum(axis=0).astype("<i8").tobytes()
+                for c in cents
+            ]
+            return pa.Table.from_pydict(
+                {
+                    "centroid": pa.array(cents.astype(np.int32)),
+                    "n": pa.array(counts.astype(np.int64)),
+                    "vsum": pa.array(sums, type=pa.binary()),
+                }
+            )
+
+    for _ in range(n_iter):
+        c_ref = ray.put(C)
+        parts = ds.map_batches(
+            AssignPartials,
+            fn_constructor_args=(c_ref,),
+            concurrency=concurrency,
+            batch_format="pyarrow",
+        )
+        tot = np.zeros((n_c, dim), dtype=np.int64)
+        cnt = np.zeros(n_c, dtype=np.int64)
+        for b in parts.iter_batches(batch_format="pyarrow"):
+            for c, n, blob in zip(
+                b.column("centroid").to_pylist(),
+                b.column("n").to_pylist(),
+                b.column("vsum").to_pylist(),
+            ):
+                tot[c] += np.frombuffer(blob, dtype="<i8")
+                cnt[c] += n
+        for c in range(n_c):
+            if cnt[c]:
+                v = tot[c].astype(np.float64) / _FIT_SCALE
+                nrm = np.linalg.norm(v)
+                if nrm > 0:
+                    C[c] = v / nrm
+    return C
+
+
 def ivf_topk(
     sf_dir: str,
     n_queries: int = 10,
@@ -371,20 +450,37 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     sample: int = 4096,
+    fit: str = "auto",
+    fit_threshold: int = 100_000,
 ) -> ray.data.Dataset:
     """IVF (inverted-file) approximate top-k — the centroid-bucketed scale
     path next to the LSH one.
 
-    Fit: spherical k-means on a bounded driver-side sample (first
-    ``sample`` vec_ids — deterministic), centroids broadcast. Probe: each
-    query scores only corpus rows whose nearest centroid is among the
-    query's ``n_probe`` closest centroids — per batch a vectorized
+    Fit (``fit=``): "sample" = seeded spherical k-means on a bounded
+    driver-side sample (the first ``sample`` vec_ids after the vec_id
+    sort — deterministic); "distributed" = the same seeded init refined by
+    ``fit_centroids_distributed`` streaming passes over the WHOLE corpus
+    (integer-billionths partials — bit-deterministic under partitioning);
+    "auto" routes by corpus row count (metadata only): sample below
+    ``fit_threshold`` rows, distributed above. Probe: each query scores
+    only corpus rows whose nearest centroid is among the query's
+    ``n_probe`` closest centroids — per batch a vectorized
     centroid-assignment matmul plus one masked score matmul per probe
     bucket. The corpus streams; shuffle-free (local top-k rows merge per
     query, exactly like knn_topk).
     """
     ids, M = _load_matrix(sf_dir, max_vec_id=max(sample, n_queries))
     C = _fit_centroids(M[:sample], n_centroids)
+    if fit == "auto":
+        n_rows = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+        fit = "distributed" if n_rows > fit_threshold else "sample"
+    if fit == "distributed":
+        corpus = ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+        )
+        C = fit_centroids_distributed(corpus, C)
+    elif fit != "sample":
+        raise ValueError(f"unknown fit mode {fit!r}")
     q_mask = ids < n_queries
     q_ids, Q = ids[q_mask], M[q_mask]
     # per-query probe sets: n_probe nearest centroids
