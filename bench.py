@@ -175,6 +175,12 @@ def run_extras(sf_dir: str) -> dict:
     timed("user_sessions", lambda: user_sessions(sf_dir).count())
     timed("asof_attribution", lambda: asof_error_attribution(sf_dir).count())
     timed("adv_nll_topk", lambda: adv_nll_topk(sf_dir).count())
+
+    # round 3: two distributed training epochs (feature-cache pass + two
+    # integer-exact gradient passes + dev-F1 evals)
+    from ner_pytorch_ray.pipelines.training import train_loop
+
+    timed("train_2epochs", lambda: train_loop(sf_dir, n_epochs=2).num_rows)
     return extras
 
 
@@ -300,11 +306,13 @@ def scaling_run(
         env["RAY_GRAFT_CPUS"] = str(n)
         env["GRAFT_SF_DIR"] = sf_dir
         best = None
-        # best-of-N per leg: executor scheduling jitter is large relative to
-        # the steady state on the WIDE leg (measured 30-42 s spread at 8
-        # cores); the narrow leg is CPU-saturated and stable (+/-2%), so one
-        # trial suffices there.
-        leg_trials = 1 if n == low else trials
+        # best-of-N on BOTH legs (min over trials = the standard
+        # least-contention estimate): executor scheduling jitter is large
+        # on the wide leg (30-42 s spread at 8 cores in round 2), and on a
+        # busy shared host the narrow leg jitters too (125-155 s spread
+        # observed in round 3, vs +/-2% on an idle host) — an asymmetric
+        # protocol would let one slow narrow trial flatter the ratio.
+        leg_trials = trials
         for _ in range(leg_trials):
             out = subprocess.run(
                 [sys.executable, __file__, "--scaling-worker"],
