@@ -26,7 +26,11 @@ Mirrored surface:
                         'rep');
   * per-stage outputs land under ``--save_dir/<name>_<agg>`` as parquet
     (savefile, :238-246 — parquet + _DONE marker instead of pickle), and a
-    rerun short-circuits from them.
+    rerun short-circuits from them;
+  * ``--shards N``      run shard-resumable instead (partition-granular
+                        manifests with chained lineage,
+                        pipelines/adv_resumable.py): a crash resumes with
+                        only unfinished shards recomputed.
 """
 
 from __future__ import annotations
@@ -169,6 +173,13 @@ def main(argv: list[str] | None = None) -> int:
         default="",
         help="comma list of saved stage names to reload",
     )
+    p.add_argument(
+        "--shards",
+        type=int,
+        default=0,
+        help="run shard-resumable (partition manifests + chained lineage; "
+        "requires --save_dir); 0 = the stage-granular pipeline above",
+    )
     args = p.parse_args(argv)
 
     import ray
@@ -177,6 +188,28 @@ def main(argv: list[str] | None = None) -> int:
     if owns_session:
         ray.init(address="local", include_dashboard=False)
     try:
+        if args.shards > 0:
+            if not args.save_dir:
+                raise SystemExit("--shards requires --save_dir")
+            from ner_pytorch_ray.pipelines.adv_resumable import (
+                run_resumable_adv,
+            )
+
+            info = run_resumable_adv(
+                args.sf_dir,
+                args.save_dir,
+                order=args.order,
+                n_shards=args.shards,
+                n_variants=args.n,
+                method=args.rep_with,
+            )
+            for stage in info["stages"]:
+                print(
+                    f"{stage}: ran {info['ran'][stage]} shards, "
+                    f"skipped {info['skipped'][stage]}"
+                )
+            print(f"final: {info['final_dir']}")
+            return 0
         _, counts = run_pipeline(
             sf_dir=args.sf_dir,
             order=args.order,
