@@ -180,10 +180,17 @@ def feature_cache(
 
 
 class GradActor:
-    """Epoch gradient partials: one integer-sum row per batch."""
+    """Epoch gradient partials: one integer-sum row per batch.
 
-    def __init__(self, head_ref, start_idx: int, stop_idx: int):
-        self.fc_w, self.fc_b, self.trans = ray.get(head_ref)
+    Shipped as a plain TASK closure by ``epoch_gradient`` (the head is a
+    ~12 KB tuple embedded in the UDF — an actor pool would pay a fresh
+    ~1.5-2 s ramp every epoch for no state worth holding; the heavy model
+    never leaves the feature-cache stage)."""
+
+    def __init__(self, head, start_idx: int, stop_idx: int):
+        self.fc_w, self.fc_b, self.trans = (
+            ray.get(head) if isinstance(head, ray.ObjectRef) else head
+        )
         self.start_idx, self.stop_idx = start_idx, stop_idx
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -231,14 +238,15 @@ def epoch_gradient(
     concurrency: int | tuple[int, int] = (1, 32),
 ) -> tuple[int, int, np.ndarray, np.ndarray, np.ndarray]:
     """One distributed epoch pass over the TRAIN split -> integer-exact
-    (n_sentences, n_tokens, total_nll_i, sum_gw, sum_gb, sum_gt)."""
+    (n_sentences, n_tokens, total_nll_i, sum_gw, sum_gb, sum_gt).
+
+    Runs as stateless TASKS (closure ships the small head once per stage):
+    reuses warm workers instead of paying an actor-pool ramp per epoch."""
     C, H2 = head[0].shape
-    head_ref = ray.put(head)
+    fn = GradActor(head, start_idx, stop_idx)
     train = feats.filter(expr="is_dev == False")
     parts = train.map_batches(
-        GradActor,
-        fn_constructor_args=(head_ref, start_idx, stop_idx),
-        concurrency=concurrency,
+        fn,
         batch_size=256,
         batch_format="pyarrow",
     )
@@ -281,10 +289,13 @@ def sgd_step(
 
 
 class DevEvalActor:
-    """Viterbi with the learned head over cached features -> tag pairs."""
+    """Viterbi with the learned head over cached features -> tag pairs.
+    Shipped as a plain task closure (see GradActor)."""
 
-    def __init__(self, head_ref, id_to_tag: dict[int, str], start_idx, stop_idx):
-        self.fc_w, self.fc_b, self.trans = ray.get(head_ref)
+    def __init__(self, head, id_to_tag: dict[int, str], start_idx, stop_idx):
+        self.fc_w, self.fc_b, self.trans = (
+            ray.get(head) if isinstance(head, ray.ObjectRef) else head
+        )
         self.id_to_tag = {int(k): v for k, v in id_to_tag.items()}
         self.start_idx, self.stop_idx = start_idx, stop_idx
 
@@ -316,12 +327,10 @@ def dev_f1(
 ) -> float:
     from ner_pytorch_ray.stages.evaluate import conlleval_score
 
-    head_ref = ray.put(head)
+    fn = DevEvalActor(head, id_to_tag, start_idx, stop_idx)
     dev = feats.filter(expr="is_dev == True")
     pairs = dev.map_batches(
-        DevEvalActor,
-        fn_constructor_args=(head_ref, id_to_tag, start_idx, stop_idx),
-        concurrency=concurrency,
+        fn,
         batch_size=256,
         batch_format="pyarrow",
     )

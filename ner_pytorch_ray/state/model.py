@@ -373,12 +373,18 @@ def crf_head_grads(
     d_fc_w = d_feats.T @ h
     d_fc_b = d_feats.sum(axis=0)
 
-    # pairwise marginals / transition gradient
-    d_trans = np.zeros((C, C), dtype=np.float64)
-    for t in range(1, n):
-        d_trans += np.exp(
-            alpha[t - 1][None, :] + T + (feats[t] + beta[t])[:, None] - log_z
+    # pairwise marginals / transition gradient — one broadcast exp over
+    # [n-1, C(to), C(from)] instead of a python loop over t
+    if n > 1:
+        acc = (
+            alpha[:-1, None, :]
+            + T[None, :, :]
+            + (feats[1:] + beta[1:])[:, :, None]
+            - log_z
         )
+        d_trans = np.exp(acc).sum(axis=0)
+    else:
+        d_trans = np.zeros((C, C), dtype=np.float64)
     d_trans[:, start_idx] += m[0]        # expected START -> y_0
     d_trans[stop_idx, :] += m[n - 1]     # expected y_last -> STOP
     prev = start_idx
