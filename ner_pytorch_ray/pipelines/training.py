@@ -147,12 +147,38 @@ def feature_cache(
     dev_mod: int = 5,
     labels: str = "teacher",
     concurrency: int | tuple[int, int] = (1, 32),
+    features_path: str | None = None,
 ) -> tuple[ray.data.Dataset, dict, dict]:
     """Build (materialized features ds, vocab, weights).
 
     ``labels``: "teacher" = distillation labels from a seed+1 head
     (realizable -> training demonstrably converges); "gazetteer" = the
-    corpus's gazetteer annotation (reference workflow)."""
+    corpus's gazetteer annotation (reference workflow).
+
+    ``features_path``: persist the cache as parquet (+ _DONE marker) and
+    short-circuit subsequent runs from disk — the 100 TB mode, where the
+    one expensive backbone pass survives process restarts and the object
+    store holds only the streaming epoch reads. Default None keeps the
+    cache in the object store for the life of the run."""
+    import os
+
+    if features_path is not None and os.path.exists(
+        os.path.join(features_path, "_DONE")
+    ):
+        from ner_pytorch_ray.pipelines.neural import (
+            build_vocab_state,
+            frozen_weights,
+        )
+        from ner_pytorch_ray.sources.pages import pages_from_documents
+        from ner_pytorch_ray.stages.extract import extract_stage
+        from ner_pytorch_ray.stages.sentences import sentences_stage
+
+        sents = sentences_stage(
+            extract_stage(pages_from_documents(sf_dir)), zeros=True
+        )
+        vocab = build_vocab_state(sents)
+        weights = frozen_weights(vocab, seed)
+        return ray.data.read_parquet(features_path), vocab, weights
     from ner_pytorch_ray.pipelines.neural import build_vocab_state, frozen_weights
     from ner_pytorch_ray.sources.pages import pages_from_documents
     from ner_pytorch_ray.stages.encode import encode_stage
@@ -175,8 +201,17 @@ def feature_cache(
         concurrency=concurrency,
         batch_size=256,
         batch_format="pyarrow",
-    ).materialize()
-    return feats, vocab, weights
+    )
+    if features_path is not None:
+        import shutil
+
+        if os.path.exists(features_path):
+            shutil.rmtree(features_path)  # crashed partial write
+        feats.write_parquet(features_path)
+        with open(os.path.join(features_path, "_DONE"), "w") as f:
+            f.write("done\n")
+        return ray.data.read_parquet(features_path), vocab, weights
+    return feats.materialize(), vocab, weights
 
 
 class GradActor:
@@ -348,6 +383,7 @@ def train_loop(
     dev_mod: int = 5,
     labels: str = "teacher",
     checkpoint_path: str | None = None,
+    features_path: str | None = None,
     patience: int = 7,
 ) -> pa.Table:
     """The epoch driver (train.py:404-516 analog). Full-batch GD: one
@@ -362,7 +398,9 @@ def train_loop(
     is bit-identical under any partitioning (integer gradient sums)."""
     from ner_pytorch_ray.state.schedulers import EarlyStopping
 
-    feats, vocab, weights = feature_cache(sf_dir, seed, dev_mod, labels=labels)
+    feats, vocab, weights = feature_cache(
+        sf_dir, seed, dev_mod, labels=labels, features_path=features_path
+    )
     n_tags = len(vocab["tag_to_id"])
     start_idx, stop_idx = n_tags - 2, n_tags - 1
     head = (

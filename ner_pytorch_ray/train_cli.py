@@ -35,6 +35,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--patience", type=int, default=7)
     p.add_argument("--checkpoint", default=None, help="npz path for the best head")
+    p.add_argument(
+        "--features",
+        default=None,
+        help="parquet dir for the backbone feature cache (persists across "
+        "runs; a rerun skips the expensive backbone pass)",
+    )
     args = p.parse_args(argv)
 
     import ray
@@ -56,6 +62,7 @@ def main(argv: list[str] | None = None) -> int:
             dev_mod=args.dev_mod,
             labels=args.labels,
             checkpoint_path=args.checkpoint,
+            features_path=args.features,
             patience=args.patience,
         )
         d = curve.to_pydict()

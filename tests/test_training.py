@@ -148,3 +148,24 @@ def test_train_cli_runs(ray_session, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "best dev F1" in out and "epoch   1" in out
+
+
+def test_features_path_persists_and_resumes(ray_session, tmp_path):
+    """features_path: the backbone pass persists to parquet; a rerun
+    short-circuits from disk and produces the identical training curve."""
+    import os
+
+    from ner_pytorch_ray.pipelines.training import train_loop
+
+    fdir = str(tmp_path / "feats")
+    c1 = train_loop(SF, n_epochs=2, features_path=fdir, patience=10).to_pydict()
+    assert os.path.exists(os.path.join(fdir, "_DONE"))
+    mtimes = {
+        f: os.path.getmtime(os.path.join(fdir, f)) for f in os.listdir(fdir)
+    }
+    c2 = train_loop(SF, n_epochs=2, features_path=fdir, patience=10).to_pydict()
+    assert c1 == c2
+    # the cache was not rewritten
+    assert mtimes == {
+        f: os.path.getmtime(os.path.join(fdir, f)) for f in os.listdir(fdir)
+    }
