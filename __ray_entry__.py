@@ -437,6 +437,18 @@ def _q_simhash(sf_dir: str):
     return simhash_pairs(sf_dir, max_hamming=3)
 
 
+def _q_prefix_containment(sf_dir: str):
+    from ner_pytorch_ray.pipelines.dedup import prefix_containment
+
+    return prefix_containment(sf_dir, m=5)
+
+
+def _q_substring_containment(sf_dir: str):
+    from ner_pytorch_ray.pipelines.dedup import substring_containment
+
+    return substring_containment(sf_dir, m=5)
+
+
 def _q_emb_cosine_pairs(sf_dir: str):
     from ner_pytorch_ray.pipelines.dedup import embedding_near_dup
 
@@ -589,6 +601,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_lsh_pairs": _q_minhash_lsh,
         "simhash_pairs": _q_simhash,
+        "prefix_containment": _q_prefix_containment,
+        "substring_containment": _q_substring_containment,
         "emb_cosine_pairs": _q_emb_cosine_pairs,
         # similarity search
         "knn_topk": _q_knn_topk,
@@ -1008,6 +1022,33 @@ SELECT CAST(MIN(doc_id) AS BIGINT) AS keeper,
        CAST(COUNT(*) AS BIGINT) AS n_copies
 FROM documents
 GROUP BY text
+""",
+        # token-aligned containment (space padding = token boundaries)
+        "prefix_containment": """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         ' ' || text || ' ' AS padded
+  FROM documents
+),
+p AS (
+  SELECT doc_id, ' ' || array_to_string(toks[1:5], ' ') || ' ' AS prefix
+  FROM t WHERE len(toks) >= 5
+)
+SELECT p.doc_id AS inner_doc, t2.doc_id AS outer_doc
+FROM p JOIN t t2
+  ON position(p.prefix IN t2.padded) > 0
+ AND t2.doc_id <> p.doc_id AND len(t2.toks) >= 5
+""",
+        "substring_containment": """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         ' ' || text || ' ' AS padded
+  FROM documents
+)
+SELECT a.doc_id AS inner_doc, b.doc_id AS outer_doc
+FROM t a JOIN t b
+  ON position(a.padded IN b.padded) > 0
+ AND a.doc_id <> b.doc_id AND len(a.toks) >= 5 AND len(b.toks) >= 5
 """,
         "ngram_jaccard_pairs": """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -565,3 +565,229 @@ def embedding_near_dup_lsh(
     return distinct.map_batches(
         lambda t: t.select(["vec_a", "vec_b"]), batch_format="pyarrow"
     )
+
+
+# ------------------------------------------------- containment (substring)
+def _gram_hash_rows(
+    texts: list[str], doc_ids, m: int
+) -> tuple[list[int], list[int], list[int]]:
+    """(gram_hash, doc_id, is_probe) triples: every token-aligned m-gram of
+    each >=m-token doc (distinct per doc) as member rows, plus the doc's
+    PREFIX m-gram as its probe row."""
+    grams, docs, probes = [], [], []
+    for d, t in zip(doc_ids, texts):
+        toks = t.split(" ")
+        if len(toks) < m:
+            continue
+        seen = set()
+        for i in range(len(toks) - m + 1):
+            h = _stable_u64(" ".join(toks[i : i + m]))
+            if h not in seen:
+                seen.add(h)
+                grams.append(h)
+                docs.append(int(d))
+                probes.append(0)
+        grams.append(_stable_u64(" ".join(toks[:m])))
+        docs.append(int(d))
+        probes.append(1)
+    return grams, docs, probes
+
+
+def _containment_candidates(
+    sf_dir: str, m: int, max_bucket: int
+) -> ray.data.Dataset:
+    """(inner_doc, outer_doc) candidates: inner's PREFIX m-gram occurs
+    token-aligned in outer. If inner's full text is contained in outer, its
+    prefix gram necessarily is too — so this is a COMPLETE candidate set
+    for full containment (docs >= m tokens), and exactly the answer for
+    the prefix query. One shuffle: (gram, doc, is_probe) rows bucket by
+    gram; a bucket's pairs = probes x members. Buckets above
+    ``max_bucket`` (boilerplate grams) are dropped — raise m to split
+    them."""
+    from ner_pytorch_ray.stages.groupby_utils import (
+        collect_tuples,
+        flat_map_groups,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def rows(batch: pa.Table) -> pa.Table:
+        grams, docs, probes = _gram_hash_rows(
+            batch.column("text").to_pylist(),
+            batch.column("doc_id").to_pylist(),
+            m,
+        )
+        return pa.Table.from_pydict(
+            {
+                "gram": pa.array(grams, type=pa.int64()),
+                "doc_id": pa.array(docs, type=pa.int64()),
+                "is_probe": pa.array(probes, type=pa.int64()),
+            }
+        )
+
+    collected = collect_tuples(
+        ds.map_batches(rows, batch_format="pyarrow"),
+        ["gram"],
+        ["doc_id", "is_probe"],
+    )
+    empty = pa.schema([("inner_doc", pa.int64()), ("outer_doc", pa.int64())])
+
+    def bucket_pairs(key, items) -> pa.Table:
+        if items is None or len(items) < 2 or len(items) > max_bucket:
+            return empty.empty_table()
+        probes = sorted({d for d, p in items if p})
+        members = sorted({d for d, p in items if not p})
+        out_a, out_b = [], []
+        for a in probes:
+            for b in members:
+                if b != a:
+                    out_a.append(a)
+                    out_b.append(b)
+        return pa.Table.from_pydict(
+            {
+                "inner_doc": pa.array(out_a, type=pa.int64()),
+                "outer_doc": pa.array(out_b, type=pa.int64()),
+            }
+        )
+
+    return flat_map_groups(collected, bucket_pairs, ["gram"])
+
+
+def prefix_containment(
+    sf_dir: str, m: int = 5, max_bucket: int = 100_000
+) -> ray.data.Dataset:
+    """Pairs (inner, outer) where inner's first ``m`` tokens occur
+    token-aligned anywhere in outer (boilerplate/quoted-prefix detection).
+    A doc's prefix gram is unique, so each inner pairs from exactly one
+    bucket — no dedup groupby needed."""
+    return _containment_candidates(sf_dir, m, max_bucket)
+
+
+def substring_containment(
+    sf_dir: str, m: int = 5, max_bucket: int = 100_000
+) -> ray.data.Dataset:
+    """Exact containment dedup: pairs (inner, outer) where inner's FULL
+    token sequence occurs contiguously in outer (quoted / wrapped / mirror
+    documents — docs >= m tokens). Candidates from the prefix-gram buckets
+    (complete: containment implies the prefix gram matches), then exact
+    verification with the two texts co-located by TWO bounded keyed
+    collects — no broadcast of the corpus, no driver-side loop:
+
+      1. candidates key by inner doc; union with (doc, text) rows; a
+         group = one text + that doc's candidate fan -> (outer, inner,
+         text_inner);
+      2. re-key by outer doc; union with texts again; verify
+         ``' '+inner+' ' in ' '+outer+' '`` (space padding = token
+         alignment) vectorized per group.
+    """
+    from ner_pytorch_ray.stages.groupby_utils import (
+        collect_tuples,
+        flat_map_groups,
+    )
+
+    cands = _containment_candidates(sf_dir, m, max_bucket)
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    # kind 0 = text row (payload = text), kind 1 = candidate (payload = peer)
+    def text_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.Table.from_pydict(
+            {
+                "key": batch.column("doc_id"),
+                "kind": pa.array(np.zeros(n, dtype=np.int8), type=pa.int8()),
+                "peer": pa.array(np.zeros(n, dtype=np.int64), type=pa.int64()),
+                "payload": batch.column("text"),
+            }
+        )
+
+    def cand_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.Table.from_pydict(
+            {
+                "key": batch.column("inner_doc"),
+                "kind": pa.array(np.ones(n, dtype=np.int8), type=pa.int8()),
+                "peer": batch.column("outer_doc"),
+                "payload": pa.array([""] * n, type=pa.string()),
+            }
+        )
+
+    stage1 = docs.map_batches(text_rows, batch_format="pyarrow").union(
+        cands.map_batches(cand_rows, batch_format="pyarrow")
+    )
+    mid_schema = pa.schema(
+        [
+            ("key", pa.int64()),       # outer doc
+            ("kind", pa.int8()),       # 1 = pending pair
+            ("peer", pa.int64()),      # inner doc
+            ("payload", pa.string()),  # inner text
+        ]
+    )
+
+    def attach_inner(key, items) -> pa.Table:
+        if items is None or not items:
+            return mid_schema.empty_table()
+        (inner,) = key
+        text = None
+        outers = []
+        for kind, peer, payload in items:
+            if kind == 0:
+                text = payload
+            else:
+                outers.append(peer)
+        if text is None or not outers:
+            return mid_schema.empty_table()
+        outers = sorted(set(outers))
+        n = len(outers)
+        return pa.Table.from_pydict(
+            {
+                "key": pa.array(outers, type=pa.int64()),
+                "kind": pa.array([1] * n, type=pa.int8()),
+                "peer": pa.array([inner] * n, type=pa.int64()),
+                "payload": pa.array([text] * n, type=pa.string()),
+            }
+        )
+
+    mid = flat_map_groups(
+        collect_tuples(stage1, ["key"], ["kind", "peer", "payload"]),
+        attach_inner,
+        ["key"],
+    )
+
+    out_schema = pa.schema(
+        [("inner_doc", pa.int64()), ("outer_doc", pa.int64())]
+    )
+
+    def verify(key, items) -> pa.Table:
+        if items is None or not items:
+            return out_schema.empty_table()
+        (outer,) = key
+        text = None
+        pend = []
+        for kind, peer, payload in items:
+            if kind == 0:
+                text = payload
+            else:
+                pend.append((peer, payload))
+        if text is None or not pend:
+            return out_schema.empty_table()
+        padded = " " + text + " "
+        inner = sorted(
+            {p for p, t in pend if (" " + t + " ") in padded}
+        )
+        return pa.Table.from_pydict(
+            {
+                "inner_doc": pa.array(inner, type=pa.int64()),
+                "outer_doc": pa.array([outer] * len(inner), type=pa.int64()),
+            }
+        )
+
+    stage2 = docs.map_batches(text_rows, batch_format="pyarrow").union(mid)
+    return flat_map_groups(
+        collect_tuples(stage2, ["key"], ["kind", "peer", "payload"]),
+        verify,
+        ["key"],
+    )

@@ -236,3 +236,63 @@ def test_ivf_topk_distributed_fit_valid(ray_session):
     assert sorted(out["query_id"].unique()) == [0, 1, 2, 3, 4]
     for _, g in out.groupby("query_id"):
         assert list(g["rank"]) == list(range(1, len(g) + 1))
+
+
+def test_substring_containment_crafted(ray_session, tmp_path):
+    """Containment dedup vs a brute-force oracle on crafted docs
+    (wrapped, quoted, equal, prefix-only, short, and unrelated cases)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ner_pytorch_ray.pipelines.dedup import (
+        prefix_containment,
+        substring_containment,
+    )
+
+    core = "alpha beta gamma delta epsilon zeta"
+    docs = {
+        0: core,                                     # contained in 1, 2; == 5
+        1: "intro words " + core + " outro words",   # wrapper
+        2: core + " trailing tail here",             # prefix wrapper
+        3: "alpha beta gamma delta NOPE zeta stop",  # shares prefix gram only
+        4: "completely different tokens here now",   # unrelated
+        5: core,                                     # exact duplicate of 0
+        6: "tiny doc",                               # < m tokens: excluded
+    }
+    t = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(list(docs), type=pa.int64()),
+            "text": pa.array(list(docs.values()), type=pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+
+    def brute(pred):
+        out = set()
+        for a, ta in docs.items():
+            for b, tb in docs.items():
+                if a != b and len(ta.split()) >= 5 and len(tb.split()) >= 5:
+                    if pred(ta, tb):
+                        out.add((a, b))
+        return out
+
+    sub = {
+        (r["inner_doc"], r["outer_doc"])
+        for r in substring_containment(sf, m=5).take_all()
+    }
+    assert sub == brute(lambda ta, tb: f" {ta} " in f" {tb} ")
+    assert (0, 1) in sub and (0, 2) in sub and (0, 5) in sub and (5, 0) in sub
+    assert (3, 1) not in sub and (6, 1) not in sub
+
+    pre = {
+        (r["inner_doc"], r["outer_doc"])
+        for r in prefix_containment(sf, m=5).take_all()
+    }
+    prefix5 = lambda ta: " " + " ".join(ta.split()[:5]) + " "
+    assert pre == brute(lambda ta, tb: prefix5(ta) in f" {tb} ")
+    # doc 3 shares doc 0's first-5 gram context: 0's prefix occurs in 3? no,
+    # but 3's prefix ('alpha beta gamma delta NOPE') occurs nowhere else;
+    # 0's prefix occurs in 1, 2, 5 and NOT in 3 (gram is 5 tokens:
+    # 'alpha beta gamma delta epsilon')
+    assert (0, 3) not in pre
