@@ -123,3 +123,41 @@ def test_adv_on_tiny_corpus(ray_session, tiny_sf):
     out = adv_pipeline(tiny_sf, order="rep", n_variants=2).take_all()
     # doc 2 has entities with >= 2 same-type bank entries -> variants exist
     assert all(len(r["tokens"]) == len(r["tags"]) for r in out)
+
+
+def test_no_per_batch_ray_get_in_package():
+    """Broadcast-consumption hygiene (VERDICT r2 #3): `ray.get` of a
+    broadcast ref must happen once per worker (constructor / driver), never
+    per batch. AST-scan every package module: no `ray.get(...)` call may
+    appear inside a `__call__` method or inside any function taking a
+    `batch` parameter."""
+    import ast
+    import pathlib
+
+    pkg = pathlib.Path(__file__).parent.parent / "ner_pytorch_ray"
+    offenders = []
+
+    def has_ray_get(node):
+        for sub in ast.walk(node):
+            if (
+                isinstance(sub, ast.Call)
+                and isinstance(sub.func, ast.Attribute)
+                and sub.func.attr == "get"
+                and isinstance(sub.func.value, ast.Name)
+                and sub.func.value.id in ("ray", "_ray", "_r")
+            ):
+                return True
+        return False
+
+    for path in sorted(pkg.rglob("*.py")):
+        tree = ast.parse(path.read_text())
+        for node in ast.walk(tree):
+            if not isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                continue
+            is_call = node.name == "__call__"
+            takes_batch = any(
+                a.arg == "batch" for a in node.args.args + node.args.kwonlyargs
+            )
+            if (is_call or takes_batch) and has_ray_get(node):
+                offenders.append(f"{path.name}:{node.lineno}:{node.name}")
+    assert offenders == [], offenders
