@@ -234,3 +234,36 @@ def word_and_char_mapping(
     w_dico[UNK] = 10000000
     c_dico[PAD] = 10000000
     return create_mapping(w_dico), create_mapping(c_dico)
+
+
+def save_vocab(path: str, vocab: dict) -> None:
+    """Persist the vocab state (the reference pickles its mappings for
+    eval.py:52-62 to reload; json keeps it portable/inspectable). Saves the
+    four forward maps; inverses rebuild on load."""
+    import json
+
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(
+            {
+                "word_to_id": vocab["word_to_id"],
+                "char_to_id": vocab["char_to_id"],
+                "tag_to_id": vocab["tag_to_id"],
+            },
+            f,
+        )
+
+
+def load_vocab(path: str) -> dict:
+    import json
+
+    with open(path, encoding="utf-8") as f:
+        d = json.load(f)
+    out = {
+        "word_to_id": d["word_to_id"],
+        "char_to_id": d["char_to_id"],
+        "tag_to_id": d["tag_to_id"],
+    }
+    out["id_to_word"] = {v: k for k, v in out["word_to_id"].items()}
+    out["id_to_char"] = {v: k for k, v in out["char_to_id"].items()}
+    out["id_to_tag"] = {v: k for k, v in out["tag_to_id"].items()}
+    return out

@@ -169,3 +169,45 @@ def test_features_path_persists_and_resumes(ray_session, tmp_path):
     assert mtimes == {
         f: os.path.getmtime(os.path.join(fdir, f)) for f in os.listdir(fdir)
     }
+
+
+def test_eval_cli_with_trained_checkpoint(ray_session, tmp_path, capsys):
+    """Lifecycle closure: train -> checkpoint+vocab -> eval_cli scores the
+    corpus with the learned head and writes the S7 prediction sink."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ner_pytorch_ray.eval_cli import main as eval_main
+    from ner_pytorch_ray.pipelines.training import train_loop
+
+    ckpt = str(tmp_path / "best.npz")
+    train_loop(SF, n_epochs=1, checkpoint_path=ckpt, patience=10)
+    out = str(tmp_path / "preds")
+    rc = eval_main(["--sf_dir", SF, "--checkpoint", ckpt, "--out", out])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "conlleval:" in printed and "micro acc" in printed
+    n = sum(
+        pq.read_metadata(f).num_rows
+        for f in glob.glob(os.path.join(out, "*.parquet"))
+    )
+    assert n > 0
+
+
+def test_vocab_save_load_roundtrip(ray_session, tmp_path):
+    from ner_pytorch_ray.pipelines.neural import build_vocab_state
+    from ner_pytorch_ray.sources.pages import pages_from_documents
+    from ner_pytorch_ray.stages.extract import extract_stage
+    from ner_pytorch_ray.stages.sentences import sentences_stage
+    from ner_pytorch_ray.state.vocab import load_vocab, save_vocab
+
+    v = build_vocab_state(
+        sentences_stage(extract_stage(pages_from_documents(SF)), zeros=True)
+    )
+    path = str(tmp_path / "vocab.json")
+    save_vocab(path, v)
+    v2 = load_vocab(path)
+    for k in ("word_to_id", "char_to_id", "tag_to_id", "id_to_tag"):
+        assert v2[k] == v[k]
