@@ -467,6 +467,14 @@ def _q_ann_lsh_topk(sf_dir: str):
     return ann_lsh_topk(sf_dir, n_queries=10, k=5)
 
 
+def _q_pq_topk(sf_dir: str):
+    """PQ/ADC approximate top-k (third ANN family: codebook-quantized
+    corpus, table-lookup scoring — the memory-bound scale path)."""
+    from ner_pytorch_ray.pipelines.similarity import pq_topk
+
+    return pq_topk(sf_dir, n_queries=10, k=5)
+
+
 def _q_ivf_topk(sf_dir: str):
     from ner_pytorch_ray.pipelines.similarity import ivf_topk
 
@@ -501,6 +509,12 @@ def _q_tumbling_window(sf_dir: str):
     from ner_pytorch_ray.pipelines.windows import tumbling_window_counts
 
     return tumbling_window_counts(sf_dir, window_minutes=60)
+
+
+def _q_sliding_window(sf_dir: str):
+    from ner_pytorch_ray.pipelines.windows import sliding_window_counts
+
+    return sliding_window_counts(sf_dir, window_minutes=60, slide_minutes=15)
 
 
 def _q_user_sessions(sf_dir: str):
@@ -608,6 +622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_topk": _q_knn_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ivf_topk": _q_ivf_topk,
+        "pq_topk": _q_pq_topk,
         # relational operator demos
         "lineitem_pricing": _q_lineitem_pricing,
         "top_customers": _q_top_customers,
@@ -615,6 +630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_month": _q_orders_by_month,
         # windowed / session / join operators
         "tumbling_window": _q_tumbling_window,
+        "sliding_window": _q_sliding_window,
         "user_sessions": _q_user_sessions,
         "order_revenue_join": _q_order_revenue_join,
         "asof_attribution": _q_asof_attribution,
@@ -647,6 +663,7 @@ def _expected_oracles() -> dict[str, str]:
         "adv_stage_stats",
         "ann_lsh_topk",
         "ivf_topk",
+        "pq_topk",
         "tag_embeddings",
     ]
     return {
@@ -1154,6 +1171,25 @@ SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
            AS sum_value_cents
 FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+        # 60-min windows sliding by 15 min: each event lands in 4 windows
+        "sliding_window": """
+WITH e AS (
+  SELECT epoch_us(ts) AS us, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+w AS (
+  SELECT ((us // 900000000) - j) * 900000000 AS window_start_us,
+         event_type, cents
+  FROM e, (SELECT unnest(range(4)) AS j) r
+)
+SELECT window_start_us, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS sum_value_cents
+FROM w
 GROUP BY 1, 2
 ORDER BY 1, 2
 """,

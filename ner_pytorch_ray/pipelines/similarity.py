@@ -557,3 +557,153 @@ def ivf_topk(
         )
 
     return local.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+# ------------------------------------------------------------------- PQ ANN
+def _fit_pq_codebooks(
+    M: np.ndarray, n_subq: int, n_codes: int, n_iter: int = 8, seed: int = 31
+) -> np.ndarray:
+    """[n_subq, n_codes, d] product-quantization codebooks (Jegou et al.
+    2011): per subspace, seeded k-means on the (driver-side, bounded)
+    sample. Deterministic: seeded init, fixed iterations."""
+    D = M.shape[1]
+    assert D % n_subq == 0
+    d = D // n_subq
+    books = []
+    for s in range(n_subq):
+        sub = M[:, s * d : (s + 1) * d]
+        rng = np.random.RandomState(seed + s)
+        idx = rng.choice(len(sub), size=min(len(sub), n_codes), replace=False)
+        C = sub[np.sort(idx)].copy()
+        for _ in range(n_iter):
+            d2 = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(C)):
+                members = sub[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books.append(C)
+    return np.stack(books)
+
+
+def pq_encode(M: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """[n, n_subq] uint8 PQ codes: per subspace, nearest codebook entry
+    (argmin squared distance, vectorized)."""
+    n_subq, n_codes, d = books.shape
+    codes = np.empty((len(M), n_subq), dtype=np.uint8)
+    for s in range(n_subq):
+        sub = M[:, s * d : (s + 1) * d]
+        # argmin |x - c|^2 == argmax (x.c - |c|^2/2)
+        sc = sub @ books[s].T - 0.5 * (books[s] ** 2).sum(axis=1)[None, :]
+        codes[:, s] = np.argmax(sc, axis=1)
+    return codes
+
+
+def pq_topk(
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 5,
+    n_subq: int = 4,
+    n_codes: int = 16,
+    sample: int = 4096,
+) -> ray.data.Dataset:
+    """PQ/ADC approximate top-k — the third ANN family beside banded-LSH
+    and IVF, and the memory-bound scale path: the corpus collapses to
+    ``n_subq`` bytes per vector (here 4 B vs 8*dim B), so a 10^12-row
+    index fits RAM where raw vectors cannot.
+
+    Fit: per-subspace codebooks on the bounded driver sample (seeded —
+    deterministic). Search: asymmetric distance computation — each query
+    precomputes a [n_subq, n_codes] inner-product lookup table ONCE
+    (broadcast with the codebooks); each corpus batch is PQ-encoded and
+    scored by pure table lookups + a fixed-order sum over n_subq float64
+    terms (no query-corpus matmul), so scores are bit-deterministic under
+    any batching. Local top-k rows merge per query like knn_topk."""
+    ids, M = _load_matrix(sf_dir, max_vec_id=max(sample, n_queries))
+    books = _fit_pq_codebooks(M[:sample], n_subq, n_codes)
+    q_mask = ids < n_queries
+    q_ids, Q = ids[q_mask], M[q_mask]
+    n_sq, n_c, d = books.shape
+    # per-query ADC tables: lut[q, s, c] = Q[q]_s . books[s, c].
+    # Built one query at a time with the SAME einsum expression the
+    # sequential oracle uses — a single batched einsum can sum in a
+    # different order and drift the last ulp.
+    lut = np.stack(
+        [
+            np.einsum("sd,scd->sc", q.reshape(n_sq, d), books)
+            for q in Q
+        ]
+    )
+    state = ray.put((q_ids, lut, books))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    class PqTopK:
+        def __init__(self, state, k):
+            self.q_ids, self.lut, self.books = ray.get(state)
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            c_ids = np.asarray(batch.column("vec_id").to_numpy())
+            C = normalized_rows(batch.column("embedding"))
+            if not len(C):
+                return pa.Table.from_pydict(
+                    {
+                        "query_id": pa.array([], type=pa.int64()),
+                        "neighbor_id": pa.array([], type=pa.int64()),
+                        "score": pa.array([], type=pa.float64()),
+                    }
+                )
+            codes = pq_encode(C, self.books)
+            nq = len(self.q_ids)
+            # ADC: scores[q, i] = sum_s lut[q, s, codes[i, s]]
+            S = np.zeros((nq, len(C)), dtype=np.float64)
+            for s in range(codes.shape[1]):
+                S += self.lut[:, s, codes[:, s]]
+            S[self.q_ids[:, None] == c_ids[None, :]] = -np.inf
+            kk = min(self.k, S.shape[1])
+            out_q, out_n, out_s = [], [], []
+            for qi in range(nq):
+                order = np.lexsort((c_ids, -S[qi]))[:kk]
+                sel = order[np.isfinite(S[qi][order])]
+                out_q.extend([int(self.q_ids[qi])] * len(sel))
+                out_n.extend(c_ids[sel].tolist())
+                out_s.extend(S[qi][sel].tolist())
+            return pa.Table.from_pydict(
+                {
+                    "query_id": pa.array(out_q, type=pa.int64()),
+                    "neighbor_id": pa.array(out_n, type=pa.int64()),
+                    "score": pa.array(out_s, type=pa.float64()),
+                }
+            )
+
+    local = ds.map_batches(
+        PqTopK, fn_constructor_args=(state, k), concurrency=(1, 32),
+        batch_format="pyarrow",
+    )
+
+    def merge(df):
+        import pandas as pd
+
+        out = []
+        for qid, g in df.groupby("query_id", sort=False):
+            g = g.sort_values(
+                ["score", "neighbor_id"], ascending=[False, True], kind="stable"
+            ).head(k)
+            g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+            out.append(g[["query_id", "neighbor_id", "rank"]])
+        return (
+            pd.concat(out, ignore_index=True)
+            if out
+            else pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype="int64"),
+                    "neighbor_id": pd.Series([], dtype="int64"),
+                    "rank": pd.Series([], dtype="int64"),
+                }
+            )
+        )
+
+    return local.groupby("query_id").map_groups(merge, batch_format="pandas")

@@ -757,3 +757,71 @@ def range_join_events(
 ) -> ray.data.Dataset:
     ds = read_events(sf_dir, ["event_id", "ts", "user_id"])
     return range_join_events_ds(ds, window_seconds, chunk_multiple)
+
+
+def sliding_window_counts(
+    sf_dir: str, window_minutes: int = 60, slide_minutes: int = 15
+) -> ray.data.Dataset:
+    """Sliding-window event counts + value cents per (window, event_type)
+    — the overlapping-window sibling of ``tumbling_window_counts``.
+
+    Each event belongs to ``window/slide`` windows; the per-block combiner
+    emits one partial row per (window, type) per block (the replication
+    happens inside the vectorized partial, never across the shuffle), then
+    the same tiny grouped sum. Integer arithmetic end to end."""
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
+
+    width = window_minutes * US_PER_MIN
+    slide = slide_minutes * US_PER_MIN
+    assert width % slide == 0
+    n_win = width // slide
+    ds = read_events(sf_dir, ["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64()).to_numpy()
+        cents = np.rint(batch.column("value").to_numpy() * 100).astype(np.int64)
+        etype = batch.column("event_type").to_pandas()
+        # window starts containing t: ((t // slide) - j) * slide, j in [0, n)
+        base = us // slide
+        starts = np.concatenate(
+            [(base - j) * slide for j in range(n_win)]
+        )
+        df = pd.DataFrame(
+            {
+                "window_start_us": starts,
+                "event_type": pd.concat([etype] * n_win, ignore_index=True),
+                "n_events": 1,
+                "sum_value_cents": np.tile(cents, n_win),
+            }
+        )
+        g = (
+            df.groupby(["window_start_us", "event_type"], sort=True)
+            .agg(
+                n_events=("n_events", "sum"),
+                sum_value_cents=("sum_value_cents", "sum"),
+            )
+            .reset_index()
+        )
+        return pa.Table.from_pydict(
+            {
+                "window_start_us": pa.array(
+                    g["window_start_us"].to_numpy(dtype=np.int64),
+                    type=pa.int64(),
+                ),
+                "event_type": pa.array(g["event_type"], type=pa.string()),
+                "n_events": pa.array(
+                    g["n_events"].to_numpy(dtype=np.int64), type=pa.int64()
+                ),
+                "sum_value_cents": pa.array(
+                    g["sum_value_cents"].to_numpy(dtype=np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    merged = grouped_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["window_start_us", "event_type"],
+        sum_cols=["n_events", "sum_value_cents"],
+    )
+    return merged.sort(["window_start_us", "event_type"])

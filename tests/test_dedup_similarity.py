@@ -296,3 +296,63 @@ def test_substring_containment_crafted(ray_session, tmp_path):
     # 0's prefix occurs in 1, 2, 5 and NOT in 3 (gram is 5 tokens:
     # 'alpha beta gamma delta epsilon')
     assert (0, 3) not in pre
+
+
+def test_pq_topk_recall_vs_brute(ray_session, tmp_path):
+    """PQ/ADC recall on CLUSTERED vectors (the structure PQ preserves):
+    queries must recover their cluster mates. The corpus's near-uniform
+    random embeddings carry no margin for ANY approximate method, so the
+    test plants 10 well-separated clusters instead."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ner_pytorch_ray.pipelines.similarity import knn_topk, pq_topk
+
+    rng = np.random.RandomState(42)
+    dim, n_clusters, per = 16, 10, 20
+    centers = rng.randn(n_clusters, dim)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs, ids = [], []
+    vid = 0
+    for c in range(n_clusters):
+        for _ in range(per):
+            v = centers[c] + 0.05 * rng.randn(dim)
+            vecs.append((v / np.linalg.norm(v)).tolist())
+            ids.append(vid)
+            vid += 1
+    # queries (vec_id < 10) = one point per cluster: put them first
+    order = [c * per for c in range(n_clusters)] + [
+        i for i in range(vid) if i % per != 0
+    ]
+    remap = {old: new for new, old in enumerate(order)}
+    t = pa.Table.from_pydict(
+        {
+            "vec_id": pa.array(
+                [remap[i] for i in ids], type=pa.int64()
+            ),
+            "embedding": pa.array(vecs, type=pa.list_(pa.float64())),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    sf = str(tmp_path)
+
+    # cluster of a (remapped) vec_id
+    cluster_of = {remap[i]: i // per for i in range(vid)}
+
+    brute = {}
+    for r in knn_topk(sf, n_queries=10, k=5).take_all():
+        brute.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx = {}
+    for r in pq_topk(sf, n_queries=10, k=5, sample=200).take_all():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(approx) == set(brute)
+    # tight clusters quantize to one code, so PQ ties collapse and id-level
+    # overlap with exact top-5 is meaningless; the contract is CLUSTER
+    # recall: every retrieved neighbor comes from the query's cluster
+    for q, ns in brute.items():
+        assert all(cluster_of[n] == cluster_of[q] for n in ns)
+    for q, ns in approx.items():
+        assert len(ns) == 5
+        good = sum(cluster_of[n] == cluster_of[q] for n in ns)
+        assert good >= 4, (q, ns)

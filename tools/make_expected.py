@@ -541,6 +541,49 @@ def ivf_topk_expected(
     )
 
 
+def pq_topk_expected(
+    sf_dir: str, n_queries=10, k=5, n_subq=4, n_codes=16, sample=4096
+) -> pa.Table:
+    """Sequential recompute of the PQ/ADC contract: same codebook fit on
+    the vec_id-sorted sample prefix, full-corpus PQ encode, per-query ADC
+    table-lookup scores, exact global top-k by (-score, id)."""
+    from ner_pytorch_ray.pipelines.similarity import (
+        _fit_pq_codebooks,
+        pq_encode,
+    )
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_numpy())
+    M = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    ids, M = ids[order], M[order]
+    fit_rows = M[ids < max(sample, n_queries)][:sample]
+    books = _fit_pq_codebooks(fit_rows, n_subq, n_codes)
+    codes = pq_encode(M, books)
+    n_sq, n_c, d = books.shape
+    rows = []
+    for qpos in np.nonzero(ids < n_queries)[0]:
+        lut = np.einsum(
+            "sd,scd->sc", M[qpos].reshape(n_sq, d), books
+        )  # [n_subq, n_codes]
+        s = np.zeros(len(M), dtype=np.float64)
+        for sub in range(n_sq):
+            s += lut[sub, codes[:, sub]]
+        s[ids == ids[qpos]] = -np.inf
+        sel = np.lexsort((ids, -s))[:k]
+        sel = sel[np.isfinite(s[sel])]
+        for r, i in enumerate(sel, start=1):
+            rows.append((int(ids[qpos]), int(ids[i]), r))
+    return pa.Table.from_pydict(
+        {
+            "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "neighbor_id": pa.array([r[1] for r in rows], type=pa.int64()),
+            "rank": pa.array([r[2] for r in rows], type=pa.int64()),
+        }
+    )
+
+
 def neural_epoch_loss_expected(sents, tagged, seed: int = 1234) -> pa.Table:
     """Sequential recompute: per-sentence (batch=1) CRF NLL of the
     gazetteer labels, rounded to 4 decimals like NllActor, totalled."""
@@ -739,6 +782,7 @@ def main(sf_dir: str, out_dir: str) -> None:
 
     write("ann_lsh_topk", ann_lsh_expected(sf_dir))
     write("ivf_topk", ivf_topk_expected(sf_dir))
+    write("pq_topk", pq_topk_expected(sf_dir))
 
     sents = sentence_rows(sf_dir, zeros=True)
     tagged = [(u, s, t, gaz_tags(t)) for u, s, t in sents]
