@@ -172,6 +172,10 @@ def run_extras(sf_dir: str) -> dict:
         3,
     )
     timed("ivf_topk", lambda: ivf_topk(sf_dir, n_queries=10, k=5).count())
+
+    from ner_pytorch_ray.pipelines.similarity import pq_topk
+
+    timed("pq_topk", lambda: pq_topk(sf_dir, n_queries=10, k=5).count())
     timed("user_sessions", lambda: user_sessions(sf_dir).count())
     timed("asof_attribution", lambda: asof_error_attribution(sf_dir).count())
     timed("adv_nll_topk", lambda: adv_nll_topk(sf_dir).count())
