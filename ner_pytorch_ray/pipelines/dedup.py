@@ -631,6 +631,8 @@ def _containment_candidates(
         ds.map_batches(rows, batch_format="pyarrow"),
         ["gram"],
         ["doc_id", "is_probe"],
+        shuffle_blocks="auto",  # many tiny gram groups: the sort-aggregate
+        # floor grows with input block count
     )
     empty = pa.schema([("inner_doc", pa.int64()), ("outer_doc", pa.int64())])
 
@@ -752,7 +754,10 @@ def substring_containment(
         )
 
     mid = flat_map_groups(
-        collect_tuples(stage1, ["key"], ["kind", "peer", "payload"]),
+        collect_tuples(
+            stage1, ["key"], ["kind", "peer", "payload"],
+            shuffle_blocks="auto",
+        ),
         attach_inner,
         ["key"],
     )
@@ -787,7 +792,10 @@ def substring_containment(
 
     stage2 = docs.map_batches(text_rows, batch_format="pyarrow").union(mid)
     return flat_map_groups(
-        collect_tuples(stage2, ["key"], ["kind", "peer", "payload"]),
+        collect_tuples(
+            stage2, ["key"], ["kind", "peer", "payload"],
+            shuffle_blocks="auto",
+        ),
         verify,
         ["key"],
     )
