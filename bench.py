@@ -247,6 +247,16 @@ def neural_scaling_job(num_cpus: int, sf_dir: str, replicate: int) -> dict:
     try:
         from ner_pytorch_ray.pipelines.neural import neural_mentions
 
+        # warm the worker pool before timing (same as the headline bench):
+        # cold python-worker spawn is a per-SESSION cost, identical in
+        # seconds on both legs, and a steady-state cluster is the target —
+        # leaving it in deflates the wide leg's measured efficiency
+        import ray.data as _rd
+
+        _rd.range(1000, override_num_blocks=8).map_batches(
+            lambda b: b, batch_format="pyarrow"
+        ).count()
+
         t0 = time.perf_counter()
         men, _, _ = neural_mentions(
             sf_dir,
@@ -277,6 +287,12 @@ def kg_scaling_job(num_cpus: int, sf_dir: str, replicate: int) -> dict:
         from ner_pytorch_ray.sources.pages import pages_from_documents
         from ner_pytorch_ray.pipelines.kg import linked_mentions
         from ner_pytorch_ray.stages.graph import edges_from_linked
+
+        import ray.data as _rd
+
+        _rd.range(1000, override_num_blocks=8).map_batches(
+            lambda b: b, batch_format="pyarrow"
+        ).count()
 
         t0 = time.perf_counter()
         pages = pages_from_documents(
