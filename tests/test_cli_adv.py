@@ -58,3 +58,34 @@ def test_cli_main_smoke(ray_session, capsys):
     rc = main(["--sf_dir", SF, "--order", "orun", "--n", "1"])
     assert rc == 0
     assert "orun:" in capsys.readouterr().out
+
+
+def test_cli_sharded_resume_mode(ray_session, tmp_path, capsys):
+    """gen_adv_cli --shards runs the partition-manifested pipeline and a
+    rerun skips every shard."""
+    from ner_pytorch_ray.gen_adv_cli import main
+
+    out = str(tmp_path / "sharded")
+    rc = main(
+        [
+            "--sf_dir", "/root/testdata/sf0.001",
+            "--order", "ppdb",
+            "--shards", "2",
+            "--save_dir", out,
+        ]
+    )
+    assert rc == 0
+    first = capsys.readouterr().out
+    assert "00_base: ran 2 shards, skipped 0" in first
+    rc = main(
+        [
+            "--sf_dir", "/root/testdata/sf0.001",
+            "--order", "ppdb",
+            "--shards", "2",
+            "--save_dir", out,
+        ]
+    )
+    assert rc == 0
+    second = capsys.readouterr().out
+    assert "00_base: ran 0 shards, skipped 2" in second
+    assert "01_ppdb: ran 0 shards, skipped 2" in second

@@ -147,3 +147,33 @@ def test_hot_key_range_join_exact(ray_session):
             want[(min(a, b), max(a, b))] = int(t_s[j] - t_s[i])
     assert got == want
     assert len(got) > 1000  # the window actually pairs things
+
+
+def test_hot_key_canonicalization_exact(ray_session):
+    """A4 head-entity skew: one surface form dominating the corpus must
+    canonicalize exactly — the block-local partial collapses a hot key to
+    one row per block before the shuffle, so no single group ever holds
+    the mention volume."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from ner_pytorch_ray.stages.graph import nodes_from_linked
+
+    n_hot, n_cold = 200_000, 500
+    ent = ["org:spark"] * n_hot + [f"per:u{i % 50}" for i in range(n_cold)]
+    tag = ["ORG"] * n_hot + ["PER"] * n_cold
+    surf = ["spark"] * n_hot + [f"user {i % 50}" for i in range(n_cold)]
+    t = pa.Table.from_pydict(
+        {
+            "entity_id": pa.array(ent, type=pa.string()),
+            "tag_type": pa.array(tag, type=pa.string()),
+            "surface": pa.array(surf, type=pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(32)
+    out = nodes_from_linked(ds).to_pandas()
+    hot = out[out["entity_id"] == "org:spark"]
+    assert len(hot) == 1 and int(hot["n_mentions"].iloc[0]) == n_hot
+    assert int(out["n_mentions"].sum()) == n_hot + n_cold
+    assert len(out) == 1 + 50
