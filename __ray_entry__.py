@@ -342,6 +342,15 @@ def _q_media_features(sf_dir: str):
     return feats.drop_columns(["feature"])
 
 
+def _q_media_phash(sf_dir: str):
+    """Multimodal dedup: perceptual-hash pairs over decoded media features
+    (planted duplicates at doc_id % 400; fake decoder -> identical payloads
+    hash to hamming 0, distinct payloads to ~32 bits)."""
+    from ner_pytorch_ray.pipelines.multimodal import media_phash_pairs
+
+    return media_phash_pairs(sf_dir, dup_mod=400, max_hamming=3)
+
+
 def _q_media_frames(sf_dir: str):
     from ner_pytorch_ray.pipelines.multimodal import (
         frame_sample,
@@ -593,6 +602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adv_topk_loss": _q_adv_topk_loss,
         # multimodal plumbing (binary payloads; metadata SQL-oracled)
         "media_features": _q_media_features,
+        "media_phash_pairs": _q_media_phash,
         "media_frames": _q_media_frames,
         "audio_windows": _q_audio_windows,
         # vocab / text analysis
@@ -676,6 +686,14 @@ def _expected_oracles() -> dict[str, str]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (same column names, same values)."""
     out = _expected_oracles()
+    # fake decoder: identical payloads (doc_id % 400) -> identical features
+    # -> hamming 0; distinct payloads differ in ~32 of 64 bits, far above
+    # max_hamming=3, so the pair set == the planted duplicates exactly
+    out["media_phash_pairs"] = """
+SELECT a.doc_id AS media_a, b.doc_id AS media_b, CAST(0 AS BIGINT) AS hamming
+FROM documents a JOIN documents b
+  ON (a.doc_id % 400) = (b.doc_id % 400) AND a.doc_id < b.doc_id
+"""
     out["media_features"] = """
 SELECT doc_id AS media_id, 'image' AS kind,
        CAST((8 + CAST(md5_number_upper(CAST(doc_id AS VARCHAR) || ':w')

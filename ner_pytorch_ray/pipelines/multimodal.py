@@ -34,9 +34,15 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
-def synthesize_media_from_documents(sf_dir: str, kind: str = "image") -> ray.data.Dataset:
+def synthesize_media_from_documents(
+    sf_dir: str, kind: str = "image", dup_mod: int | None = None
+) -> ray.data.Dataset:
     """Deterministic fake media table derived from documents (payload =
-    repeatable pseudo-random bytes keyed by doc_id) — test/bench input."""
+    repeatable pseudo-random bytes keyed by doc_id) — test/bench input.
+
+    ``dup_mod``: key payload AND dims by ``doc_id % dup_mod`` instead of
+    doc_id — plants exact duplicate media across docs (the input for the
+    perceptual-hash dedup path)."""
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
     )
@@ -52,11 +58,12 @@ def synthesize_media_from_documents(sf_dir: str, kind: str = "image") -> ray.dat
         ids = batch.column("doc_id").to_numpy()
         payloads, widths, heights = [], [], []
         for d in ids:
+            key = int(d) % dup_mod if dup_mod else int(d)
             # md5-derived dims; payload bytes stay numpy-rng (only the
             # dropped 'feature' column depends on them)
-            w = 8 + _u64(f"{int(d)}:w") % 56
-            h = 8 + _u64(f"{int(d)}:h") % 56
-            rng = np.random.RandomState(int(d) % (2**31))
+            w = 8 + _u64(f"{key}:w") % 56
+            h = 8 + _u64(f"{key}:h") % 56
+            rng = np.random.RandomState(key % (2**31))
             payloads.append(rng.bytes(w * h))
             widths.append(w)
             heights.append(h)
@@ -97,7 +104,20 @@ class MediaFeatureActor:
         )
 
     def _decode_fake(self, payload: bytes) -> np.ndarray:
-        h = hashlib.blake2b(payload, digest_size=self.feature_dim * 4).digest()
+        need = self.feature_dim * 4
+        if need <= 64:  # blake2b's max digest — the original single-block path
+            h = hashlib.blake2b(payload, digest_size=need).digest()
+        else:
+            # wider features: concatenate salted 64-byte blocks
+            # (dims <= 16 keep the original byte-identical formula)
+            blocks = []
+            for i in range((need + 63) // 64):
+                blocks.append(
+                    hashlib.blake2b(
+                        payload, digest_size=64, salt=i.to_bytes(8, "little")
+                    ).digest()
+                )
+            h = b"".join(blocks)[:need]
         return (
             np.frombuffer(h, dtype=np.uint32).astype(np.float32)
             / np.float32(2**32)
@@ -276,5 +296,113 @@ def audio_window_features(
         AudioWindowActor,
         concurrency=concurrency,
         batch_size=batch_size,
+        batch_format="pyarrow",
+    )
+
+
+# --------------------------------------------------------- perceptual dedup
+def media_phash_pairs(
+    sf_dir: str,
+    dup_mod: int = 400,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    feature_dim: int = 64,
+) -> ray.data.Dataset:
+    """Perceptual-hash near-dup pairs over DECODED media features — the
+    multimodal x dedup combination (find re-uploaded/duplicate images in a
+    crawl): payloads stream through the feature actor pool, each feature
+    vector collapses to a 64-bit sign-bit phash, and pairs come from the
+    same 4-band pigeonhole + LUT-popcount verify the simhash path uses
+    (perfect recall for hamming < n_bands).
+
+    With the deterministic fake decoder, identical payloads give identical
+    features (hamming 0) and distinct payloads differ in ~32 bits, so the
+    pairs are exactly the planted duplicates (``dup_mod``) — ANSI-SQL
+    oracle-able without replicating the hash. A real decoder slots in via
+    ``MediaFeatureActor`` and the phash becomes a genuine perceptual
+    signature over decoded pixels.
+    """
+    assert max_hamming < n_bands and feature_dim == 64
+    from ner_pytorch_ray.pipelines.similarity import (
+        _popcount,
+        _popcount16_lut,
+        list_col_f64,
+    )
+    from ner_pytorch_ray.stages.groupby_utils import (
+        collect_tuples,
+        flat_map_groups,
+    )
+    from ray.data.aggregate import Min
+
+    width = 64 // n_bands
+    mask = np.uint64((1 << width) - 1)
+    lut = _popcount16_lut()
+
+    media = synthesize_media_from_documents(sf_dir, dup_mod=dup_mod)
+    feats = media_features(media, feature_dim=feature_dim, concurrency=(1, 8))
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("media_id").to_numpy())
+        M = list_col_f64(batch.column("feature"))
+        if not len(M):
+            return pa.Table.from_pydict(
+                {
+                    "band": pa.array([], type=pa.int32()),
+                    "key": pa.array([], type=pa.int64()),
+                    "media_id": pa.array([], type=pa.int64()),
+                    "phash": pa.array([], type=pa.int64()),
+                }
+            )
+        bits = (M > 0.5).astype(np.uint64)
+        ph = np.zeros(len(ids), dtype=np.uint64)
+        for b in range(64):
+            ph |= bits[:, b] << np.uint64(b)
+        n = len(ids)
+        band = np.repeat(np.arange(n_bands, dtype=np.int32), n)
+        keys = np.concatenate(
+            [(ph >> np.uint64(b * width)) & mask for b in range(n_bands)]
+        ).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "band": pa.array(band),
+                "key": pa.array(keys, type=pa.int64()),
+                "media_id": pa.array(np.tile(ids, n_bands), type=pa.int64()),
+                "phash": pa.array(np.tile(ph, n_bands).view(np.int64), type=pa.int64()),
+            }
+        )
+
+    bands = feats.map_batches(band_rows, batch_format="pyarrow")
+    collected = collect_tuples(
+        bands, ["band", "key"], ["media_id", "phash"], shuffle_blocks="auto"
+    )
+    empty = pa.schema(
+        [("media_a", pa.int64()), ("media_b", pa.int64()), ("hamming", pa.int64())]
+    )
+
+    def bucket_pairs(key, items) -> pa.Table:
+        if items is None or len(items) < 2:
+            return empty.empty_table()
+        items = sorted({tuple(x) for x in items})
+        ids = np.array([d for d, _ in items], dtype=np.int64)
+        phs = np.array([p for _, p in items], dtype=np.int64)
+        ai, bi = np.triu_indices(len(ids), k=1)
+        ham = _popcount((phs[ai] ^ phs[bi]).view(np.uint64), lut)
+        keep = ham <= max_hamming
+        return pa.Table.from_pydict(
+            {
+                "media_a": pa.array(ids[ai[keep]], type=pa.int64()),
+                "media_b": pa.array(ids[bi[keep]], type=pa.int64()),
+                "hamming": pa.array(ham[keep], type=pa.int64()),
+            }
+        )
+
+    pairs = flat_map_groups(collected, bucket_pairs, ["band", "key"])
+    distinct = (
+        pairs.repartition(8)
+        .groupby(["media_a", "media_b"])
+        .aggregate(Min("hamming"))
+    )
+    return distinct.map_batches(
+        lambda t: t.rename_columns(["media_a", "media_b", "hamming"]),
         batch_format="pyarrow",
     )
