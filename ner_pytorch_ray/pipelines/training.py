@@ -12,22 +12,26 @@ Architecture (frozen backbone, trainable CRF head):
      cache is written to parquet (``features_path``) instead of living in
      the object store; the deterministic (url, sent_id)-hash dev split
      travels as a column.
-  2. **Epoch gradient pass** (GradActor pool): per sentence, the analytic
-     CRF-head gradient (state/model.crf_head_grads — closed-form
-     forward-backward where the reference calls loss.backward()). Each
-     BATCH emits one row of integer partial sums (gradients scaled 1e6,
-     NLL scaled 1e4): integer addition is order-independent, so the epoch
-     gradient — and hence the whole SGD trajectory and the saved
-     checkpoint — is bit-identical under any partitioning / CPU count
-     (property-tested).
+  2. **Fused epoch pass** (EpochPassFn): ONE distributed execution per
+     epoch over the whole cache; each row routes inside the UDF — train
+     rows emit the analytic CRF-head gradient
+     (state/model.crf_head_grads — closed-form forward-backward where the
+     reference calls loss.backward()) as integer partial sums (gradients
+     scaled 1e6, NLL scaled 1e4; integer addition is order-independent,
+     so the epoch gradient — and hence the whole SGD trajectory and the
+     saved checkpoint — is bit-identical under any partitioning / CPU
+     count, property-tested); dev rows emit Viterbi predictions reduced
+     to distributive conlleval span counts (ChunkCounts JSON). Pass ``e``
+     runs with head h_e and yields dev-F1(h_e) for this epoch's curve row
+     plus grads(h_e) for the NEXT update — E+1 executions total instead
+     of 2E+1, trajectory unchanged. (``epoch_gradient`` / ``dev_f1`` keep
+     the standalone single-purpose passes.)
   3. **Driver-side optimizer**: the tiny head (fc_w, fc_b, trans) updates
      with SGD + momentum + global-norm clip (train.py:478-479
      clip_grad_norm semantics), exactly once per epoch (full-batch GD).
-  4. **Dev eval + checkpointing**: Viterbi over cached features with the
-     LEARNED head (model.viterbi_path), span F1 via the conlleval
-     machinery (stages/evaluate.conlleval_score); state/schedulers
-     EarlyStopping drives best-checkpoint saves (pytorchtools.py:50-57
-     analog with save_weights as the sink).
+  4. **Checkpointing**: state/schedulers EarlyStopping on dev F1 drives
+     best-checkpoint saves (pytorchtools.py:50-57 analog with
+     save_weights as the sink).
 
 Features are computed per-sentence (batch=1) in the cache pass: float32
 GEMM is shape-dependent (~1e-7), and batch-composition-dependent features
@@ -146,7 +150,7 @@ def feature_cache(
     seed: int,
     dev_mod: int = 5,
     labels: str = "teacher",
-    concurrency: int | tuple[int, int] = (1, 32),
+    concurrency: int | tuple[int, int] | None = None,
     features_path: str | None = None,
 ) -> tuple[ray.data.Dataset, dict, dict]:
     """Build (materialized features ds, vocab, weights).
@@ -154,6 +158,13 @@ def feature_cache(
     ``labels``: "teacher" = distillation labels from a seed+1 head
     (realizable -> training demonstrably converges); "gazetteer" = the
     corpus's gazetteer annotation (reference workflow).
+
+    ``concurrency``: None (default) ships FeatureActor as a plain TASK
+    closure — the ~6 MB frozen weights pickle into ONE plasma object that
+    every warm worker maps zero-copy, skipping the actor-pool ramp
+    (~1.5-2 s). Pass a concurrency to get a real actor pool instead: the
+    right mode when the backbone is a genuinely heavy model (GBs) whose
+    per-task deserialization would dominate.
 
     ``features_path``: persist the cache as parquet (+ _DONE marker) and
     short-circuit subsequent runs from disk — the 100 TB mode, where the
@@ -193,15 +204,25 @@ def feature_cache(
     weights = frozen_weights(vocab, seed)
     labeled = gazetteer_tag_stage(sents)
     encoded = encode_stage(labeled, vocab["word_to_id"], vocab["char_to_id"])
-    wref = ray.put(weights)
     teacher = teacher_head(vocab, seed + 1) if labels == "teacher" else None
-    feats = encoded.map_batches(
-        FeatureActor,
-        fn_constructor_args=(wref, vocab["tag_to_id"], dev_mod, teacher),
-        concurrency=concurrency,
-        batch_size=256,
-        batch_format="pyarrow",
-    )
+    if concurrency is None:
+        # Task-closure mode: instantiate ONCE on the driver (weights stay
+        # in-process numpy); the pickled callable lands in plasma as one
+        # object every warm worker maps zero-copy — no actor-pool ramp.
+        feats = encoded.map_batches(
+            FeatureActor(weights, vocab["tag_to_id"], dev_mod, teacher),
+            batch_size=256,
+            batch_format="pyarrow",
+        )
+    else:
+        wref = ray.put(weights)
+        feats = encoded.map_batches(
+            FeatureActor,
+            fn_constructor_args=(wref, vocab["tag_to_id"], dev_mod, teacher),
+            concurrency=concurrency,
+            batch_size=256,
+            batch_format="pyarrow",
+        )
     if features_path is not None:
         import shutil
 
@@ -372,6 +393,123 @@ def dev_f1(
     return float(conlleval_score(pairs)["f1"])
 
 
+class EpochPassFn:
+    """FUSED epoch pass: one row per batch carrying BOTH the train-split
+    integer gradient partials (GradActor semantics) and the dev-split
+    conlleval span-count partials (ChunkCounts JSON, distributive A5
+    machinery). One distributed execution per epoch instead of two
+    (gradient pass + dev-eval pass) — the pass runs with head ``h_e`` and
+    yields dev-F1(h_e) for this epoch's curve row plus grads(h_e) for the
+    NEXT update, so the SGD trajectory is bit-identical to the two-pass
+    form. Shipped as a plain task closure (see GradActor)."""
+
+    def __init__(self, head, id_to_tag: dict[int, str], start_idx, stop_idx):
+        self.fc_w, self.fc_b, self.trans = (
+            ray.get(head) if isinstance(head, ray.ObjectRef) else head
+        )
+        self.id_to_tag = {int(k): v for k, v in id_to_tag.items()}
+        self.start_idx, self.stop_idx = start_idx, stop_idx
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import json
+
+        from ner_pytorch_ray.functions.conlleval import (
+            ChunkCounts,
+            count_chunks,
+        )
+
+        C, H2 = self.fc_w.shape
+        gw = np.zeros((C, H2), dtype=np.int64)
+        gb = np.zeros(C, dtype=np.int64)
+        gt = np.zeros((C, C), dtype=np.int64)
+        nll_i = 0
+        n_sent = 0
+        n_tok = 0
+        counts = ChunkCounts()
+        tags_true = batch.column("tags_true").to_pylist()
+        for n, hb, tb, dev, ts in zip(
+            batch.column("n_tokens").to_pylist(),
+            batch.column("hb").to_pylist(),
+            batch.column("tb").to_pylist(),
+            batch.column("is_dev").to_pylist(),
+            tags_true,
+        ):
+            h = np.frombuffer(hb, dtype="<f4").reshape(int(n), H2)
+            if dev:
+                feats = head_emissions(h, self.fc_w, self.fc_b)
+                path = viterbi_path(
+                    feats, self.trans, self.start_idx, self.stop_idx
+                )
+                counts.merge(
+                    count_chunks(ts, [self.id_to_tag[t] for t in path])
+                )
+            else:
+                tags = np.frombuffer(tb, dtype="<i8")
+                nll, dw, db, dt = crf_head_grads(
+                    h, tags, self.fc_w, self.fc_b, self.trans,
+                    self.start_idx, self.stop_idx,
+                )
+                gw += np.rint(dw * GRAD_SCALE).astype(np.int64)
+                gb += np.rint(db * GRAD_SCALE).astype(np.int64)
+                gt += np.rint(dt * GRAD_SCALE).astype(np.int64)
+                nll_i += int(round(nll * NLL_SCALE))
+                n_sent += 1
+                n_tok += int(n)
+        return pa.Table.from_pydict(
+            {
+                "n": pa.array([n_sent], type=pa.int64()),
+                "n_tok": pa.array([n_tok], type=pa.int64()),
+                "nll_i": pa.array([nll_i], type=pa.int64()),
+                "gw": pa.array([gw.astype("<i8").tobytes()], type=pa.binary()),
+                "gb": pa.array([gb.astype("<i8").tobytes()], type=pa.binary()),
+                "gt": pa.array([gt.astype("<i8").tobytes()], type=pa.binary()),
+                "counts_json": pa.array(
+                    [json.dumps(counts.to_lists())], type=pa.string()
+                ),
+            }
+        )
+
+
+def epoch_pass(
+    feats: ray.data.Dataset,
+    head: tuple[np.ndarray, np.ndarray, np.ndarray],
+    id_to_tag: dict[int, str],
+    start_idx: int,
+    stop_idx: int,
+) -> tuple[int, int, int, np.ndarray, np.ndarray, np.ndarray, float]:
+    """One fused distributed pass over the WHOLE feature cache (no split
+    filter — each row routes inside the UDF) -> integer-exact train
+    gradients + dev span F1, both under the CURRENT head."""
+    import json
+
+    from ner_pytorch_ray.functions.conlleval import ChunkCounts, evaluate_counts
+
+    C, H2 = head[0].shape
+    fn = EpochPassFn(head, id_to_tag, start_idx, stop_idx)
+    parts = feats.map_batches(fn, batch_size=256, batch_format="pyarrow")
+    n = 0
+    n_tok = 0
+    nll_i = 0
+    gw = np.zeros((C, H2), dtype=np.int64)
+    gb = np.zeros(C, dtype=np.int64)
+    gt = np.zeros((C, C), dtype=np.int64)
+    total = ChunkCounts()
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        n += int(np.sum(b.column("n").to_numpy()))
+        n_tok += int(np.sum(b.column("n_tok").to_numpy()))
+        nll_i += int(np.sum(b.column("nll_i").to_numpy()))
+        for blob in b.column("gw").to_pylist():
+            gw += np.frombuffer(blob, dtype="<i8").reshape(C, H2)
+        for blob in b.column("gb").to_pylist():
+            gb += np.frombuffer(blob, dtype="<i8")
+        for blob in b.column("gt").to_pylist():
+            gt += np.frombuffer(blob, dtype="<i8").reshape(C, C)
+        for s in b.column("counts_json").to_pylist():
+            total.merge(ChunkCounts.from_lists(json.loads(s)))
+    f1 = float(evaluate_counts(total)["f1"])
+    return n, n_tok, nll_i, gw, gb, gt, f1
+
+
 def train_loop(
     sf_dir: str,
     n_epochs: int = 3,
@@ -387,9 +525,10 @@ def train_loop(
     patience: int = 7,
 ) -> pa.Table:
     """The epoch driver (train.py:404-516 analog). Full-batch GD: one
-    distributed gradient pass and one head update per epoch; dev F1 after
-    each update; EarlyStopping saves the best checkpoint (backbone +
-    learned head, float32 npz loadable by TaggerActor).
+    FUSED distributed pass per epoch (train gradients + dev F1 together,
+    see EpochPassFn), one head update per epoch; EarlyStopping saves the
+    best checkpoint (backbone + learned head, float32 npz loadable by
+    TaggerActor).
 
     Returns the training-curve table: one row per epoch with
     (epoch, n_train, mean_nll, dev_f1) — plus an epoch-0 row for the
@@ -423,13 +562,16 @@ def train_loop(
         patience=patience, save_fn=save_best, trace_func=lambda *_: None
     )
     rows = []
-    f1 = dev_f1(feats, head, vocab["id_to_tag"], start_idx, stop_idx)
+    # FUSED passes: pass ``e`` runs with head h_e and yields dev-F1(h_e)
+    # (this epoch's curve row) AND grads(h_e) (the NEXT update) in one
+    # distributed execution — E+1 executions instead of 2E+1, trajectory
+    # bit-identical to the two-pass form (integer gradient sums).
+    n, n_tok, nll_i, gw, gb, gt, f1 = epoch_pass(
+        feats, head, vocab["id_to_tag"], start_idx, stop_idx
+    )
     rows.append((0, 0, 0.0, f1))
     stopper(-f1)  # EarlyStopping minimizes; val "loss" = -F1
     for epoch in range(1, n_epochs + 1):
-        n, n_tok, nll_i, gw, gb, gt = epoch_gradient(
-            feats, head, start_idx, stop_idx
-        )
         mean_nll = (nll_i / NLL_SCALE) / n if n else 0.0
         # per-TOKEN mean (the per-sentence mean scales with sentence length
         # and makes full-batch steps overshoot); lr decays like the
@@ -440,8 +582,11 @@ def train_loop(
         )
         lr_t = lr / (1.0 + lr_decay * (epoch - 1))
         sgd_step(head, momenta, grads, lr_t, momentum, clip)
-        f1 = dev_f1(feats, head, vocab["id_to_tag"], start_idx, stop_idx)
-        rows.append((epoch, n, round(mean_nll, 4), f1))
+        n_prev = n
+        n, n_tok, nll_i, gw, gb, gt, f1 = epoch_pass(
+            feats, head, vocab["id_to_tag"], start_idx, stop_idx
+        )
+        rows.append((epoch, n_prev, round(mean_nll, 4), f1))
         stopper(-f1)
         if stopper.early_stop:
             break
