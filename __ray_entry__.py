@@ -317,6 +317,20 @@ def _q_training_curve(sf_dir: str):
     return train_loop(sf_dir, n_epochs=3, patience=10)
 
 
+def _q_training_curve_adv(sf_dir: str):
+    """Adversarial training epochs (train.py:421-470 analog): same fused
+    clean passes plus a per-epoch shuffle-free adversarial pass over a
+    packed rep-variant cache — grad = (1-ratio)*clean + ratio*adv with the
+    WarmupWeight ratio, dynamic_inference top-k-by-NLL selection done
+    group-locally. Curve is bit-deterministic (integer sums), so it
+    hash-matches the frozen sequential recompute."""
+    from ner_pytorch_ray.pipelines.training import train_loop
+
+    return train_loop(
+        sf_dir, n_epochs=3, patience=10, adv_order="rep", launch_epoch=1
+    )
+
+
 def _q_neural_confusion(sf_dir: str):
     from ner_pytorch_ray.pipelines.neural import neural_eval
 
@@ -591,6 +605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neural_epoch_loss": _q_neural_epoch_loss,
         "epoch_shuffle": _q_epoch_shuffle,
         "training_curve": _q_training_curve,
+        "training_curve_adv": _q_training_curve_adv,
         # adversarial-variant pipeline (seeded RNG — rows-only check)
         "adv_rep_variants": _q_adv_rep_variants,
         "adv_ppdb_variants": _q_adv_ppdb_variants,
@@ -664,6 +679,7 @@ def _expected_oracles() -> dict[str, str]:
         "neural_confusion",
         "neural_epoch_loss",
         "training_curve",
+        "training_curve_adv",
         "adv_rep_variants",
         "adv_ppdb_variants",
         "adv_para_variants",

@@ -97,6 +97,7 @@ class FeatureActor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
         sids = batch.column("sent_id").to_pylist()
+        has_vid = "variant_id" in batch.column_names
         word_ids = batch.column("word_ids").to_pylist()
         char_ids = batch.column("char_ids").to_pylist()
         tags = batch.column("tags").to_pylist()
@@ -119,17 +120,19 @@ class FeatureActor:
             tb.append(np.array(tids, dtype="<i8").tobytes())
             ns.append(n)
         dev = [_dev_of(u, int(s), self.dev_mod) for u, s in zip(urls, sids)]
-        return pa.Table.from_pydict(
-            {
-                "url": pa.array(urls, type=pa.string()),
-                "sent_id": pa.array(sids, type=pa.int64()),
-                "n_tokens": pa.array(ns, type=pa.int64()),
-                "hb": pa.array(hb, type=pa.binary()),
-                "tb": pa.array(tb, type=pa.binary()),
-                "is_dev": pa.array(dev, type=pa.bool_()),
-                "tags_true": pa.array(gold_strs, type=pa.list_(pa.string())),
-            }
-        )
+        cols = {
+            "url": pa.array(urls, type=pa.string()),
+            "sent_id": pa.array(sids, type=pa.int64()),
+            "n_tokens": pa.array(ns, type=pa.int64()),
+            "hb": pa.array(hb, type=pa.binary()),
+            "tb": pa.array(tb, type=pa.binary()),
+            "is_dev": pa.array(dev, type=pa.bool_()),
+            "tags_true": pa.array(gold_strs, type=pa.list_(pa.string())),
+        }
+        if has_vid:
+            # adversarial-variant cache rows keep their variant identity
+            cols["variant_id"] = batch.column("variant_id")
+        return pa.Table.from_pydict(cols)
 
 
 def teacher_head(vocab: dict, seed: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -510,6 +513,224 @@ def epoch_pass(
     return n, n_tok, nll_i, gw, gb, gt, f1
 
 
+def adv_feature_cache(
+    sf_dir: str,
+    vocab: dict,
+    weights: dict,
+    seed: int,
+    order: str = "rep",
+    n_variants: int = 2,
+    dev_mod: int = 5,
+    labels: str = "teacher",
+) -> ray.data.Dataset:
+    """Adversarial-variant feature cache, PACKED one row per source
+    sentence (train.py:318-341: adv examples generated offline, then
+    consumed batch-aligned with their source sentence every epoch).
+
+    Variants come from the adversarial pipeline (``order`` stage list, same
+    --order contract as gen_adv_cli); each variant runs through the SAME
+    frozen backbone / teacher labeling as the clean cache, dev-split rows
+    are dropped (adv examples are train-time augmentation only), and a
+    sentence's variants are co-located into ONE row via a keyed collect:
+    ``variants`` = list of (variant_id, n_tokens, hb, tb) tuples.
+
+    The pack is the scale design: the (url, sent_id) groupby shuffle runs
+    ONCE at cache build and amortizes over every epoch — per-epoch adv
+    passes are then plain shuffle-free map_batches where the
+    dynamic-inference top-k selection (which needs all of a sentence's
+    variants together) is group-local inside the UDF. Group payloads are
+    bounded by n_variants x sentence length, never by corpus size."""
+    from ner_pytorch_ray.pipelines.adversarial import adv_pipeline
+    from ner_pytorch_ray.stages.encode import encode_stage
+    from ner_pytorch_ray.stages.groupby_utils import collect_tuples
+
+    variants = adv_pipeline(sf_dir, order=order, n_variants=n_variants)
+    encoded = encode_stage(
+        variants, vocab["word_to_id"], vocab["char_to_id"]
+    )
+    teacher = teacher_head(vocab, seed + 1) if labels == "teacher" else None
+    feats = encoded.map_batches(
+        FeatureActor(weights, vocab["tag_to_id"], dev_mod, teacher),
+        batch_size=256,
+        batch_format="pyarrow",
+    ).filter(expr="is_dev == False")
+
+    # asof's packed-combiner transport: pre-pack each variant row into ONE
+    # binary cell BEFORE the keyed collect (a list of plain bytes converts
+    # to a native Arrow list<binary> aggregate block; mixed-type tuples
+    # would fall back to pickled-object blocks), then splice each group's
+    # cells into one vid-ordered vpack cell — the materialized cache and
+    # every epoch's reads stay zero-copy Arrow.
+    import struct
+
+    def prepack(batch: pa.Table) -> pa.Table:
+        cells = [
+            struct.pack("<qq", int(vid), int(n)) + hb + tb
+            for vid, n, hb, tb in zip(
+                batch.column("variant_id").to_pylist(),
+                batch.column("n_tokens").to_pylist(),
+                batch.column("hb").to_pylist(),
+                batch.column("tb").to_pylist(),
+            )
+        ]
+        return pa.Table.from_pydict(
+            {
+                "url": batch.column("url"),
+                "sent_id": batch.column("sent_id"),
+                "vcell": pa.array(cells, type=pa.binary()),
+            }
+        )
+
+    packed = collect_tuples(
+        feats.map_batches(prepack, batch_format="pyarrow"),
+        ["url", "sent_id"],
+        ["vcell"],
+        name="variants",
+    )
+
+    def pack_cells(batch: pa.Table) -> pa.Table:
+        cells = []
+        for items in batch.column("variants").to_pylist():
+            group = sorted(
+                (bytes(it[0]) for it in items),
+                key=lambda c: struct.unpack_from("<q", c, 0)[0],
+            )
+            cells.append(struct.pack("<q", len(group)) + b"".join(group))
+        return pa.Table.from_pydict(
+            {
+                "url": batch.column("url"),
+                "sent_id": batch.column("sent_id"),
+                "vpack": pa.array(cells, type=pa.binary()),
+            }
+        )
+
+    return packed.map_batches(pack_cells, batch_format="pyarrow").materialize()
+
+
+def _iter_vpack(cell: bytes, h2: int):
+    """Yield (variant_id, n_tokens, h [n,2H] f4 view, tags i8 view) from a
+    packed variant cell — zero-copy np.frombuffer slices."""
+    import struct
+
+    k = struct.unpack_from("<q", cell, 0)[0]
+    off = 8
+    for _ in range(k):
+        vid, n = struct.unpack_from("<qq", cell, off)
+        off += 16
+        hlen = n * h2 * 4
+        h = np.frombuffer(cell, dtype="<f4", count=n * h2, offset=off).reshape(
+            n, h2
+        )
+        off += hlen
+        tags = np.frombuffer(cell, dtype="<i8", count=n, offset=off)
+        off += n * 8
+        yield int(vid), int(n), h, tags
+
+
+class AdvPassFn:
+    """Per-epoch adversarial gradient partials over the PACKED variant
+    cache — one integer-sum row per batch (GradActor transport).
+
+    mode="dynamic" (train.py:383-395 dynamic_inference): within each
+    source sentence, rank variants by head NLL under the CURRENT head
+    (forward-only crf_head_nll) and compute gradients only for the top-k
+    highest-loss ones — ties break on variant_id asc, exactly the
+    adjudicated ``topk_by_group`` semantics (O4). mode="non_gradient"
+    (train.py:441-460): gradients over ALL variants. Selection happens
+    group-locally inside the UDF (variants were co-located at cache
+    build), so the per-sentence ranking is deterministic under any
+    partitioning and the integer sums keep the whole trajectory
+    bit-identical."""
+
+    def __init__(self, head, start_idx: int, stop_idx: int, mode: str, topk: int):
+        self.fc_w, self.fc_b, self.trans = (
+            ray.get(head) if isinstance(head, ray.ObjectRef) else head
+        )
+        self.start_idx, self.stop_idx = start_idx, stop_idx
+        self.mode = mode
+        self.topk = topk
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ner_pytorch_ray.state.model import crf_head_nll
+
+        C, H2 = self.fc_w.shape
+        gw = np.zeros((C, H2), dtype=np.int64)
+        gb = np.zeros(C, dtype=np.int64)
+        gt = np.zeros((C, C), dtype=np.int64)
+        nll_i = 0
+        n_sel = 0
+        n_tok = 0
+        for cell in batch.column("vpack").to_pylist():
+            its = list(_iter_vpack(cell, H2))  # vid-asc by construction
+            if self.mode == "dynamic" and len(its) > self.topk:
+                nlls = np.array(
+                    [
+                        crf_head_nll(
+                            h, tags,
+                            self.fc_w, self.fc_b, self.trans,
+                            self.start_idx, self.stop_idx,
+                        )
+                        for _, _, h, tags in its
+                    ]
+                )
+                # highest-loss first; stable over vid-asc input = vid tiebreak
+                keep = np.argsort(-nlls, kind="stable")[: self.topk]
+                its = [its[i] for i in sorted(keep)]
+            for _, n, h, tags in its:
+                nll, dw, db, dt = crf_head_grads(
+                    h, tags, self.fc_w, self.fc_b, self.trans,
+                    self.start_idx, self.stop_idx,
+                )
+                gw += np.rint(dw * GRAD_SCALE).astype(np.int64)
+                gb += np.rint(db * GRAD_SCALE).astype(np.int64)
+                gt += np.rint(dt * GRAD_SCALE).astype(np.int64)
+                nll_i += int(round(nll * NLL_SCALE))
+                n_sel += 1
+                n_tok += int(n)
+        return pa.Table.from_pydict(
+            {
+                "n": pa.array([n_sel], type=pa.int64()),
+                "n_tok": pa.array([n_tok], type=pa.int64()),
+                "nll_i": pa.array([nll_i], type=pa.int64()),
+                "gw": pa.array([gw.astype("<i8").tobytes()], type=pa.binary()),
+                "gb": pa.array([gb.astype("<i8").tobytes()], type=pa.binary()),
+                "gt": pa.array([gt.astype("<i8").tobytes()], type=pa.binary()),
+            }
+        )
+
+
+def adv_epoch_partials(
+    packed: ray.data.Dataset,
+    head: tuple[np.ndarray, np.ndarray, np.ndarray],
+    start_idx: int,
+    stop_idx: int,
+    mode: str = "dynamic",
+    topk: int = 5,
+) -> tuple[int, int, int, np.ndarray, np.ndarray, np.ndarray]:
+    """One shuffle-free adversarial pass -> integer-exact
+    (n_selected, n_tokens, nll_i, sum_gw, sum_gb, sum_gt)."""
+    C, H2 = head[0].shape
+    fn = AdvPassFn(head, start_idx, stop_idx, mode, topk)
+    parts = packed.map_batches(fn, batch_size=256, batch_format="pyarrow")
+    n = 0
+    n_tok = 0
+    nll_i = 0
+    gw = np.zeros((C, H2), dtype=np.int64)
+    gb = np.zeros(C, dtype=np.int64)
+    gt = np.zeros((C, C), dtype=np.int64)
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        n += int(np.sum(b.column("n").to_numpy()))
+        n_tok += int(np.sum(b.column("n_tok").to_numpy()))
+        nll_i += int(np.sum(b.column("nll_i").to_numpy()))
+        for blob in b.column("gw").to_pylist():
+            gw += np.frombuffer(blob, dtype="<i8").reshape(C, H2)
+        for blob in b.column("gb").to_pylist():
+            gb += np.frombuffer(blob, dtype="<i8")
+        for blob in b.column("gt").to_pylist():
+            gt += np.frombuffer(blob, dtype="<i8").reshape(C, C)
+    return n, n_tok, nll_i, gw, gb, gt
+
+
 def train_loop(
     sf_dir: str,
     n_epochs: int = 3,
@@ -523,6 +744,14 @@ def train_loop(
     checkpoint_path: str | None = None,
     features_path: str | None = None,
     patience: int = 7,
+    adv_order: str | None = None,
+    adv_mode: str = "dynamic",
+    adv_topk: int = 5,
+    adv_n_variants: int = 2,
+    launch_epoch: int = 0,
+    adv_ratio: float = 0.5,
+    adv_warmup_epochs: int = 2,
+    adv_warmup_style: str = "linear",
 ) -> pa.Table:
     """The epoch driver (train.py:404-516 analog). Full-batch GD: one
     FUSED distributed pass per epoch (train gradients + dev F1 together,
@@ -530,16 +759,41 @@ def train_loop(
     best checkpoint (backbone + learned head, float32 npz loadable by
     TaggerActor).
 
+    Adversarial-loss mixing (train.py:421-470): when ``adv_order`` names
+    an adversarial stage list (e.g. "rep" or "rep,ppdb"), variants are
+    cached+packed once (adv_feature_cache) and every update whose 0-based
+    epoch index >= ``launch_epoch`` adds one shuffle-free adversarial pass:
+    grad = (1-ratio) * grad_clean + ratio * grad_adv, both per-token
+    means, with ratio stepped per active epoch by the reference's
+    WarmupWeight schedule (weight_scheduler.py:6-35; the reference steps
+    it per batch — full-batch GD has one step per epoch).
+    ``adv_mode``: "dynamic" = top-``adv_topk`` variants by current-head
+    NLL per sentence (dynamic_inference); "non_gradient" = all variants.
+
     Returns the training-curve table: one row per epoch with
     (epoch, n_train, mean_nll, dev_f1) — plus an epoch-0 row for the
-    initial head, so improvement is visible in the output. mean_nll is the
-    integer-exact epoch total divided on the driver; the whole trajectory
-    is bit-identical under any partitioning (integer gradient sums)."""
-    from ner_pytorch_ray.state.schedulers import EarlyStopping
+    initial head, so improvement is visible in the output. With adv mixing
+    on, three columns are appended: (n_adv, mean_nll_adv, ratio). mean_nll
+    is the integer-exact epoch total divided on the driver; the whole
+    trajectory is bit-identical under any partitioning (integer gradient
+    sums; the dynamic top-k selection is group-local and per-sentence
+    deterministic)."""
+    from ner_pytorch_ray.state.schedulers import EarlyStopping, WarmupWeight
 
     feats, vocab, weights = feature_cache(
         sf_dir, seed, dev_mod, labels=labels, features_path=features_path
     )
+    packed_adv = None
+    ratio_sched = None
+    if adv_order is not None:
+        packed_adv = adv_feature_cache(
+            sf_dir, vocab, weights, seed,
+            order=adv_order, n_variants=adv_n_variants,
+            dev_mod=dev_mod, labels=labels,
+        )
+        ratio_sched = WarmupWeight(
+            adv_ratio, adv_warmup_epochs, n_epochs, adv_warmup_style
+        )
     n_tags = len(vocab["tag_to_id"])
     start_idx, stop_idx = n_tags - 2, n_tags - 1
     head = (
@@ -569,7 +823,7 @@ def train_loop(
     n, n_tok, nll_i, gw, gb, gt, f1 = epoch_pass(
         feats, head, vocab["id_to_tag"], start_idx, stop_idx
     )
-    rows.append((0, 0, 0.0, f1))
+    rows.append((0, 0, 0.0, f1, 0, 0.0, 0.0))
     stopper(-f1)  # EarlyStopping minimizes; val "loss" = -F1
     for epoch in range(1, n_epochs + 1):
         mean_nll = (nll_i / NLL_SCALE) / n if n else 0.0
@@ -580,23 +834,49 @@ def train_loop(
             g.astype(np.float64) / GRAD_SCALE / max(n_tok, 1)
             for g in (gw, gb, gt)
         )
+        ratio = 0.0
+        n_adv = 0
+        mean_nll_adv = 0.0
+        if packed_adv is not None and (epoch - 1) >= launch_epoch:
+            # adv grads at the SAME head the clean grads were computed with
+            # (train.py:464: one combined loss, one backward per step)
+            ratio = float(ratio_sched.step())
+            n_adv, n_adv_tok, nll_adv_i, aw, ab, at = adv_epoch_partials(
+                packed_adv, head, start_idx, stop_idx,
+                mode=adv_mode, topk=adv_topk,
+            )
+            mean_nll_adv = (nll_adv_i / NLL_SCALE) / n_adv if n_adv else 0.0
+            adv_grads = tuple(
+                g.astype(np.float64) / GRAD_SCALE / max(n_adv_tok, 1)
+                for g in (aw, ab, at)
+            )
+            grads = tuple(
+                (1.0 - ratio) * gc + ratio * ga
+                for gc, ga in zip(grads, adv_grads)
+            )
         lr_t = lr / (1.0 + lr_decay * (epoch - 1))
         sgd_step(head, momenta, grads, lr_t, momentum, clip)
         n_prev = n
         n, n_tok, nll_i, gw, gb, gt, f1 = epoch_pass(
             feats, head, vocab["id_to_tag"], start_idx, stop_idx
         )
-        rows.append((epoch, n_prev, round(mean_nll, 4), f1))
+        rows.append(
+            (epoch, n_prev, round(mean_nll, 4), f1,
+             n_adv, round(mean_nll_adv, 4), round(ratio, 6))
+        )
         stopper(-f1)
         if stopper.early_stop:
             break
-    return pa.Table.from_pydict(
-        {
-            "epoch": pa.array([r[0] for r in rows], type=pa.int64()),
-            "n_train": pa.array([r[1] for r in rows], type=pa.int64()),
-            "mean_nll": pa.array([r[2] for r in rows], type=pa.float64()),
-            "dev_f1": pa.array(
-                [round(r[3], 6) for r in rows], type=pa.float64()
-            ),
-        }
-    )
+    cols = {
+        "epoch": pa.array([r[0] for r in rows], type=pa.int64()),
+        "n_train": pa.array([r[1] for r in rows], type=pa.int64()),
+        "mean_nll": pa.array([r[2] for r in rows], type=pa.float64()),
+        "dev_f1": pa.array([round(r[3], 6) for r in rows], type=pa.float64()),
+    }
+    if packed_adv is not None:
+        cols["n_adv"] = pa.array([r[4] for r in rows], type=pa.int64())
+        cols["mean_nll_adv"] = pa.array(
+            [r[5] for r in rows], type=pa.float64()
+        )
+        cols["ratio"] = pa.array([r[6] for r in rows], type=pa.float64())
+    return pa.Table.from_pydict(cols)

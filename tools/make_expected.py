@@ -772,6 +772,208 @@ def training_curve_expected(
     )
 
 
+def training_curve_adv_expected(
+    sents,
+    n_epochs: int = 3,
+    lr: float = 6.0,
+    lr_decay: float = 0.3,
+    momentum: float = 0.5,
+    clip: float = 5.0,
+    seed: int = 1234,
+    dev_mod: int = 5,
+    adv_n_variants: int = 2,
+    adv_mode: str = "dynamic",
+    adv_topk: int = 5,
+    launch_epoch: int = 1,
+    adv_ratio: float = 0.5,
+    adv_warmup_epochs: int = 2,
+) -> pa.Table:
+    """Sequential mirror of pipelines/training.train_loop with
+    adversarial-loss mixing (adv_order='rep'): rep variants generated by
+    the same seeded mirror as adv_rep_variants, run through the frozen
+    backbone + teacher labels, dev rows dropped, then per epoch >=
+    launch_epoch: per-sentence top-k-by-NLL selection (dynamic) and
+    grad = (1-ratio)*clean + ratio*adv with the WarmupWeight ratio — all
+    in a plain python loop, no ray.data anywhere."""
+    from ner_pytorch_ray.functions.conlleval import (
+        ChunkCounts,
+        count_chunks,
+        evaluate_counts,
+    )
+    from ner_pytorch_ray.pipelines.training import (
+        GRAD_SCALE,
+        NLL_SCALE,
+        _dev_of,
+        sgd_step,
+    )
+    from ner_pytorch_ray.state.model import (
+        crf_head_grads,
+        crf_head_nll,
+        head_emissions,
+        viterbi_path,
+    )
+    from ner_pytorch_ray.state.schedulers import WarmupWeight
+
+    word_to_id, char_to_id, tag_to_id, id_to_tag, model = build_model_state(
+        sents, seed
+    )
+    n_tags = len(tag_to_id)
+    start, stop = n_tags - 2, n_tags - 1
+    tw = init_weights(
+        n_words=len(word_to_id),
+        n_chars=len(char_to_id),
+        n_tags=n_tags,
+        word_dim=50,
+        char_dim=16,
+        char_out=16,
+        hidden=32,
+        seed=seed + 1,
+    )
+    teacher = (
+        tw["fc_w"].astype(np.float64),
+        tw["fc_b"].astype(np.float64),
+        tw["trans"].astype(np.float64),
+    )
+
+    def featurize(toks):
+        wids, cids = encode_sentence(toks, word_to_id, char_to_id)
+        h, _ = model.hidden_states([wids], [cids])
+        hn = h[0, : len(wids)].astype("<f4")
+        feats = head_emissions(hn.astype(np.float64), teacher[0], teacher[1])
+        tids = np.array(
+            viterbi_path(feats, teacher[2], start, stop), dtype=np.int64
+        )
+        return hn, tids
+
+    cache = []
+    for url, sid, toks in sents:
+        hn, tids = featurize(toks)
+        cache.append((hn, tids, _dev_of(url, int(sid), dev_mod)))
+
+    # adversarial variant cache: rep variants of TRAIN sentences, packed
+    # per source sentence in variant_id order
+    tagged = [(u, s, t, gaz_tags(t)) for u, s, t in sents]
+    bank = build_bank(tagged)
+    adv_packed: dict[tuple, list] = {}
+    for u, sid, vid, toks, _tags in rep_variants(
+        tagged, bank, adv_n_variants
+    ):
+        if _dev_of(u, int(sid), dev_mod):
+            continue
+        hn, tids = featurize(toks)
+        adv_packed.setdefault((u, sid), []).append((vid, hn, tids))
+    adv_cache = [
+        sorted(v, key=lambda x: x[0]) for _, v in sorted(adv_packed.items())
+    ]
+
+    w0 = model.w
+    head = (
+        w0["fc_w"].astype(np.float64).copy(),
+        w0["fc_b"].astype(np.float64).copy(),
+        w0["trans"].astype(np.float64).copy(),
+    )
+    momenta = tuple(np.zeros_like(p) for p in head)
+    ratio_sched = WarmupWeight(adv_ratio, adv_warmup_epochs, n_epochs, "linear")
+
+    def f1_of(head):
+        total = ChunkCounts()
+        for hn, tids, is_dev in cache:
+            if not is_dev:
+                continue
+            feats = head_emissions(hn.astype(np.float64), head[0], head[1])
+            pred = viterbi_path(feats, head[2], start, stop)
+            total.merge(
+                count_chunks(
+                    [id_to_tag[t] for t in tids], [id_to_tag[t] for t in pred]
+                )
+            )
+        return float(evaluate_counts(total)["f1"])
+
+    def int_grads(items):
+        C, H2 = head[0].shape
+        gw = np.zeros((C, H2), dtype=np.int64)
+        gb = np.zeros(C, dtype=np.int64)
+        gt = np.zeros((C, C), dtype=np.int64)
+        nll_i = 0
+        n = 0
+        n_tok = 0
+        for hn, tids in items:
+            nll, dw, db, dt = crf_head_grads(
+                np.frombuffer(hn.tobytes(), dtype="<f4").reshape(hn.shape),
+                tids, head[0], head[1], head[2], start, stop,
+            )
+            gw += np.rint(dw * GRAD_SCALE).astype(np.int64)
+            gb += np.rint(db * GRAD_SCALE).astype(np.int64)
+            gt += np.rint(dt * GRAD_SCALE).astype(np.int64)
+            nll_i += int(round(nll * NLL_SCALE))
+            n += 1
+            n_tok += len(tids)
+        return n, n_tok, nll_i, gw, gb, gt
+
+    rows = [(0, 0, 0.0, f1_of(head), 0, 0.0, 0.0)]
+    for epoch in range(1, n_epochs + 1):
+        n, n_tok, nll_i, gw, gb, gt = int_grads(
+            (hn, tids) for hn, tids, is_dev in cache if not is_dev
+        )
+        mean_nll = (nll_i / NLL_SCALE) / n if n else 0.0
+        grads = tuple(
+            g.astype(np.float64) / GRAD_SCALE / max(n_tok, 1)
+            for g in (gw, gb, gt)
+        )
+        ratio = 0.0
+        n_adv = 0
+        mean_nll_adv = 0.0
+        if (epoch - 1) >= launch_epoch:
+            ratio = float(ratio_sched.step())
+            sel = []
+            for group in adv_cache:
+                its = group
+                if adv_mode == "dynamic" and len(its) > adv_topk:
+                    nlls = np.array(
+                        [
+                            crf_head_nll(
+                                np.frombuffer(
+                                    hn.tobytes(), dtype="<f4"
+                                ).reshape(hn.shape),
+                                tids, head[0], head[1], head[2], start, stop,
+                            )
+                            for _, hn, tids in its
+                        ]
+                    )
+                    keep = np.argsort(-nlls, kind="stable")[:adv_topk]
+                    its = [its[i] for i in sorted(keep)]
+                sel.extend((hn, tids) for _, hn, tids in its)
+            n_adv, n_adv_tok, nll_adv_i, aw, ab, at = int_grads(sel)
+            mean_nll_adv = (nll_adv_i / NLL_SCALE) / n_adv if n_adv else 0.0
+            adv_grads = tuple(
+                g.astype(np.float64) / GRAD_SCALE / max(n_adv_tok, 1)
+                for g in (aw, ab, at)
+            )
+            grads = tuple(
+                (1.0 - ratio) * gc + ratio * ga
+                for gc, ga in zip(grads, adv_grads)
+            )
+        lr_t = lr / (1.0 + lr_decay * (epoch - 1))
+        sgd_step(head, momenta, grads, lr_t, momentum, clip)
+        rows.append(
+            (epoch, n, round(mean_nll, 4), f1_of(head),
+             n_adv, round(mean_nll_adv, 4), round(ratio, 6))
+        )
+    return pa.Table.from_pydict(
+        {
+            "epoch": pa.array([r[0] for r in rows], type=pa.int64()),
+            "n_train": pa.array([r[1] for r in rows], type=pa.int64()),
+            "mean_nll": pa.array([r[2] for r in rows], type=pa.float64()),
+            "dev_f1": pa.array(
+                [round(r[3], 6) for r in rows], type=pa.float64()
+            ),
+            "n_adv": pa.array([r[4] for r in rows], type=pa.int64()),
+            "mean_nll_adv": pa.array([r[5] for r in rows], type=pa.float64()),
+            "ratio": pa.array([r[6] for r in rows], type=pa.float64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------- main
 def main(sf_dir: str, out_dir: str) -> None:
     os.makedirs(out_dir, exist_ok=True)
@@ -801,6 +1003,7 @@ def main(sf_dir: str, out_dir: str) -> None:
     write("tag_embeddings", tag_embeddings_expected(tagged))
     write("neural_epoch_loss", neural_epoch_loss_expected(sents, tagged))
     write("training_curve", training_curve_expected(sents))
+    write("training_curve_adv", training_curve_adv_expected(sents))
 
     # adversarial path
     bank = build_bank(tagged)
