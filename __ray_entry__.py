@@ -306,6 +306,16 @@ def _q_epoch_shuffle(sf_dir: str):
     return shuffled.select_columns(["url", "sent_id"])
 
 
+def _feat_cache_path(sf_dir: str) -> str:
+    """Shared feature-cache dir for the two training queries: the cache is
+    bit-deterministic, so whichever runs first pays the backbone pass and
+    the other resumes from parquet (feature_cache's _DONE short-circuit)."""
+    import os
+
+    base = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return f"/tmp/ner_ray_feat_cache/{base}_seed1234_dev5_teacher"
+
+
 def _q_training_curve(sf_dir: str):
     """Distributed training epochs (train.py:404-516 analog): 3 full-batch
     SGD epochs of the CRF head on teacher-distillation labels; the curve
@@ -314,7 +324,10 @@ def _q_training_curve(sf_dir: str):
     sequential recompute."""
     from ner_pytorch_ray.pipelines.training import train_loop
 
-    return train_loop(sf_dir, n_epochs=3, patience=10)
+    return train_loop(
+        sf_dir, n_epochs=3, patience=10,
+        features_path=_feat_cache_path(sf_dir),
+    )
 
 
 def _q_training_curve_adv(sf_dir: str):
@@ -327,7 +340,8 @@ def _q_training_curve_adv(sf_dir: str):
     from ner_pytorch_ray.pipelines.training import train_loop
 
     return train_loop(
-        sf_dir, n_epochs=3, patience=10, adv_order="rep", launch_epoch=1
+        sf_dir, n_epochs=3, patience=10, adv_order="rep", launch_epoch=1,
+        features_path=_feat_cache_path(sf_dir),
     )
 
 
