@@ -178,19 +178,14 @@ def feature_cache(
 
     if features_path is not None and os.path.exists(
         os.path.join(features_path, "_DONE")
-    ):
-        from ner_pytorch_ray.pipelines.neural import (
-            build_vocab_state,
-            frozen_weights,
-        )
-        from ner_pytorch_ray.sources.pages import pages_from_documents
-        from ner_pytorch_ray.stages.extract import extract_stage
-        from ner_pytorch_ray.stages.sentences import sentences_stage
+    ) and os.path.exists(os.path.join(features_path, "_vocab.json")):
+        from ner_pytorch_ray.pipelines.neural import frozen_weights
+        from ner_pytorch_ray.state.vocab import load_vocab
 
-        sents = sentences_stage(
-            extract_stage(pages_from_documents(sf_dir)), zeros=True
-        )
-        vocab = build_vocab_state(sents)
+        # the vocab was persisted at cache-build time — resuming costs zero
+        # distributed executions beyond the parquet read itself (the old
+        # path re-ran sentences+vocab counting just to rebuild mappings)
+        vocab = load_vocab(os.path.join(features_path, "_vocab.json"))
         weights = frozen_weights(vocab, seed)
         return ray.data.read_parquet(features_path), vocab, weights
     from ner_pytorch_ray.pipelines.neural import build_vocab_state, frozen_weights
@@ -229,9 +224,12 @@ def feature_cache(
     if features_path is not None:
         import shutil
 
+        from ner_pytorch_ray.state.vocab import save_vocab
+
         if os.path.exists(features_path):
             shutil.rmtree(features_path)  # crashed partial write
         feats.write_parquet(features_path)
+        save_vocab(os.path.join(features_path, "_vocab.json"), vocab)
         with open(os.path.join(features_path, "_DONE"), "w") as f:
             f.write("done\n")
         return ray.data.read_parquet(features_path), vocab, weights
