@@ -486,6 +486,18 @@ def _q_substring_containment(sf_dir: str):
     return substring_containment(sf_dir, m=5)
 
 
+def _q_graph_components(sf_dir: str):
+    from ner_pytorch_ray.pipelines.graph_ops import connected_components
+
+    return connected_components(sf_dir, m=5)
+
+
+def _q_graph_pagerank(sf_dir: str):
+    from ner_pytorch_ray.pipelines.graph_ops import pagerank
+
+    return pagerank(sf_dir, m=5, iters=5)
+
+
 def _q_emb_cosine_pairs(sf_dir: str):
     from ner_pytorch_ray.pipelines.dedup import embedding_near_dup
 
@@ -657,6 +669,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_containment": _q_prefix_containment,
         "substring_containment": _q_substring_containment,
         "emb_cosine_pairs": _q_emb_cosine_pairs,
+        # graph operators over the dup-pair graph
+        "graph_components": _q_graph_components,
+        "graph_pagerank": _q_graph_pagerank,
         # similarity search
         "knn_topk": _q_knn_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -1114,6 +1129,103 @@ SELECT a.doc_id AS inner_doc, b.doc_id AS outer_doc
 FROM t a JOIN t b
   ON position(a.padded IN b.padded) > 0
  AND a.doc_id <> b.doc_id AND len(a.toks) >= 5 AND len(b.toks) >= 5
+""",
+        # graph ops over the symmetric mutual-containment dup graph:
+        # hash-min components == min reachable id (recursive CTE);
+        # integer fixed-point PageRank unrolled 5 iterations with the
+        # exact floor-division update the Ray operator uses
+        "graph_components": """
+WITH RECURSIVE t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         ' ' || text || ' ' AS padded
+  FROM documents
+),
+p AS (SELECT doc_id, ' ' || array_to_string(toks[1:5], ' ') || ' ' AS prefix
+      FROM t WHERE len(toks) >= 5),
+pairs AS (
+  SELECT p.doc_id AS a, t2.doc_id AS b FROM p JOIN t t2
+  ON position(p.prefix IN t2.padded) > 0
+ AND t2.doc_id <> p.doc_id AND len(t2.toks) >= 5
+),
+edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, root) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(MIN(root) AS BIGINT) AS component
+FROM reach GROUP BY node
+""",
+        "graph_pagerank": """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         ' ' || text || ' ' AS padded
+  FROM documents
+),
+p AS (SELECT doc_id, ' ' || array_to_string(toks[1:5], ' ') || ' ' AS prefix
+      FROM t WHERE len(toks) >= 5),
+pairs AS (
+  SELECT p.doc_id AS a, t2.doc_id AS b FROM p JOIN t t2
+  ON position(p.prefix IN t2.padded) > 0
+ AND t2.doc_id <> p.doc_id AND len(t2.toks) >= 5
+),
+edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+deg AS (SELECT a AS node, COUNT(*) AS deg FROM edges GROUP BY a),
+r0 AS (SELECT node, 1000000000000 // (SELECT COUNT(*) FROM nodes) AS rank
+       FROM nodes),
+r1 AS (
+  SELECT n.node,
+         (150 * 1000000000000 // (1000 * (SELECT COUNT(*) FROM nodes)))
+         + COALESCE(SUM((850 * rp.rank) // (1000 * d.deg)), 0) AS rank
+  FROM nodes n
+  LEFT JOIN edges e ON e.b = n.node
+  LEFT JOIN r0 rp ON rp.node = e.a
+  LEFT JOIN deg d ON d.node = e.a
+  GROUP BY n.node
+),
+r2 AS (
+  SELECT n.node,
+         (150 * 1000000000000 // (1000 * (SELECT COUNT(*) FROM nodes)))
+         + COALESCE(SUM((850 * rp.rank) // (1000 * d.deg)), 0) AS rank
+  FROM nodes n
+  LEFT JOIN edges e ON e.b = n.node
+  LEFT JOIN r1 rp ON rp.node = e.a
+  LEFT JOIN deg d ON d.node = e.a
+  GROUP BY n.node
+),
+r3 AS (
+  SELECT n.node,
+         (150 * 1000000000000 // (1000 * (SELECT COUNT(*) FROM nodes)))
+         + COALESCE(SUM((850 * rp.rank) // (1000 * d.deg)), 0) AS rank
+  FROM nodes n
+  LEFT JOIN edges e ON e.b = n.node
+  LEFT JOIN r2 rp ON rp.node = e.a
+  LEFT JOIN deg d ON d.node = e.a
+  GROUP BY n.node
+),
+r4 AS (
+  SELECT n.node,
+         (150 * 1000000000000 // (1000 * (SELECT COUNT(*) FROM nodes)))
+         + COALESCE(SUM((850 * rp.rank) // (1000 * d.deg)), 0) AS rank
+  FROM nodes n
+  LEFT JOIN edges e ON e.b = n.node
+  LEFT JOIN r3 rp ON rp.node = e.a
+  LEFT JOIN deg d ON d.node = e.a
+  GROUP BY n.node
+),
+r5 AS (
+  SELECT n.node,
+         (150 * 1000000000000 // (1000 * (SELECT COUNT(*) FROM nodes)))
+         + COALESCE(SUM((850 * rp.rank) // (1000 * d.deg)), 0) AS rank
+  FROM nodes n
+  LEFT JOIN edges e ON e.b = n.node
+  LEFT JOIN r4 rp ON rp.node = e.a
+  LEFT JOIN deg d ON d.node = e.a
+  GROUP BY n.node
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(rank AS BIGINT) AS rank FROM r5
 """,
         "ngram_jaccard_pairs": """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

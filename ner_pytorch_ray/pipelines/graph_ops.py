@@ -1,0 +1,315 @@
+"""Distributed graph operators over the duplicate-pair graph.
+
+The containment dedup stage (``pipelines/dedup.py``: prefix/substring
+containment, minhash LSH) emits *pairs*; turning pairs into canonical
+duplicate CLUSTERS is the classic knowledge-graph merge step — the same
+canonicalization the KG build applies to entity surfaces
+(``stages/graph.py`` A4, reference ``train.py``-adjacent KG assembly), but
+over the document-dup relation instead of surface equality:
+
+- :func:`connected_components` — hash-min label propagation: every node
+  ends with the minimum doc_id reachable in its component. Deterministic
+  (min is order-independent), oracle-able with a recursive SQL CTE.
+- :func:`pagerank` — fixed-iteration PageRank with *scaled-integer*
+  arithmetic: per-edge contributions are computed with integer floor
+  division and summed as int64, so the result is bit-identical under any
+  partitioning / summation order, and an unrolled SQL oracle can
+  reproduce it exactly.
+
+Scale notes (100 TB):
+
+- The dup graph is the OUTPUT of a bucketed candidate stage — orders of
+  magnitude smaller than the corpus. Both operators iterate over
+  (node, label) / (a, b, deg) tables only; document text never enters the
+  loop.
+- Each iteration is two bounded exchanges: a keyed collect that co-locates
+  a node's label with its out-edges (group size = out-degree, capped
+  upstream by ``max_bucket``), then a native groupby-min/sum over the
+  emitted messages. No broadcast of the edge set, no driver-side adjacency.
+- Iteration state is materialized each round (the small label table, NOT
+  the corpus) so lineage does not grow with the iteration count.
+- Hash-min converges in O(component diameter) rounds; dup clusters are
+  shallow (mirror/quote chains), so ``max_iters`` is a guard, not a budget.
+  The monotone label-sum doubles as a convergence test: it strictly
+  decreases until the fixpoint, so one cheap aggregate per round detects
+  termination without a change-count join.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data
+
+SCALE = 10**12  # PageRank fixed-point scale: rank 1.0 == 10**12
+DAMP_NUM, DAMP_DEN = 850, 1000  # damping 0.85 as an exact ratio
+
+
+def dup_edges(
+    sf_dir: str, m: int = 5, max_bucket: int = 100_000
+) -> ray.data.Dataset:
+    """Symmetrized, deduplicated edge list (a, b) of the containment dup
+    graph: an edge for each ordered pair where one doc's prefix m-gram
+    occurs token-aligned in the other (see ``dedup.prefix_containment``)."""
+    from ner_pytorch_ray.pipelines.dedup import _containment_candidates
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
+
+    pairs = _containment_candidates(sf_dir, m, max_bucket)
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        inner = batch.column("inner_doc")
+        outer = batch.column("outer_doc")
+        fwd = pa.table({"a": inner, "b": outer})
+        rev = pa.table({"a": outer, "b": inner})
+        both = pa.concat_tables([fwd, rev])
+        return both.append_column(
+            "one", pa.array([1] * len(both), type=pa.int64())
+        )
+
+    # distinct via a native groupby-sum on the (a, b) key, then drop count
+    dedup = grouped_sum(
+        pairs.map_batches(both_dirs, batch_format="pyarrow"),
+        keys=["a", "b"],
+        sum_cols=["one"],
+    )
+    return dedup.select_columns(["a", "b"])
+
+
+_LABEL_SCHEMA = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+
+
+def _propagate_min(
+    labels: ray.data.Dataset, adj: ray.data.Dataset
+) -> ray.data.Dataset:
+    """One hash-min round: each node's label flows to its out-neighbors;
+    every node keeps the min of its own label and all incoming ones.
+
+    The label->edges co-location uses the repo's keyed-collect union idiom
+    (one row kind carries the label, the other the out-edges; a group is
+    one node's state + fan-out), which measured faster than Dataset.join
+    for small-row exchanges (see windows.py as-of join notes)."""
+    from ner_pytorch_ray.stages.groupby_utils import (
+        collect_tuples,
+        flat_map_groups,
+        grouped_sum,
+    )
+
+    def label_rows(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "node": batch.column("node"),
+                "peer": pa.array([-1] * len(batch), type=pa.int64()),
+                "label": batch.column("label"),
+            }
+        )
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "node": batch.column("a"),
+                "peer": batch.column("b"),
+                "label": pa.array([-1] * len(batch), type=pa.int64()),
+            }
+        )
+
+    unioned = labels.map_batches(label_rows, batch_format="pyarrow").union(
+        adj.map_batches(edge_rows, batch_format="pyarrow")
+    )
+    collected = collect_tuples(
+        unioned, ["node"], ["peer", "label"], shuffle_blocks="auto"
+    )
+
+    def emit(key, items) -> pa.Table:
+        if items is None:
+            return _LABEL_SCHEMA.empty_table()
+        lab = min(l for _, l in items if l >= 0)
+        nodes = [p for p, _ in items if p >= 0]
+        nodes.append(key[0])
+        return pa.Table.from_pydict(
+            {
+                "node": pa.array(nodes, type=pa.int64()),
+                "label": pa.array([lab] * len(nodes), type=pa.int64()),
+            }
+        )
+
+    msgs = flat_map_groups(collected, emit, ["node"])
+    return grouped_sum(msgs, keys=["node"], sum_cols=[], min_cols=["label"])
+
+
+def connected_components(
+    sf_dir: str, m: int = 5, max_bucket: int = 100_000, max_iters: int = 50
+) -> ray.data.Dataset:
+    """(node, component) for every doc in the containment dup graph;
+    ``component`` is the minimum doc_id in the node's connected component
+    (the cluster keeper — same keeper rule as ``dedup.exact_dedup``)."""
+    adj = dup_edges(sf_dir, m, max_bucket).materialize()
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"node": batch.column("a"), "label": batch.column("a")}
+        )
+
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
+
+    labels = grouped_sum(
+        adj.map_batches(init_labels, batch_format="pyarrow"),
+        keys=["node"],
+        sum_cols=[],
+        min_cols=["label"],
+    ).materialize()
+
+    prev_sum = labels.sum("label")
+    for _ in range(max_iters):
+        labels = _propagate_min(labels, adj).materialize()
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:  # monotone: unchanged sum == fixpoint
+            break
+        prev_sum = cur_sum
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["node", "component"])
+
+    return labels.map_batches(rename, batch_format="pyarrow")
+
+
+def pagerank(
+    sf_dir: str,
+    m: int = 5,
+    max_bucket: int = 100_000,
+    iters: int = 5,
+    scale: int = SCALE,
+) -> ray.data.Dataset:
+    """(node, rank) after ``iters`` PageRank rounds on the symmetric dup
+    graph, damping 0.85, ranks as int64 fixed-point (rank 1.0 == scale).
+
+    Exact-integer update (bit-identical under any partitioning):
+
+        r0(v)   = scale // N
+        r_k(v)  = (150 * scale) // (1000 * N)
+                  + sum over in-edges (u, v) of (850 * r_{k-1}(u)) // (1000 * deg(u))
+
+    Every node in the symmetrized graph has deg >= 1, so there is no
+    dangling mass; int64 headroom: rank < scale=1e12, x850 ~ 8.5e14."""
+    from ner_pytorch_ray.stages.groupby_utils import (
+        collect_tuples,
+        flat_map_groups,
+        grouped_sum,
+    )
+
+    edges = dup_edges(sf_dir, m, max_bucket)
+
+    # one collect attaches out-degree to each edge row: (a, b, deg)
+    adj_schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("deg", pa.int64())]
+    )
+
+    def with_deg(key, items) -> pa.Table:
+        if items is None:
+            return adj_schema.empty_table()
+        peers = sorted(p for p, in items)
+        d = len(peers)
+        return pa.Table.from_pydict(
+            {
+                "a": pa.array([key[0]] * d, type=pa.int64()),
+                "b": pa.array(peers, type=pa.int64()),
+                "deg": pa.array([d] * d, type=pa.int64()),
+            }
+        )
+
+    adj = flat_map_groups(
+        collect_tuples(edges, ["a"], ["b"], shuffle_blocks="auto"),
+        with_deg,
+        ["a"],
+    ).materialize()
+
+    def node_rows(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "node": batch.column("a"),
+                "one": pa.array([1] * len(batch), type=pa.int64()),
+            }
+        )
+
+    nodes = grouped_sum(
+        adj.map_batches(node_rows, batch_format="pyarrow"),
+        keys=["node"],
+        sum_cols=["one"],
+    ).select_columns(["node"]).materialize()
+    n_nodes = nodes.count()
+    base = (150 * scale) // (1000 * n_nodes)
+    r0 = scale // n_nodes
+
+    def init_ranks(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "node": batch.column("node"),
+                "rank": pa.array([r0] * len(batch), type=pa.int64()),
+            }
+        )
+
+    ranks = nodes.map_batches(init_ranks, batch_format="pyarrow").materialize()
+    msg_schema = pa.schema([("node", pa.int64()), ("contrib", pa.int64())])
+
+    def rank_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.Table.from_pydict(
+            {
+                "node": batch.column("node"),
+                "peer": pa.array([-1] * n, type=pa.int64()),
+                "deg": pa.array([0] * n, type=pa.int64()),
+                "rank": batch.column("rank"),
+            }
+        )
+
+    def adj_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.Table.from_pydict(
+            {
+                "node": batch.column("a"),
+                "peer": batch.column("b"),
+                "deg": batch.column("deg"),
+                "rank": pa.array([-1] * n, type=pa.int64()),
+            }
+        )
+
+    def emit_contribs(key, items) -> pa.Table:
+        if items is None:
+            return msg_schema.empty_table()
+        r = next(rk for p, _, rk in items if p < 0)
+        out_n, out_c = [key[0]], [0]  # keep the node present even if no in-edges
+        for p, d, _ in items:
+            if p >= 0:
+                out_n.append(p)
+                out_c.append((DAMP_NUM * r) // (DAMP_DEN * d))
+        return pa.Table.from_pydict(
+            {
+                "node": pa.array(out_n, type=pa.int64()),
+                "contrib": pa.array(out_c, type=pa.int64()),
+            }
+        )
+
+    for _ in range(iters):
+        unioned = ranks.map_batches(rank_rows, batch_format="pyarrow").union(
+            adj.map_batches(adj_rows, batch_format="pyarrow")
+        )
+        collected = collect_tuples(
+            unioned, ["node"], ["peer", "deg", "rank"], shuffle_blocks="auto"
+        )
+        msgs = flat_map_groups(collected, emit_contribs, ["node"])
+        summed = grouped_sum(msgs, keys=["node"], sum_cols=["contrib"])
+
+        def add_base(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return pa.Table.from_pydict(
+                {
+                    "node": batch.column("node"),
+                    "rank": pc.add(batch.column("contrib"), base),
+                }
+            )
+
+        ranks = summed.map_batches(
+            add_base, batch_format="pyarrow"
+        ).materialize()
+
+    return ranks

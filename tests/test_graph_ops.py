@@ -1,0 +1,135 @@
+"""Graph operators over the dup-pair graph: hash-min connected components
+and integer fixed-point PageRank (pipelines/graph_ops.py). Ground truth is
+a plain-Python BFS / dict-loop recompute on a hand-built corpus whose
+containment structure (chain, clique, isolated doc) is known by
+construction; the SQL-oracle comparison runs via tools/check_oracles.py."""
+
+import collections
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_docs(tmp_path, texts):
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def _crafted_corpus():
+    """Containment structure by construction (prefix m=5, token-aligned):
+    - chain 0-1-2 (diameter 2: doc0's prefix in doc1, doc1's in doc2,
+      doc0's NOT in doc2) -> exercises multi-round propagation
+    - pair 3-4 (shared prefix)
+    - doc 5 isolated (unique tokens, >= 5 of them) -> excluded from output
+    - doc 6 too short (< 5 tokens) -> excluded from the graph entirely
+    """
+    return [
+        "a1 a2 a3 a4 a5 tail0",
+        "b1 b2 b3 b4 b5 a1 a2 a3 a4 a5",
+        "c1 c2 c3 c4 c5 b1 b2 b3 b4 b5",
+        "s1 s2 s3 s4 s5 x",
+        "s1 s2 s3 s4 s5 y",
+        "u1 u2 u3 u4 u5 u6",
+        "t1 t2",
+    ]
+
+
+def _ref_edges(texts, m=5):
+    padded = {i: " " + t + " " for i, t in enumerate(texts)}
+    edges = set()
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        if len(toks) < m:
+            continue
+        pref = " " + " ".join(toks[:m]) + " "
+        for j, p in enumerate(padded.items()):
+            jd, ptxt = p
+            if jd == i or len(texts[jd].split(" ")) < m:
+                continue
+            if pref in ptxt:
+                edges.add((i, jd))
+                edges.add((jd, i))
+    return edges
+
+
+def test_dup_edges_crafted(ray_session, tmp_path):
+    from ner_pytorch_ray.pipelines.graph_ops import dup_edges
+
+    texts = _crafted_corpus()
+    sf = _write_docs(tmp_path, texts)
+    got = {(r["a"], r["b"]) for r in dup_edges(sf).take_all()}
+    want = _ref_edges(texts)
+    assert got == want
+    # chain edges present, no 0-2 shortcut, short doc absent
+    assert (0, 1) in got and (1, 2) in got and (0, 2) not in got
+    assert not any(6 in e for e in got)
+
+
+def test_connected_components_crafted(ray_session, tmp_path):
+    from ner_pytorch_ray.pipelines.graph_ops import connected_components
+
+    texts = _crafted_corpus()
+    sf = _write_docs(tmp_path, texts)
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(sf).take_all()
+    }
+    # chain 0-1-2 collapses to min id 0 (needs >1 propagation round);
+    # pair 3-4 -> 3; isolated docs 5, 6 not in the graph
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3}
+
+
+def test_pagerank_crafted_exact_integers(ray_session, tmp_path):
+    from ner_pytorch_ray.pipelines.graph_ops import pagerank, SCALE
+
+    texts = _crafted_corpus()
+    sf = _write_docs(tmp_path, texts)
+    got = {r["node"]: r["rank"] for r in pagerank(sf, iters=5).take_all()}
+
+    edges = _ref_edges(texts)
+    nodes = sorted({a for a, _ in edges})
+    N = len(nodes)
+    deg = collections.Counter(a for a, _ in edges)
+    r = {v: SCALE // N for v in nodes}
+    for _ in range(5):
+        nr = {v: (150 * SCALE) // (1000 * N) for v in nodes}
+        for a, b in edges:
+            nr[b] += (850 * r[a]) // (1000 * deg[a])
+        r = nr
+    assert got == r
+    # middle of the chain (deg 2) outranks the endpoints (deg 1)
+    assert got[1] > got[0] and got[1] > got[2]
+    # total mass conserved up to floor-division loss
+    assert 0 <= SCALE - sum(got.values()) < 2 * 1000 * N
+
+
+def test_components_partition_invariance(ray_session, tmp_path):
+    """Same fixpoint regardless of how the input file is blocked: hash-min
+    uses only order-independent mins, so the label table must be
+    bit-identical under different parallelism."""
+    import ray
+    from ner_pytorch_ray.pipelines.graph_ops import connected_components
+
+    # enough docs to span several blocks: 10 chains of length 3
+    texts = []
+    for c in range(10):
+        texts.append(f"a{c}1 a{c}2 a{c}3 a{c}4 a{c}5 tail{c}")
+        texts.append(f"b{c}1 b{c}2 b{c}3 b{c}4 b{c}5 a{c}1 a{c}2 a{c}3 a{c}4 a{c}5")
+        texts.append(f"c{c}1 c{c}2 c{c}3 c{c}4 c{c}5 b{c}1 b{c}2 b{c}3 b{c}4 b{c}5")
+    sf = _write_docs(tmp_path, texts)
+    out = sorted(
+        (r["node"], r["component"])
+        for r in connected_components(sf).take_all()
+    )
+    assert len(out) == 30
+    want = sorted((3 * c + i, 3 * c) for c in range(10) for i in range(3))
+    assert out == want
