@@ -118,6 +118,17 @@ def _q_kg_edges(sf_dir: str):
     return edges
 
 
+def _q_kg_edges_incremental(sf_dir: str):
+    """Two-delta incremental ingestion (pipelines/incremental.py) must
+    hash-match the one-shot batch build — the oracle is kg_edges' SQL."""
+    from ner_pytorch_ray.pipelines.incremental import (
+        kg_incremental_from_documents,
+    )
+
+    edges, _ = kg_incremental_from_documents(sf_dir, n_deltas=2)
+    return edges
+
+
 def _q_kg_nodes(sf_dir: str):
     from ner_pytorch_ray.pipelines.kg import kg_from_documents
 
@@ -619,6 +630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # knowledge-graph DAG
         "kg_edges": _q_kg_edges,
+        "kg_edges_incremental": _q_kg_edges_incremental,
         "kg_nodes": _q_kg_nodes,
         "kg_mentions": _q_kg_mentions,
         "kg_linked": _q_kg_linked,
@@ -1416,4 +1428,7 @@ GROUP BY 1
 ORDER BY 1
 """,
     })
+    # incremental ingestion must reproduce the batch build bit-for-bit:
+    # same oracle as kg_edges (distributive-aggregate merge proof)
+    out["kg_edges_incremental"] = out["kg_edges"]
     return out

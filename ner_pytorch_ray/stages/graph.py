@@ -67,17 +67,26 @@ def _pairs_partial(batch: pa.Table) -> pa.Table:
     )
 
 
-def edges_from_linked(mentions: ray.data.Dataset) -> ray.data.Dataset:
-    """linked mentions -> (subj, pred, obj, weight, sample_url), deduped,
-    sorted by (subj, pred, obj)."""
+def edge_partials_merged(mentions: ray.data.Dataset) -> ray.data.Dataset:
+    """linked mentions -> merged (but UNSORTED) edge aggregate rows.
+
+    The aggregates are distributive (sum weight, min sample_url), so these
+    rows are also the *mergeable state* of the incremental ingestion path
+    (pipelines/incremental.py): partials from disjoint document deltas
+    re-aggregate to exactly the batch answer."""
     from ner_pytorch_ray.stages.groupby_utils import grouped_sum
 
     partial = mentions.map_batches(_pairs_partial, batch_format="pyarrow")
-    merged = grouped_sum(
+    return grouped_sum(
         partial, ["subj", "pred", "obj"], sum_cols=["weight"],
         min_cols=["sample_url"],
     )
-    return merged.sort(["subj", "pred", "obj"])
+
+
+def edges_from_linked(mentions: ray.data.Dataset) -> ray.data.Dataset:
+    """linked mentions -> (subj, pred, obj, weight, sample_url), deduped,
+    sorted by (subj, pred, obj)."""
+    return edge_partials_merged(mentions).sort(["subj", "pred", "obj"])
 
 
 def _nodes_partial(batch: pa.Table) -> pa.Table:
@@ -95,13 +104,20 @@ def _nodes_partial(batch: pa.Table) -> pa.Table:
     )
 
 
-def nodes_from_linked(mentions: ray.data.Dataset) -> ray.data.Dataset:
-    """Canonicalization (A4): groupby (entity_id, tag_type, surface) with a
-    block-local partial count before the shuffle; sorted output."""
+def node_partials_merged(mentions: ray.data.Dataset) -> ray.data.Dataset:
+    """linked mentions -> merged (UNSORTED) node aggregate rows; mergeable
+    incremental state like :func:`edge_partials_merged`."""
     from ner_pytorch_ray.stages.groupby_utils import grouped_sum
 
     partial = mentions.map_batches(_nodes_partial, batch_format="pyarrow")
-    merged = grouped_sum(
+    return grouped_sum(
         partial, ["entity_id", "tag_type", "surface"], sum_cols=["n_mentions"]
     )
-    return merged.sort(["entity_id", "tag_type", "surface"])
+
+
+def nodes_from_linked(mentions: ray.data.Dataset) -> ray.data.Dataset:
+    """Canonicalization (A4): groupby (entity_id, tag_type, surface) with a
+    block-local partial count before the shuffle; sorted output."""
+    return node_partials_merged(mentions).sort(
+        ["entity_id", "tag_type", "surface"]
+    )

@@ -1,0 +1,90 @@
+"""Incremental KG ingestion (pipelines/incremental.py): chunked delta
+ingestion must equal the batch build exactly (distributive aggregates),
+re-ingestion must be a no-op, and a crashed version write must be
+recovered. The sf0.01 oracle comparison (same SQL as kg_edges) runs via
+tools/check_oracles.py / the driver gate."""
+
+import os
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pd(ds):
+    return ds.to_pandas().reset_index(drop=True)
+
+
+def test_incremental_equals_batch(ray_session, tmp_path):
+    from ner_pytorch_ray.pipelines.incremental import (
+        kg_incremental_from_documents,
+    )
+    from ner_pytorch_ray.pipelines.kg import kg_from_documents
+
+    e_i, n_i = kg_incremental_from_documents(
+        SF, n_deltas=3, state_dir=str(tmp_path / "state")
+    )
+    e_b, n_b = kg_from_documents(SF)
+    assert _pd(e_i).equals(_pd(e_b))
+    assert _pd(n_i).equals(_pd(n_b))
+
+
+def test_reingest_is_noop_and_state_versioned(ray_session, tmp_path):
+    from ner_pytorch_ray.pipelines.incremental import (
+        _delta_pages,
+        final_edges,
+        ingest_pages_delta,
+        read_state,
+    )
+
+    state = str(tmp_path / "state")
+    v1 = ingest_pages_delta(_delta_pages(SF, 2, 0), state, "d0", "fp0")
+    assert v1 == 1
+    before = _pd(final_edges(state))
+    # same delta id + fingerprint -> no-op, version pointer unchanged
+    v_again = ingest_pages_delta(_delta_pages(SF, 2, 0), state, "d0", "fp0")
+    assert v_again == 1
+    assert _pd(final_edges(state)).equals(before)
+    # second delta advances the version; superseded dir is retired
+    v2 = ingest_pages_delta(_delta_pages(SF, 2, 1), state, "d1", "fp1")
+    assert v2 == 2
+    assert not os.path.exists(os.path.join(state, "v1"))
+    assert read_state(state)["deltas"] == {"d0": "fp0", "d1": "fp1"}
+
+
+def test_crashed_version_dir_is_recovered(ray_session, tmp_path):
+    """A dangling v{k} directory (crash after parquet write, before the
+    STATE.json pointer swap) must not poison the retry."""
+    from ner_pytorch_ray.pipelines.incremental import (
+        _delta_pages,
+        final_edges,
+        ingest_pages_delta,
+    )
+
+    state = str(tmp_path / "state")
+    ingest_pages_delta(_delta_pages(SF, 2, 0), state, "d0", "fp0")
+    # simulate a crashed ingest of d1: garbage v2 exists, pointer still v1
+    bad = os.path.join(state, "v2", "edges")
+    os.makedirs(bad)
+    with open(os.path.join(bad, "garbage.parquet"), "w") as f:
+        f.write("not parquet")
+    v2 = ingest_pages_delta(_delta_pages(SF, 2, 1), state, "d1", "fp1")
+    assert v2 == 2
+    # retried write replaced the garbage and the final table is readable
+    assert len(_pd(final_edges(state))) > 0
+
+
+def test_delta_order_independence(ray_session, tmp_path):
+    from ner_pytorch_ray.pipelines.incremental import (
+        _delta_pages,
+        final_edges,
+        final_nodes,
+        ingest_pages_delta,
+    )
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    for order, state in (((0, 1, 2), a), ((2, 0, 1), b)):
+        for d in order:
+            ingest_pages_delta(_delta_pages(SF, 3, d), state, f"d{d}", f"fp{d}")
+    assert _pd(final_edges(a)).equals(_pd(final_edges(b)))
+    assert _pd(final_nodes(a)).equals(_pd(final_nodes(b)))
