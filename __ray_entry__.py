@@ -509,6 +509,12 @@ def _q_graph_pagerank(sf_dir: str):
     return pagerank(sf_dir, m=5, iters=5)
 
 
+def _q_kg_pagerank(sf_dir: str):
+    from ner_pytorch_ray.pipelines.graph_ops import kg_pagerank
+
+    return kg_pagerank(sf_dir, iters=3)
+
+
 def _q_emb_cosine_pairs(sf_dir: str):
     from ner_pytorch_ray.pipelines.dedup import embedding_near_dup
 
@@ -684,6 +690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # graph operators over the dup-pair graph
         "graph_components": _q_graph_components,
         "graph_pagerank": _q_graph_pagerank,
+        "kg_pagerank": _q_kg_pagerank,
         # similarity search
         "knn_topk": _q_knn_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -1431,4 +1438,41 @@ ORDER BY 1
     # incremental ingestion must reproduce the batch build bit-for-bit:
     # same oracle as kg_edges (distributive-aggregate merge proof)
     out["kg_edges_incremental"] = out["kg_edges"]
+    # weighted PageRank over the constructed KG: kg_edges' pair CTE ->
+    # symmetric weighted edges -> 3 unrolled exact-integer iterations
+    # (same floor-division update as pipelines/graph_ops.py)
+    _kg_pr_iter = """
+r{i} AS (
+  SELECT n.node,
+         (150 * 1000000000000 // (1000 * (SELECT COUNT(*) FROM nodes)))
+         + COALESCE(SUM((850 * rp.rank * e.w) // (1000 * s.sw)), 0) AS rank
+  FROM nodes n
+  LEFT JOIN edges e ON e.b = n.node
+  LEFT JOIN r{p} rp ON rp.node = e.a
+  LEFT JOIN sw s ON s.node = e.a
+  GROUP BY n.node
+)"""
+    out["kg_pagerank"] = (
+        _KG_MENTIONS_CTE
+        + """
+, pairs AS (
+  SELECT DISTINCT m1.doc_id, m1.sent, m1.ent AS a, m2.ent AS b
+  FROM men m1
+  JOIN men m2 ON m1.doc_id = m2.doc_id AND m1.sent = m2.sent
+  WHERE m1.ent < m2.ent
+),
+ew AS (SELECT a, b, COUNT(*) AS w FROM pairs GROUP BY a, b),
+edges AS (SELECT a, b, w FROM ew UNION ALL SELECT b AS a, a AS b, w FROM ew),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+sw AS (SELECT a AS node, SUM(w) AS sw FROM edges GROUP BY a),
+r0 AS (SELECT node, 1000000000000 // (SELECT COUNT(*) FROM nodes) AS rank
+       FROM nodes),
+"""
+        + ",".join(
+            _kg_pr_iter.format(i=i, p=i - 1) for i in (1, 2, 3)
+        )
+        + """
+SELECT node, CAST(rank AS BIGINT) AS rank FROM r3
+"""
+    )
     return out

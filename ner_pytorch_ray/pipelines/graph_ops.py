@@ -172,60 +172,63 @@ def connected_components(
     return labels.map_batches(rename, batch_format="pyarrow")
 
 
-def pagerank(
-    sf_dir: str,
-    m: int = 5,
-    max_bucket: int = 100_000,
+def pagerank_over_edges(
+    edges: ray.data.Dataset,
     iters: int = 5,
     scale: int = SCALE,
+    node_type: pa.DataType = pa.int64(),
+    weight_col: str | None = None,
 ) -> ray.data.Dataset:
-    """(node, rank) after ``iters`` PageRank rounds on the symmetric dup
-    graph, damping 0.85, ranks as int64 fixed-point (rank 1.0 == scale).
+    """(node, rank) after ``iters`` weighted-PageRank rounds over a
+    SYMMETRIC edge table (a, b[, weight]), damping 0.85, int64 fixed-point
+    ranks (rank 1.0 == scale).
 
     Exact-integer update (bit-identical under any partitioning):
 
         r0(v)   = scale // N
         r_k(v)  = (150 * scale) // (1000 * N)
-                  + sum over in-edges (u, v) of (850 * r_{k-1}(u)) // (1000 * deg(u))
+                  + sum over in-edges (u, v) of
+                    (850 * r_{k-1}(u) * w(u, v)) // (1000 * sw(u))
 
-    Every node in the symmetrized graph has deg >= 1, so there is no
-    dangling mass; int64 headroom: rank < scale=1e12, x850 ~ 8.5e14."""
+    where sw(u) = sum of u's out-edge weights (w == 1 without a
+    ``weight_col``, making sw the degree). Contributions are computed in
+    arbitrary-precision Python and floor-divided before the int64 sum, so
+    there is no intermediate overflow and integer sums are
+    summation-order independent. Every node of a symmetric graph has
+    sw >= 1 — no dangling mass.
+
+    Per iteration: one keyed collect co-locates a node's rank row with its
+    out-edges (group size = out-degree), one native groupby-sum folds the
+    emitted contributions; only the small (node, rank) state materializes
+    per round, so lineage stays flat across iterations."""
     from ner_pytorch_ray.stages.groupby_utils import (
         collect_tuples,
         flat_map_groups,
         grouped_sum,
     )
 
-    edges = dup_edges(sf_dir, m, max_bucket)
-
-    # one collect attaches out-degree to each edge row: (a, b, deg)
-    adj_schema = pa.schema(
-        [("a", pa.int64()), ("b", pa.int64()), ("deg", pa.int64())]
-    )
-
-    def with_deg(key, items) -> pa.Table:
-        if items is None:
-            return adj_schema.empty_table()
-        peers = sorted(p for p, in items)
-        d = len(peers)
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        w = (
+            batch.column(weight_col).cast(pa.int64())
+            if weight_col
+            else pa.array([1] * n, type=pa.int64())
+        )
         return pa.Table.from_pydict(
             {
-                "a": pa.array([key[0]] * d, type=pa.int64()),
-                "b": pa.array(peers, type=pa.int64()),
-                "deg": pa.array([d] * d, type=pa.int64()),
+                "node": batch.column("a").cast(node_type),
+                "peer": batch.column("b").cast(node_type),
+                "w": w,
+                "rank": pa.array([None] * n, type=pa.int64()),
             }
         )
 
-    adj = flat_map_groups(
-        collect_tuples(edges, ["a"], ["b"], shuffle_blocks="auto"),
-        with_deg,
-        ["a"],
-    ).materialize()
+    adj = edges.map_batches(edge_rows, batch_format="pyarrow").materialize()
 
     def node_rows(batch: pa.Table) -> pa.Table:
         return pa.Table.from_pydict(
             {
-                "node": batch.column("a"),
+                "node": batch.column("node"),
                 "one": pa.array([1] * len(batch), type=pa.int64()),
             }
         )
@@ -248,68 +251,108 @@ def pagerank(
         )
 
     ranks = nodes.map_batches(init_ranks, batch_format="pyarrow").materialize()
-    msg_schema = pa.schema([("node", pa.int64()), ("contrib", pa.int64())])
+    msg_schema = pa.schema([("node", node_type), ("contrib", pa.int64())])
 
     def rank_rows(batch: pa.Table) -> pa.Table:
         n = len(batch)
         return pa.Table.from_pydict(
             {
                 "node": batch.column("node"),
-                "peer": pa.array([-1] * n, type=pa.int64()),
-                "deg": pa.array([0] * n, type=pa.int64()),
+                "peer": pa.array([None] * n, type=node_type),
+                "w": pa.array([0] * n, type=pa.int64()),
                 "rank": batch.column("rank"),
-            }
-        )
-
-    def adj_rows(batch: pa.Table) -> pa.Table:
-        n = len(batch)
-        return pa.Table.from_pydict(
-            {
-                "node": batch.column("a"),
-                "peer": batch.column("b"),
-                "deg": batch.column("deg"),
-                "rank": pa.array([-1] * n, type=pa.int64()),
             }
         )
 
     def emit_contribs(key, items) -> pa.Table:
         if items is None:
             return msg_schema.empty_table()
-        r = next(rk for p, _, rk in items if p < 0)
-        out_n, out_c = [key[0]], [0]  # keep the node present even if no in-edges
-        for p, d, _ in items:
-            if p >= 0:
+        r = next(rk for p, _, rk in items if p is None)
+        sw = sum(w for p, w, _ in items if p is not None)
+        out_n, out_c = [key[0]], [0]  # keep the node present without in-edges
+        for p, w, _ in items:
+            if p is not None:
                 out_n.append(p)
-                out_c.append((DAMP_NUM * r) // (DAMP_DEN * d))
+                out_c.append((DAMP_NUM * r * w) // (DAMP_DEN * sw))
         return pa.Table.from_pydict(
             {
-                "node": pa.array(out_n, type=pa.int64()),
+                "node": pa.array(out_n, type=node_type),
                 "contrib": pa.array(out_c, type=pa.int64()),
+            }
+        )
+
+    def add_base(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.Table.from_pydict(
+            {
+                "node": batch.column("node"),
+                "rank": pc.add(batch.column("contrib"), base),
             }
         )
 
     for _ in range(iters):
         unioned = ranks.map_batches(rank_rows, batch_format="pyarrow").union(
-            adj.map_batches(adj_rows, batch_format="pyarrow")
+            adj
         )
         collected = collect_tuples(
-            unioned, ["node"], ["peer", "deg", "rank"], shuffle_blocks="auto"
+            unioned, ["node"], ["peer", "w", "rank"], shuffle_blocks="auto"
         )
         msgs = flat_map_groups(collected, emit_contribs, ["node"])
         summed = grouped_sum(msgs, keys=["node"], sum_cols=["contrib"])
-
-        def add_base(batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            return pa.Table.from_pydict(
-                {
-                    "node": batch.column("node"),
-                    "rank": pc.add(batch.column("contrib"), base),
-                }
-            )
-
         ranks = summed.map_batches(
             add_base, batch_format="pyarrow"
         ).materialize()
 
     return ranks
+
+
+def pagerank(
+    sf_dir: str,
+    m: int = 5,
+    max_bucket: int = 100_000,
+    iters: int = 5,
+    scale: int = SCALE,
+) -> ray.data.Dataset:
+    """Unweighted PageRank over the symmetric containment dup graph (see
+    :func:`pagerank_over_edges`; w == 1 so sw == degree)."""
+    return pagerank_over_edges(
+        dup_edges(sf_dir, m, max_bucket), iters=iters, scale=scale
+    )
+
+
+def kg_pagerank(
+    sf_dir: str, iters: int = 3, scale: int = SCALE
+) -> ray.data.Dataset:
+    """Weighted PageRank over the CONSTRUCTED knowledge graph: nodes are
+    linked entity ids, edges the co-occurrence pairs of kg_edges with their
+    co-sentence counts as weights (stages/graph.py edge_partials_merged;
+    the sort stage is skipped — PageRank does not need ordered input).
+    Returns (node:string, rank:int64)."""
+    from ner_pytorch_ray.pipelines.kg import linked_mentions
+    from ner_pytorch_ray.sources.pages import pages_from_documents
+    from ner_pytorch_ray.stages.graph import edge_partials_merged
+
+    ew = edge_partials_merged(linked_mentions(pages_from_documents(sf_dir)))
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        fwd = pa.table(
+            {
+                "a": batch.column("subj"),
+                "b": batch.column("obj"),
+                "w": batch.column("weight"),
+            }
+        )
+        rev = pa.table(
+            {
+                "a": batch.column("obj"),
+                "b": batch.column("subj"),
+                "w": batch.column("weight"),
+            }
+        )
+        return pa.concat_tables([fwd, rev])
+
+    sym = ew.map_batches(symmetrize, batch_format="pyarrow")
+    return pagerank_over_edges(
+        sym, iters=iters, scale=scale, node_type=pa.string(), weight_col="w"
+    )

@@ -133,3 +133,71 @@ def test_components_partition_invariance(ray_session, tmp_path):
     assert len(out) == 30
     want = sorted((3 * c + i, 3 * c) for c in range(10) for i in range(3))
     assert out == want
+
+
+def test_pagerank_over_edges_weighted(ray_session):
+    """Weighted generalization: hand-built 3-node weighted graph vs the
+    arbitrary-precision dict-loop recompute of the same integer update."""
+    import ray
+    from ner_pytorch_ray.pipelines.graph_ops import pagerank_over_edges, SCALE
+
+    ew = [("x", "y", 3), ("y", "x", 3), ("y", "z", 1), ("z", "y", 1)]
+    t = pa.table(
+        {
+            "a": pa.array([e[0] for e in ew]),
+            "b": pa.array([e[1] for e in ew]),
+            "w": pa.array([e[2] for e in ew], type=pa.int64()),
+        }
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_over_edges(
+            ray.data.from_arrow(t), iters=4, node_type=pa.string(),
+            weight_col="w",
+        ).take_all()
+    }
+
+    nodes = sorted({a for a, _, _ in ew})
+    N = len(nodes)
+    sw = collections.Counter()
+    for a, _, w in ew:
+        sw[a] += w
+    r = {v: SCALE // N for v in nodes}
+    for _ in range(4):
+        nr = {v: (150 * SCALE) // (1000 * N) for v in nodes}
+        for a, b, w in ew:
+            nr[b] += (850 * r[a] * w) // (1000 * sw[a])
+        r = nr
+    assert got == r
+    # x gets 3/4 of y's outflow vs z's 1/4
+    assert got["x"] > got["z"]
+
+
+def test_kg_pagerank_matches_edge_recompute(ray_session):
+    """kg_pagerank over sf0.001 == the integer recompute from the batch
+    kg_edges table (weights = co-sentence counts, symmetrized)."""
+    from ner_pytorch_ray.pipelines.graph_ops import kg_pagerank, SCALE
+    from ner_pytorch_ray.pipelines.kg import kg_from_documents
+
+    edges_ds, _ = kg_from_documents(SF)
+    ew = []
+    for row in edges_ds.take_all():
+        ew.append((row["subj"], row["obj"], row["weight"]))
+        ew.append((row["obj"], row["subj"], row["weight"]))
+    nodes = sorted({a for a, _, _ in ew})
+    N = len(nodes)
+    sw = collections.Counter()
+    for a, _, w in ew:
+        sw[a] += w
+    r = {v: SCALE // N for v in nodes}
+    for _ in range(3):
+        nr = {v: (150 * SCALE) // (1000 * N) for v in nodes}
+        for a, b, w in ew:
+            nr[b] += (850 * r[a] * w) // (1000 * sw[a])
+        r = nr
+
+    got = {
+        row["node"]: row["rank"]
+        for row in kg_pagerank(SF, iters=3).take_all()
+    }
+    assert got == r
