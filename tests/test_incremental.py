@@ -88,3 +88,29 @@ def test_delta_order_independence(ray_session, tmp_path):
             ingest_pages_delta(_delta_pages(SF, 3, d), state, f"d{d}", f"fp{d}")
     assert _pd(final_edges(a)).equals(_pd(final_edges(b)))
     assert _pd(final_nodes(a)).equals(_pd(final_nodes(b)))
+
+
+def test_incr_cli_roundtrip(ray_session, tmp_path, capsys):
+    """CLI drive: 3 ingests + finalize == batch build; re-ingest no-op."""
+    import pyarrow.parquet as pq
+    from ner_pytorch_ray.incr_cli import main
+    from ner_pytorch_ray.pipelines.kg import kg_from_documents
+
+    state, out = str(tmp_path / "state"), str(tmp_path / "graph")
+    for d in range(3):
+        assert main(["ingest", "--sf_dir", SF, "--state", state,
+                     "--delta", str(d), "--n_deltas", "3"]) == 0
+    assert "ingested" in capsys.readouterr().out
+    assert main(["ingest", "--sf_dir", SF, "--state", state,
+                 "--delta", "1", "--n_deltas", "3"]) == 0
+    assert "already ingested" in capsys.readouterr().out
+    assert main(["finalize", "--state", state, "--out", out]) == 0
+    got = (
+        pq.read_table(f"{out}/edges")
+        .to_pandas()
+        .sort_values(["subj", "pred", "obj"])
+        .reset_index(drop=True)
+    )
+    want = _pd(kg_from_documents(SF)[0])
+    assert got.equals(want)
+    assert main(["status", "--state", state]) == 0
