@@ -185,6 +185,16 @@ def run_extras(sf_dir: str) -> dict:
     from ner_pytorch_ray.pipelines.training import train_loop
 
     timed("train_2epochs", lambda: train_loop(sf_dir, n_epochs=2).num_rows)
+
+    # round 3: iterative graph ops (dup-cluster canonicalization + weighted
+    # entity PageRank over the constructed KG)
+    from ner_pytorch_ray.pipelines.graph_ops import (
+        connected_components,
+        kg_pagerank,
+    )
+
+    timed("graph_components", lambda: connected_components(sf_dir).count())
+    timed("kg_pagerank", lambda: kg_pagerank(sf_dir, iters=3).count())
     return extras
 
 
