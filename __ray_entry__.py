@@ -509,6 +509,12 @@ def _q_graph_pagerank(sf_dir: str):
     return pagerank(sf_dir, m=5, iters=5)
 
 
+def _q_kg_components(sf_dir: str):
+    from ner_pytorch_ray.pipelines.graph_ops import kg_components
+
+    return kg_components(sf_dir)
+
+
 def _q_kg_pagerank(sf_dir: str):
     from ner_pytorch_ray.pipelines.graph_ops import kg_pagerank
 
@@ -690,6 +696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # graph operators over the dup-pair graph
         "graph_components": _q_graph_components,
         "graph_pagerank": _q_graph_pagerank,
+        "kg_components": _q_kg_components,
         "kg_pagerank": _q_kg_pagerank,
         # similarity search
         "knn_topk": _q_knn_topk,
@@ -1438,6 +1445,28 @@ ORDER BY 1
     # incremental ingestion must reproduce the batch build bit-for-bit:
     # same oracle as kg_edges (distributive-aggregate merge proof)
     out["kg_edges_incremental"] = out["kg_edges"]
+    # connected components of the constructed KG (string entity nodes;
+    # lexicographic MIN == python/ray Min on ASCII ids)
+    out["kg_components"] = (
+        _KG_MENTIONS_CTE.replace("WITH toks", "WITH RECURSIVE toks")
+        + """
+, pairs AS (
+  SELECT DISTINCT m1.doc_id, m1.sent, m1.ent AS a, m2.ent AS b
+  FROM men m1
+  JOIN men m2 ON m1.doc_id = m2.doc_id AND m1.sent = m2.sent
+  WHERE m1.ent < m2.ent
+),
+edges AS (SELECT DISTINCT a, b FROM pairs
+          UNION SELECT DISTINCT b AS a, a AS b FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, root) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node, MIN(root) AS component FROM reach GROUP BY node
+"""
+    )
     # weighted PageRank over the constructed KG: kg_edges' pair CTE ->
     # symmetric weighted edges -> 3 unrolled exact-integer iterations
     # (same floor-division update as pipelines/graph_ops.py)

@@ -75,11 +75,11 @@ def dup_edges(
     return dedup.select_columns(["a", "b"])
 
 
-_LABEL_SCHEMA = pa.schema([("node", pa.int64()), ("label", pa.int64())])
-
 
 def _propagate_min(
-    labels: ray.data.Dataset, adj: ray.data.Dataset
+    labels: ray.data.Dataset,
+    adj: ray.data.Dataset,
+    node_type: pa.DataType = pa.int64(),
 ) -> ray.data.Dataset:
     """One hash-min round: each node's label flows to its out-neighbors;
     every node keeps the min of its own label and all incoming ones.
@@ -94,11 +94,13 @@ def _propagate_min(
         grouped_sum,
     )
 
+    schema = pa.schema([("node", node_type), ("label", node_type)])
+
     def label_rows(batch: pa.Table) -> pa.Table:
         return pa.Table.from_pydict(
             {
                 "node": batch.column("node"),
-                "peer": pa.array([-1] * len(batch), type=pa.int64()),
+                "peer": pa.array([None] * len(batch), type=node_type),
                 "label": batch.column("label"),
             }
         )
@@ -106,9 +108,9 @@ def _propagate_min(
     def edge_rows(batch: pa.Table) -> pa.Table:
         return pa.Table.from_pydict(
             {
-                "node": batch.column("a"),
-                "peer": batch.column("b"),
-                "label": pa.array([-1] * len(batch), type=pa.int64()),
+                "node": batch.column("a").cast(node_type),
+                "peer": batch.column("b").cast(node_type),
+                "label": pa.array([None] * len(batch), type=node_type),
             }
         )
 
@@ -121,14 +123,14 @@ def _propagate_min(
 
     def emit(key, items) -> pa.Table:
         if items is None:
-            return _LABEL_SCHEMA.empty_table()
-        lab = min(l for _, l in items if l >= 0)
-        nodes = [p for p, _ in items if p >= 0]
+            return schema.empty_table()
+        lab = min(l for _, l in items if l is not None)
+        nodes = [p for p, _ in items if p is not None]
         nodes.append(key[0])
         return pa.Table.from_pydict(
             {
-                "node": pa.array(nodes, type=pa.int64()),
-                "label": pa.array([lab] * len(nodes), type=pa.int64()),
+                "node": pa.array(nodes, type=node_type),
+                "label": pa.array([lab] * len(nodes), type=node_type),
             }
         )
 
@@ -136,20 +138,55 @@ def _propagate_min(
     return grouped_sum(msgs, keys=["node"], sum_cols=[], min_cols=["label"])
 
 
-def connected_components(
-    sf_dir: str, m: int = 5, max_bucket: int = 100_000, max_iters: int = 50
+def _labels_fingerprint(labels: ray.data.Dataset, node_type: pa.DataType):
+    """Order-independent convergence functional over a label table.
+
+    int64 labels: the exact column sum — labels only decrease under
+    hash-min, so the sum is strictly monotone and equality PROVES the
+    fixpoint. String labels have no sum; instead an unbounded-int sum of
+    per-row blake2b-128 digests (a Ray AggregateFn whose state is a
+    Python int, so no int64 overflow), order-independent with a ~2^-128
+    collision bound; a premature stop would anyway fail the exact oracle
+    comparison downstream."""
+    if pa.types.is_integer(node_type):
+        return labels.sum("label")
+    import hashlib
+
+    from ray.data.aggregate import AggregateFn
+
+    def acc_block(state: int, block) -> int:
+        s = state
+        for v in block.column("label").to_pylist():
+            s += int.from_bytes(
+                hashlib.blake2b(v.encode(), digest_size=16).digest(), "little"
+            )
+        return s
+
+    agg = AggregateFn(
+        init=lambda k: 0,
+        accumulate_block=acc_block,
+        merge=lambda a, b: a + b,
+        name="digest",
+    )
+    row = labels.aggregate(agg)
+    return row["digest"]
+
+
+def components_over_edges(
+    edges: ray.data.Dataset,
+    node_type: pa.DataType = pa.int64(),
+    max_iters: int = 50,
 ) -> ray.data.Dataset:
-    """(node, component) for every doc in the containment dup graph;
-    ``component`` is the minimum doc_id in the node's connected component
-    (the cluster keeper — same keeper rule as ``dedup.exact_dedup``)."""
-    adj = dup_edges(sf_dir, m, max_bucket).materialize()
+    """(node, component) over a SYMMETRIC edge table (a, b): hash-min
+    label propagation to the minimum reachable node id (lexicographic min
+    for string nodes — matching SQL MIN(VARCHAR) on ASCII ids)."""
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
+
+    adj = edges.materialize()
 
     def init_labels(batch: pa.Table) -> pa.Table:
-        return pa.Table.from_pydict(
-            {"node": batch.column("a"), "label": batch.column("a")}
-        )
-
-    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
+        a = batch.column("a").cast(node_type)
+        return pa.Table.from_pydict({"node": a, "label": a})
 
     labels = grouped_sum(
         adj.map_batches(init_labels, batch_format="pyarrow"),
@@ -158,18 +195,51 @@ def connected_components(
         min_cols=["label"],
     ).materialize()
 
-    prev_sum = labels.sum("label")
+    prev = _labels_fingerprint(labels, node_type)
     for _ in range(max_iters):
-        labels = _propagate_min(labels, adj).materialize()
-        cur_sum = labels.sum("label")
-        if cur_sum == prev_sum:  # monotone: unchanged sum == fixpoint
+        labels = _propagate_min(labels, adj, node_type).materialize()
+        cur = _labels_fingerprint(labels, node_type)
+        if cur == prev:  # unchanged labels == fixpoint
             break
-        prev_sum = cur_sum
+        prev = cur
 
     def rename(batch: pa.Table) -> pa.Table:
         return batch.rename_columns(["node", "component"])
 
     return labels.map_batches(rename, batch_format="pyarrow")
+
+
+def connected_components(
+    sf_dir: str, m: int = 5, max_bucket: int = 100_000, max_iters: int = 50
+) -> ray.data.Dataset:
+    """(node, component) for every doc in the containment dup graph;
+    ``component`` is the minimum doc_id in the node's connected component
+    (the cluster keeper — same keeper rule as ``dedup.exact_dedup``)."""
+    return components_over_edges(
+        dup_edges(sf_dir, m, max_bucket), max_iters=max_iters
+    )
+
+
+def kg_components(sf_dir: str, max_iters: int = 50) -> ray.data.Dataset:
+    """Connected components of the CONSTRUCTED knowledge graph (entity
+    co-occurrence edges from kg_edges' pair stage): the entity-cluster
+    merge step. component = lexicographically smallest entity id
+    reachable. Returns (node:string, component:string)."""
+    from ner_pytorch_ray.pipelines.kg import linked_mentions
+    from ner_pytorch_ray.sources.pages import pages_from_documents
+    from ner_pytorch_ray.stages.graph import edge_partials_merged
+
+    ew = edge_partials_merged(linked_mentions(pages_from_documents(sf_dir)))
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        fwd = pa.table({"a": batch.column("subj"), "b": batch.column("obj")})
+        rev = pa.table({"a": batch.column("obj"), "b": batch.column("subj")})
+        return pa.concat_tables([fwd, rev])
+
+    sym = ew.map_batches(symmetrize, batch_format="pyarrow")
+    return components_over_edges(
+        sym, node_type=pa.string(), max_iters=max_iters
+    )
 
 
 def pagerank_over_edges(

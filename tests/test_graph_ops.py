@@ -201,3 +201,81 @@ def test_kg_pagerank_matches_edge_recompute(ray_session):
         for row in kg_pagerank(SF, iters=3).take_all()
     }
     assert got == r
+
+
+def test_components_over_edges_random_graphs(ray_session):
+    """Seeded random graphs: distributed hash-min == BFS reference, for
+    both int and string node types (string = lexicographic min)."""
+    import random
+
+    import ray
+    from ner_pytorch_ray.pipelines.graph_ops import components_over_edges
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 30
+        und = set()
+        for _ in range(25):
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                und.add((min(a, b), max(a, b)))
+        edges = sorted(und | {(b, a) for a, b in und})
+        # BFS reference
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, []).append(b)
+        comp = {}
+        for v in sorted(adj):
+            if v in comp:
+                continue
+            stack, seen = [v], {v}
+            while stack:
+                u = stack.pop()
+                for w in adj[u]:
+                    if w not in seen:
+                        seen.add(w)
+                        stack.append(w)
+            mnode = min(seen)
+            for u in seen:
+                comp[u] = mnode
+
+        t_int = pa.table(
+            {
+                "a": pa.array([a for a, _ in edges], type=pa.int64()),
+                "b": pa.array([b for _, b in edges], type=pa.int64()),
+            }
+        )
+        got = {
+            r["node"]: r["component"]
+            for r in components_over_edges(ray.data.from_arrow(t_int)).take_all()
+        }
+        assert got == comp, f"int trial {trial}"
+
+        # string nodes: n{i:03d} preserves the integer order lexicographically
+        name = lambda i: f"n{i:03d}"
+        t_str = pa.table(
+            {
+                "a": pa.array([name(a) for a, _ in edges]),
+                "b": pa.array([name(b) for _, b in edges]),
+            }
+        )
+        got_s = {
+            r["node"]: r["component"]
+            for r in components_over_edges(
+                ray.data.from_arrow(t_str), node_type=pa.string()
+            ).take_all()
+        }
+        assert got_s == {name(k): name(v) for k, v in comp.items()}, (
+            f"str trial {trial}"
+        )
+
+
+def test_kg_components_single_cluster(ray_session):
+    """All sf0.001 entities co-occur transitively -> one component rooted
+    at the lexicographic minimum."""
+    from ner_pytorch_ray.pipelines.graph_ops import kg_components
+
+    rows = kg_components(SF).take_all()
+    assert len(rows) > 1
+    roots = {r["component"] for r in rows}
+    assert roots == {min(r["node"] for r in rows)}
