@@ -515,6 +515,12 @@ def _q_kg_components(sf_dir: str):
     return kg_components(sf_dir)
 
 
+def _q_kg_triangles(sf_dir: str):
+    from ner_pytorch_ray.pipelines.graph_ops import kg_triangles
+
+    return kg_triangles(sf_dir)
+
+
 def _q_kg_pagerank(sf_dir: str):
     from ner_pytorch_ray.pipelines.graph_ops import kg_pagerank
 
@@ -698,6 +704,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_pagerank": _q_graph_pagerank,
         "kg_components": _q_kg_components,
         "kg_pagerank": _q_kg_pagerank,
+        "kg_triangles": _q_kg_triangles,
         # similarity search
         "knn_topk": _q_knn_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -1465,6 +1472,30 @@ reach(node, root) AS (
   SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
 )
 SELECT node, MIN(root) AS component FROM reach GROUP BY node
+"""
+    )
+    # per-entity triangle counts over the KG's ascending pair edges
+    # (x<y<z enumeration == the engine's id-ascending wedge orientation)
+    out["kg_triangles"] = (
+        _KG_MENTIONS_CTE
+        + """
+, pairs AS (
+  SELECT DISTINCT m1.doc_id, m1.sent, m1.ent AS a, m2.ent AS b
+  FROM men m1
+  JOIN men m2 ON m1.doc_id = m2.doc_id AND m1.sent = m2.sent
+  WHERE m1.ent < m2.ent
+),
+ed AS (SELECT DISTINCT a, b FROM pairs),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM ed e1 JOIN ed e2 ON e2.a = e1.b
+  JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+) GROUP BY node
 """
     )
     # weighted PageRank over the constructed KG: kg_edges' pair CTE ->

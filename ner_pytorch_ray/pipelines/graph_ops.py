@@ -426,3 +426,125 @@ def kg_pagerank(
     return pagerank_over_edges(
         sym, iters=iters, scale=scale, node_type=pa.string(), weight_col="w"
     )
+
+
+def triangles_over_edges(
+    edges: ray.data.Dataset,
+    node_type: pa.DataType = pa.int64(),
+    max_degree: int = 100_000,
+) -> ray.data.Dataset:
+    """Per-node triangle counts (node, n_triangles) over a UNIQUE ascending
+    edge table (a < b). Two bounded exchanges, never all-pairs:
+
+      1. keyed collect by ``a`` -> each node's ascending neighbor list;
+         emit a candidate row (y, z, x) per neighbor pair y < z (the wedge
+         x-y, x-z closes iff edge (y, z) exists);
+      2. keyed collect by (y, z) over candidates UNION the edge rows
+         themselves (null-x marker): a group whose marker is present turns
+         each candidate x into one triangle x < y < z; emit (x,1) (y,1)
+         (z,1) and groupby-sum.
+
+    Wedge volume is sum-over-nodes C(deg+(x), 2) under the id-ascending
+    orientation (the same enumeration the SQL oracle uses). ``max_degree``
+    is an EXPLICIT guard, not a silent cap: a hub whose ascending adjacency
+    exceeds it raises rather than undercounting; raise it (or pre-filter
+    hubs) deliberately. Nodes in no triangle are omitted."""
+    from ner_pytorch_ray.stages.groupby_utils import (
+        collect_tuples,
+        flat_map_groups,
+        grouped_sum,
+    )
+
+    adj = collect_tuples(edges, ["a"], ["b"], shuffle_blocks="auto")
+    cand_schema = pa.schema(
+        [("y", node_type), ("z", node_type), ("x", node_type)]
+    )
+
+    def wedges(key, items) -> pa.Table:
+        if items is None:
+            return cand_schema.empty_table()
+        peers = sorted({b for b, in items})
+        if len(peers) > max_degree:
+            raise ValueError(
+                f"node {key[0]!r} ascending degree {len(peers)} exceeds "
+                f"max_degree={max_degree}; raise the guard deliberately"
+            )
+        ys, zs = [], []
+        for i, y in enumerate(peers):
+            for z in peers[i + 1 :]:
+                ys.append(y)
+                zs.append(z)
+        return pa.Table.from_pydict(
+            {
+                "y": pa.array(ys, type=node_type),
+                "z": pa.array(zs, type=node_type),
+                "x": pa.array([key[0]] * len(ys), type=node_type),
+            }
+        )
+
+    cands = flat_map_groups(adj, wedges, ["a"])
+
+    def marker_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.Table.from_pydict(
+            {
+                "y": batch.column("a").cast(node_type),
+                "z": batch.column("b").cast(node_type),
+                "x": pa.array([None] * n, type=node_type),
+            }
+        )
+
+    unioned = cands.union(
+        edges.map_batches(marker_rows, batch_format="pyarrow")
+    )
+    verified = collect_tuples(unioned, ["y", "z"], ["x"], shuffle_blocks="auto")
+    count_schema = pa.schema([("node", node_type), ("one", pa.int64())])
+
+    def close(key, items) -> pa.Table:
+        if items is None:
+            return count_schema.empty_table()
+        xs = [x for (x,) in items if x is not None]
+        if len(xs) == len(items) or not xs:  # no marker, or no candidates
+            return count_schema.empty_table()
+        y, z = key
+        nodes = []
+        for x in xs:
+            nodes.extend((x, y, z))
+        return pa.Table.from_pydict(
+            {
+                "node": pa.array(nodes, type=node_type),
+                "one": pa.array([1] * len(nodes), type=pa.int64()),
+            }
+        )
+
+    counted = grouped_sum(
+        flat_map_groups(verified, close, ["y", "z"]),
+        keys=["node"],
+        sum_cols=["one"],
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["node", "n_triangles"])
+
+    return counted.map_batches(rename, batch_format="pyarrow")
+
+
+def kg_triangles(sf_dir: str) -> ray.data.Dataset:
+    """Per-entity triangle participation in the constructed KG's
+    co-occurrence graph (kg_edges' ascending pairs): the local clustering
+    signal of the entity graph."""
+    from ner_pytorch_ray.pipelines.kg import linked_mentions
+    from ner_pytorch_ray.sources.pages import pages_from_documents
+    from ner_pytorch_ray.stages.graph import edge_partials_merged
+
+    ew = edge_partials_merged(linked_mentions(pages_from_documents(sf_dir)))
+
+    def ascending(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"a": batch.column("subj"), "b": batch.column("obj")}
+        )
+
+    return triangles_over_edges(
+        ew.map_batches(ascending, batch_format="pyarrow"),
+        node_type=pa.string(),
+    )

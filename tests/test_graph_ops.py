@@ -279,3 +279,58 @@ def test_kg_components_single_cluster(ray_session):
     assert len(rows) > 1
     roots = {r["component"] for r in rows}
     assert roots == {min(r["node"] for r in rows)}
+
+
+def test_triangles_over_edges_random_graphs(ray_session):
+    """Seeded random graphs: distributed 2-round triangle enumeration ==
+    brute-force itertools reference (int and string nodes)."""
+    import itertools
+    import random
+
+    import ray
+    from ner_pytorch_ray.pipelines.graph_ops import triangles_over_edges
+
+    rng = random.Random(11)
+    for trial in range(3):
+        n = 18
+        und = set()
+        for _ in range(45):
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                und.add((min(a, b), max(a, b)))
+        asc = sorted(und)
+        ref = collections.Counter()
+        for x, y, z in itertools.combinations(range(n), 3):
+            if (x, y) in und and (y, z) in und and (x, z) in und:
+                ref[x] += 1
+                ref[y] += 1
+                ref[z] += 1
+
+        t = pa.table(
+            {
+                "a": pa.array([a for a, _ in asc], type=pa.int64()),
+                "b": pa.array([b for _, b in asc], type=pa.int64()),
+            }
+        )
+        got = {
+            r["node"]: r["n_triangles"]
+            for r in triangles_over_edges(ray.data.from_arrow(t)).take_all()
+        }
+        assert got == dict(ref), f"trial {trial}"
+
+
+def test_triangles_max_degree_guard(ray_session):
+    """The hub guard raises instead of silently undercounting."""
+    import ray
+    from ner_pytorch_ray.pipelines.graph_ops import triangles_over_edges
+
+    star = pa.table(
+        {
+            "a": pa.array([0] * 10, type=pa.int64()),
+            "b": pa.array(range(1, 11), type=pa.int64()),
+        }
+    )
+    with pytest.raises(Exception, match="max_degree"):
+        triangles_over_edges(
+            ray.data.from_arrow(star), max_degree=5
+        ).take_all()
