@@ -515,6 +515,12 @@ def _q_kg_components(sf_dir: str):
     return kg_components(sf_dir)
 
 
+def _q_graph_link_scores(sf_dir: str):
+    from ner_pytorch_ray.pipelines.graph_ops import dup_link_prediction
+
+    return dup_link_prediction(sf_dir, min_common=1)
+
+
 def _q_kg_triangles(sf_dir: str):
     from ner_pytorch_ray.pipelines.graph_ops import kg_triangles
 
@@ -702,6 +708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # graph operators over the dup-pair graph
         "graph_components": _q_graph_components,
         "graph_pagerank": _q_graph_pagerank,
+        "graph_link_scores": _q_graph_link_scores,
         "kg_components": _q_kg_components,
         "kg_pagerank": _q_kg_pagerank,
         "kg_triangles": _q_kg_triangles,
@@ -1162,6 +1169,35 @@ SELECT a.doc_id AS inner_doc, b.doc_id AS outer_doc
 FROM t a JOIN t b
   ON position(a.padded IN b.padded) > 0
  AND a.doc_id <> b.doc_id AND len(a.toks) >= 5 AND len(b.toks) >= 5
+""",
+        # common-neighbor scoring on the dup graph (link-prediction
+        # baseline; is_edge flags whether the scored pair already exists)
+        "graph_link_scores": """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         ' ' || text || ' ' AS padded
+  FROM documents
+),
+p AS (SELECT doc_id, ' ' || array_to_string(toks[1:5], ' ') || ' ' AS prefix
+      FROM t WHERE len(toks) >= 5),
+prs AS (
+  SELECT p.doc_id AS a, t2.doc_id AS b FROM p JOIN t t2
+  ON position(p.prefix IN t2.padded) > 0
+ AND t2.doc_id <> p.doc_id AND len(t2.toks) >= 5
+),
+sym AS (SELECT a, b FROM prs UNION SELECT b AS a, a AS b FROM prs),
+ed AS (SELECT a, b FROM sym WHERE a < b),
+wedge AS (
+  SELECT e1.b AS y, e2.b AS z, e1.a AS x
+  FROM sym e1 JOIN sym e2 ON e1.a = e2.a AND e1.b < e2.b
+)
+SELECT CAST(y AS BIGINT) AS node_a, CAST(z AS BIGINT) AS node_b,
+       CAST(COUNT(*) AS BIGINT) AS n_common,
+       CAST(CASE WHEN EXISTS (SELECT 1 FROM ed
+                              WHERE ed.a = w.y AND ed.b = w.z)
+            THEN 1 ELSE 0 END AS BIGINT) AS is_edge
+FROM wedge w
+GROUP BY y, z
 """,
         # graph ops over the symmetric mutual-containment dup graph:
         # hash-min components == min reachable id (recursive CTE);

@@ -334,3 +334,63 @@ def test_triangles_max_degree_guard(ray_session):
         triangles_over_edges(
             ray.data.from_arrow(star), max_degree=5
         ).take_all()
+
+
+def test_link_prediction_chain_predicts_missing_edge(ray_session):
+    """Path 0-1-2-3: pairs (0,2) and (1,3) share one neighbor and are NOT
+    edges -> predicted; only_absent drops the existing edges."""
+    import ray
+    from ner_pytorch_ray.pipelines.graph_ops import link_prediction_over_edges
+
+    asc = pa.table(
+        {
+            "a": pa.array([0, 1, 2], type=pa.int64()),
+            "b": pa.array([1, 2, 3], type=pa.int64()),
+        }
+    )
+    rows = link_prediction_over_edges(ray.data.from_arrow(asc)).take_all()
+    scored = {(r["node_a"], r["node_b"]): (r["n_common"], r["is_edge"]) for r in rows}
+    assert scored == {(0, 2): (1, 0), (1, 3): (1, 0), (1, 2): (0, 1)} or \
+        scored == {(0, 2): (1, 0), (1, 3): (1, 0)}
+    absent = link_prediction_over_edges(
+        ray.data.from_arrow(asc), only_absent=True
+    ).take_all()
+    assert {(r["node_a"], r["node_b"]) for r in absent} == {(0, 2), (1, 3)}
+    assert all(r["is_edge"] == 0 for r in absent)
+
+
+def test_link_prediction_random_graphs(ray_session):
+    """Common-neighbor counts == brute-force reference on seeded graphs."""
+    import itertools
+    import random
+
+    import ray
+    from ner_pytorch_ray.pipelines.graph_ops import link_prediction_over_edges
+
+    rng = random.Random(23)
+    n = 16
+    und = set()
+    for _ in range(30):
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            und.add((min(a, b), max(a, b)))
+    adj = collections.defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    ref = {}
+    for y, z in itertools.combinations(range(n), 2):
+        c = len(adj[y] & adj[z])
+        if c >= 1:
+            ref[(y, z)] = (c, int((y, z) in und))
+
+    asc = sorted(und)
+    t = pa.table(
+        {
+            "a": pa.array([a for a, _ in asc], type=pa.int64()),
+            "b": pa.array([b for _, b in asc], type=pa.int64()),
+        }
+    )
+    rows = link_prediction_over_edges(ray.data.from_arrow(t)).take_all()
+    got = {(r["node_a"], r["node_b"]): (r["n_common"], r["is_edge"]) for r in rows}
+    assert got == ref
