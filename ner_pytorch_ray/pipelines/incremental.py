@@ -111,6 +111,18 @@ def _merge_and_write(
     if os.path.exists(out_dir):
         shutil.rmtree(out_dir)  # dangling dir from a crashed attempt
     merged.write_parquet(out_dir)
+    # an all-empty dataset writes no fragment files; pin the schema with an
+    # explicit empty parquet so the next version's read still works (an
+    # empty first crawl is a legal delta)
+    if not os.path.isdir(out_dir) or not any(
+        f.endswith(".parquet") for f in os.listdir(out_dir)
+    ):
+        import pyarrow.parquet as _pq
+
+        os.makedirs(out_dir, exist_ok=True)
+        _pq.write_table(
+            schema.empty_table(), os.path.join(out_dir, "empty.parquet")
+        )
 
 
 def ingest_pages_delta(

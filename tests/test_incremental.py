@@ -114,3 +114,23 @@ def test_incr_cli_roundtrip(ray_session, tmp_path, capsys):
     want = _pd(kg_from_documents(SF)[0])
     assert got.equals(want)
     assert main(["status", "--state", state]) == 0
+
+
+def test_empty_delta_is_legal(ray_session, tmp_path):
+    """An empty first crawl still writes a readable (schema-pinned) state
+    version; later deltas merge on top and equal the batch build."""
+    from ner_pytorch_ray.pipelines.incremental import (
+        _delta_pages,
+        final_edges,
+        ingest_pages_delta,
+    )
+    from ner_pytorch_ray.pipelines.kg import kg_from_documents
+
+    state = str(tmp_path / "state")
+    v = ingest_pages_delta(
+        _delta_pages(SF, 9999, 9998), state, "empty", "fp-e"
+    )
+    assert v == 1 and final_edges(state).count() == 0
+    for d in range(3):
+        ingest_pages_delta(_delta_pages(SF, 3, d), state, f"d{d}", f"fp{d}")
+    assert _pd(final_edges(state)).equals(_pd(kg_from_documents(SF)[0]))
