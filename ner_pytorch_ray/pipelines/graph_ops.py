@@ -309,6 +309,12 @@ def pagerank_over_edges(
         sum_cols=["one"],
     ).select_columns(["node"]).materialize()
     n_nodes = nodes.count()
+    if n_nodes == 0:  # empty graph: empty (node, rank) result, no div/0
+        return ray.data.from_arrow(
+            pa.schema(
+                [("node", node_type), ("rank", pa.int64())]
+            ).empty_table()
+        )
     base = (150 * scale) // (1000 * n_nodes)
     r0 = scale // n_nodes
 

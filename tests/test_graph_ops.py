@@ -394,3 +394,28 @@ def test_link_prediction_random_graphs(ray_session):
     rows = link_prediction_over_edges(ray.data.from_arrow(t)).take_all()
     got = {(r["node_a"], r["node_b"]): (r["n_common"], r["is_edge"]) for r in rows}
     assert got == ref
+
+
+def test_graph_ops_empty_inputs(ray_session, tmp_path):
+    """A corpus with no dup pairs: every graph op returns empty without
+    crashing (no div-by-zero in pagerank, no schema loss)."""
+    import ray
+    from ner_pytorch_ray.pipelines.graph_ops import (
+        connected_components,
+        link_prediction_over_edges,
+        pagerank,
+        triangles_over_edges,
+    )
+
+    texts = [f"u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f" for i in range(8)]
+    sf = _write_docs(tmp_path, texts)
+    assert connected_components(sf).count() == 0
+    assert pagerank(sf).count() == 0
+    empty = pa.table(
+        {
+            "a": pa.array([], type=pa.int64()),
+            "b": pa.array([], type=pa.int64()),
+        }
+    )
+    assert triangles_over_edges(ray.data.from_arrow(empty)).count() == 0
+    assert link_prediction_over_edges(ray.data.from_arrow(empty)).count() == 0
