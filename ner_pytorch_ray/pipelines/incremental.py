@@ -144,7 +144,13 @@ def ingest_pages_delta(
     os.makedirs(state_dir, exist_ok=True)
     state = read_state(state_dir)
     fingerprint = fingerprint or delta_id
-    if state["deltas"].get(delta_id) == fingerprint:
+    prev_entry = state["deltas"].get(delta_id)
+    prev_fp = (
+        prev_entry.get("fingerprint")
+        if isinstance(prev_entry, dict)
+        else prev_entry
+    )
+    if prev_fp == fingerprint:
         return state["version"]
 
     linked = linked_mentions(pages, tagger=tagger)
@@ -175,8 +181,22 @@ def ingest_pages_delta(
         _NODE_SCHEMA,
         os.path.join(state_dir, f"v{new}", "nodes"),
     )
+    def _nrows(path: str) -> int:
+        import pyarrow.dataset as pads
+
+        return pads.dataset(path, format="parquet").count_rows()
+
     state["version"] = new
-    state["deltas"][delta_id] = fingerprint
+    # lineage METRICS per delta (north_rule: per-partition lineage +
+    # counters): mention volume of the delta and the merged state sizes
+    # it produced — a divergence between runs shows up here first
+    state["deltas"][delta_id] = {
+        "fingerprint": fingerprint,
+        "mentions": linked.count(),
+        "state_edge_rows": _nrows(os.path.join(state_dir, f"v{new}", "edges")),
+        "state_node_rows": _nrows(os.path.join(state_dir, f"v{new}", "nodes")),
+        "version": new,
+    }
     _write_state(state_dir, state)
     # retire the superseded version (each version is a full copy of the
     # small aggregate state, not of the corpus)

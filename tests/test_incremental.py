@@ -49,7 +49,15 @@ def test_reingest_is_noop_and_state_versioned(ray_session, tmp_path):
     v2 = ingest_pages_delta(_delta_pages(SF, 2, 1), state, "d1", "fp1")
     assert v2 == 2
     assert not os.path.exists(os.path.join(state, "v1"))
-    assert read_state(state)["deltas"] == {"d0": "fp0", "d1": "fp1"}
+    deltas = read_state(state)["deltas"]
+    assert {k: v["fingerprint"] for k, v in deltas.items()} == {
+        "d0": "fp0",
+        "d1": "fp1",
+    }
+    # lineage metrics recorded per delta (mention volume + state sizes)
+    assert deltas["d1"]["mentions"] > 0
+    assert deltas["d1"]["state_edge_rows"] > 0
+    assert deltas["d1"]["version"] == 2
 
 
 def test_crashed_version_dir_is_recovered(ray_session, tmp_path):
