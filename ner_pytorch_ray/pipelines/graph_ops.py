@@ -225,11 +225,10 @@ def kg_components(sf_dir: str, max_iters: int = 50) -> ray.data.Dataset:
     co-occurrence edges from kg_edges' pair stage): the entity-cluster
     merge step. component = lexicographically smallest entity id
     reachable. Returns (node:string, component:string)."""
-    from ner_pytorch_ray.pipelines.kg import linked_mentions
-    from ner_pytorch_ray.sources.pages import pages_from_documents
+    from ner_pytorch_ray.pipelines.kg import linked_mentions_cached
     from ner_pytorch_ray.stages.graph import edge_partials_merged
 
-    ew = edge_partials_merged(linked_mentions(pages_from_documents(sf_dir)))
+    ew = edge_partials_merged(linked_mentions_cached(sf_dir))
 
     def symmetrize(batch: pa.Table) -> pa.Table:
         fwd = pa.table({"a": batch.column("subj"), "b": batch.column("obj")})
@@ -405,11 +404,10 @@ def kg_pagerank(
     co-sentence counts as weights (stages/graph.py edge_partials_merged;
     the sort stage is skipped — PageRank does not need ordered input).
     Returns (node:string, rank:int64)."""
-    from ner_pytorch_ray.pipelines.kg import linked_mentions
-    from ner_pytorch_ray.sources.pages import pages_from_documents
+    from ner_pytorch_ray.pipelines.kg import linked_mentions_cached
     from ner_pytorch_ray.stages.graph import edge_partials_merged
 
-    ew = edge_partials_merged(linked_mentions(pages_from_documents(sf_dir)))
+    ew = edge_partials_merged(linked_mentions_cached(sf_dir))
 
     def symmetrize(batch: pa.Table) -> pa.Table:
         fwd = pa.table(
@@ -539,11 +537,10 @@ def kg_triangles(sf_dir: str) -> ray.data.Dataset:
     """Per-entity triangle participation in the constructed KG's
     co-occurrence graph (kg_edges' ascending pairs): the local clustering
     signal of the entity graph."""
-    from ner_pytorch_ray.pipelines.kg import linked_mentions
-    from ner_pytorch_ray.sources.pages import pages_from_documents
+    from ner_pytorch_ray.pipelines.kg import linked_mentions_cached
     from ner_pytorch_ray.stages.graph import edge_partials_merged
 
-    ew = edge_partials_merged(linked_mentions(pages_from_documents(sf_dir)))
+    ew = edge_partials_merged(linked_mentions_cached(sf_dir))
 
     def ascending(batch: pa.Table) -> pa.Table:
         return pa.table(

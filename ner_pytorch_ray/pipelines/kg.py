@@ -48,6 +48,33 @@ def linked_mentions(
     return link_stage(mentions, alias_table)
 
 
+_LINKED_CACHE: dict = {}
+
+
+def linked_mentions_cached(
+    sf_dir: str, tagger: str = "gazetteer"
+) -> ray.data.Dataset:
+    """Process-local memo of the MATERIALIZED linked-mention table for the
+    documents-derived pages at ``sf_dir`` — the shared-scan optimization
+    for the graph-analytics layer (kg_pagerank / kg_components /
+    kg_triangles all aggregate the same mention scan; same pattern as the
+    shared training feature cache). Keyed by the source file's mtime_ns so
+    a regenerated table invalidates the memo; the mention table is small
+    relative to pages (it is the DAG's reduction), so holding it in the
+    object store is the intended working set."""
+    import os
+
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    key = (sf_dir, st.st_mtime_ns, tagger)
+    ds = _LINKED_CACHE.get(key)
+    if ds is None:
+        ds = linked_mentions(
+            pages_from_documents(sf_dir), tagger=tagger
+        ).materialize()
+        _LINKED_CACHE[key] = ds
+    return ds
+
+
 def kg_from_documents(sf_dir: str, tagger: str = "gazetteer"):
     """Full DAG over the documents-derived pages at ``sf_dir``.
 

@@ -214,3 +214,25 @@ def test_entry_smoke(ray_session):
     assert list(df.columns) == ["subj", "pred", "obj", "weight", "sample_url"]
     # sorted output contract
     assert df[["subj", "pred", "obj"]].apply(tuple, axis=1).is_monotonic_increasing
+
+
+def test_linked_mentions_cached_memoizes(ray_session):
+    """Second call returns the same materialized dataset object (shared
+    scan for the graph-analytics layer); results equal the uncached path."""
+    from ner_pytorch_ray.pipelines.kg import (
+        linked_mentions,
+        linked_mentions_cached,
+    )
+    from ner_pytorch_ray.sources.pages import pages_from_documents
+
+    sf = "/root/testdata/sf0.001"
+    a = linked_mentions_cached(sf)
+    b = linked_mentions_cached(sf)
+    assert a is b
+    fresh = linked_mentions(pages_from_documents(sf)).to_pandas()
+    cached = a.to_pandas()
+    cols = list(fresh.columns)
+    assert (
+        cached[cols].sort_values(cols).reset_index(drop=True)
+        .equals(fresh.sort_values(cols).reset_index(drop=True))
+    )
