@@ -515,6 +515,12 @@ def _q_kg_components(sf_dir: str):
     return kg_components(sf_dir)
 
 
+def _q_kg_node_metrics(sf_dir: str):
+    from ner_pytorch_ray.pipelines.graph_ops import kg_node_metrics
+
+    return kg_node_metrics(sf_dir, pagerank_iters=3)
+
+
 def _q_graph_link_scores(sf_dir: str):
     from ner_pytorch_ray.pipelines.graph_ops import dup_link_prediction
 
@@ -712,6 +718,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_components": _q_kg_components,
         "kg_pagerank": _q_kg_pagerank,
         "kg_triangles": _q_kg_triangles,
+        "kg_node_metrics": _q_kg_node_metrics,
         # similarity search
         "knn_topk": _q_knn_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -1508,6 +1515,72 @@ reach(node, root) AS (
   SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
 )
 SELECT node, MIN(root) AS component FROM reach GROUP BY node
+"""
+    )
+    # entity dashboard: mention stats LEFT-JOIN components, 3-iteration
+    # weighted PageRank and triangle counts (the same validated CTE
+    # fragments composed; defaults: own-component / rank 0 / 0 triangles)
+    _kg_pr_iter_m = """
+r{i} AS (
+  SELECT n.node,
+         (150 * 1000000000000 // (1000 * (SELECT COUNT(*) FROM nodes)))
+         + COALESCE(SUM((850 * rp.rank * e.w) // (1000 * s.sw)), 0) AS rank
+  FROM nodes n
+  LEFT JOIN edges e ON e.b = n.node
+  LEFT JOIN r{p} rp ON rp.node = e.a
+  LEFT JOIN sw s ON s.node = e.a
+  GROUP BY n.node
+)"""
+    out["kg_node_metrics"] = (
+        _KG_MENTIONS_CTE.replace("WITH toks", "WITH RECURSIVE toks")
+        + """
+, pairs AS (
+  SELECT DISTINCT m1.doc_id, m1.sent, m1.ent AS a, m2.ent AS b
+  FROM men m1
+  JOIN men m2 ON m1.doc_id = m2.doc_id AND m1.sent = m2.sent
+  WHERE m1.ent < m2.ent
+),
+ew AS (SELECT a, b, COUNT(*) AS w FROM pairs GROUP BY a, b),
+edges AS (SELECT a, b, w FROM ew UNION ALL SELECT b AS a, a AS b, w FROM ew),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+sw AS (SELECT a AS node, SUM(w) AS sw FROM edges GROUP BY a),
+r0 AS (SELECT node, 1000000000000 // (SELECT COUNT(*) FROM nodes) AS rank
+       FROM nodes),
+"""
+        + ",".join(_kg_pr_iter_m.format(i=i, p=i - 1) for i in (1, 2, 3))
+        + """
+, reach(node, root) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+),
+comp AS (SELECT node, MIN(root) AS component FROM reach GROUP BY node),
+ed AS (SELECT DISTINCT a, b FROM pairs),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM ed e1 JOIN ed e2 ON e2.a = e1.b
+  JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tcnt AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY node
+),
+base AS (
+  SELECT ent AS node, CAST(COUNT(*) AS BIGINT) AS n_mentions,
+         CAST(COUNT(DISTINCT surface) AS BIGINT) AS n_surfaces
+  FROM men GROUP BY ent
+)
+SELECT b.node, b.n_mentions, b.n_surfaces,
+       COALESCE(c.component, b.node) AS component,
+       CAST(COALESCE(r.rank, 0) AS BIGINT) AS rank,
+       COALESCE(t.n_triangles, 0) AS n_triangles
+FROM base b
+LEFT JOIN comp c ON c.node = b.node
+LEFT JOIN r3 r ON r.node = b.node
+LEFT JOIN tcnt t ON t.node = b.node
 """
     )
     # per-entity triangle counts over the KG's ascending pair edges

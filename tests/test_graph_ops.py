@@ -419,3 +419,25 @@ def test_graph_ops_empty_inputs(ray_session, tmp_path):
     )
     assert triangles_over_edges(ray.data.from_arrow(empty)).count() == 0
     assert link_prediction_over_edges(ray.data.from_arrow(empty)).count() == 0
+
+
+def test_kg_node_metrics_consistency(ray_session):
+    """The dashboard equals its own parts: joins the standalone components
+    / pagerank / triangles results and the mention stats at sf0.001."""
+    from ner_pytorch_ray.pipelines.graph_ops import (
+        kg_components,
+        kg_node_metrics,
+        kg_pagerank,
+        kg_triangles,
+    )
+
+    got = {r["node"]: r for r in kg_node_metrics(SF).take_all()}
+    comp = {r["node"]: r["component"] for r in kg_components(SF).take_all()}
+    rank = {r["node"]: r["rank"] for r in kg_pagerank(SF, iters=3).take_all()}
+    tri = {r["node"]: r["n_triangles"] for r in kg_triangles(SF).take_all()}
+    assert set(got) >= set(comp)
+    for node, row in got.items():
+        assert row["component"] == comp.get(node, node)
+        assert row["rank"] == rank.get(node, 0)
+        assert row["n_triangles"] == tri.get(node, 0)
+        assert row["n_mentions"] > 0 and row["n_surfaces"] > 0
