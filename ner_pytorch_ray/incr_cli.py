@@ -35,6 +35,11 @@ def main(argv: list[str] | None = None) -> int:
     pf = sub.add_parser("finalize", help="write sorted edges/nodes parquet")
     pf.add_argument("--state", required=True)
     pf.add_argument("--out", required=True)
+    pf.add_argument(
+        "--analytics",
+        action="store_true",
+        help="also write the per-entity dashboard (node_metrics parquet)",
+    )
 
     ps = sub.add_parser("status", help="print the state manifest")
     ps.add_argument("--state", required=True)
@@ -75,7 +80,13 @@ def main(argv: list[str] | None = None) -> int:
         # finalize
         incr.final_edges(args.state).write_parquet(f"{args.out}/edges")
         incr.final_nodes(args.state).write_parquet(f"{args.out}/nodes")
-        print(f"wrote {args.out}/edges and {args.out}/nodes")
+        wrote = [f"{args.out}/edges", f"{args.out}/nodes"]
+        if args.analytics:
+            incr.state_node_metrics(args.state).write_parquet(
+                f"{args.out}/node_metrics"
+            )
+            wrote.append(f"{args.out}/node_metrics")
+        print("wrote " + " and ".join(wrote))
         return 0
     finally:
         if owns and args.cmd != "status":

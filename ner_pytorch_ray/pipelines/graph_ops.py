@@ -678,48 +678,54 @@ def dup_link_prediction(
     return link_prediction_over_edges(asc, min_common=min_common)
 
 
-def kg_node_metrics(
-    sf_dir: str, pagerank_iters: int = 3
+def node_metrics_over_graph(
+    ew: ray.data.Dataset,
+    stats: ray.data.Dataset,
+    pagerank_iters: int = 3,
 ) -> ray.data.Dataset:
-    """Entity dashboard over the constructed KG: one row per entity with
-    mention volume, surface diversity, dup-cluster root, PageRank and
-    triangle participation — the composition a graph engineer actually
-    reads. All four inputs aggregate the SAME cached mention scan
-    (kg.linked_mentions_cached); the final assembly is ONE keyed collect
-    over four small kind-tagged metric tables (no N-way hash join).
-
-    Defaults for entities outside the co-occurrence graph: component =
-    the entity itself, rank = 0, n_triangles = 0.
-
-    Output: (node, n_mentions, n_surfaces, component, rank, n_triangles),
-    node-typed string."""
-    from ner_pytorch_ray.pipelines.kg import linked_mentions_cached
-    from ner_pytorch_ray.stages.graph import node_partials_merged
+    """Assemble the per-entity dashboard from a weighted ascending edge
+    table ``ew`` (a < b, w) plus per-entity ``stats`` (node, n_mentions,
+    n_surfaces): derives components (symmetrized), weighted PageRank and
+    triangles, then joins everything with ONE keyed collect over four
+    kind-tagged metric tables (no N-way hash join). Defaults for entities
+    outside the graph: component = the entity itself, rank = 0,
+    n_triangles = 0. Output (node, n_mentions, n_surfaces, component,
+    rank, n_triangles); string-typed nodes."""
     from ner_pytorch_ray.stages.groupby_utils import (
         collect_tuples,
         flat_map_groups,
-        grouped_sum,
     )
 
-    linked = linked_mentions_cached(sf_dir)
+    ew = ew.materialize()  # consumed by three derivations
 
-    # kind 0: per-entity mention stats from the canonicalization partials
-    parts = node_partials_merged(linked)
-
-    def stat_rows(batch: pa.Table) -> pa.Table:
-        n = len(batch)
-        return pa.Table.from_pydict(
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        fwd = pa.table(
             {
-                "node": batch.column("entity_id"),
-                "n_mentions": batch.column("n_mentions"),
-                "one": pa.array([1] * n, type=pa.int64()),
+                "a": batch.column("a"),
+                "b": batch.column("b"),
+                "w": batch.column("w"),
             }
         )
+        rev = pa.table(
+            {
+                "a": batch.column("b"),
+                "b": batch.column("a"),
+                "w": batch.column("w"),
+            }
+        )
+        return pa.concat_tables([fwd, rev])
 
-    stats = grouped_sum(
-        parts.map_batches(stat_rows, batch_format="pyarrow"),
-        keys=["node"],
-        sum_cols=["n_mentions", "one"],
+    def ascending(batch: pa.Table) -> pa.Table:
+        return pa.table({"a": batch.column("a"), "b": batch.column("b")})
+
+    sym = ew.map_batches(symmetrize, batch_format="pyarrow")
+    comps = components_over_edges(sym, node_type=pa.string())
+    ranks = pagerank_over_edges(
+        sym, iters=pagerank_iters, node_type=pa.string(), weight_col="w"
+    )
+    tris = triangles_over_edges(
+        ew.map_batches(ascending, batch_format="pyarrow"),
+        node_type=pa.string(),
     )
 
     def tag_kind(kind: int, ival_col: str, sval_col: str | None = None):
@@ -735,7 +741,7 @@ def kg_node_metrics(
                         else pa.array([0] * n, type=pa.int64())
                     ),
                     "ival2": (
-                        batch.column("one")
+                        batch.column("n_surfaces")
                         if kind == 0
                         else pa.array([0] * n, type=pa.int64())
                     ),
@@ -752,17 +758,13 @@ def kg_node_metrics(
     unioned = (
         stats.map_batches(tag_kind(0, "n_mentions"), batch_format="pyarrow")
         .union(
-            kg_components(sf_dir).map_batches(
+            comps.map_batches(
                 tag_kind(1, "", "component"), batch_format="pyarrow"
             )
         )
+        .union(ranks.map_batches(tag_kind(2, "rank"), batch_format="pyarrow"))
         .union(
-            kg_pagerank(sf_dir, iters=pagerank_iters).map_batches(
-                tag_kind(2, "rank"), batch_format="pyarrow"
-            )
-        )
-        .union(
-            kg_triangles(sf_dir).map_batches(
+            tris.map_batches(
                 tag_kind(3, "n_triangles"), batch_format="pyarrow"
             )
         )
@@ -817,3 +819,56 @@ def kg_node_metrics(
         )
 
     return flat_map_groups(collected, assemble, ["node"])
+
+
+def kg_node_metrics(
+    sf_dir: str, pagerank_iters: int = 3
+) -> ray.data.Dataset:
+    """Entity dashboard over the constructed KG (see
+    :func:`node_metrics_over_graph`): all inputs aggregate the SAME cached
+    mention scan (kg.linked_mentions_cached)."""
+    from ner_pytorch_ray.pipelines.kg import linked_mentions_cached
+    from ner_pytorch_ray.stages.graph import (
+        edge_partials_merged,
+        node_partials_merged,
+    )
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
+
+    linked = linked_mentions_cached(sf_dir)
+
+    def ew_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": batch.column("subj"),
+                "b": batch.column("obj"),
+                "w": batch.column("weight"),
+            }
+        )
+
+    ew = edge_partials_merged(linked).map_batches(
+        ew_rows, batch_format="pyarrow"
+    )
+
+    def stat_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.Table.from_pydict(
+            {
+                "node": batch.column("entity_id"),
+                "n_mentions": batch.column("n_mentions"),
+                "one": pa.array([1] * n, type=pa.int64()),
+            }
+        )
+
+    stats = grouped_sum(
+        node_partials_merged(linked).map_batches(
+            stat_rows, batch_format="pyarrow"
+        ),
+        keys=["node"],
+        sum_cols=["n_mentions", "one"],
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["node", "n_mentions", "n_surfaces"])
+
+    stats = stats.map_batches(rename, batch_format="pyarrow")
+    return node_metrics_over_graph(ew, stats, pagerank_iters=pagerank_iters)

@@ -266,3 +266,60 @@ def kg_incremental_from_documents(
             fingerprint=fp,
         )
     return final_edges(state_dir), final_nodes(state_dir)
+
+
+def state_node_metrics(
+    state_dir: str, pagerank_iters: int = 3
+) -> ray.data.Dataset:
+    """Entity dashboard computed FROM the persisted incremental state —
+    no re-read of any ingested document. Edges/weights come from the
+    merged edge partials, mention stats from the merged node partials, so
+    after full ingestion this equals kg_node_metrics over the same corpus
+    (tested); after a partial ingestion it is the dashboard of the graph
+    built SO FAR."""
+    from ner_pytorch_ray.pipelines.graph_ops import node_metrics_over_graph
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
+
+    ver = read_state(state_dir)["version"]
+    edges = ray.data.read_parquet(
+        os.path.join(state_dir, f"v{ver}", "edges"),
+        columns=["subj", "obj", "weight"],
+    )
+    nodes = ray.data.read_parquet(
+        os.path.join(state_dir, f"v{ver}", "nodes"),
+        columns=["entity_id", "n_mentions"],
+    )
+
+    def ew_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": batch.column("subj").cast(pa.string()),
+                "b": batch.column("obj").cast(pa.string()),
+                "w": batch.column("weight").cast(pa.int64()),
+            }
+        )
+
+    def stat_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.Table.from_pydict(
+            {
+                "node": batch.column("entity_id").cast(pa.string()),
+                "n_mentions": batch.column("n_mentions").cast(pa.int64()),
+                "one": pa.array([1] * n, type=pa.int64()),
+            }
+        )
+
+    stats = grouped_sum(
+        nodes.map_batches(stat_rows, batch_format="pyarrow"),
+        keys=["node"],
+        sum_cols=["n_mentions", "one"],
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["node", "n_mentions", "n_surfaces"])
+
+    return node_metrics_over_graph(
+        edges.map_batches(ew_rows, batch_format="pyarrow"),
+        stats.map_batches(rename, batch_format="pyarrow"),
+        pagerank_iters=pagerank_iters,
+    )

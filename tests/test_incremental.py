@@ -142,3 +142,43 @@ def test_empty_delta_is_legal(ray_session, tmp_path):
     for d in range(3):
         ingest_pages_delta(_delta_pages(SF, 3, d), state, f"d{d}", f"fp{d}")
     assert _pd(final_edges(state)).equals(_pd(kg_from_documents(SF)[0]))
+
+
+def test_state_node_metrics_equals_batch_dashboard(ray_session, tmp_path):
+    """After full ingestion, the dashboard computed FROM state (no corpus
+    re-read) equals kg_node_metrics over the same corpus; the CLI
+    --analytics flag writes it."""
+    import pyarrow.parquet as pq
+    from ner_pytorch_ray.incr_cli import main
+    from ner_pytorch_ray.pipelines.graph_ops import kg_node_metrics
+    from ner_pytorch_ray.pipelines.incremental import (
+        _delta_pages,
+        ingest_pages_delta,
+        state_node_metrics,
+    )
+
+    state, out = str(tmp_path / "state"), str(tmp_path / "graph")
+    for d in range(3):
+        ingest_pages_delta(_delta_pages(SF, 3, d), state, f"d{d}", f"fp{d}")
+    got = (
+        state_node_metrics(state)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    want = (
+        kg_node_metrics(SF)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+    assert main(["finalize", "--state", state, "--out", out,
+                 "--analytics"]) == 0
+    disk = (
+        pq.read_table(f"{out}/node_metrics")
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert disk.equals(want)
