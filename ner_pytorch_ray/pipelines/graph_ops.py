@@ -42,6 +42,7 @@ import pyarrow as pa
 import ray.data
 
 SCALE = 10**12  # PageRank fixed-point scale: rank 1.0 == 10**12
+SMALL_GRAPH = 100_000  # size-routing threshold for the dashboard's derivations
 DAMP_NUM, DAMP_DEN = 850, 1000  # damping 0.85 as an exact ratio
 
 
@@ -176,13 +177,50 @@ def components_over_edges(
     edges: ray.data.Dataset,
     node_type: pa.DataType = pa.int64(),
     max_iters: int = 50,
+    small_graph: int = 0,
 ) -> ray.data.Dataset:
     """(node, component) over a SYMMETRIC edge table (a, b): hash-min
     label propagation to the minimum reachable node id (lexicographic min
-    for string nodes — matching SQL MIN(VARCHAR) on ASCII ids)."""
+    for string nodes — matching SQL MIN(VARCHAR) on ASCII ids).
+
+    ``small_graph``: size-routing (the repo's embedding-near-dup
+    precedent) — an edge table at or below this many rows is solved with
+    one local BFS instead of ~diameter shuffle rounds (identical fixpoint:
+    min over the connected component either way). Default 0 = always
+    distributed, so oracle-gated queries exercise the distributed path."""
     from ner_pytorch_ray.stages.groupby_utils import grouped_sum
 
     adj = edges.materialize()
+    if small_graph and adj.count() <= small_graph:
+        rows = adj.take_all()
+        und = {}
+        for r in rows:
+            und.setdefault(r["a"], []).append(r["b"])
+        comp = {}
+        for v in sorted(und):
+            if v in comp:
+                continue
+            stack, seen = [v], {v}
+            while stack:
+                u = stack.pop()
+                for w in und[u]:
+                    if w not in seen:
+                        seen.add(w)
+                        stack.append(w)
+            root = min(seen)
+            for u in seen:
+                comp[u] = root
+        ks = sorted(comp)
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "node": pa.array(ks, type=node_type),
+                    "component": pa.array(
+                        [comp[k] for k in ks], type=node_type
+                    ),
+                }
+            )
+        )
 
     def init_labels(batch: pa.Table) -> pa.Table:
         a = batch.column("a").cast(node_type)
@@ -247,6 +285,7 @@ def pagerank_over_edges(
     scale: int = SCALE,
     node_type: pa.DataType = pa.int64(),
     weight_col: str | None = None,
+    small_graph: int = 0,
 ) -> ray.data.Dataset:
     """(node, rank) after ``iters`` weighted-PageRank rounds over a
     SYMMETRIC edge table (a, b[, weight]), damping 0.85, int64 fixed-point
@@ -275,6 +314,44 @@ def pagerank_over_edges(
         flat_map_groups,
         grouped_sum,
     )
+
+    if small_graph:
+        em = edges.materialize()
+        if em.count() <= small_graph:
+            rows = em.take_all()
+            ew = [
+                (r["a"], r["b"], int(r[weight_col]) if weight_col else 1)
+                for r in rows
+            ]
+            nodes_l = sorted({a for a, _, _ in ew})
+            if not nodes_l:
+                return ray.data.from_arrow(
+                    pa.schema(
+                        [("node", node_type), ("rank", pa.int64())]
+                    ).empty_table()
+                )
+            n_l = len(nodes_l)
+            sw_l: dict = {}
+            for a, _, w in ew:
+                sw_l[a] = sw_l.get(a, 0) + w
+            r_l = {v: scale // n_l for v in nodes_l}
+            base_l = (150 * scale) // (1000 * n_l)
+            for _ in range(iters):
+                nr = {v: base_l for v in nodes_l}
+                for a, b, w in ew:
+                    nr[b] += (DAMP_NUM * r_l[a] * w) // (DAMP_DEN * sw_l[a])
+                r_l = nr
+            return ray.data.from_arrow(
+                pa.Table.from_pydict(
+                    {
+                        "node": pa.array(nodes_l, type=node_type),
+                        "rank": pa.array(
+                            [r_l[v] for v in nodes_l], type=pa.int64()
+                        ),
+                    }
+                )
+            )
+        edges = em
 
     def edge_rows(batch: pa.Table) -> pa.Table:
         n = len(batch)
@@ -436,6 +513,7 @@ def triangles_over_edges(
     edges: ray.data.Dataset,
     node_type: pa.DataType = pa.int64(),
     max_degree: int = 100_000,
+    small_graph: int = 0,
 ) -> ray.data.Dataset:
     """Per-node triangle counts (node, n_triangles) over a UNIQUE ascending
     edge table (a < b). Two bounded exchanges, never all-pairs:
@@ -458,6 +536,38 @@ def triangles_over_edges(
         flat_map_groups,
         grouped_sum,
     )
+
+    if small_graph:
+        em = edges.materialize()
+        if em.count() <= small_graph:
+            rows = [(r["a"], r["b"]) for r in em.take_all()]
+            und = set(rows)
+            asc: dict = {}
+            for a, b in rows:
+                asc.setdefault(a, []).append(b)
+            import collections as _c
+
+            cnt: dict = _c.Counter()
+            for x, peers in asc.items():
+                ps = sorted(set(peers))
+                for i, y in enumerate(ps):
+                    for z in ps[i + 1 :]:
+                        if (y, z) in und:
+                            cnt[x] += 1
+                            cnt[y] += 1
+                            cnt[z] += 1
+            ks = sorted(cnt)
+            return ray.data.from_arrow(
+                pa.Table.from_pydict(
+                    {
+                        "node": pa.array(ks, type=node_type),
+                        "n_triangles": pa.array(
+                            [cnt[k] for k in ks], type=pa.int64()
+                        ),
+                    }
+                )
+            )
+        edges = em
 
     adj = collect_tuples(edges, ["a"], ["b"], shuffle_blocks="auto")
     cand_schema = pa.schema(
@@ -718,14 +828,25 @@ def node_metrics_over_graph(
     def ascending(batch: pa.Table) -> pa.Table:
         return pa.table({"a": batch.column("a"), "b": batch.column("b")})
 
+    # the dashboard size-routes its derivations (SMALL_GRAPH edges or
+    # fewer solve locally — a 6-node graph should not pay ~10 shuffle
+    # rounds); the standalone kg_/graph_ queries keep small_graph=0 so the
+    # oracle gate always exercises the distributed path
     sym = ew.map_batches(symmetrize, batch_format="pyarrow")
-    comps = components_over_edges(sym, node_type=pa.string())
+    comps = components_over_edges(
+        sym, node_type=pa.string(), small_graph=SMALL_GRAPH
+    )
     ranks = pagerank_over_edges(
-        sym, iters=pagerank_iters, node_type=pa.string(), weight_col="w"
+        sym,
+        iters=pagerank_iters,
+        node_type=pa.string(),
+        weight_col="w",
+        small_graph=SMALL_GRAPH,
     )
     tris = triangles_over_edges(
         ew.map_batches(ascending, batch_format="pyarrow"),
         node_type=pa.string(),
+        small_graph=SMALL_GRAPH,
     )
 
     def tag_kind(kind: int, ival_col: str, sval_col: str | None = None):

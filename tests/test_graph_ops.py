@@ -441,3 +441,51 @@ def test_kg_node_metrics_consistency(ray_session):
         assert row["rank"] == rank.get(node, 0)
         assert row["n_triangles"] == tri.get(node, 0)
         assert row["n_mentions"] > 0 and row["n_surfaces"] > 0
+
+
+def test_small_graph_routing_matches_distributed(ray_session):
+    """The size-routed local paths are bit-identical to the distributed
+    ones on the same seeded random graph (int and string node types)."""
+    import random
+
+    import ray
+    from ner_pytorch_ray.pipelines.graph_ops import (
+        components_over_edges,
+        pagerank_over_edges,
+        triangles_over_edges,
+    )
+
+    rng = random.Random(31)
+    n = 20
+    und = set()
+    for _ in range(35):
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            und.add((min(a, b), max(a, b)))
+    asc = sorted(und)
+    sym = sorted(und | {(b, a) for a, b in und})
+
+    t_sym = pa.table(
+        {
+            "a": pa.array([a for a, _ in sym], type=pa.int64()),
+            "b": pa.array([b for _, b in sym], type=pa.int64()),
+        }
+    )
+    t_asc = pa.table(
+        {
+            "a": pa.array([a for a, _ in asc], type=pa.int64()),
+            "b": pa.array([b for _, b in asc], type=pa.int64()),
+        }
+    )
+
+    def rows(ds):
+        return sorted(tuple(r.values()) for r in ds.take_all())
+
+    for fn, t in (
+        (components_over_edges, t_sym),
+        (pagerank_over_edges, t_sym),
+        (triangles_over_edges, t_asc),
+    ):
+        dist = rows(fn(ray.data.from_arrow(t)))
+        local = rows(fn(ray.data.from_arrow(t), small_graph=10**6))
+        assert dist == local, fn.__name__
