@@ -7,14 +7,26 @@ canonicalization the KG build applies to entity surfaces
 (``stages/graph.py`` A4, reference ``train.py``-adjacent KG assembly), but
 over the document-dup relation instead of surface equality:
 
-- :func:`connected_components` — hash-min label propagation: every node
-  ends with the minimum doc_id reachable in its component. Deterministic
-  (min is order-independent), oracle-able with a recursive SQL CTE.
-- :func:`pagerank` — fixed-iteration PageRank with *scaled-integer*
+- :func:`components_over_edges` / :func:`connected_components` /
+  :func:`kg_components` — hash-min label propagation: every node ends
+  with the minimum reachable node id (lexicographic for string entity
+  ids). Deterministic (min is order-independent), oracle-able with a
+  recursive SQL CTE.
+- :func:`pagerank_over_edges` / :func:`pagerank` / :func:`kg_pagerank` —
+  fixed-iteration (optionally weighted) PageRank with *scaled-integer*
   arithmetic: per-edge contributions are computed with integer floor
   division and summed as int64, so the result is bit-identical under any
   partitioning / summation order, and an unrolled SQL oracle can
   reproduce it exactly.
+- :func:`triangles_over_edges` / :func:`kg_triangles` — 2-round wedge
+  enumeration + marker-verified closure; explicit max_degree hub guard.
+- :func:`link_prediction_over_edges` / :func:`dup_link_prediction` —
+  common-neighbor scores over full adjacency with an is_edge flag (the
+  KG-completion baseline).
+- :func:`node_metrics_over_graph` / :func:`kg_node_metrics` — the
+  per-entity dashboard assembled by one keyed collect over kind-tagged
+  metric tables; size-routes its derivations below ``SMALL_GRAPH`` edges
+  (local solve, bit-identical integer math).
 
 Scale notes (100 TB):
 
