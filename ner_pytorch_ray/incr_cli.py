@@ -77,13 +77,24 @@ def main(argv: list[str] | None = None) -> int:
                 + f", state version v{ver}"
             )
             return 0
-        # finalize
-        incr.final_edges(args.state).write_parquet(f"{args.out}/edges")
-        incr.final_nodes(args.state).write_parquet(f"{args.out}/nodes")
+        # finalize: clear each target first — write_parquet appends new
+        # uuid-named fragments and never deletes, so a re-run after more
+        # ingests would otherwise mix stale rows with fresh ones
+        import os
+        import shutil
+
+        def _clean_write(ds, out):
+            if os.path.exists(out):
+                shutil.rmtree(out)
+            ds.write_parquet(out)
+
+        _clean_write(incr.final_edges(args.state), f"{args.out}/edges")
+        _clean_write(incr.final_nodes(args.state), f"{args.out}/nodes")
         wrote = [f"{args.out}/edges", f"{args.out}/nodes"]
         if args.analytics:
-            incr.state_node_metrics(args.state).write_parquet(
-                f"{args.out}/node_metrics"
+            _clean_write(
+                incr.state_node_metrics(args.state),
+                f"{args.out}/node_metrics",
             )
             wrote.append(f"{args.out}/node_metrics")
         print("wrote " + " and ".join(wrote))

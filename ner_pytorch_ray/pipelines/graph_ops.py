@@ -521,6 +521,60 @@ def kg_pagerank(
     )
 
 
+
+def _wedge_candidates(
+    edges: ray.data.Dataset, node_type: pa.DataType, max_degree: int
+):
+    """Shared scaffold for triangle counting and common-neighbor scoring:
+    keyed collect of adjacency by ``a``, per-node neighbor-pair wedge rows
+    (y, z, x), plus the null-x marker rows for the edge table itself.
+    ``edges`` is consumed by BOTH branches — callers pass it materialized.
+    Returns (candidates_ds, marker_fn)."""
+    from ner_pytorch_ray.stages.groupby_utils import (
+        collect_tuples,
+        flat_map_groups,
+    )
+
+    adj = collect_tuples(edges, ["a"], ["b"], shuffle_blocks="auto")
+    cand_schema = pa.schema(
+        [("y", node_type), ("z", node_type), ("x", node_type)]
+    )
+
+    def wedges(key, items) -> pa.Table:
+        if items is None:
+            return cand_schema.empty_table()
+        peers = sorted({b for b, in items})
+        if len(peers) > max_degree:
+            raise ValueError(
+                f"node {key[0]!r} degree {len(peers)} exceeds "
+                f"max_degree={max_degree}; raise the guard deliberately"
+            )
+        ys, zs = [], []
+        for i, y in enumerate(peers):
+            for z in peers[i + 1 :]:
+                ys.append(y)
+                zs.append(z)
+        return pa.Table.from_pydict(
+            {
+                "y": pa.array(ys, type=node_type),
+                "z": pa.array(zs, type=node_type),
+                "x": pa.array([key[0]] * len(ys), type=node_type),
+            }
+        )
+
+    def marker_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.Table.from_pydict(
+            {
+                "y": batch.column("a").cast(node_type),
+                "z": batch.column("b").cast(node_type),
+                "x": pa.array([None] * n, type=node_type),
+            }
+        )
+
+    return flat_map_groups(adj, wedges, ["a"]), marker_rows
+
+
 def triangles_over_edges(
     edges: ray.data.Dataset,
     node_type: pa.DataType = pa.int64(),
@@ -581,44 +635,8 @@ def triangles_over_edges(
             )
         edges = em
 
-    adj = collect_tuples(edges, ["a"], ["b"], shuffle_blocks="auto")
-    cand_schema = pa.schema(
-        [("y", node_type), ("z", node_type), ("x", node_type)]
-    )
-
-    def wedges(key, items) -> pa.Table:
-        if items is None:
-            return cand_schema.empty_table()
-        peers = sorted({b for b, in items})
-        if len(peers) > max_degree:
-            raise ValueError(
-                f"node {key[0]!r} ascending degree {len(peers)} exceeds "
-                f"max_degree={max_degree}; raise the guard deliberately"
-            )
-        ys, zs = [], []
-        for i, y in enumerate(peers):
-            for z in peers[i + 1 :]:
-                ys.append(y)
-                zs.append(z)
-        return pa.Table.from_pydict(
-            {
-                "y": pa.array(ys, type=node_type),
-                "z": pa.array(zs, type=node_type),
-                "x": pa.array([key[0]] * len(ys), type=node_type),
-            }
-        )
-
-    cands = flat_map_groups(adj, wedges, ["a"])
-
-    def marker_rows(batch: pa.Table) -> pa.Table:
-        n = len(batch)
-        return pa.Table.from_pydict(
-            {
-                "y": batch.column("a").cast(node_type),
-                "z": batch.column("b").cast(node_type),
-                "x": pa.array([None] * n, type=node_type),
-            }
-        )
+    edges = edges.materialize()  # consumed by both wedge and marker branches
+    cands, marker_rows = _wedge_candidates(edges, node_type, max_degree)
 
     unioned = cands.union(
         edges.map_batches(marker_rows, batch_format="pyarrow")
@@ -705,45 +723,9 @@ def link_prediction_over_edges(
         rev = pa.table({"a": batch.column("b"), "b": batch.column("a")})
         return pa.concat_tables([fwd, rev])
 
+    edges = edges.materialize()  # consumed by the sym and marker branches
     sym = edges.map_batches(sym_rows, batch_format="pyarrow")
-    adj = collect_tuples(sym, ["a"], ["b"], shuffle_blocks="auto")
-    cand_schema = pa.schema(
-        [("y", node_type), ("z", node_type), ("x", node_type)]
-    )
-
-    def wedges(key, items) -> pa.Table:
-        if items is None:
-            return cand_schema.empty_table()
-        peers = sorted({b for b, in items})
-        if len(peers) > max_degree:
-            raise ValueError(
-                f"node {key[0]!r} degree {len(peers)} exceeds "
-                f"max_degree={max_degree}; raise the guard deliberately"
-            )
-        ys, zs = [], []
-        for i, y in enumerate(peers):
-            for z in peers[i + 1 :]:
-                ys.append(y)
-                zs.append(z)
-        return pa.Table.from_pydict(
-            {
-                "y": pa.array(ys, type=node_type),
-                "z": pa.array(zs, type=node_type),
-                "x": pa.array([key[0]] * len(ys), type=node_type),
-            }
-        )
-
-    cands = flat_map_groups(adj, wedges, ["a"])
-
-    def marker_rows(batch: pa.Table) -> pa.Table:
-        n = len(batch)
-        return pa.Table.from_pydict(
-            {
-                "y": batch.column("a").cast(node_type),
-                "z": batch.column("b").cast(node_type),
-                "x": pa.array([None] * n, type=node_type),
-            }
-        )
+    cands, marker_rows = _wedge_candidates(sym, node_type, max_degree)
 
     unioned = cands.union(
         edges.map_batches(marker_rows, batch_format="pyarrow")

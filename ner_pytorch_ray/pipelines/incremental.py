@@ -152,6 +152,14 @@ def ingest_pages_delta(
     )
     if prev_fp == fingerprint:
         return state["version"]
+    if prev_fp is not None:
+        raise ValueError(
+            f"delta {delta_id!r} was already ingested with fingerprint "
+            f"{prev_fp!r} but the input now fingerprints {fingerprint!r}; "
+            "its contribution is already merged into the state and cannot "
+            "be replaced in place — rebuild the state directory (or ingest "
+            "under a new delta_id if this is genuinely new data)"
+        )
 
     linked = linked_mentions(pages, tagger=tagger)
     # the DAG prefix runs ONCE for both aggregates: mention rows are tiny
@@ -198,16 +206,29 @@ def ingest_pages_delta(
         "version": new,
     }
     _write_state(state_dir, state)
-    # retire the superseded version (each version is a full copy of the
-    # small aggregate state, not of the corpus)
-    old = os.path.join(state_dir, f"v{ver}")
-    if ver and os.path.exists(old):
-        shutil.rmtree(old)
+    # retire ALL superseded versions (each version is a full copy of the
+    # small aggregate state, not of the corpus); sweeping below `new`
+    # also collects a dir leaked by a crash between a previous pointer
+    # swap and its cleanup
+    for entry in os.listdir(state_dir):
+        if entry.startswith("v") and entry[1:].isdigit():
+            if int(entry[1:]) < new:
+                shutil.rmtree(os.path.join(state_dir, entry))
     return new
 
 
-def final_edges(state_dir: str) -> ray.data.Dataset:
+def _current_version(state_dir: str) -> int:
     ver = read_state(state_dir)["version"]
+    if ver == 0:
+        raise ValueError(
+            f"state {state_dir!r} has no ingested deltas yet (version 0); "
+            "run ingest before finalize/analytics"
+        )
+    return ver
+
+
+def final_edges(state_dir: str) -> ray.data.Dataset:
+    ver = _current_version(state_dir)
     ds = ray.data.read_parquet(os.path.join(state_dir, f"v{ver}", "edges"))
     return ds.map_batches(_cast_to(_EDGE_SCHEMA), batch_format="pyarrow").sort(
         ["subj", "pred", "obj"]
@@ -215,7 +236,7 @@ def final_edges(state_dir: str) -> ray.data.Dataset:
 
 
 def final_nodes(state_dir: str) -> ray.data.Dataset:
-    ver = read_state(state_dir)["version"]
+    ver = _current_version(state_dir)
     ds = ray.data.read_parquet(os.path.join(state_dir, f"v{ver}", "nodes"))
     return ds.map_batches(_cast_to(_NODE_SCHEMA), batch_format="pyarrow").sort(
         ["entity_id", "tag_type", "surface"]
@@ -280,7 +301,7 @@ def state_node_metrics(
     from ner_pytorch_ray.pipelines.graph_ops import node_metrics_over_graph
     from ner_pytorch_ray.stages.groupby_utils import grouped_sum
 
-    ver = read_state(state_dir)["version"]
+    ver = _current_version(state_dir)
     edges = ray.data.read_parquet(
         os.path.join(state_dir, f"v{ver}", "edges"),
         columns=["subj", "obj", "weight"],

@@ -182,3 +182,49 @@ def test_state_node_metrics_equals_batch_dashboard(ray_session, tmp_path):
         .reset_index(drop=True)
     )
     assert disk.equals(want)
+
+
+def test_changed_fingerprint_refuses(ray_session, tmp_path):
+    """Re-ingesting a recorded delta_id with a DIFFERENT fingerprint must
+    raise (its old contribution is already merged — silently merging again
+    would double-count), and the state must stay usable."""
+    from ner_pytorch_ray.pipelines.incremental import (
+        _delta_pages,
+        final_edges,
+        ingest_pages_delta,
+    )
+
+    state = str(tmp_path / "state")
+    ingest_pages_delta(_delta_pages(SF, 2, 0), state, "d0", "fp0")
+    before = _pd(final_edges(state))
+    with pytest.raises(ValueError, match="fingerprint"):
+        ingest_pages_delta(_delta_pages(SF, 2, 0), state, "d0", "fp-CHANGED")
+    assert _pd(final_edges(state)).equals(before)
+
+
+def test_finalize_errors_and_rerun_cleanliness(ray_session, tmp_path):
+    """finalize on a never-ingested state raises a clear error; a re-run
+    of finalize after another ingest REPLACES the output (no stale
+    fragments mixed in)."""
+    import pyarrow.parquet as pq
+    from ner_pytorch_ray.incr_cli import main
+    from ner_pytorch_ray.pipelines.incremental import (
+        _delta_pages,
+        final_edges,
+        ingest_pages_delta,
+    )
+
+    state, out = str(tmp_path / "state"), str(tmp_path / "graph")
+    with pytest.raises(ValueError, match="no ingested deltas"):
+        main(["finalize", "--state", state, "--out", out])
+    ingest_pages_delta(_delta_pages(SF, 2, 0), state, "d0", "fp0")
+    assert main(["finalize", "--state", state, "--out", out]) == 0
+    ingest_pages_delta(_delta_pages(SF, 2, 1), state, "d1", "fp1")
+    assert main(["finalize", "--state", state, "--out", out]) == 0
+    disk = (
+        pq.read_table(f"{out}/edges")
+        .to_pandas()
+        .sort_values(["subj", "pred", "obj"])
+        .reset_index(drop=True)
+    )
+    assert disk.equals(_pd(final_edges(state)))
