@@ -595,6 +595,30 @@ def _q_language_id(sf_dir: str):
     return language_id(sf_dir)
 
 
+def _q_corpus_filter(sf_dir: str):
+    from ner_pytorch_ray.pipelines.webtext import corpus_filter
+
+    return corpus_filter(sf_dir)
+
+
+def _q_sentence_dedup(sf_dir: str):
+    from ner_pytorch_ray.pipelines.webtext import sentence_dedup
+
+    return sentence_dedup(sf_dir)
+
+
+def _q_near_dup_clusters(sf_dir: str):
+    from ner_pytorch_ray.pipelines.webtext import near_dup_clusters
+
+    return near_dup_clusters(sf_dir, tau=0.5)
+
+
+def _q_domain_token_stats(sf_dir: str):
+    from ner_pytorch_ray.pipelines.webtext import domain_token_stats
+
+    return domain_token_stats(sf_dir)
+
+
 def _q_tumbling_window(sf_dir: str):
     from ner_pytorch_ray.pipelines.windows import tumbling_window_counts
 
@@ -703,6 +727,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "subword_offsets": _q_subword_offsets,
         "winnow_fingerprints": _q_winnow,
         "language_id": _q_language_id,
+        # corpus-level webtext curation (composed gates / corpus verdicts)
+        "corpus_filter": _q_corpus_filter,
+        "sentence_dedup": _q_sentence_dedup,
+        "near_dup_clusters": _q_near_dup_clusters,
+        "domain_token_stats": _q_domain_token_stats,
         # dedup family
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -1143,6 +1172,133 @@ SELECT doc_id,
   CASE WHEN cjk_ratio > 0.2 THEN cjk_ratio
        ELSE greatest(s_en, s_de, s_fr, s_es) END AS confidence
 FROM rates
+""",
+        # composed C4/Gopher-style gate: LID fragment identical to
+        # language_id's; all decisions integer cross-multiplication
+        "corpus_filter": """
+WITH toks AS (
+  SELECT doc_id, text, string_split(text, ' ') AS t,
+         greatest(len(string_split(text, ' ')), 1) AS n,
+         length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]',
+                                              '', 'g')) AS cjk,
+         greatest(length(text), 1) AS nc
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+    CASE WHEN cjk * 1.0 / nc > 0.2 THEN 'zh'
+         WHEN len(list_filter(t, x -> x IN ('el','la','los','las','y'))) * 1.0 / n
+              > greatest(
+                  len(list_filter(t, x -> x IN ('the','a','of','and','to'))) * 1.0 / n,
+                  len(list_filter(t, x -> x IN ('der','die','und','das','ist'))) * 1.0 / n,
+                  len(list_filter(t, x -> x IN ('le','la','et','les','des'))) * 1.0 / n)
+           THEN 'es'
+         WHEN len(list_filter(t, x -> x IN ('le','la','et','les','des'))) * 1.0 / n
+              > greatest(
+                  len(list_filter(t, x -> x IN ('the','a','of','and','to'))) * 1.0 / n,
+                  len(list_filter(t, x -> x IN ('der','die','und','das','ist'))) * 1.0 / n)
+           THEN 'fr'
+         WHEN len(list_filter(t, x -> x IN ('der','die','und','das','ist'))) * 1.0 / n
+              > len(list_filter(t, x -> x IN ('the','a','of','and','to'))) * 1.0 / n
+           THEN 'de'
+         ELSE 'en' END AS lang_pred,
+    len(t) AS n_tokens,
+    COALESCE(list_max(list_transform(t, x -> length(x))), 0) AS max_token_len,
+    len(list_filter(t, x -> x = 'the' OR x = 'a')) AS n_stopwords,
+    len(t) AS n1_total,
+    len(t) - len(list_distinct(t)) AS n1_dup
+  FROM toks
+)
+SELECT doc_id, lang_pred,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(max_token_len AS BIGINT) AS max_token_len,
+       CAST(n_stopwords AS BIGINT) AS n_stopwords,
+       CAST(n1_total AS BIGINT) AS n1_total,
+       CAST(n1_dup AS BIGINT) AS n1_dup,
+       CAST(CASE WHEN n_tokens < 20 THEN 0
+                 WHEN n_tokens > 10000 THEN 0
+                 WHEN max_token_len > 20 THEN 0
+                 WHEN lang_pred <> 'en' THEN 0
+                 WHEN n_stopwords * 1000 < 30 * n_tokens THEN 0
+                 WHEN n1_dup * 1000 > 650 * n1_total THEN 0
+                 ELSE 1 END AS BIGINT) AS kept,
+       CASE WHEN n_tokens < 20 THEN 'too_short'
+            WHEN n_tokens > 10000 THEN 'too_long'
+            WHEN max_token_len > 20 THEN 'long_token'
+            WHEN lang_pred <> 'en' THEN 'non_english'
+            WHEN n_stopwords * 1000 < 30 * n_tokens THEN 'low_stopword'
+            WHEN n1_dup * 1000 > 650 * n1_total THEN 'repetitive'
+            ELSE 'ok' END AS reason
+FROM sig
+""",
+        # CCNet-style keep-first sentence dedup (12-token sentence rule,
+        # identical to subword_offsets' pos//12 chunking)
+        "sentence_dedup": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id, i // 12 AS sent_id, i % 12 AS j, t[i + 1] AS w
+  FROM toks, (SELECT unnest(range(4000)) AS i) r
+  WHERE i < len(t)
+),
+s AS (
+  SELECT doc_id, sent_id, string_agg(w, ' ' ORDER BY j) AS sent
+  FROM g GROUP BY 1, 2
+),
+rk AS (
+  SELECT doc_id, sent_id,
+         row_number() OVER (PARTITION BY sent ORDER BY doc_id, sent_id) AS rn
+  FROM s
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sents,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_sents
+FROM rk GROUP BY doc_id
+""",
+        # near-dup cluster verdict: jaccard pair CTE (== ngram_jaccard_pairs
+        # oracle) -> recursive-CTE components -> keeper = min doc_id
+        "near_dup_clusters": """
+WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS s
+  FROM toks, (SELECT unnest(range(2000)) AS i) r
+  WHERE i + 3 <= len(t)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT da AS a, db AS b
+  FROM shared
+  JOIN sizes sa ON sa.doc_id = da
+  JOIN sizes sb ON sb.doc_id = db
+  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+),
+edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, root) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+),
+comp AS (SELECT node, MIN(root) AS component FROM reach GROUP BY node)
+SELECT d.doc_id,
+       CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS cluster,
+       CAST(CASE WHEN COALESCE(c.component, d.doc_id) = d.doc_id
+            THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+""",
+        # corpus composition by (source, lang) — C4-style per-domain report
+        "domain_token_stats": """
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       CAST(SUM(length(text)) AS BIGINT) AS n_chars
+FROM documents
+GROUP BY source, lang
+ORDER BY source, lang
 """,
         "exact_dedup": """
 SELECT CAST(MIN(doc_id) AS BIGINT) AS keeper,

@@ -146,6 +146,25 @@ _LANG_PROFILES = {
 }
 
 
+def lid_doc(text: str, toks: list[str]) -> tuple[str, float]:
+    """LID decision for ONE document (shared by ``language_id`` and
+    ``webtext.corpus_filter``): CJK character ratio first, then
+    stopword-profile hit rates with en>de>fr>es tie priority (profile
+    iteration order + strict >)."""
+    n = max(len(toks), 1)
+    cjk = sum(1 for ch in text if "一" <= ch <= "鿿")
+    if cjk / max(len(text), 1) > 0.2:
+        return "zh", cjk / max(len(text), 1)
+    best, score = "en", -1.0
+    for lang, words in _LANG_PROFILES.items():
+        if not words:
+            continue
+        s = sum(1 for w in toks if w in words) / n
+        if s > score:
+            best, score = lang, s
+    return best, max(score, 0.0)
+
+
 def language_id(sf_dir: str) -> ray.data.Dataset:
     """Heuristic LID: stopword-profile hit rates + CJK character ratio."""
     ds = ray.data.read_parquet(
@@ -155,22 +174,9 @@ def language_id(sf_dir: str) -> ray.data.Dataset:
     def lid(batch: pa.Table) -> pa.Table:
         preds, confs = [], []
         for t in batch.column("text").to_pylist():
-            toks = t.split(" ")
-            n = max(len(toks), 1)
-            cjk = sum(1 for ch in t if "一" <= ch <= "鿿")
-            if cjk / max(len(t), 1) > 0.2:
-                preds.append("zh")
-                confs.append(cjk / max(len(t), 1))
-                continue
-            best, score = "en", -1.0
-            for lang, words in _LANG_PROFILES.items():
-                if not words:
-                    continue
-                s = sum(1 for w in toks if w in words) / n
-                if s > score:
-                    best, score = lang, s
-            preds.append(best)
-            confs.append(max(score, 0.0))
+            pred, conf = lid_doc(t, t.split(" "))
+            preds.append(pred)
+            confs.append(conf)
         return pa.Table.from_pydict(
             {
                 "doc_id": batch.column("doc_id"),

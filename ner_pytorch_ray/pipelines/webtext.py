@@ -1,0 +1,323 @@
+"""Corpus-level webtext curation: the composed "so what" operators a
+production training-data pipeline runs over the raw signals the rest of the
+engine computes per-document.
+
+  * ``corpus_filter`` — a C4/Gopher-style keep/drop gate (Raffel et al.
+    2020 §2.2; Rae et al. 2021 §A1.1): ONE streaming scan computes every
+    signal (LID, token stats, stopword rate, unigram repetition) and folds
+    them through a fixed rule cascade into (kept, reason). All decisions
+    use integer cross-multiplication — no float thresholds — so the SQL
+    oracle compares bit-exactly.
+  * ``sentence_dedup`` — CCNet-style duplicated-span removal (Wenzek et
+    al. 2020 §3.1) at sentence granularity (this corpus has no newlines;
+    sentences are the engine-wide 12-token rule, `sources/pages.py`):
+    global keep-first-occurrence by (doc_id, sent_id), reported as per-doc
+    duplicate counts.
+  * ``near_dup_clusters`` — the corpus-level near-dup REMOVAL verdict:
+    exact n-gram-Jaccard pairs (`dedup.ngram_jaccard_pairs`) -> connected
+    components (`graph_ops.components_over_edges`) -> keep the minimum
+    doc_id per cluster; singleton docs keep themselves. Composes the pair
+    and graph machinery into the operator users actually run.
+  * ``domain_token_stats`` — corpus composition by (source, lang) — the
+    C4/Gopher per-domain token-count report. `source` plays the
+    registered-domain role in this synthetic corpus (the derived page
+    urls are one unique host per doc, `sources/pages.py:doc_url`).
+
+Scale notes (100 TB): every operator here is a streaming scan plus
+combiner-first shuffles over metadata-sized rows — document text never
+enters a shuffle. ``sentence_dedup``'s per-hash groups carry at most one
+row per (hash, doc, block) thanks to the in-block pre-combine, so a
+boilerplate sentence repeated across the corpus costs rows proportional to
+the docs containing it, not its occurrence count. ``near_dup_clusters``
+unions the (tiny) component labels with a doc_id-only scan and resolves
+keepers with one grouped-min — no join against the corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ner_pytorch_ray.pipelines.dedup import _stable_u64
+from ner_pytorch_ray.pipelines.quality import STOPWORDS, lid_doc
+
+# rule thresholds (integer cross-multiplication; see corpus_filter)
+MIN_TOKENS = 20
+MAX_TOKENS = 10_000
+MAX_TOKEN_LEN = 20
+MIN_STOPWORD_PERMILLE = 30  # n_stopwords / n_tokens >= 3%
+MAX_DUP_PERMILLE = 650  # unigram dup fraction <= 0.65
+
+_FILTER_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("lang_pred", pa.string()),
+        ("n_tokens", pa.int64()),
+        ("max_token_len", pa.int64()),
+        ("n_stopwords", pa.int64()),
+        ("n1_total", pa.int64()),
+        ("n1_dup", pa.int64()),
+        ("kept", pa.int64()),
+        ("reason", pa.string()),
+    ]
+)
+
+
+def _filter_batch(batch: pa.Table) -> pa.Table:
+    """All quality signals + the rule cascade for one Arrow batch."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    stop = set(STOPWORDS)
+    rows: dict[str, list] = {name: [] for name in _FILTER_SCHEMA.names}
+    for d, t in zip(doc_ids, texts):
+        toks = t.split(" ")
+        n_tokens = len(toks)
+        max_len = max((len(w) for w in toks), default=0)
+        n_stop = sum(1 for w in toks if w in stop)
+        n1_total = n_tokens
+        n1_dup = n_tokens - len(set(toks))
+        lang, _ = lid_doc(t, toks)
+        # fixed cascade: FIRST failing rule names the reason
+        if n_tokens < MIN_TOKENS:
+            kept, reason = 0, "too_short"
+        elif n_tokens > MAX_TOKENS:
+            kept, reason = 0, "too_long"
+        elif max_len > MAX_TOKEN_LEN:
+            kept, reason = 0, "long_token"
+        elif lang != "en":
+            kept, reason = 0, "non_english"
+        elif n_stop * 1000 < MIN_STOPWORD_PERMILLE * n_tokens:
+            kept, reason = 0, "low_stopword"
+        elif n1_dup * 1000 > MAX_DUP_PERMILLE * n1_total:
+            kept, reason = 0, "repetitive"
+        else:
+            kept, reason = 1, "ok"
+        for name, val in zip(
+            _FILTER_SCHEMA.names,
+            (d, lang, n_tokens, max_len, n_stop, n1_total, n1_dup, kept, reason),
+        ):
+            rows[name].append(val)
+    return pa.Table.from_pydict(
+        {n: pa.array(rows[n], type=_FILTER_SCHEMA.field(n).type) for n in rows}
+    )
+
+
+def corpus_filter(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc keep/drop verdict with signals and reason code. One pruned
+    scan, zero shuffles — the gate streams at read bandwidth."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(_filter_batch, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- sentence dedup
+_SENT_LEN = 12  # engine-wide sentence rule (sources/pages.py SENT_TOKENS)
+_KEY_SHIFT = 20  # packed key = doc_id << 20 | sent_id (sent_id < 2^20)
+
+_DUP_SCHEMA = pa.schema([("doc_id", pa.int64()), ("n_dup_partial", pa.int64())])
+
+
+def _sent_rows(batch: pa.Table) -> pa.Table:
+    """(h, doc_id, cnt, minkey) — pre-combined per (sentence-hash, doc)
+    within the block, so shuffle volume is bounded by distinct
+    (hash, doc, block), not sentence occurrences."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    acc: dict[tuple[int, int], list[int]] = {}
+    for d, t in zip(doc_ids, texts):
+        toks = t.split(" ")
+        for sent_id in range((len(toks) + _SENT_LEN - 1) // _SENT_LEN):
+            sent = " ".join(toks[sent_id * _SENT_LEN : (sent_id + 1) * _SENT_LEN])
+            h = _stable_u64(sent)
+            key = (d << _KEY_SHIFT) | sent_id
+            cur = acc.get((h, d))
+            if cur is None:
+                acc[(h, d)] = [1, key]
+            else:
+                cur[0] += 1
+                if key < cur[1]:
+                    cur[1] = key
+    ks = sorted(acc)
+    return pa.Table.from_pydict(
+        {
+            "h": pa.array([k[0] for k in ks], type=pa.int64()),
+            "doc_id": pa.array([k[1] for k in ks], type=pa.int64()),
+            "cnt": pa.array([acc[k][0] for k in ks], type=pa.int64()),
+            "minkey": pa.array([acc[k][1] for k in ks], type=pa.int64()),
+        }
+    )
+
+
+def sentence_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc (n_sents, n_dup_sents) under the global keep-first rule:
+    a sentence occurrence is a duplicate iff an identical sentence exists
+    at a smaller (doc_id, sent_id). Dedup key is the 63-bit md5 hash of
+    the sentence text (`dedup._stable_u64`; collisions are ~2^-63 per
+    pair and would only merge two sentences, as in any hash-keyed dedup).
+
+    Shape: signal scan -> per-hash collect (rows pre-combined per block)
+    -> winner-vs-rest duplicate partials -> union with per-doc sentence
+    counts -> one grouped sum. Only (hash, doc, ints) rows shuffle.
+    """
+    from ner_pytorch_ray.stages.groupby_utils import (
+        collect_tuples,
+        flat_map_groups,
+        grouped_sum,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    sents = ds.map_batches(_sent_rows, batch_format="pyarrow")
+
+    # per-doc sentence totals: sum of occurrence counts across hashes
+    totals = grouped_sum(
+        sents.select_columns(["doc_id", "cnt"]), ["doc_id"], sum_cols=["cnt"]
+    ).map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_sents": t.column("cnt").cast(pa.int64()),
+                "n_dup_sents": pa.array([0] * len(t), type=pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    collected = collect_tuples(sents, ["h"], ["doc_id", "cnt", "minkey"])
+
+    def dup_partials(key, items) -> pa.Table:
+        if items is None or len(items) == 0:
+            return _DUP_SCHEMA.empty_table()
+        winner_doc = min(items, key=lambda it: it[2])[0]
+        out_d, out_n = [], []
+        for d, cnt, _mk in items:
+            dups = cnt - 1 if d == winner_doc else cnt
+            if dups > 0:
+                out_d.append(d)
+                out_n.append(dups)
+        if not out_d:
+            return _DUP_SCHEMA.empty_table()
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "n_dup_partial": pa.array(out_n, type=pa.int64()),
+            }
+        )
+
+    dups = flat_map_groups(collected, dup_partials, ["h"]).map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_sents": pa.array([0] * len(t), type=pa.int64()),
+                "n_dup_sents": t.column("n_dup_partial"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    return grouped_sum(
+        totals.union(dups), ["doc_id"], sum_cols=["n_sents", "n_dup_sents"]
+    )
+
+
+# --------------------------------------------------------- near-dup clusters
+def near_dup_clusters(sf_dir: str, tau: float = 0.5) -> ray.data.Dataset:
+    """(doc_id, cluster, kept) for EVERY document: near-dup clusters from
+    exact Jaccard pairs + connected components; keeper = minimum doc_id in
+    the cluster (the `exact_dedup` rule); singletons keep themselves.
+
+    Join-free keeper resolution: component labels (tiny — only docs that
+    appear in a pair) union a doc_id-only corpus scan, then ONE grouped
+    min. Hash-min components satisfy component <= doc_id, so
+    min(doc_id, component) IS the cluster id and kept == (cluster ==
+    doc_id).
+    """
+    from ner_pytorch_ray.pipelines.dedup import ngram_jaccard_pairs
+    from ner_pytorch_ray.pipelines.graph_ops import components_over_edges
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
+
+    pairs = ngram_jaccard_pairs(sf_dir, tau=tau)
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy(zero_copy_only=False)
+        b = t.column("doc_b").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "a": pa.array(np.concatenate([a, b]), type=pa.int64()),
+                "b": pa.array(np.concatenate([b, a]), type=pa.int64()),
+            }
+        )
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow")
+    labels = components_over_edges(edges).map_batches(
+        lambda t: t.rename_columns(["doc_id", "label"]), batch_format="pyarrow"
+    )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"doc_id": t.column("doc_id"), "label": t.column("doc_id")}
+        ),
+        batch_format="pyarrow",
+    )
+
+    merged = grouped_sum(
+        docs.union(labels), ["doc_id"], sum_cols=[], min_cols=["label"]
+    )
+
+    def verdict(t: pa.Table) -> pa.Table:
+        cluster = t.column("label")
+        kept = pc.cast(pc.equal(t.column("doc_id"), cluster), pa.int64())
+        return pa.Table.from_pydict(
+            {"doc_id": t.column("doc_id"), "cluster": cluster, "kept": kept}
+        )
+
+    return merged.map_batches(verdict, batch_format="pyarrow")
+
+
+# --------------------------------------------------------- corpus composition
+def domain_token_stats(sf_dir: str) -> ray.data.Dataset:
+    """Corpus composition by (source, lang): docs, tokens, chars — the
+    per-domain token-count report (C4 §2.2 analog). Combiner partials per
+    block, then one small grouped sum; group count is bounded by
+    |sources| x |langs|, not corpus size."""
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang", "text"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), pattern=" ")
+        tab = pa.Table.from_pydict(
+            {
+                "source": batch.column("source"),
+                "lang": batch.column("lang"),
+                "n_docs": pa.array(np.ones(len(batch), dtype=np.int64)),
+                "n_tokens": pc.list_value_length(toks).cast(pa.int64()),
+                "n_chars": pc.utf8_length(batch.column("text")).cast(pa.int64()),
+            }
+        )
+        agg = tab.group_by(["source", "lang"]).aggregate(
+            [("n_docs", "sum"), ("n_tokens", "sum"), ("n_chars", "sum")]
+        )
+        return pa.Table.from_pydict(
+            {
+                "source": agg.column("source"),
+                "lang": agg.column("lang"),
+                "n_docs": agg.column("n_docs_sum"),
+                "n_tokens": agg.column("n_tokens_sum"),
+                "n_chars": agg.column("n_chars_sum"),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_sum(
+        partials, ["source", "lang"], sum_cols=["n_docs", "n_tokens", "n_chars"]
+    ).sort(["source", "lang"])
