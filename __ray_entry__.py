@@ -619,6 +619,12 @@ def _q_domain_token_stats(sf_dir: str):
     return domain_token_stats(sf_dir)
 
 
+def _q_sequence_pack(sf_dir: str):
+    from ner_pytorch_ray.pipelines.webtext import sequence_pack
+
+    return sequence_pack(sf_dir, seq_len=512)
+
+
 def _q_tumbling_window(sf_dir: str):
     from ner_pytorch_ray.pipelines.windows import tumbling_window_counts
 
@@ -732,6 +738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sentence_dedup": _q_sentence_dedup,
         "near_dup_clusters": _q_near_dup_clusters,
         "domain_token_stats": _q_domain_token_stats,
+        "sequence_pack": _q_sequence_pack,
         # dedup family
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -1289,6 +1296,26 @@ SELECT d.doc_id,
        CAST(CASE WHEN COALESCE(c.component, d.doc_id) = d.doc_id
             THEN 1 ELSE 0 END AS BIGINT) AS kept
 FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+""",
+        # LM sequence packing: global token offsets (prefix sum in doc_id
+        # order) and the training-sequence range per doc
+        "sequence_pack": """
+WITH c AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+p AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+             ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+  FROM c
+)
+SELECT doc_id, n_tokens,
+       CAST(tok_start AS BIGINT) AS tok_start,
+       CAST(tok_start // 512 AS BIGINT) AS seq_first,
+       CAST((tok_start + greatest(n_tokens, 1) - 1) // 512 AS BIGINT) AS seq_last
+FROM p
 """,
         # corpus composition by (source, lang) — C4-style per-domain report
         "domain_token_stats": """

@@ -189,6 +189,31 @@ def test_near_dup_clusters_keeper_invariants(ray_session):
     assert all(sum(v) == 1 for v in clusters.values())
 
 
+# ----------------------------------------------------------- sequence_pack
+def test_sequence_pack_prefix_invariants(ray_session):
+    """Global packing invariants: offsets are the exact prefix sum in
+    doc_id order (token ranges tile [0, total) with no gaps/overlap), and
+    sequence ranges match the offsets."""
+    from ner_pytorch_ray.pipelines.webtext import sequence_pack
+
+    seq_len = 128
+    df = (
+        sequence_pack(SF, seq_len=seq_len, chunk=64)  # many chunks on purpose
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    assert len(df) == n_docs
+    expect_start = np.concatenate(([0], np.cumsum(df.n_tokens.to_numpy())[:-1]))
+    assert (df.tok_start.to_numpy() == expect_start).all()
+    assert (df.seq_first == df.tok_start // seq_len).all()
+    assert (
+        df.seq_last == (df.tok_start + np.maximum(df.n_tokens, 1) - 1) // seq_len
+    ).all()
+    assert (df.n_tokens > 0).all()
+
+
 # ------------------------------------------------------- domain_token_stats
 def test_domain_token_stats_matches_pandas(ray_session):
     import pandas as pd
