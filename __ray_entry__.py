@@ -625,6 +625,18 @@ def _q_sequence_pack(sf_dir: str):
     return sequence_pack(sf_dir, seq_len=512)
 
 
+def _q_boilerplate_ngrams(sf_dir: str):
+    from ner_pytorch_ray.pipelines.webtext import boilerplate_ngrams
+
+    return boilerplate_ngrams(sf_dir, k=20)
+
+
+def _q_adaptive_length_filter(sf_dir: str):
+    from ner_pytorch_ray.pipelines.webtext import adaptive_length_filter
+
+    return adaptive_length_filter(sf_dir, p=0.1)
+
+
 def _q_tumbling_window(sf_dir: str):
     from ner_pytorch_ray.pipelines.windows import tumbling_window_counts
 
@@ -739,6 +751,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_clusters": _q_near_dup_clusters,
         "domain_token_stats": _q_domain_token_stats,
         "sequence_pack": _q_sequence_pack,
+        "boilerplate_ngrams": _q_boilerplate_ngrams,
+        "adaptive_length_filter": _q_adaptive_length_filter,
         # dedup family
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -1316,6 +1330,37 @@ SELECT doc_id, n_tokens,
        CAST(tok_start // 512 AS BIGINT) AS seq_first,
        CAST((tok_start + greatest(n_tokens, 1) - 1) // 512 AS BIGINT) AS seq_last
 FROM p
+""",
+        # corpus-global stop-gram mining: top-k trigrams by occurrence
+        "boilerplate_ngrams": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS g
+  FROM toks, (SELECT unnest(range(4000)) AS i) r
+  WHERE i + 3 <= len(t)
+),
+agg AS (
+  SELECT g, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs
+  FROM grams GROUP BY g
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY n_occ DESC, g ASC) AS rk FROM agg
+)
+SELECT g AS gram, CAST(n_occ AS BIGINT) AS n_occ,
+       CAST(n_docs AS BIGINT) AS n_docs, CAST(rk AS BIGINT) AS rank
+FROM ranked WHERE rk <= 20
+""",
+        # data-dependent gate: threshold = corpus p10 of token counts
+        "adaptive_length_filter": """
+WITH c AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+t AS (SELECT quantile_disc(n_tokens, 0.1) AS thr FROM c)
+SELECT c.doc_id, c.n_tokens,
+       CAST(t.thr AS BIGINT) AS threshold,
+       CAST(CASE WHEN c.n_tokens >= t.thr THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM c, t
 """,
         # corpus composition by (source, lang) — C4-style per-domain report
         "domain_token_stats": """

@@ -195,6 +195,19 @@ def run_extras(sf_dir: str) -> dict:
 
     timed("graph_components", lambda: connected_components(sf_dir).count())
     timed("kg_pagerank", lambda: kg_pagerank(sf_dir, iters=3).count())
+
+    # late round 3: corpus-level webtext curation (composed quality gate =
+    # pure streaming scan; sentence dedup = 3 metadata-row shuffles;
+    # sequence packing = distributed prefix sum)
+    from ner_pytorch_ray.pipelines.webtext import (
+        corpus_filter,
+        sentence_dedup,
+        sequence_pack,
+    )
+
+    timed("corpus_filter", lambda: corpus_filter(sf_dir).count())
+    timed("sentence_dedup", lambda: sentence_dedup(sf_dir).count())
+    timed("sequence_pack", lambda: sequence_pack(sf_dir).count())
     return extras
 
 

@@ -392,6 +392,106 @@ def sequence_pack(
     )
 
 
+# --------------------------------------------------------- boilerplate mining
+def boilerplate_ngrams(sf_dir: str, k: int = 20) -> ray.data.Dataset:
+    """Corpus-global top-k most frequent word trigrams with doc
+    frequencies — the stop-gram mining pass behind boilerplate filters
+    (the corpus-level complement of the per-doc `repetition_stats`).
+
+    Block-local occurrence/doc-frequency partials -> grouped sum (gram
+    table is vocabulary-sized, far below corpus size) -> block-local
+    top-k -> single tiny merge. Deterministic order: (-n_occ, gram).
+    """
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        occ: dict[str, int] = {}
+        df: dict[str, int] = {}
+        for t in batch.column("text").to_pylist():
+            toks = t.split(" ")
+            seen = set()
+            for i in range(len(toks) - 2):
+                g = " ".join(toks[i : i + 3])
+                occ[g] = occ.get(g, 0) + 1
+                seen.add(g)
+            for g in seen:
+                df[g] = df.get(g, 0) + 1
+        ks = sorted(occ)
+        return pa.Table.from_pydict(
+            {
+                "gram": pa.array(ks, type=pa.string()),
+                "n_occ": pa.array([occ[g] for g in ks], type=pa.int64()),
+                "n_docs": pa.array([df[g] for g in ks], type=pa.int64()),
+            }
+        )
+
+    merged = grouped_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["gram"],
+        sum_cols=["n_occ", "n_docs"],
+    )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        idx = sorted(
+            range(len(t)),
+            key=lambda i: (-t.column("n_occ")[i].as_py(), t.column("gram")[i].as_py()),
+        )[:k]
+        return t.take(idx)
+
+    def final_topk(t: pa.Table) -> pa.Table:
+        t = local_topk(t)
+        return t.append_column(
+            "rank", pa.array(np.arange(1, len(t) + 1, dtype=np.int64))
+        )
+
+    return (
+        merged.map_batches(local_topk, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final_topk, batch_format="pyarrow")
+    )
+
+
+# ------------------------------------------------------ adaptive length gate
+def adaptive_length_filter(sf_dir: str, p: float = 0.1) -> ray.data.Dataset:
+    """Two-stage DATA-DEPENDENT gate: the keep threshold is the corpus's
+    own p-quantile of token counts (distributed histogram walk, reusing
+    `analysis.token_count_quantiles`' tested kernel), broadcast as one
+    scalar into a second streaming scan. The composition pattern for
+    percentile-based filters ("drop the shortest decile") where no fixed
+    threshold exists ahead of time."""
+    from ner_pytorch_ray.pipelines.analysis import token_count_quantiles
+
+    q = token_count_quantiles(sf_dir, ps=(p,))
+    rows = q.to_pylist() if isinstance(q, pa.Table) else q.take_all()
+    thr = int(rows[0]["n_tokens"])
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def gate(batch: pa.Table) -> pa.Table:
+        n = pc.list_value_length(
+            pc.split_pattern(batch.column("text"), pattern=" ")
+        ).cast(pa.int64())
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": n,
+                "threshold": pa.array([thr] * len(batch), type=pa.int64()),
+                "kept": pc.cast(
+                    pc.greater_equal(n, pa.scalar(thr, type=pa.int64())),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return ds.map_batches(gate, batch_format="pyarrow")
+
+
 # --------------------------------------------------------- corpus composition
 def domain_token_stats(sf_dir: str) -> ray.data.Dataset:
     """Corpus composition by (source, lang): docs, tokens, chars — the

@@ -214,6 +214,46 @@ def test_sequence_pack_prefix_invariants(ray_session):
     assert (df.n_tokens > 0).all()
 
 
+# -------------------------------------------------------- boilerplate mining
+def test_boilerplate_ngrams_matches_sequential(ray_session):
+    from collections import Counter
+
+    from ner_pytorch_ray.pipelines.webtext import boilerplate_ngrams
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    occ, df = Counter(), Counter()
+    for t in tbl.column("text").to_pylist():
+        toks = t.split(" ")
+        grams = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+        occ.update(grams)
+        df.update(set(grams))
+    expect = sorted(occ, key=lambda g: (-occ[g], g))[:10]
+
+    rows = boilerplate_ngrams(SF, k=10).take_all()
+    assert [r["gram"] for r in sorted(rows, key=lambda r: r["rank"])] == expect
+    for r in rows:
+        assert (r["n_occ"], r["n_docs"]) == (occ[r["gram"]], df[r["gram"]])
+
+
+# ---------------------------------------------------- adaptive length filter
+def test_adaptive_length_filter_threshold(ray_session):
+    import math
+
+    from ner_pytorch_ray.pipelines.webtext import adaptive_length_filter
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    counts = sorted(len(t.split(" ")) for t in tbl.column("text").to_pylist())
+    thr = counts[max(1, math.ceil(0.1 * len(counts))) - 1]  # quantile_disc
+
+    rows = adaptive_length_filter(SF, p=0.1).take_all()
+    assert len(rows) == len(counts)
+    for r in rows:
+        assert r["threshold"] == thr
+        assert r["kept"] == (1 if r["n_tokens"] >= thr else 0)
+    kept_frac = sum(r["kept"] for r in rows) / len(rows)
+    assert 0.8 <= kept_frac <= 0.95  # drops roughly the shortest decile
+
+
 # ------------------------------------------------------- domain_token_stats
 def test_domain_token_stats_matches_pandas(ray_session):
     import pandas as pd
