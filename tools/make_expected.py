@@ -11,6 +11,16 @@ with the library on purpose: they are unit-tested against the reference
 RAY DATA execution — any partitioning, any concurrency — reproduces the
 sequential truth exactly.
 
+HOST SENSITIVITY: the frozen values pin partitioning/concurrency
+invariance on the machine that generated them. Float GEMM results can
+differ in the last ulp across CPU microarchitectures (BLAS kernel
+dispatch), which can flip a round-to-N-decimals boundary: observed once
+for neural_epoch_loss (total moved 2e-4 of 8e4 after the execution host
+changed; every other frozen file was byte-identical). If the driver's
+gate host changes, regenerate with this script — only rounding-boundary
+metrics should move, and the sequential and distributed values must
+still agree with each other on the new host.
+
 Usage:  python tools/make_expected.py [sf_dir] [out_dir]
 Defaults: /root/testdata/sf0.01 -> tests/expected/
 The driver's oracle gate reads them via DuckDB read_parquet (see
