@@ -436,11 +436,10 @@ def boilerplate_ngrams(sf_dir: str, k: int = 20) -> ray.data.Dataset:
     )
 
     def local_topk(t: pa.Table) -> pa.Table:
-        idx = sorted(
-            range(len(t)),
-            key=lambda i: (-t.column("n_occ")[i].as_py(), t.column("gram")[i].as_py()),
-        )[:k]
-        return t.take(idx)
+        occ = t.column("n_occ").to_numpy(zero_copy_only=False)
+        grams = np.asarray(t.column("gram").to_pylist(), dtype=object)
+        idx = np.lexsort((grams, -occ))[:k]  # (-n_occ, gram) order
+        return t.take(pa.array(idx))
 
     def final_topk(t: pa.Table) -> pa.Table:
         t = local_topk(t)
