@@ -118,9 +118,6 @@ def corpus_filter(sf_dir: str) -> ray.data.Dataset:
 _SENT_LEN = 12  # engine-wide sentence rule (sources/pages.py SENT_TOKENS)
 _KEY_SHIFT = 20  # packed key = doc_id << 20 | sent_id (sent_id < 2^20)
 
-_DUP_SCHEMA = pa.schema([("doc_id", pa.int64()), ("n_dup_partial", pa.int64())])
-
-
 def _sent_rows(batch: pa.Table) -> pa.Table:
     """(h, doc_id, cnt, minkey) — pre-combined per (sentence-hash, doc)
     within the block, so shuffle volume is bounded by distinct
@@ -159,20 +156,23 @@ def sentence_dedup(sf_dir: str) -> ray.data.Dataset:
     the sentence text (`dedup._stable_u64`; collisions are ~2^-63 per
     pair and would only merge two sentences, as in any hash-keyed dedup).
 
-    Shape: signal scan -> per-hash collect (rows pre-combined per block)
-    -> winner-vs-rest duplicate partials -> union with per-doc sentence
-    counts -> one grouped sum. Only (hash, doc, ints) rows shuffle.
+    Boilerplate-safe shape — NO per-hash group lists and no join. The
+    packed occurrence key (doc_id << 20 | sent_id) makes the global
+    winner per hash a plain grouped MIN, and the winner key itself
+    encodes which doc owns the kept occurrence. Then per doc:
+
+        n_dup_sents = n_sents - #{hashes whose winner this doc owns}
+
+    so a sentence repeated across a billion docs costs one combiner'd
+    min-partial per block — state never grows with its popularity. Three
+    combiner-friendly shuffles of integer rows; text never shuffles.
     """
-    from ner_pytorch_ray.stages.groupby_utils import (
-        collect_tuples,
-        flat_map_groups,
-        grouped_sum,
-    )
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    sents = ds.map_batches(_sent_rows, batch_format="pyarrow")
+    sents = ds.map_batches(_sent_rows, batch_format="pyarrow").materialize()
 
     # per-doc sentence totals: sum of occurrence counts across hashes
     totals = grouped_sum(
@@ -182,47 +182,52 @@ def sentence_dedup(sf_dir: str) -> ray.data.Dataset:
             {
                 "doc_id": t.column("doc_id"),
                 "n_sents": t.column("cnt").cast(pa.int64()),
-                "n_dup_sents": pa.array([0] * len(t), type=pa.int64()),
+                "n_win": pa.array([0] * len(t), type=pa.int64()),
             }
         ),
         batch_format="pyarrow",
     )
 
-    collected = collect_tuples(sents, ["h"], ["doc_id", "cnt", "minkey"])
+    # global winner occurrence per hash = min packed key; the key's high
+    # bits name the owning doc, so winner credits need no join-back
+    winners = grouped_sum(
+        sents.select_columns(["h", "minkey"]),
+        ["h"],
+        sum_cols=[],
+        min_cols=["minkey"],
+    )
 
-    def dup_partials(key, items) -> pa.Table:
-        if items is None or len(items) == 0:
-            return _DUP_SCHEMA.empty_table()
-        winner_doc = min(items, key=lambda it: it[2])[0]
-        out_d, out_n = [], []
-        for d, cnt, _mk in items:
-            dups = cnt - 1 if d == winner_doc else cnt
-            if dups > 0:
-                out_d.append(d)
-                out_n.append(dups)
-        if not out_d:
-            return _DUP_SCHEMA.empty_table()
+    def credit_partials(t: pa.Table) -> pa.Table:
+        wdoc = t.column("minkey").to_numpy(zero_copy_only=False) >> _KEY_SHIFT
+        docs, counts = np.unique(wdoc, return_counts=True)
         return pa.Table.from_pydict(
             {
-                "doc_id": pa.array(out_d, type=pa.int64()),
-                "n_dup_partial": pa.array(out_n, type=pa.int64()),
+                "doc_id": pa.array(docs, type=pa.int64()),
+                "n_sents": pa.array(
+                    np.zeros(len(docs), dtype=np.int64)
+                ),
+                "n_win": pa.array(counts.astype(np.int64)),
             }
         )
 
-    dups = flat_map_groups(collected, dup_partials, ["h"]).map_batches(
-        lambda t: pa.Table.from_pydict(
-            {
-                "doc_id": t.column("doc_id"),
-                "n_sents": pa.array([0] * len(t), type=pa.int64()),
-                "n_dup_sents": t.column("n_dup_partial"),
-            }
-        ),
-        batch_format="pyarrow",
+    credits = winners.map_batches(credit_partials, batch_format="pyarrow")
+
+    merged = grouped_sum(
+        totals.union(credits), ["doc_id"], sum_cols=["n_sents", "n_win"]
     )
 
-    return grouped_sum(
-        totals.union(dups), ["doc_id"], sum_cols=["n_sents", "n_dup_sents"]
-    )
+    def finish(t: pa.Table) -> pa.Table:
+        n_sents = t.column("n_sents").to_numpy(zero_copy_only=False)
+        n_win = t.column("n_win").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_sents": pa.array(n_sents),
+                "n_dup_sents": pa.array(n_sents - n_win),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
 
 
 # --------------------------------------------------------- near-dup clusters
