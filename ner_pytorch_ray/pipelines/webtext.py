@@ -434,10 +434,16 @@ def boilerplate_ngrams(sf_dir: str, k: int = 20) -> ray.data.Dataset:
             }
         )
 
+    # shuffle_blocks=None: the gram table scales with corpus vocabulary,
+    # so block-local partials barely shrink and the pre-shuffle coalesce
+    # would be a second full exchange (grouped_sum docstring's large-
+    # keyspace case). The exact global count is inherently one
+    # corpus-vocabulary shuffle; it moves (gram, int, int) rows only.
     merged = grouped_sum(
         ds.map_batches(partial, batch_format="pyarrow"),
         ["gram"],
         sum_cols=["n_occ", "n_docs"],
+        shuffle_blocks=None,
     )
 
     def local_topk(t: pa.Table) -> pa.Table:
