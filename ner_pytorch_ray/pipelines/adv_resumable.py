@@ -141,7 +141,9 @@ def run_resumable_adv(
             if stage == "rep":
                 if bank is None:
                     bank = build_word_bank(
-                        ray.data.read_parquet(os.path.join(out_dir, BASE_STAGE))
+                        ray.data.read_parquet(
+                            mf.stage_shard_paths(out_dir, BASE_STAGE, n_shards)
+                        )
                     )
                 out = rep_stage(source, bank, n_variants, method=method)
             elif stage == "ppdb":

@@ -41,12 +41,7 @@ def _shard_docs(sf_dir: str, n_shards: int, shard: int) -> ray.data.Dataset:
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-
-    def keep_shard(b: pa.Table) -> pa.Table:
-        mask = (b.column("doc_id").to_numpy() % n_shards) == shard
-        return b.filter(pa.array(mask))
-
-    return ds.map_batches(keep_shard, batch_format="pyarrow")
+    return mf.filter_shard(ds, n_shards, shard)
 
 
 def run_signal_shard(
@@ -98,8 +93,11 @@ def run_curate(
     for shard in pending:
         run_signal_shard(sf_dir, out_dir, n_shards, shard, fail_on_shard)
 
+    # read the exact shard set the manifests validated — stale shard dirs
+    # from a different n_shards raise instead of silently double-counting
     signals = ray.data.read_parquet(
-        os.path.join(out_dir, STAGE), columns=["doc_id", "kept", "reason"]
+        mf.stage_shard_paths(out_dir, STAGE, n_shards),
+        columns=["doc_id", "kept", "reason"],
     )
 
     # keyed merge WITHOUT a join: both sides are one int row per doc;

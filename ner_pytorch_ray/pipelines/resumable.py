@@ -34,13 +34,8 @@ def _shard_pages(sf_dir: str, n_shards: int, shard: int) -> ray.data.Dataset:
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
 
-    # vectorized shard filter (at real scale: one file-range per shard, no
-    # filtering needed — the shard IS a subset of input fragments)
-    def keep_shard(b: pa.Table) -> pa.Table:
-        mask = (b.column("doc_id").to_numpy() % n_shards) == shard
-        return b.filter(pa.array(mask))
-
-    ds = ds.map_batches(keep_shard, batch_format="pyarrow")
+    # shared resume-contract shard split (state/manifests.filter_shard)
+    ds = mf.filter_shard(ds, n_shards, shard)
     from ner_pytorch_ray.sources.pages import _documents_to_pages
 
     return ds.map_batches(_documents_to_pages, batch_format="pyarrow")
@@ -87,7 +82,11 @@ def run_resumable_kg(
     for shard in pending:
         run_shard(sf_dir, out_dir, n_shards, shard, fail_on_shard)
 
-    mentions = ray.data.read_parquet(os.path.join(out_dir, STAGE))
+    # read the exact shard set the manifests validated — stale shard dirs
+    # from a different n_shards raise instead of silently double-counting
+    mentions = ray.data.read_parquet(
+        mf.stage_shard_paths(out_dir, STAGE, n_shards)
+    )
     edges = edges_from_linked(mentions)
     nodes = nodes_from_linked(mentions)
     edges_dir = os.path.join(out_dir, "edges")

@@ -127,7 +127,15 @@ def _sent_rows(batch: pa.Table) -> pa.Table:
     acc: dict[tuple[int, int], list[int]] = {}
     for d, t in zip(doc_ids, texts):
         toks = t.split(" ")
-        for sent_id in range((len(toks) + _SENT_LEN - 1) // _SENT_LEN):
+        n_sents = (len(toks) + _SENT_LEN - 1) // _SENT_LEN
+        if n_sents >= (1 << _KEY_SHIFT):
+            # the packed key would spill sent_id into the doc_id bits and
+            # silently credit the wrong winner — fail loudly instead
+            raise ValueError(
+                f"doc {d} has {n_sents} sentences >= 2^{_KEY_SHIFT}; "
+                f"raise _KEY_SHIFT (doc too long for the packed key)"
+            )
+        for sent_id in range(n_sents):
             sent = " ".join(toks[sent_id * _SENT_LEN : (sent_id + 1) * _SENT_LEN])
             h = _stable_u64(sent)
             key = (d << _KEY_SHIFT) | sent_id

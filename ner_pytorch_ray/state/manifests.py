@@ -26,6 +26,55 @@ def manifest_path(out_dir: str, stage: str, shard: int) -> str:
     return os.path.join(out_dir, "_manifests", stage, f"shard={shard}.json")
 
 
+def stage_shard_paths(out_dir: str, stage: str, n_shards: int) -> list[str]:
+    """The exact shard directories a downstream read may consume. Raises
+    if the stage directory contains shard dirs OUTSIDE shard=0..n-1 —
+    stale output from a previous run with a different n_shards would
+    otherwise be silently merged in (manifests only validate shards
+    0..n-1, so orphans are never fingerprint-checked)."""
+    stage_dir = os.path.join(out_dir, stage)
+    expected = {f"shard={i}" for i in range(n_shards)}
+    if os.path.isdir(stage_dir):
+        stray = sorted(
+            d
+            for d in os.listdir(stage_dir)
+            if d.startswith("shard=") and d not in expected
+        )
+        if stray:
+            raise RuntimeError(
+                f"{stage_dir} contains shard dirs {stray} outside "
+                f"n_shards={n_shards}; output from a previous run with a "
+                f"different shard count — remove the directory or rerun "
+                f"with the original n_shards"
+            )
+    # expand to files: ray.data.read_parquet expands a single directory
+    # path but not directories inside a list
+    paths: list[str] = []
+    for i in range(n_shards):
+        d = shard_dir(out_dir, stage, i)
+        paths.extend(
+            os.path.join(d, f)
+            for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")
+        )
+    return paths
+
+
+def filter_shard(ds, n_shards: int, shard: int):
+    """Deterministic shard split (doc_id % n_shards) — THE resume-contract
+    rule the per-shard fingerprints describe; every checkpointed job must
+    use this one helper so the split cannot desynchronize between jobs.
+    At real scale a shard is a subset of input fragments and no row filter
+    is needed; on the single-file testdata it is a vectorized filter."""
+    import pyarrow as pa
+
+    def keep_shard(b):
+        mask = (b.column("doc_id").to_numpy() % n_shards) == shard
+        return b.filter(pa.array(mask))
+
+    return ds.map_batches(keep_shard, batch_format="pyarrow")
+
+
 def input_fingerprint(sf_dir: str, stage: str, n_shards: int, shard: int) -> str:
     """Deterministic fingerprint of a shard's input definition + source files."""
     h = hashlib.blake2b(digest_size=16)

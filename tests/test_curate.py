@@ -69,6 +69,36 @@ def test_curate_crash_resume_equals_clean(ray_session, tmp_path):
     )
 
 
+def test_curate_rejects_stale_shard_dirs(ray_session, tmp_path):
+    """Re-running with a smaller n_shards must fail loudly: orphan
+    shard=K dirs outside 0..n-1 are never fingerprint-validated and would
+    otherwise be silently merged in (double-counting every doc)."""
+    from ner_pytorch_ray.pipelines.curate import run_curate
+
+    out = str(tmp_path / "run")
+    run_curate(SF, out, n_shards=4)
+    with pytest.raises(RuntimeError, match="shard dirs.*outside"):
+        run_curate(SF, out, n_shards=2)
+
+
+def test_sentence_dedup_packed_key_guard(ray_session, tmp_path):
+    """A doc with >= 2^20 sentences must raise, not mis-credit winners."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    from ner_pytorch_ray.pipelines.webtext import sentence_dedup
+
+    huge = " ".join(["w"] * (12 * (1 << 20)))
+    pq2.write_table(
+        pa.Table.from_pydict(
+            {"doc_id": pa.array([0], type=pa.int64()), "text": pa.array([huge])}
+        ),
+        tmp_path / "documents.parquet",
+    )
+    with pytest.raises(Exception, match="2\\^20|packed key"):
+        sentence_dedup(str(tmp_path)).take_all()
+
+
 def test_curate_cli(ray_session, tmp_path, capsys):
     from ner_pytorch_ray.curate_cli import main
 
