@@ -625,6 +625,14 @@ def _q_sequence_pack(sf_dir: str):
     return sequence_pack(sf_dir, seq_len=512)
 
 
+def _q_exact_dedup_incremental(sf_dir: str):
+    from ner_pytorch_ray.pipelines.incremental import (
+        dedup_incremental_from_documents,
+    )
+
+    return dedup_incremental_from_documents(sf_dir, n_deltas=3)
+
+
 def _q_boilerplate_ngrams(sf_dir: str):
     from ner_pytorch_ray.pipelines.webtext import boilerplate_ngrams
 
@@ -755,6 +763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adaptive_length_filter": _q_adaptive_length_filter,
         # dedup family
         "exact_dedup": _q_exact_dedup,
+        "exact_dedup_incremental": _q_exact_dedup_incremental,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_lsh_pairs": _q_minhash_lsh,
         "simhash_pairs": _q_simhash,
@@ -1373,6 +1382,14 @@ GROUP BY source, lang
 ORDER BY source, lang
 """,
         "exact_dedup": """
+SELECT CAST(MIN(doc_id) AS BIGINT) AS keeper,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY text
+""",
+        # 3-delta incremental dedup state must equal the batch answer
+        # bit-for-bit (distributive min/sum aggregates)
+        "exact_dedup_incremental": """
 SELECT CAST(MIN(doc_id) AS BIGINT) AS keeper,
        CAST(COUNT(*) AS BIGINT) AS n_copies
 FROM documents

@@ -125,6 +125,39 @@ def _merge_and_write(
         )
 
 
+def _check_delta(state: dict, delta_id: str, fingerprint: str) -> bool:
+    """True if the delta is already ingested with this exact fingerprint
+    (no-op retry); raises if it was ingested with a DIFFERENT one."""
+    prev_entry = state["deltas"].get(delta_id)
+    prev_fp = (
+        prev_entry.get("fingerprint")
+        if isinstance(prev_entry, dict)
+        else prev_entry
+    )
+    if prev_fp == fingerprint:
+        return True
+    if prev_fp is not None:
+        raise ValueError(
+            f"delta {delta_id!r} was already ingested with fingerprint "
+            f"{prev_fp!r} but the input now fingerprints {fingerprint!r}; "
+            "its contribution is already merged into the state and cannot "
+            "be replaced in place — rebuild the state directory (or ingest "
+            "under a new delta_id if this is genuinely new data)"
+        )
+    return False
+
+
+def _retire_versions(state_dir: str, new: int) -> None:
+    """Remove ALL superseded v{j} dirs (each version is a full copy of the
+    small aggregate state, not of the corpus); sweeping below ``new`` also
+    collects a dir leaked by a crash between a previous pointer swap and
+    its cleanup."""
+    for entry in os.listdir(state_dir):
+        if entry.startswith("v") and entry[1:].isdigit():
+            if int(entry[1:]) < new:
+                shutil.rmtree(os.path.join(state_dir, entry))
+
+
 def ingest_pages_delta(
     pages: ray.data.Dataset,
     state_dir: str,
@@ -144,22 +177,8 @@ def ingest_pages_delta(
     os.makedirs(state_dir, exist_ok=True)
     state = read_state(state_dir)
     fingerprint = fingerprint or delta_id
-    prev_entry = state["deltas"].get(delta_id)
-    prev_fp = (
-        prev_entry.get("fingerprint")
-        if isinstance(prev_entry, dict)
-        else prev_entry
-    )
-    if prev_fp == fingerprint:
+    if _check_delta(state, delta_id, fingerprint):
         return state["version"]
-    if prev_fp is not None:
-        raise ValueError(
-            f"delta {delta_id!r} was already ingested with fingerprint "
-            f"{prev_fp!r} but the input now fingerprints {fingerprint!r}; "
-            "its contribution is already merged into the state and cannot "
-            "be replaced in place — rebuild the state directory (or ingest "
-            "under a new delta_id if this is genuinely new data)"
-        )
 
     linked = linked_mentions(pages, tagger=tagger)
     # the DAG prefix runs ONCE for both aggregates: mention rows are tiny
@@ -206,14 +225,7 @@ def ingest_pages_delta(
         "version": new,
     }
     _write_state(state_dir, state)
-    # retire ALL superseded versions (each version is a full copy of the
-    # small aggregate state, not of the corpus); sweeping below `new`
-    # also collects a dir leaked by a crash between a previous pointer
-    # swap and its cleanup
-    for entry in os.listdir(state_dir):
-        if entry.startswith("v") and entry[1:].isdigit():
-            if int(entry[1:]) < new:
-                shutil.rmtree(os.path.join(state_dir, entry))
+    _retire_versions(state_dir, new)
     return new
 
 
@@ -344,3 +356,127 @@ def state_node_metrics(
         stats.map_batches(rename, batch_format="pyarrow"),
         pagerank_iters=pagerank_iters,
     )
+
+
+# ------------------------------------------------------- incremental dedup
+_DEDUP_SCHEMA = pa.schema(
+    [
+        ("fp", pa.string()),
+        ("keeper", pa.int64()),
+        ("n_copies", pa.int64()),
+    ]
+)
+
+
+def ingest_dedup_delta(
+    docs: ray.data.Dataset,
+    state_dir: str,
+    delta_id: str,
+    fingerprint: str | None = None,
+) -> int:
+    """Fold one delta of (doc_id, text) documents into persisted
+    EXACT-DEDUP state: per content fingerprint (md5 of text, the
+    `doc_fingerprint` key) the minimum doc_id seen so far and the total
+    copy count. Both aggregates are distributive (min, sum), so any
+    arrival order of deltas reproduces the batch `exact_dedup` answer
+    bit-for-bit — new crawls are checked against all history at
+    O(delta + |distinct texts|) cost, never by re-reading old crawls.
+    Same durability contract as `ingest_pages_delta` (versioned immutable
+    dirs, atomic STATE.json swap, exactly-once per delta)."""
+    import hashlib
+
+    os.makedirs(state_dir, exist_ok=True)
+    state = read_state(state_dir)
+    fingerprint = fingerprint or delta_id
+    if _check_delta(state, delta_id, fingerprint):
+        return state["version"]
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        acc: dict[str, list[int]] = {}
+        for d, t in zip(ids, batch.column("text").to_pylist()):
+            h = hashlib.md5(t.encode()).hexdigest()
+            cur = acc.get(h)
+            if cur is None:
+                acc[h] = [int(d), 1]
+            else:
+                cur[1] += 1
+                if d < cur[0]:
+                    cur[0] = int(d)
+        ks = sorted(acc)
+        return pa.Table.from_pydict(
+            {
+                "fp": pa.array(ks, type=pa.string()),
+                "keeper": pa.array([acc[k][0] for k in ks], type=pa.int64()),
+                "n_copies": pa.array([acc[k][1] for k in ks], type=pa.int64()),
+            }
+        )
+
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
+
+    delta = grouped_sum(
+        docs.map_batches(partials, batch_format="pyarrow"),
+        ["fp"],
+        sum_cols=["n_copies"],
+        min_cols=["keeper"],
+    )
+
+    ver = state["version"]
+    new = ver + 1
+    prior = os.path.join(state_dir, f"v{ver}", "dedup") if ver else None
+    out = os.path.join(state_dir, f"v{new}", "dedup")
+    _merge_and_write(
+        prior, delta, ["fp"], ["n_copies"], ["keeper"], _DEDUP_SCHEMA, out
+    )
+
+    import pyarrow.dataset as pads
+
+    state["version"] = new
+    state["deltas"][delta_id] = {
+        "fingerprint": fingerprint,
+        "n_docs": docs.count(),
+        "state_distinct_texts": pads.dataset(out, format="parquet").count_rows(),
+        "version": new,
+    }
+    _write_state(state_dir, state)
+    _retire_versions(state_dir, new)
+    return new
+
+
+def final_dedup(state_dir: str) -> ray.data.Dataset:
+    """The accumulated keeper table: one row per distinct text seen across
+    every ingested crawl."""
+    ver = _current_version(state_dir)
+    return ray.data.read_parquet(os.path.join(state_dir, f"v{ver}", "dedup"))
+
+
+def dedup_incremental_from_documents(
+    sf_dir: str,
+    n_deltas: int = 3,
+    state_dir: str | None = None,
+) -> ray.data.Dataset:
+    """Ingest ``sf_dir``'s documents as ``n_deltas`` successive crawls and
+    return (keeper, n_copies) — bit-identical to the batch ``exact_dedup``
+    (it shares exact_dedup's SQL oracle)."""
+    if state_dir is None:
+        import tempfile
+
+        state_dir = tempfile.mkdtemp(prefix="dedup_incremental_", dir="/tmp")
+    for d in range(n_deltas):
+        fp = mf.chained_fingerprint(
+            mf.input_fingerprint(sf_dir, "dedup_incremental", n_deltas, d)
+        )
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        ingest_dedup_delta(
+            mf.filter_shard(docs, n_deltas, d),
+            state_dir,
+            delta_id=f"delta={d}/{n_deltas}",
+            fingerprint=fp,
+        )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["keeper", "n_copies"])
+
+    return final_dedup(state_dir).map_batches(project, batch_format="pyarrow")

@@ -228,3 +228,70 @@ def test_finalize_errors_and_rerun_cleanliness(ray_session, tmp_path):
         .reset_index(drop=True)
     )
     assert disk.equals(_pd(final_edges(state)))
+
+
+# ---------------------------------------------------- incremental dedup state
+def test_dedup_incremental_equals_batch(ray_session, tmp_path):
+    """3-delta dedup ingestion reproduces batch exact_dedup bit-for-bit,
+    and re-ingesting a recorded delta is a no-op."""
+    import pandas as pd
+
+    from ner_pytorch_ray.pipelines.dedup import exact_dedup
+    from ner_pytorch_ray.pipelines.incremental import (
+        dedup_incremental_from_documents,
+        read_state,
+    )
+
+    state_dir = str(tmp_path / "dstate")
+    inc = (
+        dedup_incremental_from_documents(SF, n_deltas=3, state_dir=state_dir)
+        .to_pandas()
+        .sort_values(["keeper", "n_copies"])
+        .reset_index(drop=True)
+    )
+    batch = (
+        exact_dedup(SF)
+        .to_pandas()
+        .sort_values(["keeper", "n_copies"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(inc, batch, check_dtype=False)
+
+    st = read_state(state_dir)
+    assert st["version"] == 3
+    # second full pass over the same deltas: all no-ops, version unchanged
+    inc2 = dedup_incremental_from_documents(SF, n_deltas=3, state_dir=state_dir)
+    assert read_state(state_dir)["version"] == 3
+    pd.testing.assert_frame_equal(
+        inc2.to_pandas().sort_values(["keeper", "n_copies"]).reset_index(drop=True),
+        batch,
+        check_dtype=False,
+    )
+
+
+def test_dedup_incremental_order_independence(ray_session, tmp_path):
+    """Deltas ingested in reverse order produce the identical state table
+    (distributive min/sum)."""
+    import pandas as pd
+    import ray.data
+
+    from ner_pytorch_ray.pipelines.incremental import (
+        final_dedup,
+        ingest_dedup_delta,
+    )
+    from ner_pytorch_ray.state import manifests as mf
+
+    def run(order, sd):
+        for d in order:
+            docs = ray.data.read_parquet(
+                f"{SF}/documents.parquet", columns=["doc_id", "text"]
+            )
+            ingest_dedup_delta(
+                mf.filter_shard(docs, 3, d), sd, delta_id=f"d{d}"
+            )
+        df = final_dedup(sd).to_pandas()
+        return df.sort_values(["fp"]).reset_index(drop=True)
+
+    a = run([0, 1, 2], str(tmp_path / "fwd"))
+    b = run([2, 0, 1], str(tmp_path / "rev"))
+    pd.testing.assert_frame_equal(a, b)
