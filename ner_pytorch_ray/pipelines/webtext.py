@@ -22,15 +22,25 @@ engine computes per-document.
     C4/Gopher per-domain token-count report. `source` plays the
     registered-domain role in this synthetic corpus (the derived page
     urls are one unique host per doc, `sources/pages.py:doc_url`).
+  * ``sequence_pack`` — LM training-sequence packing via a distributed
+    prefix sum over per-doc token counts (chunked: per-chunk sums to the
+    driver, exclusive prefix broadcast, per-chunk local cumsum).
+  * ``boilerplate_ngrams`` — corpus-global top-k stop-gram mining
+    (occurrence + doc-frequency counts over the vocabulary-sized gram
+    table, local-then-merged top-k).
+  * ``adaptive_length_filter`` — two-stage data-dependent gate: the keep
+    threshold is the corpus's own p-quantile of token counts, broadcast
+    as one scalar into a second streaming scan.
 
 Scale notes (100 TB): every operator here is a streaming scan plus
 combiner-first shuffles over metadata-sized rows — document text never
-enters a shuffle. ``sentence_dedup``'s per-hash groups carry at most one
-row per (hash, doc, block) thanks to the in-block pre-combine, so a
-boilerplate sentence repeated across the corpus costs rows proportional to
-the docs containing it, not its occurrence count. ``near_dup_clusters``
-unions the (tiny) component labels with a doc_id-only scan and resolves
-keepers with one grouped-min — no join against the corpus.
+enters a shuffle. ``sentence_dedup`` keeps NO per-hash state lists: the
+packed occurrence key makes the global keep-first winner a combiner'd
+grouped MIN whose value names the owning doc, so a boilerplate sentence
+repeated across a billion docs costs one min-partial per block.
+``near_dup_clusters`` unions the (tiny) component labels with a
+doc_id-only scan and resolves keepers with one grouped-min — no join
+against the corpus.
 """
 
 from __future__ import annotations
