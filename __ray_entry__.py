@@ -651,6 +651,14 @@ def _q_tumbling_window(sf_dir: str):
     return tumbling_window_counts(sf_dir, window_minutes=60)
 
 
+def _q_tumbling_window_incremental(sf_dir: str):
+    from ner_pytorch_ray.pipelines.incremental import (
+        windows_incremental_from_events,
+    )
+
+    return windows_incremental_from_events(sf_dir, n_deltas=3)
+
+
 def _q_sliding_window(sf_dir: str):
     from ner_pytorch_ray.pipelines.windows import sliding_window_counts
 
@@ -790,6 +798,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_month": _q_orders_by_month,
         # windowed / session / join operators
         "tumbling_window": _q_tumbling_window,
+        "tumbling_window_incremental": _q_tumbling_window_incremental,
         "sliding_window": _q_sliding_window,
         "user_sessions": _q_user_sessions,
         "order_revenue_join": _q_order_revenue_join,
@@ -1646,6 +1655,18 @@ GROUP BY 1
 ORDER BY 1
 """,
         "tumbling_window": """
+SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_value_cents
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+        # 3-delta incremental window state (late-data-by-construction)
+        # must equal the batch windows bit-for-bit
+        "tumbling_window_incremental": """
 SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
        event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -480,3 +480,117 @@ def dedup_incremental_from_documents(
         return batch.select(["keeper", "n_copies"])
 
     return final_dedup(state_dir).map_batches(project, batch_format="pyarrow")
+
+
+# --------------------------------------------------- incremental windows
+_WINDOW_SCHEMA = pa.schema(
+    [
+        ("window_start_us", pa.int64()),
+        ("event_type", pa.string()),
+        ("n_events", pa.int64()),
+        ("sum_value_cents", pa.int64()),
+    ]
+)
+
+
+def ingest_window_delta(
+    events: ray.data.Dataset,
+    state_dir: str,
+    delta_id: str,
+    fingerprint: str | None = None,
+    window_minutes: int = 60,
+) -> int:
+    """Fold one delta of (ts, event_type, value) events into persisted
+    TUMBLING-WINDOW state — the streaming-aggregation path: counts and
+    value sums per (window, type) are distributive, so LATE DATA is free
+    by construction (an event for an old window arriving in a later delta
+    just adds into that window's row; no watermark, no window close).
+    Per-ingest cost is O(delta + |open windows|). Same durability contract
+    as the KG/dedup ingests (versioned dirs, atomic STATE.json,
+    exactly-once per delta)."""
+    from ner_pytorch_ray.pipelines.windows import US_PER_MIN, tumbling_partials
+
+    os.makedirs(state_dir, exist_ok=True)
+    state = read_state(state_dir)
+    fingerprint = fingerprint or delta_id
+    if _check_delta(state, delta_id, fingerprint):
+        return state["version"]
+
+    width = window_minutes * US_PER_MIN
+    delta = tumbling_partials(events, width)
+
+    ver = state["version"]
+    new = ver + 1
+    prior = os.path.join(state_dir, f"v{ver}", "windows") if ver else None
+    out = os.path.join(state_dir, f"v{new}", "windows")
+    _merge_and_write(
+        prior,
+        delta,
+        ["window_start_us", "event_type"],
+        ["n_events", "sum_value_cents"],
+        [],
+        _WINDOW_SCHEMA,
+        out,
+    )
+
+    import pyarrow.dataset as pads
+
+    state["version"] = new
+    state["deltas"][delta_id] = {
+        "fingerprint": fingerprint,
+        "n_events": events.count(),
+        "state_window_rows": pads.dataset(out, format="parquet").count_rows(),
+        "version": new,
+    }
+    _write_state(state_dir, state)
+    _retire_versions(state_dir, new)
+    return new
+
+
+def final_windows(state_dir: str) -> ray.data.Dataset:
+    ver = _current_version(state_dir)
+    return ray.data.read_parquet(
+        os.path.join(state_dir, f"v{ver}", "windows")
+    ).sort(["window_start_us", "event_type"])
+
+
+def windows_incremental_from_events(
+    sf_dir: str,
+    n_deltas: int = 3,
+    state_dir: str | None = None,
+    window_minutes: int = 60,
+) -> ray.data.Dataset:
+    """Ingest ``sf_dir``'s events as ``n_deltas`` arrival batches (split by
+    event_id, NOT by time — so every delta carries events for already-open
+    windows, exercising the late-data path) and return the final window
+    table — bit-identical to the batch ``tumbling_window_counts`` (shares
+    its SQL oracle)."""
+    if state_dir is None:
+        import tempfile
+
+        state_dir = tempfile.mkdtemp(prefix="win_incremental_", dir="/tmp")
+    from ner_pytorch_ray.pipelines.windows import read_events
+
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(ev_path)
+    for d in range(n_deltas):
+        # fingerprint the EVENTS file (input_fingerprint tracks
+        # documents.parquet): a regenerated events table must invalidate
+        fp = mf.chained_fingerprint(
+            f"win_incremental:{n_deltas}:{d}",
+            f"{ev_path}:{st.st_size}:{st.st_mtime_ns}",
+        )
+        ev = read_events(sf_dir, ["event_id", "ts", "event_type", "value"])
+
+        def keep(b: pa.Table, d=d) -> pa.Table:
+            mask = (b.column("event_id").to_numpy() % n_deltas) == d
+            return b.filter(pa.array(mask))
+
+        ingest_window_delta(
+            ev.map_batches(keep, batch_format="pyarrow"),
+            state_dir,
+            delta_id=f"delta={d}/{n_deltas}",
+            fingerprint=fp,
+            window_minutes=window_minutes,
+        )
+    return final_windows(state_dir)

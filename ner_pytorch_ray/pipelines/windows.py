@@ -46,18 +46,13 @@ def read_events(sf_dir: str, columns: list[str]) -> ray.data.Dataset:
     )
 
 
-def tumbling_window_counts(
-    sf_dir: str, window_minutes: int = 60
+def tumbling_partials(
+    ds: ray.data.Dataset, width: int
 ) -> ray.data.Dataset:
-    """Tumbling-window event counts + value cents per (window, event_type).
-
-    Window start is epoch-microseconds floored to the window width —
-    integer arithmetic end to end so the DuckDB oracle hashes identically.
-    """
-    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
-
-    width = window_minutes * US_PER_MIN
-    ds = read_events(sf_dir, ["ts", "event_type", "value"])
+    """Block-local tumbling-window partials over (ts, event_type, value)
+    rows: one pre-summed row per (window, type) per block. Shared by the
+    batch query and the incremental window-state ingestion — integer
+    arithmetic end to end so both hash identically to the SQL oracle."""
 
     def partial(batch: pa.Table) -> pa.Table:
         us = batch.column("ts").cast(pa.int64()).to_numpy()
@@ -98,8 +93,23 @@ def tumbling_window_counts(
             }
         )
 
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def tumbling_window_counts(
+    sf_dir: str, window_minutes: int = 60
+) -> ray.data.Dataset:
+    """Tumbling-window event counts + value cents per (window, event_type).
+
+    Window start is epoch-microseconds floored to the window width —
+    integer arithmetic end to end so the DuckDB oracle hashes identically.
+    """
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
+
+    width = window_minutes * US_PER_MIN
+    ds = read_events(sf_dir, ["ts", "event_type", "value"])
     merged = grouped_sum(
-        ds.map_batches(partial, batch_format="pyarrow"),
+        tumbling_partials(ds, width),
         ["window_start_us", "event_type"],
         sum_cols=["n_events", "sum_value_cents"],
     )

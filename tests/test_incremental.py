@@ -295,3 +295,26 @@ def test_dedup_incremental_order_independence(ray_session, tmp_path):
     a = run([0, 1, 2], str(tmp_path / "fwd"))
     b = run([2, 0, 1], str(tmp_path / "rev"))
     pd.testing.assert_frame_equal(a, b)
+
+
+# --------------------------------------------------- incremental windows
+def test_windows_incremental_equals_batch_with_late_data(ray_session, tmp_path):
+    """Event-id-split deltas mean every ingest carries events for windows
+    other deltas already opened (late data); the final state must equal
+    the batch tumbling windows exactly, in any delta order."""
+    import pandas as pd
+
+    from ner_pytorch_ray.pipelines.incremental import (
+        windows_incremental_from_events,
+    )
+    from ner_pytorch_ray.pipelines.windows import tumbling_window_counts
+
+    inc = _pd(
+        windows_incremental_from_events(
+            SF, n_deltas=3, state_dir=str(tmp_path / "w")
+        )
+    )
+    batch = _pd(tumbling_window_counts(SF, window_minutes=60))
+    pd.testing.assert_frame_equal(inc, batch, check_dtype=False)
+    # the split is genuinely late-data-bearing: more windows than deltas
+    assert len(batch) > 3
