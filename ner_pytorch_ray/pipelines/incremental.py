@@ -147,6 +147,21 @@ def _check_delta(state: dict, delta_id: str, fingerprint: str) -> bool:
     return False
 
 
+def _check_kind(state: dict, kind: str, state_dir: str) -> None:
+    """Each state_dir holds ONE ingest kind (kg / dedup / windows) — the
+    version counter and v{N}/<kind> layout are per-kind. Pointing a second
+    ingest kind at an existing dir would read a missing prior subdir (or
+    silently fork history), so record the kind on first ingest and refuse
+    mismatches loudly."""
+    prev = state.get("kind")
+    if prev is not None and prev != kind:
+        raise ValueError(
+            f"state dir {state_dir!r} holds {prev!r} ingest state; refusing "
+            f"a {kind!r} ingest into it — use a separate state_dir per kind"
+        )
+    state["kind"] = kind
+
+
 def _retire_versions(state_dir: str, new: int) -> None:
     """Remove ALL superseded v{j} dirs (each version is a full copy of the
     small aggregate state, not of the corpus); sweeping below ``new`` also
@@ -176,6 +191,7 @@ def ingest_pages_delta(
 
     os.makedirs(state_dir, exist_ok=True)
     state = read_state(state_dir)
+    _check_kind(state, "kg", state_dir)
     fingerprint = fingerprint or delta_id
     if _check_delta(state, delta_id, fingerprint):
         return state["version"]
@@ -284,7 +300,8 @@ def kg_incremental_from_documents(
     """Ingest ``sf_dir``'s documents as ``n_deltas`` successive crawls and
     return the final (edges, nodes) — bit-identical to the batch
     ``kg_from_documents`` build (same oracle SQL)."""
-    if state_dir is None:
+    owns_state = state_dir is None
+    if owns_state:
         import tempfile
 
         state_dir = tempfile.mkdtemp(prefix="kg_incremental_", dir="/tmp")
@@ -298,7 +315,14 @@ def kg_incremental_from_documents(
             delta_id=f"delta={d}/{n_deltas}",
             fingerprint=fp,
         )
-    return final_edges(state_dir), final_nodes(state_dir)
+    edges, nodes = final_edges(state_dir), final_nodes(state_dir)
+    if owns_state:
+        # demo mode (no caller-owned state): pin the small result tables in
+        # the object store and reclaim the /tmp state dir — repeated oracle
+        # or bench invocations must not leak directories
+        edges, nodes = edges.materialize(), nodes.materialize()
+        shutil.rmtree(state_dir, ignore_errors=True)
+    return edges, nodes
 
 
 def state_node_metrics(
@@ -387,6 +411,7 @@ def ingest_dedup_delta(
 
     os.makedirs(state_dir, exist_ok=True)
     state = read_state(state_dir)
+    _check_kind(state, "dedup", state_dir)
     fingerprint = fingerprint or delta_id
     if _check_delta(state, delta_id, fingerprint):
         return state["version"]
@@ -414,12 +439,15 @@ def ingest_dedup_delta(
 
     from ner_pytorch_ray.stages.groupby_utils import grouped_sum
 
+    # materialize the (delta-sized) aggregate ONCE: the merge below and the
+    # n_docs manifest counter both consume it without re-reading the crawl
     delta = grouped_sum(
         docs.map_batches(partials, batch_format="pyarrow"),
         ["fp"],
         sum_cols=["n_copies"],
         min_cols=["keeper"],
-    )
+    ).materialize()
+    n_docs = int(delta.sum("n_copies") or 0)
 
     ver = state["version"]
     new = ver + 1
@@ -434,7 +462,7 @@ def ingest_dedup_delta(
     state["version"] = new
     state["deltas"][delta_id] = {
         "fingerprint": fingerprint,
-        "n_docs": docs.count(),
+        "n_docs": n_docs,
         "state_distinct_texts": pads.dataset(out, format="parquet").count_rows(),
         "version": new,
     }
@@ -458,7 +486,8 @@ def dedup_incremental_from_documents(
     """Ingest ``sf_dir``'s documents as ``n_deltas`` successive crawls and
     return (keeper, n_copies) — bit-identical to the batch ``exact_dedup``
     (it shares exact_dedup's SQL oracle)."""
-    if state_dir is None:
+    owns_state = state_dir is None
+    if owns_state:
         import tempfile
 
         state_dir = tempfile.mkdtemp(prefix="dedup_incremental_", dir="/tmp")
@@ -479,7 +508,11 @@ def dedup_incremental_from_documents(
     def project(batch: pa.Table) -> pa.Table:
         return batch.select(["keeper", "n_copies"])
 
-    return final_dedup(state_dir).map_batches(project, batch_format="pyarrow")
+    out = final_dedup(state_dir).map_batches(project, batch_format="pyarrow")
+    if owns_state:
+        out = out.materialize()
+        shutil.rmtree(state_dir, ignore_errors=True)
+    return out
 
 
 # --------------------------------------------------- incremental windows
@@ -512,12 +545,16 @@ def ingest_window_delta(
 
     os.makedirs(state_dir, exist_ok=True)
     state = read_state(state_dir)
+    _check_kind(state, "windows", state_dir)
     fingerprint = fingerprint or delta_id
     if _check_delta(state, delta_id, fingerprint):
         return state["version"]
 
     width = window_minutes * US_PER_MIN
-    delta = tumbling_partials(events, width)
+    # materialized once: the merge and the n_events manifest counter both
+    # consume the (delta-sized) partials without re-reading the delta
+    delta = tumbling_partials(events, width).materialize()
+    n_events = int(delta.sum("n_events") or 0)
 
     ver = state["version"]
     new = ver + 1
@@ -538,7 +575,7 @@ def ingest_window_delta(
     state["version"] = new
     state["deltas"][delta_id] = {
         "fingerprint": fingerprint,
-        "n_events": events.count(),
+        "n_events": n_events,
         "state_window_rows": pads.dataset(out, format="parquet").count_rows(),
         "version": new,
     }
@@ -565,7 +602,8 @@ def windows_incremental_from_events(
     windows, exercising the late-data path) and return the final window
     table — bit-identical to the batch ``tumbling_window_counts`` (shares
     its SQL oracle)."""
-    if state_dir is None:
+    owns_state = state_dir is None
+    if owns_state:
         import tempfile
 
         state_dir = tempfile.mkdtemp(prefix="win_incremental_", dir="/tmp")
@@ -593,4 +631,8 @@ def windows_incremental_from_events(
             fingerprint=fp,
             window_minutes=window_minutes,
         )
-    return final_windows(state_dir)
+    out = final_windows(state_dir)
+    if owns_state:
+        out = out.materialize()
+        shutil.rmtree(state_dir, ignore_errors=True)
+    return out

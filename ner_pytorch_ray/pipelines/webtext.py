@@ -479,7 +479,10 @@ def boilerplate_ngrams(sf_dir: str, k: int = 20) -> ray.data.Dataset:
     return (
         merged.map_batches(local_topk, batch_format="pyarrow")
         .repartition(1)
-        .map_batches(final_topk, batch_format="pyarrow")
+        # batch_size=None is LOAD-BEARING: final_topk must see the single
+        # repartition(1) block whole — a sub-block batch size would emit one
+        # top-k (with duplicate ranks) per sub-batch
+        .map_batches(final_topk, batch_format="pyarrow", batch_size=None)
     )
 
 

@@ -318,3 +318,48 @@ def test_windows_incremental_equals_batch_with_late_data(ray_session, tmp_path):
     pd.testing.assert_frame_equal(inc, batch, check_dtype=False)
     # the split is genuinely late-data-bearing: more windows than deltas
     assert len(batch) > 3
+
+
+# --------------------------------------------------- state-kind guard
+def test_mixed_ingest_kinds_refused(ray_session, tmp_path):
+    """One state_dir holds ONE ingest kind; a second kind must fail loudly
+    (not read a missing prior subdir or fork history)."""
+    import ray
+    import pyarrow as pa
+
+    from ner_pytorch_ray.pipelines.incremental import (
+        ingest_dedup_delta,
+        ingest_window_delta,
+    )
+
+    sd = str(tmp_path / "state")
+    docs = ray.data.from_arrow(
+        pa.Table.from_pydict({"doc_id": [1, 2], "text": ["a", "a"]})
+    )
+    ingest_dedup_delta(docs, sd, delta_id="d0")
+    events = ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "ts": pa.array([0, 60_000_000], type=pa.timestamp("us")),
+                "event_type": ["click", "click"],
+                "value": [1.0, 2.0],
+            }
+        )
+    )
+    with pytest.raises(ValueError, match="dedup.*ingest state"):
+        ingest_window_delta(events, sd, delta_id="d0")
+
+
+def test_demo_wrappers_clean_their_temp_state(ray_session):
+    """state_dir=None demo mode must not leak /tmp state directories."""
+    import glob
+
+    from ner_pytorch_ray.pipelines.incremental import (
+        dedup_incremental_from_documents,
+    )
+
+    before = set(glob.glob("/tmp/dedup_incremental_*"))
+    out = dedup_incremental_from_documents(SF, n_deltas=2)
+    assert out.count() > 0  # result survives the cleanup (materialized)
+    after = set(glob.glob("/tmp/dedup_incremental_*"))
+    assert after - before == set()
