@@ -129,6 +129,7 @@ def link_stage(
     concurrency: int | tuple[int, int] = (1, 64),
     min_cosine: float = 0.5,
     batch_size: int | None = None,
+    num_gpus: float = 0,
 ) -> ray.data.Dataset:
     """Broadcast the alias state once (ray.put) and link on an actor pool.
 
@@ -152,12 +153,16 @@ def link_stage(
             batch_format="pyarrow",
         )
     state_ref = ray.put(state)
+    # num_gpus reserves GPU fractions per linker actor (for an embedding-
+    # model backend); 0 = CPU-only, identical numerics
+    extra = {"num_gpus": num_gpus} if num_gpus else {}
     return mentions.map_batches(
         LinkerActor,
         fn_constructor_args=(state_ref, min_cosine),
         concurrency=concurrency,
         batch_size=batch_size,
         batch_format="pyarrow",
+        **extra,
     )
 
 

@@ -105,14 +105,19 @@ def parser_stage(
     ds: ray.data.Dataset,
     concurrency: int | tuple[int, int] = (1, 32),
     backend: str = "rules",
+    num_gpus: float = 0,
 ) -> ray.data.Dataset:
     """sentences -> + deps (C5): the dependency substrate for relation
-    patterns and tree-projection paraphrase."""
+    patterns and tree-projection paraphrase. ``num_gpus`` reserves GPU
+    fractions per parser actor for a neural backend (0 = CPU, identical
+    numerics with the rules backend)."""
+    extra = {"num_gpus": num_gpus} if num_gpus else {}
     return ds.map_batches(
         ParserActor,
         fn_constructor_args=(backend,),
         concurrency=concurrency,
         batch_format="pyarrow",
+        **extra,
     )
 
 

@@ -61,17 +61,25 @@ def tagger_stage(
     id_to_tag: dict[int, str],
     concurrency: int | tuple[int, int] = (1, 64),
     batch_size: int = 256,
+    num_gpus: float = 0,
 ) -> ray.data.Dataset:
-    """encoded sentences -> + tags (IOBES strings) via the actor pool."""
+    """encoded sentences -> + tags (IOBES strings) via the actor pool.
+
+    ``num_gpus`` reserves GPU fractions per actor (the reference runs the
+    tagger on CUDA, train.py:165-166); the numpy backend ignores the device
+    but the scheduling plumbing is the same one a CUDA backend would use.
+    Default 0 = CPU-only, identical numerics."""
     weights_ref = (
         weights if isinstance(weights, (str, ray.ObjectRef)) else ray.put(weights)
     )
+    extra = {"num_gpus": num_gpus} if num_gpus else {}
     return encoded.map_batches(
         TaggerActor,
         fn_constructor_args=(weights_ref, id_to_tag),
         concurrency=concurrency,
         batch_size=batch_size,
         batch_format="pyarrow",
+        **extra,
     )
 
 
@@ -119,15 +127,19 @@ def nll_stage(
     tag_to_id: dict[str, int],
     concurrency: int | tuple[int, int] = (1, 64),
     batch_size: int = 256,
+    num_gpus: float = 0,
 ) -> ray.data.Dataset:
-    """encoded+tagged sentences -> + nll (float64) via the actor pool."""
+    """encoded+tagged sentences -> + nll (float64) via the actor pool.
+    ``num_gpus`` as in :func:`tagger_stage` (0 = CPU, same numerics)."""
     weights_ref = (
         weights if isinstance(weights, (str, ray.ObjectRef)) else ray.put(weights)
     )
+    extra = {"num_gpus": num_gpus} if num_gpus else {}
     return encoded.map_batches(
         NllActor,
         fn_constructor_args=(weights_ref, tag_to_id),
         concurrency=concurrency,
         batch_size=batch_size,
         batch_format="pyarrow",
+        **extra,
     )

@@ -240,3 +240,44 @@ def test_nll_stage_batch_invariant(ray_session):
     b = {(r["url"], r["sent_id"], r["variant_id"]): (r["nll"], r["rank"])
          for r in adv_nll_topk("/root/testdata/sf0.001").take_all()}
     assert a == b and len(a) > 0
+
+
+def test_tagger_stage_num_gpus_plumbing_cpu_identical(ray_session):
+    """num_gpus passthrough (the reference runs CUDA, train.py:165-166):
+    num_gpus=0 (explicit or default) must schedule on CPU and produce
+    identical tags; a fractional request must be accepted by the planner
+    (no GPU in this sandbox, so only the 0 path executes)."""
+    import inspect
+
+    import ray
+    import ray.data
+    from ner_pytorch_ray.stages.tagger import nll_stage, tagger_stage
+    from ner_pytorch_ray.stages.linker import link_stage
+    from ner_pytorch_ray.stages.parser import parser_stage
+
+    for fn in (tagger_stage, nll_stage, link_stage, parser_stage):
+        assert "num_gpus" in inspect.signature(fn).parameters, fn.__name__
+
+    n_tags = len(IOBES_TAGSET) + 2
+    w = init_weights(40, 15, n_tags, word_dim=6, char_dim=4, char_out=5, hidden=6, seed=5)
+    _, id_to_tag = tag_mapping_from_tagset(IOBES_TAGSET)
+    rng = np.random.default_rng(33)
+    words, chars = random_sentences(rng, 20, n_words=40, n_chars=15)
+    t = pa.Table.from_pydict(
+        {
+            "url": [f"u{i}" for i in range(len(words))],
+            "sent_id": list(range(len(words))),
+            "word_ids": words,
+            "char_ids": chars,
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(2)
+    base = {
+        r["url"]: r["tags"]
+        for r in tagger_stage(ds, w, id_to_tag, concurrency=2).take_all()
+    }
+    explicit = {
+        r["url"]: r["tags"]
+        for r in tagger_stage(ds, w, id_to_tag, concurrency=2, num_gpus=0).take_all()
+    }
+    assert base == explicit
