@@ -41,24 +41,30 @@ def vocab_count(sf_dir: str) -> ray.data.Dataset:
 
 
 def vocab_mapping(sf_dir: str) -> dict[str, int]:
-    """create_mapping semantics (utils.py:59-67): contiguous ids ordered by
-    (-freq, token). The vocab is tiny — collected driver-side by design."""
-    rows = vocab_count(sf_dir).take_all()
-    return {r["token"]: i for i, r in enumerate(rows)}
+    """create_mapping semantics (utils.py:59-67) as a DRIVER-SIDE dict — the
+    convenience form the neural path feeds to encode_stage with a small
+    (sampled or gated) vocabulary. Inherently a collect because the return
+    type is a dict; web-scale callers use :func:`vocab_mapping_table`, whose
+    ranking never materializes on the driver."""
+    rows = vocab_mapping_table(sf_dir).take_all()
+    return {r["token"]: r["word_id"] for r in rows}
 
 
-def vocab_mapping_table(sf_dir: str) -> pa.Table:
-    """create_mapping as a table (token, word_id): contiguous ids ranked by
-    (-freq, token) — utils.py:59-67 determinism. Vocab is small by nature;
-    the ranking itself is the distributed vocab_count, only the tiny ranked
-    result is collected."""
-    rows = vocab_count(sf_dir).take_all()
-    return pa.Table.from_pydict(
-        {
-            "token": pa.array([r["token"] for r in rows], type=pa.string()),
-            "word_id": pa.array(range(len(rows)), type=pa.int64()),
-        }
-    )
+def vocab_mapping_table(sf_dir: str) -> ray.data.Dataset:
+    """create_mapping as a Dataset (token, word_id): contiguous ids ranked
+    by (-freq, token) — utils.py:59-67 determinism — WITHOUT a driver
+    collect. vocab_count's distributed sort puts blocks in global rank
+    order; add_global_index assigns each block's id range from an O(#blocks)
+    metadata prefix sum. At web scale (1e8+ distinct tokens incl. the typo
+    tail) the driver holds block counts, never the vocabulary."""
+    from ner_pytorch_ray.stages.groupby_utils import add_global_index
+
+    ranked = add_global_index(vocab_count(sf_dir), col="word_id")
+
+    def project(t: pa.Table) -> pa.Table:
+        return t.select(["token", "word_id"])
+
+    return ranked.map_batches(project, batch_format="pyarrow")
 
 
 # BPE-ish tokenization regex (RE2-safe: identical semantics in pyarrow's

@@ -162,3 +162,46 @@ def topk_by_group(
         return pa.Table.from_pydict(cols)
 
     return flat_map_groups(collected, pick, keys, items_col="items")
+
+
+def add_global_index(
+    ds: ray.data.Dataset, col: str = "row_id", start: int = 0
+) -> ray.data.Dataset:
+    """Append a contiguous global row-number column to an ALREADY-ORDERED
+    dataset (block order = global order, e.g. the output of ``ds.sort``).
+
+    The distributed-rank building block (create_mapping's contiguous ids,
+    utils.py:59-67, without the driver collect): the driver touches only
+    per-block METADATA (num_rows) to compute each block's offset prefix —
+    O(#blocks) driver state — then per-block tasks append ``arange(offset,
+    offset+len)``. Blocks never leave the object store; at 10^12 rows the
+    driver holds ~1e5 integers, not the table."""
+    import numpy as np
+
+    import ray
+
+    m = ds.materialize()
+    refs: list = []
+    offsets: list[int] = []
+    off = start
+    for bundle in m.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            n = meta.num_rows
+            if n is None:  # pragma: no cover - materialized blocks have counts
+                n = len(ray.get(ref))
+            refs.append(ref)
+            offsets.append(off)
+            off += int(n)
+
+    @ray.remote
+    def _append(block, offset: int):
+        if not isinstance(block, pa.Table):
+            block = pa.Table.from_pandas(block)
+        idx = pa.array(
+            np.arange(offset, offset + block.num_rows, dtype=np.int64),
+            type=pa.int64(),
+        )
+        return block.append_column(col, idx)
+
+    new_refs = [_append.remote(r, o) for r, o in zip(refs, offsets)]
+    return ray.data.from_arrow_refs(new_refs)
