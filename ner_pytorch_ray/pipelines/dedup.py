@@ -72,15 +72,24 @@ def exact_dedup(sf_dir: str) -> ray.data.Dataset:
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["h"] = [
-            hashlib.blake2b(t.encode(), digest_size=16).hexdigest()
-            for t in df["text"]
-        ]
-        g = df.groupby("h", as_index=False).agg(
-            keeper=("doc_id", "min"), n_copies=("doc_id", "size")
+        # the per-text blake2b is inherently a Python loop (no vectorized
+        # kernel exists); the group-combine is pure Arrow — no pandas copy
+        h = pa.array(
+            [
+                hashlib.blake2b(t.encode(), digest_size=16).hexdigest()
+                for t in batch.column("text").to_pylist()
+            ],
+            type=pa.string(),
         )
-        return pa.Table.from_pandas(g[["h", "keeper", "n_copies"]], preserve_index=False)
+        t2 = pa.table({"h": h, "doc_id": batch.column("doc_id").combine_chunks()})
+        g = t2.group_by("h").aggregate([("doc_id", "min"), ("doc_id", "count")])
+        return pa.table(
+            {
+                "h": g.column("h"),
+                "keeper": g.column("doc_id_min").cast(pa.int64()),
+                "n_copies": g.column("doc_id_count").cast(pa.int64()),
+            }
+        )
 
     from ray.data.aggregate import Min, Sum
 
