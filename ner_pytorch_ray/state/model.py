@@ -325,30 +325,25 @@ def head_emissions(h: np.ndarray, fc_w: np.ndarray, fc_b: np.ndarray) -> np.ndar
     )
 
 
-def crf_head_grads(
-    h: np.ndarray,
+def crf_grads(
+    feats: np.ndarray,
     tag_ids: np.ndarray,
-    fc_w: np.ndarray,
-    fc_b: np.ndarray,
     trans: np.ndarray,
     start_idx: int,
     stop_idx: int,
-) -> tuple[float, np.ndarray, np.ndarray, np.ndarray]:
-    """Per-sentence CRF NLL + analytic gradients for the trainable head.
+) -> tuple[float, np.ndarray, np.ndarray]:
+    """CRF-layer NLL + analytic gradients w.r.t. emissions and transitions.
 
-    NLL = logZ - gold_score (crf.py:47-65 semantics). Gradients by
-    forward-backward:
+    NLL = logZ - gold_score (crf.py:47-65 semantics). By forward-backward:
       * d/d emissions[t, c]   = unary marginal p(y_t = c)       - 1[gold]
       * d/d trans[i, j]       = pairwise marginal p(y_{t-1}=j, y_t=i)
                                 (+ START/STOP expected counts)  - gold counts
-      * d_fc_w = d_emissions^T @ h ; d_fc_b = sum_t d_emissions[t]
     The structurally-pinned IMPOSSIBLE entries (row INTO start, column FROM
     stop — init_weights) get zero gradient so they stay pinned under SGD.
-    All float64; returns (nll, d_fc_w [C,2H], d_fc_b [C], d_trans [C,C]).
-    """
-    h = h.astype(np.float64)
+    All float64; returns (nll, d_feats [n,C], d_trans [C,C]). This is the
+    shared CRF backward for BOTH the head-only trainer (crf_head_grads)
+    and the full-model backprop (state/backprop.py)."""
     T = trans.astype(np.float64)
-    feats = head_emissions(h, fc_w, fc_b)  # [n, C]
     n, C = feats.shape
     gold = np.asarray(tag_ids, dtype=np.int64)
 
@@ -370,8 +365,6 @@ def crf_head_grads(
     m = np.exp(alpha + beta - log_z)  # [n, C]
     d_feats = m.copy()
     d_feats[np.arange(n), gold] -= 1.0
-    d_fc_w = d_feats.T @ h
-    d_fc_b = d_feats.sum(axis=0)
 
     # pairwise marginals / transition gradient — one broadcast exp over
     # [n-1, C(to), C(from)] instead of a python loop over t
@@ -401,6 +394,28 @@ def crf_head_grads(
     if n > 1:
         tr += float(T[gold[1:], gold[:-1]].sum())
     nll = log_z - (emit + tr)
+    return nll, d_feats, d_trans
+
+
+def crf_head_grads(
+    h: np.ndarray,
+    tag_ids: np.ndarray,
+    fc_w: np.ndarray,
+    fc_b: np.ndarray,
+    trans: np.ndarray,
+    start_idx: int,
+    stop_idx: int,
+) -> tuple[float, np.ndarray, np.ndarray, np.ndarray]:
+    """Per-sentence CRF NLL + analytic gradients for the trainable HEAD
+    over frozen hidden states h [n, 2H]:
+      d_fc_w = d_emissions^T @ h ; d_fc_b = sum_t d_emissions[t]
+    (emission/transition gradients from the shared :func:`crf_grads`).
+    Returns (nll, d_fc_w [C,2H], d_fc_b [C], d_trans [C,C])."""
+    h = h.astype(np.float64)
+    feats = head_emissions(h, fc_w, fc_b)  # [n, C]
+    nll, d_feats, d_trans = crf_grads(feats, tag_ids, trans, start_idx, stop_idx)
+    d_fc_w = d_feats.T @ h
+    d_fc_b = d_feats.sum(axis=0)
     return nll, d_fc_w, d_fc_b, d_trans
 
 
