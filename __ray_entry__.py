@@ -341,6 +341,18 @@ def _q_training_curve(sf_dir: str):
     )
 
 
+def _q_training_curve_full(sf_dir: str):
+    """FULL-MODEL distributed training (train.py:478-479 parity: every
+    parameter steps — char/word embeddings, char CNN, word BiLSTM, linear,
+    CRF — not just the head): 3 full-batch SGD epochs; per-sentence
+    integer-quantized gradients make the whole trajectory bit-identical
+    under any partitioning, so the curve hash-matches the frozen sequential
+    recompute."""
+    from ner_pytorch_ray.pipelines.training_full import train_loop_full
+
+    return train_loop_full(sf_dir, n_epochs=3)
+
+
 def _q_training_curve_adv(sf_dir: str):
     """Adversarial training epochs (train.py:421-470 analog): same fused
     clean passes plus a per-epoch shuffle-free adversarial pass over a
@@ -773,6 +785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neural_confusion": _q_neural_confusion,
         "neural_epoch_loss": _q_neural_epoch_loss,
         "training_curve": _q_training_curve,
+        "training_curve_full": _q_training_curve_full,
         "training_curve_adv": _q_training_curve_adv,
         # adversarial-variant pipeline core
         "adv_rep_variants": _q_adv_rep_variants,
@@ -838,6 +851,7 @@ def _expected_oracles() -> dict[str, str]:
         "neural_confusion",
         "neural_epoch_loss",
         "training_curve",
+        "training_curve_full",
         "training_curve_adv",
         "adv_rep_variants",
         "adv_ppdb_variants",

@@ -782,6 +782,131 @@ def training_curve_expected(
     )
 
 
+def training_curve_full_expected(
+    sents,
+    n_epochs: int = 3,
+    lr: float = 1.0,
+    lr_decay: float = 0.3,
+    momentum: float = 0.5,
+    clip: float = 5.0,
+    seed: int = 1234,
+    dev_mod: int = 5,
+) -> pa.Table:
+    """Sequential mirror of pipelines/training_full.train_loop_full: plain
+    python loop over sentences — same teacher labels as train_loop, then
+    FULL-MODEL per-sentence integer-quantized gradients
+    (training_full.quantized_sentence_grads, the shared atomic unit) and
+    the same all-parameter SGD; no ray.data anywhere. Hash-matching this
+    proves the distributed trajectory is partitioning-invariant."""
+    from ner_pytorch_ray.functions.conlleval import (
+        ChunkCounts,
+        count_chunks,
+        evaluate_counts,
+    )
+    from ner_pytorch_ray.pipelines.training import GRAD_SCALE, NLL_SCALE, _dev_of
+    from ner_pytorch_ray.pipelines.training_full import (
+        TRAINED_PARAMS,
+        quantized_sentence_grads,
+        sgd_step_full,
+        unpack_dense,
+    )
+    from ner_pytorch_ray.state.backprop import dense_shapes, full_forward
+    from ner_pytorch_ray.state.model import head_emissions, viterbi_path
+
+    word_to_id, char_to_id, tag_to_id, id_to_tag, model = build_model_state(
+        sents, seed
+    )
+    n_tags = len(tag_to_id)
+    start, stop = n_tags - 2, n_tags - 1
+    tw = init_weights(
+        n_words=len(word_to_id),
+        n_chars=len(char_to_id),
+        n_tags=n_tags,
+        word_dim=50,
+        char_dim=16,
+        char_out=16,
+        hidden=32,
+        seed=seed + 1,
+    )
+    teacher = (
+        tw["fc_w"].astype(np.float64),
+        tw["fc_b"].astype(np.float64),
+        tw["trans"].astype(np.float64),
+    )
+
+    cache = []
+    for url, sid, toks in sents:
+        wids, cids = encode_sentence(toks, word_to_id, char_to_id)
+        h, _ = model.hidden_states([wids], [cids])
+        hn = h[0, : len(wids)].astype("<f4")
+        feats = head_emissions(hn.astype(np.float64), teacher[0], teacher[1])
+        tids = np.array(
+            viterbi_path(feats, teacher[2], start, stop), dtype=np.int64
+        )
+        cache.append((wids, cids, tids, _dev_of(url, int(sid), dev_mod)))
+
+    w0 = model.w
+    params = {k: w0[k].astype(np.float64).copy() for k in TRAINED_PARAMS}
+    params["meta"] = w0["meta"]
+    momenta = {k: np.zeros_like(params[k]) for k in TRAINED_PARAMS}
+    shapes = dense_shapes(w0)
+    dsize = int(sum(np.prod(shapes[k]) for k in shapes))
+
+    def f1_of():
+        total = ChunkCounts()
+        for wids, cids, tids, is_dev in cache:
+            if not is_dev:
+                continue
+            feats, _ = full_forward(params, wids, cids)
+            pred = viterbi_path(feats, params["trans"], start, stop)
+            total.merge(
+                count_chunks(
+                    [id_to_tag[t] for t in tids], [id_to_tag[t] for t in pred]
+                )
+            )
+        return float(evaluate_counts(total)["f1"])
+
+    rows = [(0, 0, 0.0, f1_of())]
+    d_w = params["word_embed"].shape[1]
+    for epoch in range(1, n_epochs + 1):
+        dense_i = np.zeros(dsize, dtype=np.int64)
+        word_i = np.zeros(params["word_embed"].shape, dtype=np.int64)
+        nll_i = 0
+        n = 0
+        n_tok = 0
+        for wids, cids, tids, is_dev in cache:
+            if is_dev:
+                continue
+            s_nll, flat_i, uniq, agg_i = quantized_sentence_grads(
+                params, wids, cids, tids, start, stop, shapes
+            )
+            dense_i += flat_i
+            np.add.at(word_i, uniq, agg_i)
+            nll_i += s_nll
+            n += 1
+            n_tok += len(wids)
+        mean_nll = (nll_i / NLL_SCALE) / n if n else 0.0
+        grads = unpack_dense(
+            dense_i.astype(np.float64) / GRAD_SCALE / max(n_tok, 1), shapes
+        )
+        grads["word_embed"] = (
+            word_i.astype(np.float64) / GRAD_SCALE / max(n_tok, 1)
+        )
+        lr_t = lr / (1.0 + lr_decay * (epoch - 1))
+        sgd_step_full(params, momenta, grads, lr_t, momentum, clip)
+        rows.append((epoch, n, round(mean_nll, 4), f1_of()))
+    return pa.Table.from_pydict(
+        {
+            "epoch": pa.array([r[0] for r in rows], type=pa.int64()),
+            "n_train": pa.array([r[1] for r in rows], type=pa.int64()),
+            "mean_nll": pa.array([r[2] for r in rows], type=pa.float64()),
+            "dev_f1": pa.array(
+                [round(r[3], 6) for r in rows], type=pa.float64()
+            ),
+        }
+    )
+
+
 def training_curve_adv_expected(
     sents,
     n_epochs: int = 3,
@@ -1014,6 +1139,7 @@ def main(sf_dir: str, out_dir: str) -> None:
     write("neural_epoch_loss", neural_epoch_loss_expected(sents, tagged))
     write("training_curve", training_curve_expected(sents))
     write("training_curve_adv", training_curve_adv_expected(sents))
+    write("training_curve_full", training_curve_full_expected(sents))
 
     # adversarial path
     bank = build_bank(tagged)
