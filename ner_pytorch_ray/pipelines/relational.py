@@ -10,7 +10,6 @@ DuckDB oracles (no float-summation-order sensitivity).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -45,22 +44,34 @@ def lineitem_pricing(sf_dir: str) -> ray.data.Dataset:
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = pa.Table.from_pydict(
+        # pure Arrow combiner: one hash group_by, no pandas round-trip
+        t = pa.table(
             {
-                "l_returnflag": batch.column("l_returnflag"),
-                "l_linestatus": batch.column("l_linestatus"),
+                "l_returnflag": batch.column("l_returnflag").combine_chunks(),
+                "l_linestatus": batch.column("l_linestatus").combine_chunks(),
                 "qty_c": _cents(batch.column("l_quantity")),
                 "price_c": _cents(batch.column("l_extendedprice")),
                 "disc_c": _cents(batch.column("l_discount")),
             }
-        ).to_pandas()
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty_cents=("qty_c", "sum"),
-            sum_price_cents=("price_c", "sum"),
-            sum_disc_cents=("disc_c", "sum"),
-            n_rows=("qty_c", "size"),
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [
+                ("qty_c", "sum"),
+                ("price_c", "sum"),
+                ("disc_c", "sum"),
+                ([], "count_all"),
+            ]
+        )
+        return pa.table(
+            {
+                "l_returnflag": g.column("l_returnflag"),
+                "l_linestatus": g.column("l_linestatus"),
+                "sum_qty_cents": g.column("qty_c_sum").cast(pa.int64()),
+                "sum_price_cents": g.column("price_c_sum").cast(pa.int64()),
+                "sum_disc_cents": g.column("disc_c_sum").cast(pa.int64()),
+                "n_rows": g.column("count_all").cast(pa.int64()),
+            }
+        )
 
     from ner_pytorch_ray.stages.groupby_utils import grouped_sum
 
@@ -92,18 +103,25 @@ def top_customers(sf_dir: str, n: int = 10) -> ray.data.Dataset:
             self.name_of = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            df = pa.Table.from_pydict(
+            t = pa.table(
                 {
-                    "o_custkey": batch.column("o_custkey"),
+                    "o_custkey": batch.column("o_custkey").combine_chunks(),
                     "price_c": _cents(batch.column("o_totalprice")),
                 }
-            ).to_pandas()
-            g = df.groupby("o_custkey", as_index=False).agg(
-                total_cents=("price_c", "sum"), n_orders=("price_c", "size")
             )
-            g["c_name"] = g["o_custkey"].map(self.name_of)
-            return pa.Table.from_pandas(
-                g.rename(columns={"o_custkey": "c_custkey"}), preserve_index=False
+            g = t.group_by("o_custkey").aggregate(
+                [("price_c", "sum"), ([], "count_all")]
+            )
+            keys = g.column("o_custkey").to_pylist()
+            return pa.table(
+                {
+                    "c_custkey": g.column("o_custkey"),
+                    "total_cents": g.column("price_c_sum").cast(pa.int64()),
+                    "n_orders": g.column("count_all").cast(pa.int64()),
+                    "c_name": pa.array(
+                        [self.name_of.get(k) for k in keys], type=pa.string()
+                    ),
+                }
             )
 
     from ner_pytorch_ray.stages.groupby_utils import grouped_sum
@@ -127,16 +145,22 @@ def events_by_type(sf_dir: str) -> ray.data.Dataset:
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = pa.Table.from_pydict(
+        t = pa.table(
             {
-                "event_type": batch.column("event_type"),
+                "event_type": batch.column("event_type").combine_chunks(),
                 "value_c": _cents(batch.column("value")),
             }
-        ).to_pandas()
-        g = df.groupby("event_type", as_index=False).agg(
-            n_events=("value_c", "size"), sum_value_cents=("value_c", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = t.group_by("event_type").aggregate(
+            [("value_c", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "n_events": g.column("count_all").cast(pa.int64()),
+                "sum_value_cents": g.column("value_c_sum").cast(pa.int64()),
+            }
+        )
 
     from ner_pytorch_ray.stages.groupby_utils import grouped_sum
 

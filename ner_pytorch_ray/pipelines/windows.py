@@ -18,7 +18,6 @@ Scale design:
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -55,40 +54,30 @@ def tumbling_partials(
     arithmetic end to end so both hash identically to the SQL oracle."""
 
     def partial(batch: pa.Table) -> pa.Table:
+        # pure Arrow combiner (no pandas round-trip): integer window floor +
+        # integer cents, then one hash group_by
         us = batch.column("ts").cast(pa.int64()).to_numpy()
         win = (us // width) * width
         cents = np.rint(batch.column("value").to_numpy() * 100).astype(
             np.int64
         )
-        df = pd.DataFrame(
+        t = pa.table(
             {
-                "window_start_us": win,
-                "event_type": batch.column("event_type").to_pandas(),
-                "n_events": 1,
-                "sum_value_cents": cents,
+                "window_start_us": pa.array(win, type=pa.int64()),
+                "event_type": batch.column("event_type").combine_chunks(),
+                "sum_value_cents": pa.array(cents, type=pa.int64()),
             }
         )
-        g = (
-            df.groupby(["window_start_us", "event_type"], sort=True)
-            .agg(
-                n_events=("n_events", "sum"),
-                sum_value_cents=("sum_value_cents", "sum"),
-            )
-            .reset_index()
+        g = t.group_by(["window_start_us", "event_type"]).aggregate(
+            [("sum_value_cents", "sum"), ([], "count_all")]
         )
-        return pa.Table.from_pydict(
+        return pa.table(
             {
-                "window_start_us": pa.array(
-                    g["window_start_us"].to_numpy(dtype=np.int64),
-                    type=pa.int64(),
-                ),
-                "event_type": pa.array(g["event_type"], type=pa.string()),
-                "n_events": pa.array(
-                    g["n_events"].to_numpy(dtype=np.int64), type=pa.int64()
-                ),
-                "sum_value_cents": pa.array(
-                    g["sum_value_cents"].to_numpy(dtype=np.int64),
-                    type=pa.int64(),
+                "window_start_us": g.column("window_start_us"),
+                "event_type": g.column("event_type"),
+                "n_events": g.column("count_all").cast(pa.int64()),
+                "sum_value_cents": g.column("sum_value_cents_sum").cast(
+                    pa.int64()
                 ),
             }
         )
@@ -311,29 +300,23 @@ def order_revenue_join(sf_dir: str) -> ray.data.Dataset:
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
+        # pure Arrow combiner: one hash group_by, no pandas round-trip
+        t = pa.table(
             {
-                "o_orderpriority": batch.column("o_orderpriority").to_pandas(),
-                "revenue_c2": batch.column("rev_c2").to_numpy(),
-                "n_items": 1,
+                "o_orderpriority": batch.column(
+                    "o_orderpriority"
+                ).combine_chunks(),
+                "revenue_c2": batch.column("rev_c2").combine_chunks(),
             }
         )
-        g = (
-            df.groupby("o_orderpriority", sort=True)
-            .agg(revenue_c2=("revenue_c2", "sum"), n_items=("n_items", "sum"))
-            .reset_index()
+        g = t.group_by("o_orderpriority").aggregate(
+            [("revenue_c2", "sum"), ([], "count_all")]
         )
-        return pa.Table.from_pydict(
+        return pa.table(
             {
-                "o_orderpriority": pa.array(
-                    g["o_orderpriority"], type=pa.string()
-                ),
-                "revenue_c2": pa.array(
-                    g["revenue_c2"].to_numpy(dtype=np.int64), type=pa.int64()
-                ),
-                "n_items": pa.array(
-                    g["n_items"].to_numpy(dtype=np.int64), type=pa.int64()
-                ),
+                "o_orderpriority": g.column("o_orderpriority"),
+                "revenue_c2": g.column("revenue_c2_sum").cast(pa.int64()),
+                "n_items": g.column("count_all").cast(pa.int64()),
             }
         )
 
@@ -788,43 +771,36 @@ def sliding_window_counts(
     ds = read_events(sf_dir, ["ts", "event_type", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
+        # pure Arrow combiner: replicate each event into its n_win covering
+        # windows with numpy index arithmetic, then one hash group_by
         us = batch.column("ts").cast(pa.int64()).to_numpy()
         cents = np.rint(batch.column("value").to_numpy() * 100).astype(np.int64)
-        etype = batch.column("event_type").to_pandas()
+        etype = batch.column("event_type").combine_chunks()
         # window starts containing t: ((t // slide) - j) * slide, j in [0, n)
         base = us // slide
         starts = np.concatenate(
             [(base - j) * slide for j in range(n_win)]
         )
-        df = pd.DataFrame(
+        etype_rep = pa.concat_arrays([etype] * n_win)
+        t = pa.table(
             {
-                "window_start_us": starts,
-                "event_type": pd.concat([etype] * n_win, ignore_index=True),
-                "n_events": 1,
-                "sum_value_cents": np.tile(cents, n_win),
+                "window_start_us": pa.array(starts, type=pa.int64()),
+                "event_type": etype_rep,
+                "sum_value_cents": pa.array(
+                    np.tile(cents, n_win), type=pa.int64()
+                ),
             }
         )
-        g = (
-            df.groupby(["window_start_us", "event_type"], sort=True)
-            .agg(
-                n_events=("n_events", "sum"),
-                sum_value_cents=("sum_value_cents", "sum"),
-            )
-            .reset_index()
+        g = t.group_by(["window_start_us", "event_type"]).aggregate(
+            [("sum_value_cents", "sum"), ([], "count_all")]
         )
-        return pa.Table.from_pydict(
+        return pa.table(
             {
-                "window_start_us": pa.array(
-                    g["window_start_us"].to_numpy(dtype=np.int64),
-                    type=pa.int64(),
-                ),
-                "event_type": pa.array(g["event_type"], type=pa.string()),
-                "n_events": pa.array(
-                    g["n_events"].to_numpy(dtype=np.int64), type=pa.int64()
-                ),
-                "sum_value_cents": pa.array(
-                    g["sum_value_cents"].to_numpy(dtype=np.int64),
-                    type=pa.int64(),
+                "window_start_us": g.column("window_start_us"),
+                "event_type": g.column("event_type"),
+                "n_events": g.column("count_all").cast(pa.int64()),
+                "sum_value_cents": g.column("sum_value_cents_sum").cast(
+                    pa.int64()
                 ),
             }
         )
