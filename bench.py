@@ -186,6 +186,16 @@ def run_extras(sf_dir: str) -> dict:
 
     timed("train_2epochs", lambda: train_loop(sf_dir, n_epochs=2).num_rows)
 
+    # round 4: FULL-MODEL training (every parameter steps — char/word
+    # embeddings, char CNN, BiLSTM, CRF; sparse embedding-gradient
+    # transport), two epochs = encode/label pass + three fused passes
+    from ner_pytorch_ray.pipelines.training_full import train_loop_full
+
+    timed(
+        "train_full_2epochs",
+        lambda: train_loop_full(sf_dir, n_epochs=2).num_rows,
+    )
+
     # round 3: iterative graph ops (dup-cluster canonicalization + weighted
     # entity PageRank over the constructed KG)
     from ner_pytorch_ray.pipelines.graph_ops import (
