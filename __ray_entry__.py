@@ -491,6 +491,19 @@ def _q_minhash_lsh(sf_dir: str):
     return minhash_lsh_pairs(sf_dir, tau=0.5)
 
 
+def _q_minhash_lsh_incremental(sf_dir: str):
+    """Incremental banded-minhash state (3 crawl deltas): band rows union
+    per delta; pairs recomputed only for touched buckets with (band, key)
+    provenance so later bucket overflow retracts exactly its own pairs —
+    final pair set is bit-identical to the batch minhash_lsh_pairs on the
+    union corpus (shares its SQL oracle)."""
+    from ner_pytorch_ray.pipelines.incremental import (
+        minhash_incremental_from_documents,
+    )
+
+    return minhash_incremental_from_documents(sf_dir, n_deltas=3)
+
+
 def _q_simhash(sf_dir: str):
     from ner_pytorch_ray.pipelines.dedup import simhash_pairs
 
@@ -754,6 +767,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_topk": _q_pq_topk,
         # near-dup families never driver-checked
         "minhash_lsh_pairs": _q_minhash_lsh,
+        "minhash_lsh_incremental": _q_minhash_lsh_incremental,
         "simhash_pairs": _q_simhash,
         "prefix_containment": _q_prefix_containment,
         "substring_containment": _q_substring_containment,
@@ -1790,6 +1804,7 @@ ORDER BY 1
     # incremental ingestion must reproduce the batch build bit-for-bit:
     # same oracle as kg_edges (distributive-aggregate merge proof)
     out["kg_edges_incremental"] = out["kg_edges"]
+    out["minhash_lsh_incremental"] = out["minhash_lsh_pairs"]
     # connected components of the constructed KG (string entity nodes;
     # lexicographic MIN == python/ray Min on ASCII ids)
     out["kg_components"] = (

@@ -233,24 +233,12 @@ def minhash_signatures(
     return sigs
 
 
-def minhash_lsh_pairs(
-    sf_dir: str,
-    tau: float = 0.5,
-    n_perm: int = _N_PERM,
-    n_bands: int = _N_BANDS,
-    max_bucket: int = 200,
-) -> ray.data.Dataset:
-    """Near-dup candidate pairs via banded MinHash, filtered by estimated
-    jaccard (fraction of agreeing signature rows) >= tau.
-
-    The scale path: signatures are ``n_perm * 8`` bytes/doc; the shuffle
-    moves (band_key, doc_id, sig) rows — never shingle sets or documents.
-    Output: (doc_a, doc_b) int rows.
-    """
+def minhash_band_rows_fn(n_perm: int = _N_PERM, n_bands: int = _N_BANDS):
+    """Per-batch kernel: documents -> (band, key, doc_id, sig) band rows.
+    Pure function of each document's text (no corpus state), so band rows
+    from disjoint crawl deltas UNION to exactly the batch band table — the
+    property the incremental minhash ingestion builds on."""
     r = n_perm // n_bands
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
 
     def band_rows(batch: pa.Table) -> pa.Table:
         doc_ids = np.asarray(batch.column("doc_id").to_numpy())
@@ -288,16 +276,29 @@ def minhash_lsh_pairs(
             }
         )
 
-    from ner_pytorch_ray.stages.groupby_utils import (
-        collect_tuples,
-        flat_map_groups,
-    )
+    return band_rows
 
-    bands = ds.map_batches(band_rows, batch_format="pyarrow")
-    collected = collect_tuples(
-        bands, ["band", "key"], ["doc_id", "sig"], shuffle_blocks="auto"
-    )
-    empty = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+
+def minhash_bucket_pairs_fn(
+    tau: float, max_bucket: int, provenance: bool = False
+):
+    """Per-bucket kernel for flat_map_groups over collected (band, key)
+    groups: all within-bucket pairs with estimated jaccard (agreeing
+    signature fraction) >= tau; oversized buckets (> max_bucket) emit
+    nothing. ``provenance=True`` adds the (band, key) columns — the
+    incremental state needs pair provenance so a bucket that later
+    overflows can retract exactly its own pairs."""
+    if provenance:
+        empty = pa.schema(
+            [
+                ("band", pa.int32()),
+                ("key", pa.int64()),
+                ("doc_a", pa.int64()),
+                ("doc_b", pa.int64()),
+            ]
+        )
+    else:
+        empty = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
 
     def bucket_pairs(key, items) -> pa.Table:
         if items is None or len(items) < 2 or len(items) > max_bucket:
@@ -310,14 +311,54 @@ def minhash_lsh_pairs(
         ai, bi = np.triu_indices(len(ids), k=1)
         est = (sigs[ai] == sigs[bi]).mean(axis=1)
         keep = est >= tau
-        return pa.Table.from_pydict(
-            {
-                "doc_a": pa.array(ids[ai[keep]], type=pa.int64()),
-                "doc_b": pa.array(ids[bi[keep]], type=pa.int64()),
+        cols = {
+            "doc_a": pa.array(ids[ai[keep]], type=pa.int64()),
+            "doc_b": pa.array(ids[bi[keep]], type=pa.int64()),
+        }
+        if provenance:
+            n_out = int(keep.sum())
+            cols = {
+                "band": pa.array([key[0]] * n_out, type=pa.int32()),
+                "key": pa.array([key[1]] * n_out, type=pa.int64()),
+                **cols,
             }
-        )
+        return pa.Table.from_pydict(cols)
 
-    pairs = flat_map_groups(collected, bucket_pairs, ["band", "key"])
+    return bucket_pairs
+
+
+def minhash_lsh_pairs(
+    sf_dir: str,
+    tau: float = 0.5,
+    n_perm: int = _N_PERM,
+    n_bands: int = _N_BANDS,
+    max_bucket: int = 200,
+) -> ray.data.Dataset:
+    """Near-dup candidate pairs via banded MinHash, filtered by estimated
+    jaccard (fraction of agreeing signature rows) >= tau.
+
+    The scale path: signatures are ``n_perm * 8`` bytes/doc; the shuffle
+    moves (band_key, doc_id, sig) rows — never shingle sets or documents.
+    Output: (doc_a, doc_b) int rows.
+    """
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    from ner_pytorch_ray.stages.groupby_utils import (
+        collect_tuples,
+        flat_map_groups,
+    )
+
+    bands = ds.map_batches(
+        minhash_band_rows_fn(n_perm, n_bands), batch_format="pyarrow"
+    )
+    collected = collect_tuples(
+        bands, ["band", "key"], ["doc_id", "sig"], shuffle_blocks="auto"
+    )
+    pairs = flat_map_groups(
+        collected, minhash_bucket_pairs_fn(tau, max_bucket), ["band", "key"]
+    )
     # same pair can surface from several bands -> distinct via count-agg
     # (pair rows are few: coalesce before the shuffle)
     from ray.data.aggregate import Count

@@ -31,6 +31,7 @@ import json
 import os
 import shutil
 
+import numpy as np
 import pyarrow as pa
 
 import ray.data
@@ -107,10 +108,17 @@ def _merge_and_write(
         )
     else:
         merged = delta  # already merged within the delta
-    merged = merged.map_batches(_cast_to(schema), batch_format="pyarrow")
+    _write_versioned(merged, schema, out_dir)
+
+
+def _write_versioned(
+    ds: ray.data.Dataset, schema: pa.Schema, out_dir: str
+) -> None:
+    """Write one immutable state-version table with a pinned schema."""
+    ds = ds.map_batches(_cast_to(schema), batch_format="pyarrow")
     if os.path.exists(out_dir):
         shutil.rmtree(out_dir)  # dangling dir from a crashed attempt
-    merged.write_parquet(out_dir)
+    ds.write_parquet(out_dir)
     # an all-empty dataset writes no fragment files; pin the schema with an
     # explicit empty parquet so the next version's read still works (an
     # empty first crawl is a legal delta)
@@ -632,6 +640,229 @@ def windows_incremental_from_events(
             window_minutes=window_minutes,
         )
     out = final_windows(state_dir)
+    if owns_state:
+        out = out.materialize()
+        shutil.rmtree(state_dir, ignore_errors=True)
+    return out
+
+
+# --------------------------------------------------- incremental minhash
+_MH_BANDS_SCHEMA = pa.schema(
+    [
+        ("band", pa.int32()),
+        ("key", pa.int64()),
+        ("doc_id", pa.int64()),
+        ("sig", pa.binary()),
+    ]
+)
+_MH_PAIRS_SCHEMA = pa.schema(
+    [
+        ("band", pa.int32()),
+        ("key", pa.int64()),
+        ("doc_a", pa.int64()),
+        ("doc_b", pa.int64()),
+    ]
+)
+
+
+def _check_params(state: dict, params: dict, state_dir: str) -> None:
+    """Sketch parameters (tau, n_perm, bands, caps) are part of the state's
+    identity: band keys and pair decisions are functions of them, so mixing
+    parameterizations silently corrupts the accumulated tables."""
+    prev = state.get("params")
+    if prev is not None and prev != params:
+        raise ValueError(
+            f"state dir {state_dir!r} was built with params {prev}; "
+            f"refusing an ingest with {params} — rebuild or match params"
+        )
+    state["params"] = params
+
+
+def ingest_minhash_delta(
+    docs: ray.data.Dataset,
+    state_dir: str,
+    delta_id: str,
+    fingerprint: str | None = None,
+    tau: float = 0.5,
+    n_perm: int = 64,
+    n_bands: int = 16,
+    max_bucket: int = 200,
+) -> int:
+    """Fold one delta of (doc_id, text) documents into persisted banded
+    MINHASH near-dup state — new crawls are checked against ALL history
+    without recomputing old signatures or old pairs.
+
+    State per version:
+      * ``bands``: (band, key, doc_id, sig) rows — a pure per-document
+        function, so deltas UNION to exactly the batch band table;
+      * ``pairs``: qualifying pairs WITH (band, key) provenance.
+
+    Ingest recomputes pairs ONLY for buckets the delta touches: prior band
+    rows of touched buckets + delta band rows re-run the bucket kernel, and
+    the new pairs table is (prior pairs from untouched buckets) UNION
+    (recomputed pairs). Untouched buckets cannot change, and a bucket that
+    OVERFLOWS ``max_bucket`` across crawls retracts exactly its own prior
+    pairs — so the final distinct-pair set equals the batch
+    ``minhash_lsh_pairs`` over the union corpus bit-for-bit, in any delta
+    order (tested, including the overflow case). Per-ingest cost is
+    O(delta + touched-bucket membership), never O(corpus).
+    """
+    from ner_pytorch_ray.pipelines.dedup import (
+        minhash_band_rows_fn,
+        minhash_bucket_pairs_fn,
+    )
+    from ner_pytorch_ray.stages.groupby_utils import (
+        collect_tuples,
+        flat_map_groups,
+    )
+
+    os.makedirs(state_dir, exist_ok=True)
+    state = read_state(state_dir)
+    _check_kind(state, "minhash", state_dir)
+    _check_params(
+        state,
+        {
+            "tau": tau,
+            "n_perm": n_perm,
+            "n_bands": n_bands,
+            "max_bucket": max_bucket,
+        },
+        state_dir,
+    )
+    fingerprint = fingerprint or delta_id
+    if _check_delta(state, delta_id, fingerprint):
+        return state["version"]
+
+    delta_bands = docs.map_batches(
+        minhash_band_rows_fn(n_perm, n_bands), batch_format="pyarrow"
+    ).materialize()
+
+    # the delta's touched buckets — O(delta x n_bands) keys, broadcast once
+    touched: set[tuple[int, int]] = set()
+    for b in delta_bands.select_columns(["band", "key"]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        touched.update(
+            zip(b.column("band").to_pylist(), b.column("key").to_pylist())
+        )
+    touched_ref = ray.put(touched)
+
+    def in_touched(keep: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            tset = ray.get(touched_ref)
+            mask = np.array(
+                [
+                    ((bd, ky) in tset) == keep
+                    for bd, ky in zip(
+                        batch.column("band").to_pylist(),
+                        batch.column("key").to_pylist(),
+                    )
+                ],
+                dtype=bool,
+            )
+            return batch.filter(pa.array(mask))
+
+        return fn
+
+    ver = state["version"]
+    prior_bands = (
+        ray.data.read_parquet(os.path.join(state_dir, f"v{ver}", "bands"))
+        if ver
+        else None
+    )
+    if prior_bands is not None:
+        bucket_input = prior_bands.map_batches(
+            in_touched(True), batch_format="pyarrow"
+        ).union(delta_bands)
+    else:
+        bucket_input = delta_bands
+    collected = collect_tuples(
+        bucket_input, ["band", "key"], ["doc_id", "sig"], shuffle_blocks="auto"
+    )
+    new_pairs = flat_map_groups(
+        collected,
+        minhash_bucket_pairs_fn(tau, max_bucket, provenance=True),
+        ["band", "key"],
+    )
+
+    new = ver + 1
+    bands_out = os.path.join(state_dir, f"v{new}", "bands")
+    pairs_out = os.path.join(state_dir, f"v{new}", "pairs")
+    all_bands = (
+        prior_bands.union(delta_bands) if prior_bands is not None else delta_bands
+    )
+    _write_versioned(all_bands, _MH_BANDS_SCHEMA, bands_out)
+    if ver:
+        prior_pairs = ray.data.read_parquet(
+            os.path.join(state_dir, f"v{ver}", "pairs")
+        )
+        pairs_state = prior_pairs.map_batches(
+            in_touched(False), batch_format="pyarrow"
+        ).union(new_pairs)
+    else:
+        pairs_state = new_pairs
+    _write_versioned(pairs_state, _MH_PAIRS_SCHEMA, pairs_out)
+
+    import pyarrow.dataset as pads
+
+    state["version"] = new
+    state["deltas"][delta_id] = {
+        "fingerprint": fingerprint,
+        "n_band_rows": delta_bands.count(),
+        "n_touched_buckets": len(touched),
+        "state_band_rows": pads.dataset(bands_out, format="parquet").count_rows(),
+        "state_pair_rows": pads.dataset(pairs_out, format="parquet").count_rows(),
+        "version": new,
+    }
+    _write_state(state_dir, state)
+    _retire_versions(state_dir, new)
+    return new
+
+
+def final_minhash_pairs(state_dir: str) -> ray.data.Dataset:
+    """Distinct qualifying (doc_a, doc_b) across all ingested crawls —
+    identical to the batch minhash_lsh_pairs output on the union corpus."""
+    from ray.data.aggregate import Count
+
+    ver = _current_version(state_dir)
+    pairs = ray.data.read_parquet(os.path.join(state_dir, f"v{ver}", "pairs"))
+    distinct = (
+        pairs.repartition(8).groupby(["doc_a", "doc_b"]).aggregate(Count())
+    )
+    return distinct.map_batches(
+        lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow"
+    )
+
+
+def minhash_incremental_from_documents(
+    sf_dir: str,
+    n_deltas: int = 3,
+    state_dir: str | None = None,
+    tau: float = 0.5,
+) -> ray.data.Dataset:
+    """Ingest ``sf_dir``'s documents as ``n_deltas`` successive crawls and
+    return the accumulated near-dup pairs — bit-identical to the batch
+    ``minhash_lsh_pairs`` (shares its SQL oracle)."""
+    owns_state = state_dir is None
+    if owns_state:
+        import tempfile
+
+        state_dir = tempfile.mkdtemp(prefix="minhash_incremental_", dir="/tmp")
+    for d in range(n_deltas):
+        fp = mf.chained_fingerprint(
+            mf.input_fingerprint(sf_dir, "minhash_incremental", n_deltas, d)
+        )
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        ingest_minhash_delta(
+            mf.filter_shard(docs, n_deltas, d),
+            state_dir,
+            delta_id=f"delta={d}/{n_deltas}",
+            fingerprint=fp,
+            tau=tau,
+        )
+    out = final_minhash_pairs(state_dir)
     if owns_state:
         out = out.materialize()
         shutil.rmtree(state_dir, ignore_errors=True)

@@ -363,3 +363,112 @@ def test_demo_wrappers_clean_their_temp_state(ray_session):
     assert out.count() > 0  # result survives the cleanup (materialized)
     after = set(glob.glob("/tmp/dedup_incremental_*"))
     assert after - before == set()
+
+
+# --------------------------------------------------- incremental minhash
+def test_minhash_incremental_equals_batch(ray_session, tmp_path):
+    import pandas as pd
+
+    from ner_pytorch_ray.pipelines.dedup import minhash_lsh_pairs
+    from ner_pytorch_ray.pipelines.incremental import (
+        minhash_incremental_from_documents,
+    )
+
+    inc = (
+        minhash_incremental_from_documents(
+            SF, n_deltas=3, state_dir=str(tmp_path / "mh")
+        )
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    bat = (
+        minhash_lsh_pairs(SF)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    assert len(bat) > 0
+    pd.testing.assert_frame_equal(inc, bat)
+
+
+def test_minhash_incremental_order_independent(ray_session, tmp_path):
+    import pandas as pd
+    import ray
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    from ner_pytorch_ray.pipelines.incremental import (
+        final_minhash_pairs,
+        ingest_minhash_delta,
+    )
+    from ner_pytorch_ray.state import manifests as mf
+
+    def run(order, sd):
+        for d in order:
+            docs = ray.data.read_parquet(
+                f"{SF}/documents.parquet", columns=["doc_id", "text"]
+            )
+            ingest_minhash_delta(
+                mf.filter_shard(docs, 3, d), sd, delta_id=f"d{d}"
+            )
+        return (
+            final_minhash_pairs(sd)
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+
+    a = run([0, 1, 2], str(tmp_path / "fwd"))
+    b = run([2, 0, 1], str(tmp_path / "rev"))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_minhash_incremental_bucket_overflow_retracts(ray_session, tmp_path):
+    """A bucket that exceeds max_bucket only after LATER crawls must
+    retract the pairs it emitted earlier — final state equals the batch
+    run over the union (which drops the oversized bucket entirely)."""
+    import ray
+    import pyarrow as pa
+
+    from ner_pytorch_ray.pipelines.incremental import (
+        final_minhash_pairs,
+        ingest_minhash_delta,
+    )
+
+    text = " ".join(f"tok{i}" for i in range(30))  # identical docs
+
+    def docs_ds(ids):
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array(ids, type=pa.int64()),
+                    "text": pa.array([text] * len(ids), type=pa.string()),
+                }
+            )
+        )
+
+    sd = str(tmp_path / "mh")
+    # delta 0: 2 identical docs -> bucket size 2 <= cap -> 1 pair emitted
+    ingest_minhash_delta(docs_ds([1, 2]), sd, delta_id="d0", max_bucket=3)
+    assert final_minhash_pairs(sd).count() == 1
+    # delta 1: 2 more copies -> bucket size 4 > cap -> pairs retracted
+    ingest_minhash_delta(docs_ds([3, 4]), sd, delta_id="d1", max_bucket=3)
+    assert final_minhash_pairs(sd).count() == 0
+
+
+def test_minhash_incremental_param_mismatch_refused(ray_session, tmp_path):
+    import ray
+    import pyarrow as pa
+
+    from ner_pytorch_ray.pipelines.incremental import ingest_minhash_delta
+
+    docs = ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {"doc_id": [1], "text": ["a b c d e f g h i j"]}
+        )
+    )
+    sd = str(tmp_path / "mh")
+    ingest_minhash_delta(docs, sd, delta_id="d0", tau=0.5)
+    with pytest.raises(ValueError, match="params"):
+        ingest_minhash_delta(docs, sd, delta_id="d1", tau=0.4)
