@@ -306,113 +306,58 @@ def near_dup_clusters(sf_dir: str, tau: float = 0.5) -> ray.data.Dataset:
 
 # ------------------------------------------------------------ sequence pack
 def sequence_pack(
-    sf_dir: str, seq_len: int = 512, chunk: int = 4096
+    sf_dir: str, seq_len: int = 512
 ) -> ray.data.Dataset:
     """Pack documents (doc_id order) into fixed-length token sequences —
     the LM-training sequence-packing map: every doc gets its global token
     offset and the [seq_first, seq_last] range of training sequences it
     lands in. The core is a DISTRIBUTED PREFIX SUM over per-doc token
-    counts, done scale-safely in the repo's chunked shape
-    (`windows.user_sessions` precedent):
+    counts (`groupby_utils.add_exclusive_prefix`):
 
-      1. one scan -> (doc_id, n_tokens), tagged chunk = doc_id // chunk;
-      2. per-chunk token sums -> driver (one int row per chunk — bounded
-         by doc-range/chunk, not corpus size; at extreme doc counts raise
-         ``chunk`` so this stays metadata-sized);
-      3. exclusive prefix over the sorted chunk sums, broadcast;
-      4. per-chunk collect (group size <= chunk) -> local cumsum + chunk
-         base -> per-doc offsets.
+      1. one scan -> (doc_id, n_tokens) metadata rows;
+      2. global sort by doc_id (16-byte rows — the shuffle moves counts,
+         never text);
+      3. two-phase block prefix: per-block totals -> O(#blocks) driver
+         offsets -> per-block local cumsum + base. No driver-side per-row
+         or per-chunk state at ANY corpus size (the round-3 version held
+         one row per 4096 docs on the driver).
 
-    Only integer rows shuffle; document text is read once. Output:
-    (doc_id, n_tokens, tok_start, seq_first, seq_last), oracle = SQL
-    window SUM OVER (ORDER BY doc_id).
+    Output: (doc_id, n_tokens, tok_start, seq_first, seq_last), oracle =
+    SQL window SUM OVER (ORDER BY doc_id).
     """
-    from ner_pytorch_ray.stages.groupby_utils import collect_tuples, grouped_sum
+    from ner_pytorch_ray.stages.groupby_utils import add_exclusive_prefix
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 
     def count_rows(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         toks = pc.split_pattern(batch.column("text"), pattern=" ")
         n = pc.list_value_length(toks).cast(pa.int64())
         return pa.Table.from_pydict(
+            {"doc_id": batch.column("doc_id"), "n_tokens": n}
+        )
+
+    counts = ds.map_batches(count_rows, batch_format="pyarrow").sort("doc_id")
+    with_start = add_exclusive_prefix(counts, "n_tokens", "tok_start")
+
+    def seq_range(batch: pa.Table) -> pa.Table:
+        starts = np.asarray(batch.column("tok_start").to_numpy())
+        ns = np.asarray(batch.column("n_tokens").to_numpy())
+        return pa.Table.from_pydict(
             {
-                "chunk": pa.array(ids // chunk, type=pa.int64()),
-                "doc_id": pa.array(ids, type=pa.int64()),
-                "n_tokens": n,
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": batch.column("n_tokens"),
+                "tok_start": batch.column("tok_start"),
+                "seq_first": pa.array(starts // seq_len, type=pa.int64()),
+                "seq_last": pa.array(
+                    (starts + np.maximum(ns, 1) - 1) // seq_len,
+                    type=pa.int64(),
+                ),
             }
         )
 
-    counts = ds.map_batches(count_rows, batch_format="pyarrow").materialize()
-
-    # chunk totals -> exclusive prefix (driver-side over chunk-count rows)
-    chunk_rows = grouped_sum(
-        counts.select_columns(["chunk", "n_tokens"]), ["chunk"], ["n_tokens"]
-    ).take_all()
-    chunk_rows.sort(key=lambda r: r["chunk"])
-    base, bases = 0, {}
-    for r in chunk_rows:
-        bases[r["chunk"]] = base
-        base += r["n_tokens"]
-    bases_ref = ray.put(bases)
-
-    collected = collect_tuples(counts, ["chunk"], ["doc_id", "n_tokens"])
-
-    out_schema = pa.schema(
-        [
-            ("doc_id", pa.int64()),
-            ("n_tokens", pa.int64()),
-            ("tok_start", pa.int64()),
-            ("seq_first", pa.int64()),
-            ("seq_last", pa.int64()),
-        ]
-    )
-
-    class PackChunk:
-        """Actor pool: the broadcast chunk-base table is fetched once per
-        actor, not per batch."""
-
-        def __init__(self, ref, seq_len_: int):
-            self.bases = ray.get(ref)
-            self.seq_len = seq_len_
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            outs = []
-            items_col = batch.column("items").to_pylist()
-            chunks = batch.column("chunk").to_pylist()
-            for ck, items in zip(chunks, items_col):
-                items = sorted(items)
-                ids = np.array([d for d, _ in items], dtype=np.int64)
-                ns = np.array([n for _, n in items], dtype=np.int64)
-                starts = self.bases[ck] + np.concatenate(
-                    ([0], np.cumsum(ns[:-1]))
-                )
-                outs.append(
-                    pa.Table.from_arrays(
-                        [
-                            pa.array(ids),
-                            pa.array(ns),
-                            pa.array(starts),
-                            pa.array(starts // self.seq_len),
-                            pa.array(
-                                (starts + np.maximum(ns, 1) - 1) // self.seq_len
-                            ),
-                        ],
-                        schema=out_schema,
-                    )
-                )
-            if not outs:
-                return out_schema.empty_table()
-            return pa.concat_tables(outs)
-
-    return collected.map_batches(
-        PackChunk,
-        fn_constructor_args=(bases_ref, seq_len),
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-    )
+    return with_start.map_batches(seq_range, batch_format="pyarrow")
 
 
 # --------------------------------------------------------- boilerplate mining

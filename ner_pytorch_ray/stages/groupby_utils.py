@@ -205,3 +205,60 @@ def add_global_index(
 
     new_refs = [_append.remote(r, o) for r, o in zip(refs, offsets)]
     return ray.data.from_arrow_refs(new_refs)
+
+
+def add_exclusive_prefix(
+    ds: ray.data.Dataset, value_col: str, out_col: str, start: int = 0
+) -> ray.data.Dataset:
+    """Append the EXCLUSIVE prefix sum of ``value_col`` to an
+    ALREADY-ORDERED dataset (block order = global order, e.g. after
+    ``ds.sort``) — the distributed prefix-sum building block.
+
+    Two-phase: one tiny task per block computes its total (driver holds
+    O(#blocks) integers), then per-block tasks add the block base to a
+    local cumsum. Blocks never leave the object store; there is NO
+    driver-side per-row (or per-chunk) state, so the pattern holds at any
+    row count."""
+    import numpy as np
+
+    import ray
+
+    m = ds.materialize()
+    refs = [
+        ref
+        for bundle in m.iter_internal_ref_bundles()
+        for ref, _meta in bundle.blocks
+    ]
+
+    @ray.remote
+    def _total(block) -> int:
+        if not isinstance(block, pa.Table):
+            block = pa.Table.from_pandas(block)
+        col = block.column(value_col)
+        import pyarrow.compute as pc
+
+        s = pc.sum(col).as_py()
+        return int(s or 0)
+
+    totals = ray.get([_total.remote(r) for r in refs])
+    offsets = [start] * len(refs)
+    acc = start
+    for i, t in enumerate(totals):
+        offsets[i] = acc
+        acc += t
+
+    @ray.remote
+    def _append(block, offset: int):
+        if not isinstance(block, pa.Table):
+            block = pa.Table.from_pandas(block)
+        v = np.asarray(
+            block.column(value_col).to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        prefix = offset + np.concatenate(([0], np.cumsum(v[:-1]))) if len(v) else v
+        return block.append_column(
+            out_col, pa.array(prefix, type=pa.int64())
+        )
+
+    new_refs = [_append.remote(r, o) for r, o in zip(refs, offsets)]
+    return ray.data.from_arrow_refs(new_refs)

@@ -198,7 +198,7 @@ def test_sequence_pack_prefix_invariants(ray_session):
 
     seq_len = 128
     df = (
-        sequence_pack(SF, seq_len=seq_len, chunk=64)  # many chunks on purpose
+        sequence_pack(SF, seq_len=seq_len)
         .to_pandas()
         .sort_values("doc_id")
         .reset_index(drop=True)
