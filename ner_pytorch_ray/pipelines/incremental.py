@@ -750,16 +750,23 @@ def ingest_minhash_delta(
     def in_touched(keep: bool):
         def fn(batch: pa.Table) -> pa.Table:
             tset = ray.get(touched_ref)
-            mask = np.array(
-                [
-                    ((bd, ky) in tset) == keep
-                    for bd, ky in zip(
-                        batch.column("band").to_pylist(),
-                        batch.column("key").to_pylist(),
-                    )
-                ],
-                dtype=bool,
+            keys = np.asarray(
+                batch.column("key").to_numpy(zero_copy_only=False),
+                dtype=np.int64,
             )
+            bands_col = np.asarray(
+                batch.column("band").to_numpy(zero_copy_only=False),
+                dtype=np.int64,
+            )
+            # vectorized coarse pass on the 63-bit key (the untouched bulk
+            # of the prior state short-circuits here); exact (band, key)
+            # tuple check only on the few key-hits
+            tkeys = np.fromiter((k for _, k in tset), dtype=np.int64, count=len(tset))
+            cand = np.isin(keys, tkeys)
+            hit = cand.copy()
+            for i in np.nonzero(cand)[0]:
+                hit[i] = (int(bands_col[i]), int(keys[i])) in tset
+            mask = hit if keep else ~hit
             return batch.filter(pa.array(mask))
 
         return fn
