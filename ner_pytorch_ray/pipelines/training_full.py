@@ -345,6 +345,69 @@ def sgd_step_full(
             params[name] -= lr * v
 
 
+def _run_state_paths(run_dir: str) -> tuple[str, str]:
+    import os
+
+    return os.path.join(run_dir, "RUN.json"), os.path.join(run_dir, "state.npz")
+
+
+def _save_run_state(
+    run_dir, fingerprint, epoch, rows, params, momenta, pass_state, best_f1
+) -> None:
+    """Atomic epoch-granular snapshot: params + momenta + the pending pass
+    partials (the NEXT update consumes them) + curve rows. npz first, then
+    the RUN.json pointer — a crash between the two leaves the previous
+    consistent snapshot in force."""
+    import json
+    import os
+
+    os.makedirs(run_dir, exist_ok=True)
+    run_json, state_npz = _run_state_paths(run_dir)
+    arrs = {f"p_{k}": params[k] for k in TRAINED_PARAMS}
+    arrs.update({f"m_{k}": momenta[k] for k in TRAINED_PARAMS})
+    arrs["dense_i"] = pass_state["dense_i"]
+    arrs["word_i"] = pass_state["word_i"]
+    tmp = state_npz + ".tmp.npz"
+    np.savez_compressed(tmp, **arrs)
+    os.replace(tmp, state_npz)
+    meta = {
+        "fingerprint": fingerprint,
+        "epoch": epoch,
+        "rows": rows,
+        "n": pass_state["n"],
+        "n_tok": pass_state["n_tok"],
+        "nll_i": pass_state["nll_i"],
+        "best_f1": best_f1,
+    }
+    tmp = run_json + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, run_json)
+
+
+def _load_run_state(run_dir, fingerprint):
+    """Latest consistent snapshot, or None. A fingerprint mismatch (input
+    or hyperparameters changed under an existing run_dir) raises."""
+    import json
+    import os
+
+    run_json, state_npz = _run_state_paths(run_dir)
+    if not (os.path.exists(run_json) and os.path.exists(state_npz)):
+        return None
+    with open(run_json) as f:
+        meta = json.load(f)
+    if meta["fingerprint"] != fingerprint:
+        raise ValueError(
+            f"run_dir {run_dir!r} holds a run with fingerprint "
+            f"{meta['fingerprint']!r} but this invocation fingerprints "
+            f"{fingerprint!r} (input or hyperparameters changed) — use a "
+            "fresh run_dir"
+        )
+    with np.load(state_npz) as z:
+        arrs = {k: z[k] for k in z.files}
+    return meta, arrs
+
+
 def train_loop_full(
     sf_dir: str,
     n_epochs: int = 3,
@@ -356,6 +419,7 @@ def train_loop_full(
     dev_mod: int = 5,
     labels: str = "teacher",
     checkpoint_path: str | None = None,
+    run_dir: str | None = None,
 ) -> pa.Table:
     """Full-model epoch driver (train.py:404-516 with the WHOLE parameter
     set stepping, not just the CRF head). Full-batch GD: one fused
@@ -363,24 +427,50 @@ def train_loop_full(
     epoch; the trajectory is bit-identical under any partitioning (integer
     per-sentence gradient quantization — see quantized_sentence_grads).
 
+    ``run_dir``: epoch-granular crash recovery — after every epoch the
+    optimizer state (params, momenta, pending gradient partials, curve
+    rows) snapshots atomically; a rerun with the same inputs and
+    hyperparameters resumes at the first missing epoch and produces the
+    IDENTICAL curve (integer state, no recomputation drift; tested).
+
     Returns the curve table (epoch, n_train, mean_nll, dev_f1) with an
     epoch-0 row for the initial weights."""
+    from ner_pytorch_ray.state import manifests as mf
+
     encoded, vocab, weights = full_feature_cache(
         sf_dir, seed, dev_mod, labels=labels
     )
     n_tags = len(vocab["tag_to_id"])
     start_idx, stop_idx = n_tags - 2, n_tags - 1
     id_to_tag = {v: k for k, v in vocab["tag_to_id"].items()}
-
-    # float64 master copy of every trained parameter (+ frozen meta)
-    params = {
-        k: weights[k].astype(np.float64).copy() for k in TRAINED_PARAMS
-    }
-    params["meta"] = weights["meta"]
-    momenta = {
-        k: np.zeros_like(params[k]) for k in TRAINED_PARAMS
-    }
     shapes = dense_shapes(weights)
+
+    fingerprint = mf.chained_fingerprint(
+        mf.input_fingerprint(sf_dir, "train_full", 1, 0),
+        f"hp:{lr}:{lr_decay}:{momentum}:{clip}:{seed}:{dev_mod}:{labels}",
+    )
+    resumed = _load_run_state(run_dir, fingerprint) if run_dir else None
+
+    if resumed is not None:
+        meta, arrs = resumed
+        params = {k: arrs[f"p_{k}"] for k in TRAINED_PARAMS}
+        params["meta"] = weights["meta"]
+        momenta = {k: arrs[f"m_{k}"] for k in TRAINED_PARAMS}
+        rows = [tuple(r) for r in meta["rows"]]
+        start_epoch = int(meta["epoch"]) + 1
+        best_f1 = float(meta["best_f1"])
+        n, n_tok, nll_i = meta["n"], meta["n_tok"], meta["nll_i"]
+        dense_i, word_i = arrs["dense_i"], arrs["word_i"]
+    else:
+        # float64 master copy of every trained parameter (+ frozen meta)
+        params = {
+            k: weights[k].astype(np.float64).copy() for k in TRAINED_PARAMS
+        }
+        params["meta"] = weights["meta"]
+        momenta = {k: np.zeros_like(params[k]) for k in TRAINED_PARAMS}
+        rows = []
+        start_epoch = 1
+        best_f1 = -1.0
 
     def save_best():
         if checkpoint_path is None:
@@ -389,16 +479,28 @@ def train_loop_full(
         out["meta"] = weights["meta"]
         save_weights(checkpoint_path, out)
 
-    best_f1 = -1.0
-    rows = []
-    n, n_tok, nll_i, dense_i, word_i, f1 = full_epoch_pass(
-        encoded, params, id_to_tag, start_idx, stop_idx
-    )
-    rows.append((0, 0, 0.0, f1))
-    if f1 > best_f1:
-        best_f1 = f1
-        save_best()
-    for epoch in range(1, n_epochs + 1):
+    def snapshot(epoch):
+        if run_dir is None:
+            return
+        _save_run_state(
+            run_dir, fingerprint, epoch, rows, params, momenta,
+            {
+                "dense_i": dense_i, "word_i": word_i,
+                "n": n, "n_tok": n_tok, "nll_i": nll_i,
+            },
+            best_f1,
+        )
+
+    if resumed is None:
+        n, n_tok, nll_i, dense_i, word_i, f1 = full_epoch_pass(
+            encoded, params, id_to_tag, start_idx, stop_idx
+        )
+        rows.append((0, 0, 0.0, f1))
+        if f1 > best_f1:
+            best_f1 = f1
+            save_best()
+        snapshot(0)
+    for epoch in range(start_epoch, n_epochs + 1):
         mean_nll = (nll_i / NLL_SCALE) / n if n else 0.0
         grads = unpack_dense(
             dense_i.astype(np.float64) / GRAD_SCALE / max(n_tok, 1), shapes
@@ -416,6 +518,7 @@ def train_loop_full(
         if f1 > best_f1:
             best_f1 = f1
             save_best()
+        snapshot(epoch)
     return pa.Table.from_pydict(
         {
             "epoch": pa.array([r[0] for r in rows], type=pa.int64()),

@@ -95,3 +95,28 @@ def test_full_training_trains_backbone_not_just_head(ray_session):
     sgd_step_full(params, momenta, grads, lr=1.0, momentum=0.5, clip=5.0)
     for k in TRAINED_PARAMS:
         assert not np.array_equal(before[k], params[k]), f"{k} did not move"
+
+
+def test_full_training_resume_equals_clean_run(ray_session, tmp_path):
+    """Epoch-granular crash recovery: a run killed after epoch 1 and
+    resumed must produce the IDENTICAL curve (integer state snapshots,
+    no recomputation drift)."""
+    import pandas as pd
+
+    from ner_pytorch_ray.pipelines.training_full import train_loop_full
+
+    clean = train_loop_full(SF, n_epochs=3).to_pandas()
+    rd = str(tmp_path / "run")
+    partial = train_loop_full(SF, n_epochs=1, run_dir=rd).to_pandas()
+    assert len(partial) == 2  # epochs 0..1 — the "crash" point
+    resumed = train_loop_full(SF, n_epochs=3, run_dir=rd).to_pandas()
+    pd.testing.assert_frame_equal(resumed, clean)
+
+
+def test_full_training_resume_fingerprint_mismatch(ray_session, tmp_path):
+    from ner_pytorch_ray.pipelines.training_full import train_loop_full
+
+    rd = str(tmp_path / "run")
+    train_loop_full(SF, n_epochs=1, run_dir=rd)
+    with pytest.raises(ValueError, match="fingerprint"):
+        train_loop_full(SF, n_epochs=2, run_dir=rd, lr=0.5)
