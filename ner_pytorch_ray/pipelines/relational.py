@@ -196,3 +196,218 @@ def orders_by_month(sf_dir: str) -> ray.data.Dataset:
         sum_cols=["n_orders"],
     )
     return merged.sort("month")
+
+
+def customer_order_activity(sf_dir: str) -> ray.data.Dataset:
+    """Distributed LEFT OUTER join + anti-join rollup: per nation, customer
+    counts split by order activity. Ray Data's native join is inner-only,
+    so this is the union-tag pattern — the generic large-x-large shape
+    (neither side broadcast):
+
+      1. orders -> per-block (custkey, order-count) combiner, payload 0;
+      2. customer -> (is_cust=1, nationkey, acctbal cents, n_orders=0) rows;
+      3. ONE shuffle on custkey sums tags and payloads — the customer table
+         holds exactly one row per key, so its payload survives intact and
+        sum(n_orders)=0 identifies the anti-join (customers with no order);
+      4. per-nation combiner'd rollup.
+
+    Output: (c_nationkey, n_customers, n_active, n_orders, acctbal_cents);
+    n_customers - n_active is the anti-join cardinality."""
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["o_custkey"]).aggregate([([], "count_all")])
+        n = g.num_rows
+        z = pa.array(np.zeros(n, dtype=np.int64))
+        return pa.table(
+            {
+                "c_custkey": g.column("o_custkey").cast(pa.int64()),
+                "n_orders": g.column("count_all").cast(pa.int64()),
+                "is_cust": z,
+                "nationkey": z,
+                "acctbal_cents": z,
+            }
+        )
+
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey", "c_acctbal"]
+    )
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        z = pa.array(np.zeros(n, dtype=np.int64))
+        return pa.table(
+            {
+                "c_custkey": batch.column("c_custkey").cast(pa.int64()),
+                "n_orders": z,
+                "is_cust": pa.array(np.ones(n, dtype=np.int64)),
+                "nationkey": batch.column("c_nationkey").cast(pa.int64()),
+                "acctbal_cents": _cents(batch.column("c_acctbal")),
+            }
+        )
+
+    tagged = orders.map_batches(order_side, batch_format="pyarrow").union(
+        customer.map_batches(cust_side, batch_format="pyarrow")
+    )
+    per_cust = grouped_sum(
+        tagged,
+        ["c_custkey"],
+        sum_cols=["n_orders", "is_cust", "nationkey", "acctbal_cents"],
+    )
+
+    def rollup(batch: pa.Table) -> pa.Table:
+        # is_cust==1 guards referential orphans (order rows with no customer)
+        t = batch.filter(pc.equal(batch.column("is_cust"), 1))
+        t = t.append_column(
+            "active", pc.cast(pc.greater(t.column("n_orders"), 0), pa.int64())
+        )
+        g = t.group_by(["nationkey"]).aggregate(
+            [
+                ("active", "sum"),
+                ("n_orders", "sum"),
+                ("acctbal_cents", "sum"),
+                ([], "count_all"),
+            ]
+        )
+        return pa.table(
+            {
+                "c_nationkey": g.column("nationkey").cast(pa.int64()),
+                "n_customers": g.column("count_all").cast(pa.int64()),
+                "n_active": g.column("active_sum").cast(pa.int64()),
+                "n_orders": g.column("n_orders_sum").cast(pa.int64()),
+                "acctbal_cents": g.column("acctbal_cents_sum").cast(pa.int64()),
+            }
+        )
+
+    merged = grouped_sum(
+        per_cust.map_batches(rollup, batch_format="pyarrow"),
+        ["c_nationkey"],
+        sum_cols=["n_customers", "n_active", "n_orders", "acctbal_cents"],
+    )
+    return merged.sort("c_nationkey")
+
+
+def orders_rollup(sf_dir: str) -> ray.data.Dataset:
+    """GROUP BY ROLLUP (year, month) over order revenue. The finest grain is
+    aggregated distributed (combiner -> one small shuffle); the subtotal and
+    grand-total levels re-aggregate the FINEST RESULT (|years x months| rows),
+    never the fact table — the standard scale shape for grouping sets.
+    Rollup placeholders use -1 (SQL NULL has no stable hash across engines).
+
+    Output: (o_year, o_month, n_orders, revenue_cents); o_month=-1 rows are
+    year subtotals, o_year=-1 the grand total."""
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "o_year": pc.year(batch.column("o_orderdate")).cast(pa.int64()),
+                "o_month": pc.month(batch.column("o_orderdate")).cast(pa.int64()),
+                "revenue_cents": _cents(batch.column("o_totalprice")),
+            }
+        )
+        g = t.group_by(["o_year", "o_month"]).aggregate(
+            [("revenue_cents", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "o_year": g.column("o_year"),
+                "o_month": g.column("o_month"),
+                "n_orders": g.column("count_all").cast(pa.int64()),
+                "revenue_cents": g.column("revenue_cents_sum").cast(pa.int64()),
+            }
+        )
+
+    finest = grouped_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["o_year", "o_month"],
+        sum_cols=["n_orders", "revenue_cents"],
+    )
+
+    def add_levels(batch: pa.Table) -> pa.Table:
+        yr = batch.group_by(["o_year"]).aggregate(
+            [("n_orders", "sum"), ("revenue_cents", "sum")]
+        )
+        year_rows = pa.table(
+            {
+                "o_year": yr.column("o_year"),
+                "o_month": pa.array([-1] * yr.num_rows, type=pa.int64()),
+                "n_orders": yr.column("n_orders_sum").cast(pa.int64()),
+                "revenue_cents": yr.column("revenue_cents_sum").cast(pa.int64()),
+            }
+        )
+        total = pa.table(
+            {
+                "o_year": pa.array([-1], type=pa.int64()),
+                "o_month": pa.array([-1], type=pa.int64()),
+                "n_orders": pa.array(
+                    [pc.sum(batch.column("n_orders")).as_py() or 0], type=pa.int64()
+                ),
+                "revenue_cents": pa.array(
+                    [pc.sum(batch.column("revenue_cents")).as_py() or 0],
+                    type=pa.int64(),
+                ),
+            }
+        )
+        return pa.concat_tables([batch, year_rows, total])
+
+    # batch_size=None: the rollup levels need the WHOLE finest table in one
+    # batch (it is |years x months| rows — tiny by construction)
+    return finest.repartition(1).map_batches(
+        add_levels, batch_format="pyarrow", batch_size=None
+    ).sort(["o_year", "o_month"])
+
+
+def distinct_users_by_type(sf_dir: str) -> ray.data.Dataset:
+    """Distributed COUNT(DISTINCT): two-level exact distinct — per-block
+    (event_type, user_id) combiner, one shuffle over DISTINCT pairs (not
+    events), then a per-type count fold. The shuffle volume is bounded by
+    the distinct-pair count regardless of event skew.
+
+    Output: (event_type, n_users, n_events)."""
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["event_type", "user_id"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "user_id": g.column("user_id").cast(pa.int64()),
+                "n_events": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    pairs = grouped_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "user_id"],
+        sum_cols=["n_events"],
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["event_type"]).aggregate(
+            [("n_events", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "n_users": g.column("count_all").cast(pa.int64()),
+                "n_events": g.column("n_events_sum").cast(pa.int64()),
+            }
+        )
+
+    merged = grouped_sum(
+        pairs.map_batches(fold, batch_format="pyarrow"),
+        ["event_type"],
+        sum_cols=["n_users", "n_events"],
+    )
+    return merged.sort("event_type")

@@ -1,0 +1,289 @@
+"""Training-corpus hygiene operators: benchmark decontamination, PII
+detect/redact, and deterministic stratified sampling.
+
+These are the corpus-hygiene stages a web-scale LLM-data pipeline runs
+between raw-crawl filtering (``webtext.corpus_filter``) and packing
+(``webtext.sequence_pack``); the reference repo's own data prep is
+file-local (loader.py:20-71 reads one CoNLL file), so these are the
+distributed generalizations, not ports.
+
+Scale shapes
+------------
+- ``decontaminate``: the eval/benchmark side is SMALL by construction
+  (benchmarks are MBs, the corpus is TBs) — its distinct n-gram set is
+  built with a combiner'd distinct and broadcast ONCE via ``ray.put``;
+  each corpus task probes the shared set zero-copy. No shuffle touches
+  the corpus side.
+- ``pii_scrub``: pure vectorized RE2 kernels (``pc.count_substring_regex``
+  / ``pc.replace_substring_regex``) over the raw column, then a two-level
+  combiner'd groupby whose keys are (event_type, redacted-template) —
+  the shuffle moves templates, not payloads.
+- ``stratified_sample``: per-block local top-n per stratum, then one
+  bounded per-stratum merge — driver never sees more than
+  n_strata x n rows. The sampling key is ``md5(str(id))`` so the sample
+  is deterministic, reproducible across engines (DuckDB's ``md5`` agrees
+  byte-for-byte), and uniform regardless of id distribution.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+# ------------------------------------------------------------ decontaminate
+
+_DECON_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_grams", pa.int64()),
+        ("n_hit", pa.int64()),
+        ("contaminated", pa.int64()),
+    ]
+)
+
+
+def _doc_grams(text: str, n: int) -> set[str]:
+    toks = text.split(" ")
+    if len(toks) < n:
+        return set()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _eval_gram_rows(batch: pa.Table, n: int, eval_mod: int) -> pa.Table:
+    """Per-block distinct n-grams of the eval-side docs (combiner)."""
+    doc_ids = batch.column("doc_id").to_numpy()
+    texts = batch.column("text").to_pylist()
+    grams: set[str] = set()
+    for d, t in zip(doc_ids, texts):
+        if d % eval_mod == 0:
+            grams |= _doc_grams(t, n)
+    return pa.table({"gram": pa.array(sorted(grams), type=pa.string())})
+
+
+class _Decontaminator:
+    """Actor-pool probe stage: deserializes the broadcast gram set once per
+    actor (``__init__``), probes per batch. At 100 TB the eval set rides the
+    object store to each node exactly once."""
+
+    def __init__(self, grams_ref, n: int, eval_mod: int):
+        self.grams: set[str] = ray.get(grams_ref)
+        self.n = n
+        self.eval_mod = eval_mod
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        out_d, out_g, out_h, out_c = [], [], [], []
+        for d, t in zip(doc_ids, texts):
+            if d % self.eval_mod == 0:
+                continue  # eval docs are not corpus candidates
+            grams = _doc_grams(t, self.n)
+            if not grams:
+                continue  # <n tokens: no gram evidence either way
+            hit = len(grams & self.grams)
+            out_d.append(int(d))
+            out_g.append(len(grams))
+            out_h.append(hit)
+            out_c.append(1 if hit else 0)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "n_grams": pa.array(out_g, type=pa.int64()),
+                "n_hit": pa.array(out_h, type=pa.int64()),
+                "contaminated": pa.array(out_c, type=pa.int64()),
+            },
+            schema=_DECON_SCHEMA,
+        )
+
+
+def decontaminate(
+    sf_dir: str,
+    n: int = 8,
+    eval_mod: int = 13,
+    concurrency: int | tuple[int, int] = (1, 64),
+) -> ray.data.Dataset:
+    """Benchmark decontamination: flag corpus docs sharing any word n-gram
+    with the held-out eval split (doc_id % eval_mod == 0 plays the
+    benchmark; in production it is the actual eval files).
+
+    Output per corpus doc: distinct n-gram count, distinct grams also in
+    the eval set, and a 0/1 contaminated verdict (the drop rule of
+    Brown et al. 2020 appendix C / Gao et al. 2020 — any n-gram overlap)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    # the eval side is the SMALL side by construction: bounded driver pull,
+    # broadcast once (the ray.put object is shared, not per-task copied).
+    # Dataset.unique returns the (small) distinct list to the driver.
+    eval_grams = ds.map_batches(
+        lambda b: _eval_gram_rows(b, n, eval_mod), batch_format="pyarrow"
+    ).unique("gram")
+    grams_ref = ray.put(set(eval_grams))
+    return ds.map_batches(
+        _Decontaminator,
+        fn_constructor_args=(grams_ref, n, eval_mod),
+        concurrency=concurrency,
+        batch_format="pyarrow",
+    )
+
+
+# ------------------------------------------------------------------ pii scrub
+
+# RE2 syntax on both sides: pyarrow::compute uses RE2, DuckDB regexp_* uses
+# RE2 — patterns below are engine-portable byte-for-byte. The digit-run rule
+# stands in for account/phone-number hygiene on the synthetic corpus; the
+# email/IPv4 alternates show the production pattern set.
+PII_PATTERNS = {
+    "number": r"\d+",
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+}
+
+
+def pii_scrub(sf_dir: str, pattern: str = PII_PATTERNS["number"]) -> ray.data.Dataset:
+    """Detect + redact PII-shaped tokens in ``events.props``; report per
+    event_type: event count, total matches, and distinct redacted
+    templates. Redaction itself (`<NUM>` substitution) happens in the same
+    vectorized pass that counts — a production sink would write the
+    redacted column instead of dropping it."""
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        props = batch.column("props").combine_chunks()
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type").combine_chunks(),
+                "redacted": pc.replace_substring_regex(props, pattern, "<NUM>"),
+                "n_matches": pc.cast(
+                    pc.count_substring_regex(props, pattern), pa.int64()
+                ),
+            }
+        )
+        g = t.group_by(["event_type", "redacted"]).aggregate(
+            [("n_matches", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "redacted": g.column("redacted"),
+                "n_matches": g.column("n_matches_sum").cast(pa.int64()),
+                "n_events": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    per_template = grouped_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "redacted"],
+        sum_cols=["n_matches", "n_events"],
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["event_type"]).aggregate(
+            [("n_events", "sum"), ("n_matches", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "n_events": g.column("n_events_sum").cast(pa.int64()),
+                "n_matches": g.column("n_matches_sum").cast(pa.int64()),
+                "n_distinct_redacted": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    final = grouped_sum(
+        per_template.map_batches(fold, batch_format="pyarrow"),
+        ["event_type"],
+        sum_cols=["n_events", "n_matches", "n_distinct_redacted"],
+    )
+    return final.sort("event_type")
+
+
+# -------------------------------------------------------- stratified sample
+
+_STRAT_SCHEMA = pa.schema(
+    [("lang", pa.string()), ("doc_id", pa.int64()), ("rn", pa.int64())]
+)
+
+
+def _md5_hex(vals: np.ndarray) -> list[str]:
+    return [hashlib.md5(str(int(v)).encode()).hexdigest() for v in vals]
+
+
+def stratified_sample(
+    sf_dir: str, per_stratum: int = 20, stratum_col: str = "lang"
+) -> ray.data.Dataset:
+    """Deterministic stratified sample: the ``per_stratum`` docs with the
+    smallest md5(doc_id) per stratum, ranked. Equivalent to a uniform
+    without-replacement sample that any engine can reproduce (DuckDB:
+    row_number over md5(CAST(doc_id AS VARCHAR))).
+
+    Two-level top-n: per-block local top-n per stratum (combiner — each
+    block emits <= n_strata x n rows), then a bounded per-stratum merge.
+    No global sort, no driver collect of the corpus."""
+    from ner_pytorch_ray.stages.groupby_utils import (
+        collect_tuples,
+        flat_map_groups,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", stratum_col]
+    )
+
+    def local_topn(batch: pa.Table) -> pa.Table:
+        doc = batch.column("doc_id").to_numpy()
+        strat = np.asarray(batch.column(stratum_col).to_pylist(), dtype=object)
+        hk = np.asarray(_md5_hex(doc), dtype=object)
+        order = np.lexsort((doc, hk, strat))
+        strat, doc, hk = strat[order], doc[order], hk[order]
+        keep = np.ones(len(doc), dtype=bool)
+        # positions within each stratum run (input sorted by stratum)
+        if len(doc):
+            new = np.r_[True, strat[1:] != strat[:-1]]
+            run_id = np.cumsum(new) - 1
+            pos = np.arange(len(doc)) - np.r_[
+                np.nonzero(new)[0]
+            ][run_id]
+            keep = pos < per_stratum
+        # pack (hash, doc_id) into one string so the collect shuffle stays
+        # Arrow-native (mixed-type tuples would pickle-fallback); md5 hex is
+        # fixed-width so lexicographic order == (hk, then tie-break) order,
+        # and hashes of distinct ids never collide in practice
+        cand = [f"{h}:{int(d)}" for h, d in zip(hk[keep], doc[keep])]
+        return pa.table(
+            {
+                stratum_col: pa.array(strat[keep].tolist(), type=pa.string()),
+                "cand": pa.array(cand, type=pa.string()),
+            }
+        )
+
+    partial = ds.map_batches(local_topn, batch_format="pyarrow")
+    collected = collect_tuples(
+        partial, [stratum_col], ["cand"], name="cand", shuffle_blocks="auto"
+    )
+
+    def pick(key, items) -> pa.Table:
+        if items is None or not items:
+            return _STRAT_SCHEMA.empty_table()
+        (stratum,) = key
+        uniq = sorted({c for (c,) in items})[:per_stratum]
+        return pa.Table.from_pydict(
+            {
+                "lang": pa.array([stratum] * len(uniq), type=pa.string()),
+                "doc_id": pa.array(
+                    [int(c.split(":", 1)[1]) for c in uniq], type=pa.int64()
+                ),
+                "rn": pa.array(range(1, len(uniq) + 1), type=pa.int64()),
+            },
+            schema=_STRAT_SCHEMA,
+        )
+
+    return flat_map_groups(collected, pick, [stratum_col], items_col="cand")

@@ -811,3 +811,125 @@ def sliding_window_counts(
         sum_cols=["n_events", "sum_value_cents"],
     )
     return merged.sort(["window_start_us", "event_type"])
+
+
+# ------------------------------------------------------------------ lag gaps
+
+_GAP_CHUNK_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("chunk", pa.int64()),
+        ("n", pa.int64()),
+        ("first_us", pa.int64()),
+        ("last_us", pa.int64()),
+        ("max_gap_us", pa.int64()),
+    ]
+)
+
+_GAP_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("n_events", pa.int64()),
+        ("n_gaps", pa.int64()),
+        ("span_us", pa.int64()),
+        ("max_gap_us", pa.int64()),
+    ]
+)
+
+
+def events_lag_gaps(sf_dir: str, chunk_minutes: int = 24 * 60) -> ray.data.Dataset:
+    """Per-user inter-event gap statistics — the distributed equivalent of
+    ``LAG(ts) OVER (PARTITION BY user ORDER BY ts)`` without ever collecting
+    a user's full event list in one place.
+
+    Time-chunk salting (the ``user_sessions`` pattern): chunks partition the
+    time axis, so all events of chunk c precede all of chunk c+1.  Each
+    (user, chunk) group reduces its events to (n, first, last, max_gap) —
+    sum-of-gaps inside a chunk telescopes to last-first, so only the max
+    needs the sorted list; per-group size is bounded by chunk span x event
+    rate, independent of a hot user's total volume.  The per-user merge then
+    sees only chunk summaries: boundary gap = next.first - prev.last.
+
+    Output: (user_id, n_events, n_gaps, span_us, max_gap_us); single-event
+    users report 0 gaps / 0 span / 0 max."""
+    from ner_pytorch_ray.stages.groupby_utils import (
+        collect_tuples,
+        flat_map_groups,
+    )
+
+    chunk_us = chunk_minutes * US_PER_MIN
+    ds = read_events(sf_dir, ["user_id", "ts"])
+
+    def event_rows(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64())
+        # floor division (not truncation): negative epochs chunk correctly
+        chunk = pa.array(ts.to_numpy() // chunk_us, type=pa.int64())
+        return pa.table(
+            {
+                "user_id": batch.column("user_id").cast(pa.int64()),
+                "chunk": chunk,
+                "ts_us": ts,
+            }
+        )
+
+    per_chunk_events = collect_tuples(
+        ds.map_batches(event_rows, batch_format="pyarrow"),
+        ["user_id", "chunk"],
+        ["ts_us"],
+        name="tss",
+    )
+
+    def chunk_summary(key, items) -> pa.Table:
+        if items is None or not items:
+            return _GAP_CHUNK_SCHEMA.empty_table()
+        uid, chunk = key
+        ts = np.sort(np.array([t for (t,) in items], dtype=np.int64))
+        gaps = np.diff(ts)
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array([uid], type=pa.int64()),
+                "chunk": pa.array([chunk], type=pa.int64()),
+                "n": pa.array([len(ts)], type=pa.int64()),
+                "first_us": pa.array([int(ts[0])], type=pa.int64()),
+                "last_us": pa.array([int(ts[-1])], type=pa.int64()),
+                "max_gap_us": pa.array(
+                    [int(gaps.max()) if len(gaps) else 0], type=pa.int64()
+                ),
+            },
+            schema=_GAP_CHUNK_SCHEMA,
+        )
+
+    summaries = flat_map_groups(
+        per_chunk_events, chunk_summary, ["user_id", "chunk"], items_col="tss"
+    )
+
+    per_user = collect_tuples(
+        summaries,
+        ["user_id"],
+        ["chunk", "n", "first_us", "last_us", "max_gap_us"],
+        name="chunks",
+        shuffle_blocks="auto",  # summaries are pre-combined: one row per chunk
+    )
+
+    def finalize(key, items) -> pa.Table:
+        if items is None or not items:
+            return _GAP_SCHEMA.empty_table()
+        (uid,) = key
+        rows = sorted(tuple(x) for x in items)  # by chunk (time order)
+        n_events = sum(r[1] for r in rows)
+        max_gap = max(r[4] for r in rows)
+        for prev, nxt in zip(rows, rows[1:]):
+            max_gap = max(max_gap, nxt[2] - prev[3])
+        span = rows[-1][3] - rows[0][2]
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array([uid], type=pa.int64()),
+                "n_events": pa.array([n_events], type=pa.int64()),
+                "n_gaps": pa.array([n_events - 1], type=pa.int64()),
+                "span_us": pa.array([span], type=pa.int64()),
+                "max_gap_us": pa.array([max_gap], type=pa.int64()),
+            },
+            schema=_GAP_SCHEMA,
+        )
+
+    return flat_map_groups(per_user, finalize, ["user_id"], items_col="chunks")

@@ -1,0 +1,224 @@
+"""Round-4 corpus-hygiene + relational-breadth operators: decontamination,
+PII scrub, stratified sampling, left-outer/anti join rollup, GROUP BY
+ROLLUP, exact count-distinct, and the distributed LAG. The full SQL-oracle
+comparison for each runs in the driver-style gate (plain oracle_sql
+entries); these tests cover the semantics the oracle can't see —
+partitioning invariance, edge rows, and the sequential recompute."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+# -------------------------------------------------------------- decontaminate
+def _grams(text: str, n: int = 8) -> set[str]:
+    toks = text.split(" ")
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_decontaminate_matches_sequential(ray_session):
+    """Distributed verdicts == plain-Python recompute, and eval/short docs
+    never appear in the output."""
+    from ner_pytorch_ray.pipelines.scrub import decontaminate
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    docs = dict(zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()))
+    eval_grams: set[str] = set()
+    for d, t in docs.items():
+        if d % 13 == 0:
+            eval_grams |= _grams(t)
+    exp = {}
+    for d, t in docs.items():
+        if d % 13 == 0:
+            continue
+        g = _grams(t)
+        if not g:
+            continue
+        exp[d] = (len(g), len(g & eval_grams))
+
+    out = decontaminate(SF).to_pandas().set_index("doc_id")
+    assert set(out.index) == set(exp)
+    for d, (n_grams, n_hit) in exp.items():
+        row = out.loc[d]
+        assert (row.n_grams, row.n_hit, row.contaminated) == (
+            n_grams,
+            n_hit,
+            1 if n_hit else 0,
+        )
+    # the synthetic corpus is word-salad over a tiny vocab: contamination
+    # must actually fire, otherwise this test proves nothing
+    assert out.contaminated.sum() > 0
+
+
+def test_decontaminate_skips_short_docs(ray_session, tmp_path):
+    """Docs with fewer than n tokens carry no n-gram evidence: excluded."""
+    import ray
+
+    from ner_pytorch_ray.pipelines.scrub import decontaminate
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": pa.array(
+                ["a b c d e f g h i", "too short", "a b c d e f g h x"]
+            ),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = decontaminate(str(tmp_path), n=8, eval_mod=13).to_pandas()
+    # doc 0 is the eval doc (0 % 13 == 0); doc 1 is short; doc 2 remains
+    assert out.doc_id.tolist() == [2]
+    assert out.n_grams.tolist() == [2]
+    assert out.n_hit.tolist() == [1]  # "a b c d e f g h" shared with doc 0
+
+
+# ------------------------------------------------------------------ pii scrub
+def test_pii_scrub_counts(ray_session, tmp_path):
+    """Match counts / templates against hand-computed values, including
+    no-match and multi-match rows."""
+    tbl = pa.table(
+        {
+            "event_type": pa.array(["a", "a", "a", "b"]),
+            "props": pa.array(
+                ['{"k": 69}', '{"k": 7, "v": 12}', "no digits", '{"k": 69}']
+            ),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    from ner_pytorch_ray.pipelines.scrub import pii_scrub
+
+    out = pii_scrub(str(tmp_path)).to_pandas().set_index("event_type")
+    # type a: 3 events, 1+2+0 matches, templates {'{"k": <NUM>}',
+    # '{"k": <NUM>, "v": <NUM>}', 'no digits'}
+    assert tuple(out.loc["a"]) == (3, 3, 3)
+    assert tuple(out.loc["b"]) == (1, 1, 1)
+
+
+# ---------------------------------------------------------- stratified sample
+def test_stratified_sample_is_md5_order(ray_session):
+    """Sample == the per-lang smallest-md5 prefix, ranks contiguous."""
+    from ner_pytorch_ray.pipelines.scrub import stratified_sample
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "lang"])
+    by_lang: dict[str, list[tuple[str, int]]] = {}
+    for d, lang in zip(
+        tbl.column("doc_id").to_pylist(), tbl.column("lang").to_pylist()
+    ):
+        by_lang.setdefault(lang, []).append(
+            (hashlib.md5(str(d).encode()).hexdigest(), d)
+        )
+    out = stratified_sample(SF, per_stratum=7).to_pandas()
+    for lang, items in by_lang.items():
+        exp = [d for _, d in sorted(items)[:7]]
+        got = out[out.lang == lang].sort_values("rn")
+        assert got.doc_id.tolist() == exp
+        assert got.rn.tolist() == list(range(1, len(exp) + 1))
+
+
+# ------------------------------------------------------------- relational ops
+def test_customer_order_activity_anti_join(ray_session, tmp_path):
+    """Anti-join cardinality (n_customers - n_active) and orphan guard."""
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2, 3], type=pa.int64()),
+                "c_nationkey": pa.array([7, 7, 8], type=pa.int32()),
+                "c_acctbal": pa.array([10.005, -3.125, 0.0]),
+            }
+        ),
+        tmp_path / "customer.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                # cust 1 twice, cust 99 is an orphan (no customer row)
+                "o_custkey": pa.array([1, 1, 99], type=pa.int64()),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    from ner_pytorch_ray.pipelines.relational import customer_order_activity
+
+    out = customer_order_activity(str(tmp_path)).to_pandas().set_index("c_nationkey")
+    # nation 7: custs {1 active(2 orders), 2 inactive}; cents round
+    # half-away-from-zero: 10.005 -> 1001, -3.125 -> -313
+    assert tuple(out.loc[7]) == (2, 1, 2, 1001 - 313)
+    assert tuple(out.loc[8]) == (1, 0, 0, 0)
+    assert 99 not in out.index  # orphan filtered by is_cust
+
+
+def test_orders_rollup_levels(ray_session):
+    """Subtotals and grand total are exact sums of the finest level."""
+    from ner_pytorch_ray.pipelines.relational import orders_rollup
+
+    out = orders_rollup(SF).to_pandas()
+    finest = out[(out.o_year != -1) & (out.o_month != -1)]
+    years = out[(out.o_year != -1) & (out.o_month == -1)].set_index("o_year")
+    total = out[out.o_year == -1]
+    for y, grp in finest.groupby("o_year"):
+        assert years.loc[y].n_orders == grp.n_orders.sum()
+        assert years.loc[y].revenue_cents == grp.revenue_cents.sum()
+    assert len(total) == 1
+    assert total.n_orders.iloc[0] == finest.n_orders.sum()
+    assert total.revenue_cents.iloc[0] == finest.revenue_cents.sum()
+
+
+# ---------------------------------------------------------------- lag gaps
+def test_events_lag_gaps_chunk_invariance(ray_session, tmp_path):
+    """Chunk salting never changes the answer: tiny chunks (many boundary
+    merges) == one giant chunk (single group), including a single-event
+    user and equal-timestamp ties."""
+    import ray
+
+    ts = [0, 10, 10, 25, 1_000_000_000, 1_000_000_060]
+    tbl = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 1, 1, 2], type=pa.int64()),
+            "ts": pa.array(ts, type=pa.timestamp("us")),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    from ner_pytorch_ray.pipelines.windows import events_lag_gaps
+
+    def run(chunk_minutes):
+        df = (
+            events_lag_gaps(str(tmp_path), chunk_minutes=chunk_minutes)
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        return [tuple(r) for r in df.itertuples(index=False)]
+
+    expect = [
+        (1, 5, 4, 1_000_000_000, 1_000_000_000 - 25),
+        (2, 1, 0, 0, 0),
+    ]
+    assert run(chunk_minutes=1) == expect
+    assert run(chunk_minutes=10**9) == expect
+
+
+def test_distinct_users_partition_invariance(ray_session):
+    """Exact distinct is independent of block layout: 1-block vs many-block
+    reads agree with a plain pandas recompute."""
+    import pandas as pd
+
+    from ner_pytorch_ray.pipelines.relational import distinct_users_by_type
+
+    exp = (
+        pq.read_table(f"{SF}/events.parquet", columns=["event_type", "user_id"])
+        .to_pandas()
+        .groupby("event_type")
+        .agg(n_users=("user_id", "nunique"), n_events=("user_id", "size"))
+        .reset_index()
+    )
+    got = distinct_users_by_type(SF).to_pandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values("event_type").reset_index(drop=True),
+        exp.sort_values("event_type").reset_index(drop=True),
+        check_dtype=False,
+    )
