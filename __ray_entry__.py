@@ -780,6 +780,12 @@ def _q_events_lag_gaps(sf_dir: str):
     return events_lag_gaps(sf_dir)
 
 
+def _q_approx_distinct_users(sf_dir: str):
+    from ner_pytorch_ray.pipelines.sketches import approx_distinct_users
+
+    return approx_distinct_users(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2.
 
@@ -834,6 +840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": _q_orders_rollup,
         "distinct_users_by_type": _q_distinct_users_by_type,
         "events_lag_gaps": _q_events_lag_gaps,
+        "approx_distinct_users": _q_approx_distinct_users,
         # flagship knowledge-graph DAG
         "kg_edges": _q_kg_edges,
         "kg_edges_incremental": _q_kg_edges_incremental,
@@ -841,7 +848,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mentions": _q_kg_mentions,
         "kg_linked": _q_kg_linked,
         "kg_relations": _q_kg_relations,
-        "kg_sentence_counts": _q_kg_sentence_counts,
         # neural tagger + training path (model scoring — frozen oracles)
         "neural_mentions": _q_neural_mentions,
         "neural_eval_metrics": _q_neural_eval_metrics,
@@ -859,7 +865,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_filter": _q_corpus_filter,
         # ---- past the driver's 50-entry window: stable since r1-r3 ------
         # (driver-green rows already recorded: exact_dedup r1-r3,
-        # ngram_jaccard_pairs r3, the four relational demos r1-r3)
+        # ngram_jaccard_pairs r3, kg_sentence_counts r1-r3, the four
+        # relational demos r1-r3)
+        "kg_sentence_counts": _q_kg_sentence_counts,
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "lineitem_pricing": _q_lineitem_pricing,
@@ -933,6 +941,9 @@ def _expected_oracles() -> dict[str, str]:
         "ivf_topk",
         "pq_topk",
         "tag_embeddings",
+        # HLL sketch: deterministic estimate, frozen by an independent
+        # sequential register recompute (make_expected.hll_expected)
+        "approx_distinct_users",
     ]
     return {
         n: f"SELECT * FROM read_parquet('{_EXPECTED}/{n}.parquet')"

@@ -222,3 +222,39 @@ def test_distinct_users_partition_invariance(ray_session):
         exp.sort_values("event_type").reset_index(drop=True),
         check_dtype=False,
     )
+
+
+# -------------------------------------------------------------- HLL sketch
+def test_hll_partitioning_invariance_and_error(ray_session, tmp_path):
+    """The sketch estimate is bit-identical under any block layout (register
+    max is order-free) and within ~2% of the exact count at 4k registers."""
+    import ray
+
+    rng = np.random.default_rng(7)
+    n = 20_000
+    users = rng.integers(0, 3_000, size=n)  # ~3000 distinct
+    tbl = pa.table(
+        {
+            "event_type": pa.array(["t"] * n),
+            "user_id": pa.array(users, type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    from ner_pytorch_ray.pipelines.sketches import approx_distinct_users, hll_distinct
+
+    est_file = approx_distinct_users(str(tmp_path)).to_pandas()
+    # same rows, shuffled + split into many tiny blocks
+    perm = rng.permutation(n)
+    ds2 = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(["t"] * n),
+                "user_id": pa.array(users[perm], type=pa.int64()),
+            }
+        )
+    ).repartition(37)
+    est_shuf = hll_distinct(ds2, "user_id", "event_type").to_pandas()
+    assert est_file.n_distinct_approx.tolist() == est_shuf.n_distinct_approx.tolist()
+    exact = len(np.unique(users))
+    got = est_file.n_distinct_approx.iloc[0]
+    assert abs(got - exact) / exact < 0.05  # ~3 sigma at m=4096 (sigma ~1.6%)

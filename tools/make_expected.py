@@ -1110,6 +1110,53 @@ def training_curve_adv_expected(
 
 
 # ---------------------------------------------------------------------- main
+def hll_expected(sf_dir: str) -> pa.Table:
+    """Sequential HLL count-distinct per event_type. The REGISTER build is an
+    independent pure-Python reimplementation (per-key loop, no numpy/arrow);
+    only the final estimate formula is shared with
+    pipelines/sketches._estimate so the two sides round identically."""
+    from ner_pytorch_ray.pipelines.sketches import _M, _P, _estimate
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+    MASK = 0xFFFFFFFFFFFFFFFF
+
+    def h64(v: int) -> int:
+        x = (v + 0x9E3779B97F4A7C15) & MASK
+        x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & MASK
+        x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & MASK
+        return x ^ (x >> 31)
+
+    regs: dict[str, list[int]] = {}
+    for et, uid in zip(
+        t.column("event_type").to_pylist(), t.column("user_id").to_pylist()
+    ):
+        h = h64(int(uid))
+        r = h >> (64 - _P)
+        rest = (h << _P) & MASK
+        if rest == 0:
+            rho = 64 - _P + 1
+        else:
+            rho = 1
+            while not (rest >> 63) & 1:
+                rho += 1
+                rest = (rest << 1) & MASK
+        m = regs.setdefault(et, [0] * _M)
+        if rho > m[r]:
+            m[r] = rho
+    ets = sorted(regs)
+    return pa.table(
+        {
+            "event_type": pa.array(ets, type=pa.string()),
+            "n_distinct_approx": pa.array(
+                [_estimate(np.asarray(regs[et], dtype=np.int64)) for et in ets],
+                type=pa.int64(),
+            ),
+        }
+    )
+
+
 def main(sf_dir: str, out_dir: str) -> None:
     os.makedirs(out_dir, exist_ok=True)
 
@@ -1120,6 +1167,7 @@ def main(sf_dir: str, out_dir: str) -> None:
     write("ann_lsh_topk", ann_lsh_expected(sf_dir))
     write("ivf_topk", ivf_topk_expected(sf_dir))
     write("pq_topk", pq_topk_expected(sf_dir))
+    write("approx_distinct_users", hll_expected(sf_dir))
 
     sents = sentence_rows(sf_dir, zeros=True)
     tagged = [(u, s, t, gaz_tags(t)) for u, s, t in sents]
