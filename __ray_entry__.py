@@ -786,6 +786,12 @@ def _q_approx_distinct_users(sf_dir: str):
     return approx_distinct_users(sf_dir)
 
 
+def _q_kg_transe_curve(sf_dir: str):
+    from ner_pytorch_ray.pipelines.kg_embed import kg_transe_curve
+
+    return kg_transe_curve(sf_dir, dim=16, epochs=5)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2.
 
@@ -841,6 +847,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_by_type": _q_distinct_users_by_type,
         "events_lag_gaps": _q_events_lag_gaps,
         "approx_distinct_users": _q_approx_distinct_users,
+        "kg_transe_curve": _q_kg_transe_curve,
         # flagship knowledge-graph DAG
         "kg_edges": _q_kg_edges,
         "kg_edges_incremental": _q_kg_edges_incremental,
@@ -851,7 +858,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # neural tagger + training path (model scoring — frozen oracles)
         "neural_mentions": _q_neural_mentions,
         "neural_eval_metrics": _q_neural_eval_metrics,
-        "neural_confusion": _q_neural_confusion,
         "neural_epoch_loss": _q_neural_epoch_loss,
         "training_curve": _q_training_curve,
         "training_curve_full": _q_training_curve_full,
@@ -866,7 +872,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- past the driver's 50-entry window: stable since r1-r3 ------
         # (driver-green rows already recorded: exact_dedup r1-r3,
         # ngram_jaccard_pairs r3, kg_sentence_counts r1-r3, the four
-        # relational demos r1-r3)
+        # relational demos r1-r3, neural_confusion r1-r3)
+        "neural_confusion": _q_neural_confusion,
         "kg_sentence_counts": _q_kg_sentence_counts,
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -944,6 +951,9 @@ def _expected_oracles() -> dict[str, str]:
         # HLL sketch: deterministic estimate, frozen by an independent
         # sequential register recompute (make_expected.hll_expected)
         "approx_distinct_users",
+        # integer TransE: frozen by an independent scalar-loop sequential
+        # recompute (make_expected.transe_expected)
+        "kg_transe_curve",
     ]
     return {
         n: f"SELECT * FROM read_parquet('{_EXPECTED}/{n}.parquet')"

@@ -1,0 +1,297 @@
+"""TransE knowledge-graph embeddings over the constructed triple table —
+distributed full-batch gradient descent with EXACT integer arithmetic.
+
+The reference pipeline stops at tagged mentions (NER-pytorch emits spans;
+train.py:478-479 is token-level SGD); a KG-construction engine additionally
+wants entity/relation embeddings over its own (subj, pred, obj) output for
+link prediction and entity similarity (Bordes et al. 2013, TransE). This
+module trains them the same way ``pipelines/training.py`` trains the
+tagger: per-block ANALYTIC gradient partials summed as plain int64 —
+integer addition is associative+commutative, so the model trajectory is
+bit-identical under any partitioning, block order, or cluster size. No
+float appears anywhere in the training loop:
+
+- embeddings live in int64 MICRO units, initialized from blake2b(entity:k)
+  (content-keyed: no dependence on row order or vocab numbering);
+- the score is squared L2 in micro^2: d(h,r,t) = sum_k (h_k+r_k-t_k)^2;
+- hinge activation (margin + d_pos - d_neg > 0) and its gradient
+  2*(h+r-t) are exact integers;
+- learning-rate scaling (floor division by 10^6) happens ONLY on the
+  driver after the global gradient sum — never inside a partial, where
+  per-block rounding would break partitioning invariance.
+
+Scale shape: the triple table streams through ``map_batches`` (one pass
+per epoch); per-block partials are (id, k, grad) rows over TOUCHED
+entities only, combiner'd before one small shuffle per epoch. The model
+(entity/relation embedding matrix) is broadcast per epoch via ``ray.put``
+— the same frozen-backbone pattern as training.py. The driver holds one
+int64 matrix of |entities| x dim; beyond driver memory the step itself
+shards by entity-id range (the gradient table is already keyed by entity),
+which is the documented growth path.
+
+Negative sampling is content-keyed (blake2b of the triple), one corrupted
+head and one corrupted tail per triple per epoch — deterministic without
+any global RNG state.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+MICRO = 1_000_000
+_INIT = 375_000  # ~0.375 in micro units ~ 6/sqrt(dim) / 4 for dim=16
+
+
+def _h64(s: str) -> int:
+    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+
+
+def _init_vec(name: str, dim: int) -> np.ndarray:
+    """Content-keyed deterministic init in [-_INIT, _INIT] micro units."""
+    return np.array(
+        [(_h64(f"{name}:{k}") % (2 * _INIT + 1)) - _INIT for k in range(dim)],
+        dtype=np.int64,
+    )
+
+
+def _neg_index(subj: str, pred: str, obj: str, salt: str, n: int) -> int:
+    return _h64(f"{subj}|{pred}|{obj}|{salt}") % n
+
+
+class _TransEState:
+    """Driver-side model state: entity/relation int64 matrices + id maps."""
+
+    def __init__(self, entities: list[str], relations: list[str], dim: int):
+        self.entities = entities  # sorted
+        self.relations = relations  # sorted
+        self.eid = {e: i for i, e in enumerate(entities)}
+        self.rid = {r: i for i, r in enumerate(relations)}
+        self.E = np.stack([_init_vec("ent:" + e, dim) for e in entities])
+        self.R = np.stack([_init_vec("rel:" + r, dim) for r in relations])
+        self.dim = dim
+
+
+_KIND_ENT, _KIND_REL, _KIND_LOSS, _KIND_ACTIVE = 0, 1, 2, 3
+
+
+def _scatter_rows(idxs: np.ndarray, vecs: np.ndarray, kind: int) -> pa.Table:
+    """Sum dim-vectors per index (sort + reduceat — vectorized combine),
+    emit (kind, idx, k, g) rows for nonzero components."""
+    order = np.argsort(idxs, kind="stable")
+    idxs, vecs = idxs[order], vecs[order]
+    starts = np.r_[0, np.nonzero(np.diff(idxs))[0] + 1]
+    uniq = idxs[starts]
+    summed = np.add.reduceat(vecs, starts, axis=0)
+    nz = summed != 0
+    ii, kk = np.nonzero(nz)
+    return pa.table(
+        {
+            "kind": pa.array(np.full(len(ii), kind, dtype=np.int64)),
+            "idx": pa.array(uniq[ii].astype(np.int64)),
+            "k": pa.array(kk.astype(np.int64)),
+            "g": pa.array(summed[ii, kk].astype(np.int64)),
+        }
+    )
+
+
+def _grad_partial(
+    batch: pa.Table,
+    state_ref,
+    margin_sq: int,
+) -> pa.Table:
+    """Integer hinge-loss gradient partial for one triple block — fully
+    vectorized (index gather, matrix diffs, scatter-reduce); only the
+    content-keyed negative sampling hashes per row. Emits
+    (kind, idx, k, g) rows plus (KIND_LOSS,0,0,sum_hinge) and
+    (KIND_ACTIVE,0,0,n_active). Exact int64 sums — no scaling/rounding."""
+    st: _TransEState = ray.get(state_ref)
+    E, R = st.E, st.R
+    n_ent = len(st.entities)
+    subj = batch.column("subj").to_pylist()
+    pred = batch.column("pred").to_pylist()
+    obj = batch.column("obj").to_pylist()
+    n = len(subj)
+    if n == 0:
+        return pa.table(
+            {
+                "kind": pa.array([], type=pa.int64()),
+                "idx": pa.array([], type=pa.int64()),
+                "k": pa.array([], type=pa.int64()),
+                "g": pa.array([], type=pa.int64()),
+            }
+        )
+    hi = np.array([st.eid[s] for s in subj], dtype=np.int64)
+    ri = np.array([st.rid[p] for p in pred], dtype=np.int64)
+    ti = np.array([st.eid[o] for o in obj], dtype=np.int64)
+    nt = np.array(
+        [_neg_index(s, p, o, "nt", n_ent) for s, p, o in zip(subj, pred, obj)],
+        dtype=np.int64,
+    )
+    nh = np.array(
+        [_neg_index(s, p, o, "nh", n_ent) for s, p, o in zip(subj, pred, obj)],
+        dtype=np.int64,
+    )
+    nt = np.where(nt == ti, (nt + 1) % n_ent, nt)
+    nh = np.where(nh == hi, (nh + 1) % n_ent, nh)
+
+    H, Rm, T = E[hi], R[ri], E[ti]
+    diff_pos = H + Rm - T
+    d_pos = np.einsum("ij,ij->i", diff_pos, diff_pos)
+
+    ent_idx_parts: list[np.ndarray] = []
+    ent_vec_parts: list[np.ndarray] = []
+    rel_idx_parts: list[np.ndarray] = []
+    rel_vec_parts: list[np.ndarray] = []
+    loss = 0
+    active = 0
+    for corrupt_head, ni in ((False, nt), (True, nh)):
+        diff_neg = (E[ni] + Rm - T) if corrupt_head else (H + Rm - E[ni])
+        d_neg = np.einsum("ij,ij->i", diff_neg, diff_neg)
+        hinge = margin_sq + d_pos - d_neg
+        a = hinge > 0
+        if not a.any():
+            continue
+        active += int(a.sum())
+        loss += int(hinge[a].sum())
+        gp = 2 * diff_pos[a]
+        gn = 2 * diff_neg[a]
+        rel_idx_parts.append(ri[a])
+        rel_vec_parts.append(gp - gn)
+        if corrupt_head:
+            # d/dh=gp, d/dt=-gp+gn, d/dh'=-gn
+            ent_idx_parts += [hi[a], ti[a], ni[a]]
+            ent_vec_parts += [gp, gn - gp, -gn]
+        else:
+            # d/dh=gp-gn, d/dt=-gp, d/dt'=gn
+            ent_idx_parts += [hi[a], ti[a], ni[a]]
+            ent_vec_parts += [gp - gn, -gp, gn]
+
+    parts = []
+    if ent_idx_parts:
+        parts.append(
+            _scatter_rows(
+                np.concatenate(ent_idx_parts),
+                np.vstack(ent_vec_parts),
+                _KIND_ENT,
+            )
+        )
+        parts.append(
+            _scatter_rows(
+                np.concatenate(rel_idx_parts), np.vstack(rel_vec_parts), _KIND_REL
+            )
+        )
+    parts.append(
+        pa.table(
+            {
+                "kind": pa.array([_KIND_LOSS, _KIND_ACTIVE], type=pa.int64()),
+                "idx": pa.array([0, 0], type=pa.int64()),
+                "k": pa.array([0, 0], type=pa.int64()),
+                "g": pa.array([loss, active], type=pa.int64()),
+            }
+        )
+    )
+    return pa.concat_tables(parts)
+
+
+def _apply_step(st: _TransEState, grad_rows, lr_micro: int) -> tuple[int, int]:
+    """Driver-side exact step: x -= (lr * g) // MICRO on globally-summed
+    gradients (floor division happens ONLY here, after the global sum).
+    Returns (sum_hinge, n_active)."""
+    loss = active = 0
+    for kind, idx, k, g in grad_rows:
+        if kind == _KIND_LOSS:
+            loss = g
+        elif kind == _KIND_ACTIVE:
+            active = g
+        elif kind == _KIND_ENT:
+            st.E[idx, k] -= (lr_micro * g) // MICRO
+        else:
+            st.R[idx, k] -= (lr_micro * g) // MICRO
+    return loss, active
+
+
+def _checksum(st: _TransEState) -> int:
+    """Order-free state fingerprint in micro units (exact int sum)."""
+    return int(np.abs(st.E).sum() + np.abs(st.R).sum())
+
+
+_CURVE_SCHEMA = pa.schema(
+    [
+        ("epoch", pa.int64()),
+        ("loss_micro2", pa.int64()),
+        ("n_active", pa.int64()),
+        ("emb_checksum", pa.int64()),
+    ]
+)
+
+
+def transe_curve_ds(
+    triples: ray.data.Dataset,
+    dim: int = 16,
+    epochs: int = 5,
+    lr_micro: int = 10_000,
+    margin_sq: int = MICRO * MICRO,
+) -> pa.Table:
+    """Train TransE over a (subj, pred, obj) Dataset; returns the per-epoch
+    curve table (loss in micro^2 units, hinge-active count, state
+    checksum). Bit-identical for any partitioning of ``triples``."""
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
+
+    # vocab: distinct strings (the triple table is the small, already
+    # canonicalized KG output; at web scale this pull shards by id range)
+    distinct = triples.groupby(["subj", "pred", "obj"]).count()
+    rows = distinct.select_columns(["subj", "pred", "obj"]).take_all()
+    entities = sorted({r["subj"] for r in rows} | {r["obj"] for r in rows})
+    relations = sorted({r["pred"] for r in rows})
+    st = _TransEState(entities, relations, dim)
+
+    tri = ray.data.from_arrow(
+        pa.table(
+            {
+                "subj": pa.array([r["subj"] for r in rows], type=pa.string()),
+                "pred": pa.array([r["pred"] for r in rows], type=pa.string()),
+                "obj": pa.array([r["obj"] for r in rows], type=pa.string()),
+            }
+        )
+    ).repartition(8)
+    tri = tri.materialize()
+
+    curve = []
+    for epoch in range(epochs):
+        ref = ray.put(st)
+        partials = tri.map_batches(
+            lambda b: _grad_partial(b, ref, margin_sq), batch_format="pyarrow"
+        )
+        summed = grouped_sum(partials, ["kind", "idx", "k"], sum_cols=["g"])
+        grad_rows = [
+            (r["kind"], r["idx"], r["k"], r["g"]) for r in summed.take_all()
+        ]  # bounded: touched-vocab x dim
+        loss, active = _apply_step(st, grad_rows, lr_micro)
+        curve.append((epoch, loss, active, _checksum(st)))
+
+    return pa.Table.from_pydict(
+        {
+            "epoch": pa.array([c[0] for c in curve], type=pa.int64()),
+            "loss_micro2": pa.array([c[1] for c in curve], type=pa.int64()),
+            "n_active": pa.array([c[2] for c in curve], type=pa.int64()),
+            "emb_checksum": pa.array([c[3] for c in curve], type=pa.int64()),
+        },
+        schema=_CURVE_SCHEMA,
+    )
+
+
+def kg_transe_curve(sf_dir: str, dim: int = 16, epochs: int = 5) -> pa.Table:
+    """TransE training curve over the engine's own constructed KG triples
+    (pipelines/kg.relations_from_documents)."""
+    from ner_pytorch_ray.pipelines.kg import relations_from_documents
+
+    triples = relations_from_documents(sf_dir).select_columns(
+        ["subj", "pred", "obj"]
+    )
+    return transe_curve_ds(triples, dim=dim, epochs=epochs)

@@ -1157,6 +1157,114 @@ def hll_expected(sf_dir: str) -> pa.Table:
     )
 
 
+def transe_expected(sf_dir: str, dim: int = 16, epochs: int = 5) -> pa.Table:
+    """Sequential TransE recompute — INDEPENDENT implementation (scalar
+    loops + dicts; the pipeline uses vectorized gather/einsum/reduceat).
+    Triples come from the kg_relations SQL oracle (itself proven equal to
+    the distributed extraction), so this gates the training math, not the
+    extraction."""
+    import glob
+
+    import duckdb
+
+    import __ray_entry__ as entry
+
+    con = duckdb.connect()
+    for path in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        name = os.path.splitext(os.path.basename(path))[0]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
+    sql = entry.oracle_sql()["kg_relations"]
+    tri = con.execute(
+        f"SELECT DISTINCT subj, pred, obj FROM ({sql})"
+    ).fetchall()
+    entities = sorted({s for s, _, _ in tri} | {o for _, _, o in tri})
+    relations = sorted({p for _, p, _ in tri})
+    MICRO, INIT = 1_000_000, 375_000
+    margin_sq, lr = MICRO * MICRO, 10_000
+    n_ent = len(entities)
+    eix = {e: i for i, e in enumerate(entities)}
+    rix = {r: i for i, r in enumerate(relations)}
+
+    def h64(s: str) -> int:
+        return int.from_bytes(
+            hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
+        )
+
+    E = {
+        e: [(h64(f"ent:{e}:{k}") % (2 * INIT + 1)) - INIT for k in range(dim)]
+        for e in entities
+    }
+    R = {
+        r: [(h64(f"rel:{r}:{k}") % (2 * INIT + 1)) - INIT for k in range(dim)]
+        for r in relations
+    }
+    curve = []
+    for epoch in range(epochs):
+        ge: dict[str, list[int]] = {}
+        gr: dict[str, list[int]] = {}
+        loss = active = 0
+
+        def add(acc, key, vec, sign):
+            a = acc.setdefault(key, [0] * dim)
+            for k in range(dim):
+                a[k] += sign * vec[k]
+
+        for s, p, o in tri:
+            h, r, t = E[s], R[p], E[o]
+            dp = [h[k] + r[k] - t[k] for k in range(dim)]
+            d_pos = sum(x * x for x in dp)
+            for salt, corrupt_head in (("nt", False), ("nh", True)):
+                ni = h64(f"{s}|{p}|{o}|{salt}") % n_ent
+                if corrupt_head:
+                    if ni == eix[s]:
+                        ni = (ni + 1) % n_ent
+                    cand = entities[ni]
+                    dn = [E[cand][k] + r[k] - t[k] for k in range(dim)]
+                else:
+                    if ni == eix[o]:
+                        ni = (ni + 1) % n_ent
+                    cand = entities[ni]
+                    dn = [h[k] + r[k] - E[cand][k] for k in range(dim)]
+                d_neg = sum(x * x for x in dn)
+                hinge = margin_sq + d_pos - d_neg
+                if hinge <= 0:
+                    continue
+                active += 1
+                loss += hinge
+                gp = [2 * x for x in dp]
+                gn = [2 * x for x in dn]
+                add(gr, p, gp, 1)
+                add(gr, p, gn, -1)
+                if corrupt_head:
+                    add(ge, s, gp, 1)
+                    add(ge, o, gn, 1)
+                    add(ge, o, gp, -1)
+                    add(ge, cand, gn, -1)
+                else:
+                    add(ge, s, gp, 1)
+                    add(ge, s, gn, -1)
+                    add(ge, o, gp, -1)
+                    add(ge, cand, gn, 1)
+        for e, g in ge.items():
+            for k in range(dim):
+                E[e][k] -= (lr * g[k]) // MICRO
+        for r_, g in gr.items():
+            for k in range(dim):
+                R[r_][k] -= (lr * g[k]) // MICRO
+        checksum = sum(abs(x) for v in E.values() for x in v) + sum(
+            abs(x) for v in R.values() for x in v
+        )
+        curve.append((epoch, loss, active, checksum))
+    return pa.table(
+        {
+            "epoch": pa.array([c[0] for c in curve], type=pa.int64()),
+            "loss_micro2": pa.array([c[1] for c in curve], type=pa.int64()),
+            "n_active": pa.array([c[2] for c in curve], type=pa.int64()),
+            "emb_checksum": pa.array([c[3] for c in curve], type=pa.int64()),
+        }
+    )
+
+
 def main(sf_dir: str, out_dir: str) -> None:
     os.makedirs(out_dir, exist_ok=True)
 
@@ -1168,6 +1276,7 @@ def main(sf_dir: str, out_dir: str) -> None:
     write("ivf_topk", ivf_topk_expected(sf_dir))
     write("pq_topk", pq_topk_expected(sf_dir))
     write("approx_distinct_users", hll_expected(sf_dir))
+    write("kg_transe_curve", transe_expected(sf_dir))
 
     sents = sentence_rows(sf_dir, zeros=True)
     tagged = [(u, s, t, gaz_tags(t)) for u, s, t in sents]
