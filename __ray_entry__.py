@@ -786,6 +786,18 @@ def _q_approx_distinct_users(sf_dir: str):
     return approx_distinct_users(sf_dir)
 
 
+def _q_heavy_bigrams(sf_dir: str):
+    from ner_pytorch_ray.pipelines.sketches import heavy_bigrams
+
+    return heavy_bigrams(sf_dir, denom=700)
+
+
+def _q_kg_bfs_hops(sf_dir: str):
+    from ner_pytorch_ray.pipelines.graph_ops import kg_bfs_hops
+
+    return kg_bfs_hops(sf_dir)
+
+
 def _q_kg_transe_curve(sf_dir: str):
     from ner_pytorch_ray.pipelines.kg_embed import kg_transe_curve
 
@@ -814,6 +826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": _q_kg_pagerank,
         "kg_triangles": _q_kg_triangles,
         "kg_node_metrics": _q_kg_node_metrics,
+        "kg_bfs_hops": _q_kg_bfs_hops,
         # similarity search (round 2-3, never driver-checked)
         "knn_topk": _q_knn_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -847,6 +860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_by_type": _q_distinct_users_by_type,
         "events_lag_gaps": _q_events_lag_gaps,
         "approx_distinct_users": _q_approx_distinct_users,
+        "heavy_bigrams": _q_heavy_bigrams,
         "kg_transe_curve": _q_kg_transe_curve,
         # flagship knowledge-graph DAG
         "kg_edges": _q_kg_edges,
@@ -866,13 +880,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adv_rep_variants": _q_adv_rep_variants,
         "adv_ppl_filtered": _q_adv_ppl_filtered,
         "adv_topk_loss": _q_adv_topk_loss,
-        # dedup + curation flagships
-        "exact_dedup_incremental": _q_exact_dedup_incremental,
-        "corpus_filter": _q_corpus_filter,
         # ---- past the driver's 50-entry window: stable since r1-r3 ------
         # (driver-green rows already recorded: exact_dedup r1-r3,
         # ngram_jaccard_pairs r3, kg_sentence_counts r1-r3, the four
-        # relational demos r1-r3, neural_confusion r1-r3)
+        # relational demos r1-r3, neural_confusion r1-r3, corpus_filter r3,
+        # exact_dedup_incremental r3)
+        "exact_dedup_incremental": _q_exact_dedup_incremental,
+        "corpus_filter": _q_corpus_filter,
         "neural_confusion": _q_neural_confusion,
         "kg_sentence_counts": _q_kg_sentence_counts,
         "exact_dedup": _q_exact_dedup,
@@ -1100,6 +1114,25 @@ FROM (
   FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
   GROUP BY token
 )
+""",
+        # exact heavy hitters (f * denom > N) over corpus bigrams; the
+        # engine discovers candidates with a Misra-Gries sketch but the
+        # final counts are exact, so a plain GROUP BY ... HAVING oracle
+        "heavy_bigrams": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+tok AS (
+  SELECT doc_id, CAST(generate_subscripts(t, 1) - 1 AS BIGINT) AS pos,
+         unnest(t) AS w
+  FROM t
+),
+tk2 AS (
+  SELECT doc_id, pos, w,
+         lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM tok
+),
+bg AS (SELECT w || ' ' || w2 AS term FROM tk2 WHERE w2 IS NOT NULL)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY term
+HAVING COUNT(*) * 700 > (SELECT COUNT(*) FROM bg) ORDER BY term
 """,
         "bpe_token_counts": r"""
 SELECT doc_id,
@@ -1988,6 +2021,30 @@ reach(node, root) AS (
   SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
 )
 SELECT node, MIN(root) AS component FROM reach GROUP BY node
+"""
+    )
+    # multi-source BFS hop distance from ORG entities over the KG's
+    # symmetric co-occurrence edges (recursive CTE: level-bounded
+    # (node, dist) expansion; MIN(dist) per node == true hop distance)
+    out["kg_bfs_hops"] = (
+        _KG_MENTIONS_CTE.replace("WITH toks", "WITH RECURSIVE toks")
+        + """
+, pairs AS (
+  SELECT DISTINCT m1.doc_id, m1.sent, m1.ent AS a, m2.ent AS b
+  FROM men m1
+  JOIN men m2 ON m1.doc_id = m2.doc_id AND m1.sent = m2.sent
+  WHERE m1.ent < m2.ent
+),
+edges AS (SELECT DISTINCT a, b FROM pairs
+          UNION SELECT DISTINCT b AS a, a AS b FROM pairs),
+seeds AS (SELECT DISTINCT a AS node FROM edges WHERE a LIKE 'org:%'),
+bfs(node, dist) AS (
+  SELECT node, CAST(0 AS BIGINT) FROM seeds
+  UNION
+  SELECT e.b, f.dist + 1 FROM bfs f JOIN edges e ON e.a = f.node
+  WHERE f.dist < 16
+)
+SELECT node, MIN(dist) AS dist FROM bfs GROUP BY node ORDER BY node
 """
     )
     # entity dashboard: mention stats LEFT-JOIN components, 3-iteration

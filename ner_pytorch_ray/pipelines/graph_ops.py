@@ -987,3 +987,162 @@ def kg_node_metrics(
 
     stats = stats.map_batches(rename, batch_format="pyarrow")
     return node_metrics_over_graph(ew, stats, pagerank_iters=pagerank_iters)
+
+
+def _propagate_hops(
+    dists: ray.data.Dataset,
+    adj: ray.data.Dataset,
+    node_type: pa.DataType = pa.string(),
+) -> ray.data.Dataset:
+    """One BFS frontier round: every node that already has a distance
+    sends dist+1 to its out-neighbors; each node keeps the min of its own
+    distance and all incoming offers. Same keyed-collect union idiom as
+    ``_propagate_min`` (label row + out-edge rows per group), message
+    volume = reached-degree sum per round."""
+    from ner_pytorch_ray.stages.groupby_utils import (
+        collect_tuples,
+        flat_map_groups,
+        grouped_sum,
+    )
+
+    schema = pa.schema([("node", node_type), ("label", pa.int64())])
+
+    def label_rows(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "node": batch.column("node"),
+                "peer": pa.array([None] * len(batch), type=node_type),
+                "label": batch.column("label"),
+            }
+        )
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "node": batch.column("a").cast(node_type),
+                "peer": batch.column("b").cast(node_type),
+                "label": pa.array([None] * len(batch), type=pa.int64()),
+            }
+        )
+
+    unioned = dists.map_batches(label_rows, batch_format="pyarrow").union(
+        adj.map_batches(edge_rows, batch_format="pyarrow")
+    )
+    collected = collect_tuples(
+        unioned, ["node"], ["peer", "label"], shuffle_blocks="auto"
+    )
+
+    def emit(key, items) -> pa.Table:
+        if items is None:
+            return schema.empty_table()
+        labs = [l for _, l in items if l is not None]
+        if not labs:  # node not reached yet: no frontier to extend
+            return schema.empty_table()
+        d = min(labs)
+        nodes = [p for p, _ in items if p is not None]
+        out_d = [d + 1] * len(nodes)
+        nodes.append(key[0])
+        out_d.append(d)
+        return pa.Table.from_pydict(
+            {
+                "node": pa.array(nodes, type=node_type),
+                "label": pa.array(out_d, type=pa.int64()),
+            }
+        )
+
+    msgs = flat_map_groups(collected, emit, ["node"])
+    return grouped_sum(msgs, keys=["node"], sum_cols=[], min_cols=["label"])
+
+
+def bfs_hops_over_edges(
+    edges: ray.data.Dataset,
+    seeds: ray.data.Dataset,
+    node_type: pa.DataType = pa.string(),
+    max_iters: int = 16,
+) -> ray.data.Dataset:
+    """Multi-source BFS hop distance over a SYMMETRIC edge table (a, b):
+    (node, dist) for every node reachable from any seed (column ``node``),
+    dist = min #hops. One keyed-collect round per frontier level; only the
+    small (node, dist) state materializes between rounds.
+
+    Fixpoint proof for the early stop: the reached set only grows and each
+    reached node's dist only decreases, so the (count, sum) pair is
+    monotone and equality across a round proves the fixpoint."""
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
+
+    adj = edges.materialize()
+
+    def init_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.Table.from_pydict(
+            {
+                "node": batch.column("node").cast(node_type),
+                "label": pa.array([0] * n, type=pa.int64()),
+            }
+        )
+
+    dists = grouped_sum(
+        seeds.map_batches(init_rows, batch_format="pyarrow"),
+        keys=["node"],
+        sum_cols=[],
+        min_cols=["label"],
+    ).materialize()
+
+    def fingerprint(d: ray.data.Dataset) -> tuple:
+        return (d.count(), d.sum("label") or 0)
+
+    prev = fingerprint(dists)
+    for _ in range(max_iters):
+        dists = _propagate_hops(dists, adj, node_type).materialize()
+        cur = fingerprint(dists)
+        if cur == prev:
+            break
+        prev = cur
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["node", "dist"])
+
+    return dists.map_batches(rename, batch_format="pyarrow").sort("node")
+
+
+def kg_bfs_hops(
+    sf_dir: str, seed_prefix: str = "org:", max_iters: int = 16
+) -> ray.data.Dataset:
+    """Hop distance from the ORG entities over the constructed KG's
+    co-occurrence edges: how far every entity sits from the nearest
+    organization mention. Seeds = KG nodes whose entity id starts with
+    ``seed_prefix``. Returns (node:string, dist:int64), reachable nodes
+    only, sorted by node."""
+    import pyarrow.compute as pc
+
+    from ner_pytorch_ray.pipelines.kg import linked_mentions_cached
+    from ner_pytorch_ray.stages.graph import edge_partials_merged
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
+
+    ew = edge_partials_merged(linked_mentions_cached(sf_dir))
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        fwd = pa.table({"a": batch.column("subj"), "b": batch.column("obj")})
+        rev = pa.table({"a": batch.column("obj"), "b": batch.column("subj")})
+        return pa.concat_tables([fwd, rev])
+
+    sym = ew.map_batches(symmetrize, batch_format="pyarrow")
+
+    def seed_rows(batch: pa.Table) -> pa.Table:
+        a = batch.column("a")
+        kept = a.filter(pc.starts_with(a, seed_prefix))
+        return pa.table(
+            {
+                "node": kept,
+                "one": pa.array([1] * len(kept), type=pa.int64()),
+            }
+        )
+
+    seeds = grouped_sum(
+        sym.map_batches(seed_rows, batch_format="pyarrow"),
+        keys=["node"],
+        sum_cols=["one"],
+    ).select_columns(["node"])
+    return bfs_hops_over_edges(
+        sym, seeds, node_type=pa.string(), max_iters=max_iters
+    )

@@ -181,6 +181,43 @@ def _retire_versions(state_dir: str, new: int) -> None:
                 shutil.rmtree(os.path.join(state_dir, entry))
 
 
+class _TouchedFilter:
+    """Actor-pool filter of prior minhash state rows by the delta's touched
+    (band, key) bucket set. The broadcast set is fetched ONCE per actor in
+    ``__init__``; ``__call__`` runs a vectorized coarse pass on the 63-bit
+    key (the untouched bulk of the prior state short-circuits there) with
+    an exact (band, key) tuple check only on the few key-hits.
+    ``keep=True`` keeps touched rows, ``keep=False`` keeps untouched."""
+
+    def __init__(self, touched_ref, keep: bool):
+        tset = (
+            ray.get(touched_ref)
+            if isinstance(touched_ref, ray.ObjectRef)
+            else touched_ref
+        )
+        self.tset: set[tuple[int, int]] = tset
+        self.tkeys = np.fromiter(
+            (k for _, k in tset), dtype=np.int64, count=len(tset)
+        )
+        self.keep = keep
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = np.asarray(
+            batch.column("key").to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        bands_col = np.asarray(
+            batch.column("band").to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        cand = np.isin(keys, self.tkeys)
+        hit = cand.copy()
+        for i in np.nonzero(cand)[0]:
+            hit[i] = (int(bands_col[i]), int(keys[i])) in self.tset
+        mask = hit if self.keep else ~hit
+        return batch.filter(pa.array(mask))
+
+
 def ingest_pages_delta(
     pages: ray.data.Dataset,
     state_dir: str,
@@ -747,30 +784,6 @@ def ingest_minhash_delta(
         )
     touched_ref = ray.put(touched)
 
-    def in_touched(keep: bool):
-        def fn(batch: pa.Table) -> pa.Table:
-            tset = ray.get(touched_ref)
-            keys = np.asarray(
-                batch.column("key").to_numpy(zero_copy_only=False),
-                dtype=np.int64,
-            )
-            bands_col = np.asarray(
-                batch.column("band").to_numpy(zero_copy_only=False),
-                dtype=np.int64,
-            )
-            # vectorized coarse pass on the 63-bit key (the untouched bulk
-            # of the prior state short-circuits here); exact (band, key)
-            # tuple check only on the few key-hits
-            tkeys = np.fromiter((k for _, k in tset), dtype=np.int64, count=len(tset))
-            cand = np.isin(keys, tkeys)
-            hit = cand.copy()
-            for i in np.nonzero(cand)[0]:
-                hit[i] = (int(bands_col[i]), int(keys[i])) in tset
-            mask = hit if keep else ~hit
-            return batch.filter(pa.array(mask))
-
-        return fn
-
     ver = state["version"]
     prior_bands = (
         ray.data.read_parquet(os.path.join(state_dir, f"v{ver}", "bands"))
@@ -779,7 +792,10 @@ def ingest_minhash_delta(
     )
     if prior_bands is not None:
         bucket_input = prior_bands.map_batches(
-            in_touched(True), batch_format="pyarrow"
+            _TouchedFilter,
+            fn_constructor_args=(touched_ref, True),
+            concurrency=(1, 4),
+            batch_format="pyarrow",
         ).union(delta_bands)
     else:
         bucket_input = delta_bands
@@ -804,7 +820,10 @@ def ingest_minhash_delta(
             os.path.join(state_dir, f"v{ver}", "pairs")
         )
         pairs_state = prior_pairs.map_batches(
-            in_touched(False), batch_format="pyarrow"
+            _TouchedFilter,
+            fn_constructor_args=(touched_ref, False),
+            concurrency=(1, 4),
+            batch_format="pyarrow",
         ).union(new_pairs)
     else:
         pairs_state = new_pairs

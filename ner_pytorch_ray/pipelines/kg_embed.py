@@ -100,17 +100,32 @@ def _scatter_rows(idxs: np.ndarray, vecs: np.ndarray, kind: int) -> pa.Table:
     )
 
 
-def _grad_partial(
-    batch: pa.Table,
-    state_ref,
-    margin_sq: int,
-) -> pa.Table:
-    """Integer hinge-loss gradient partial for one triple block — fully
-    vectorized (index gather, matrix diffs, scatter-reduce); only the
+class _GradPartial:
+    """Integer hinge-loss gradient partial per triple block — an actor-pool
+    callable: the broadcast model state is fetched ONCE per actor in
+    ``__init__`` (zero-copy plasma read), never per batch. The math is
+    fully vectorized (index gather, matrix diffs, scatter-reduce); only the
     content-keyed negative sampling hashes per row. Emits
     (kind, idx, k, g) rows plus (KIND_LOSS,0,0,sum_hinge) and
     (KIND_ACTIVE,0,0,n_active). Exact int64 sums — no scaling/rounding."""
-    st: _TransEState = ray.get(state_ref)
+
+    def __init__(self, state_ref, margin_sq: int):
+        self.st: _TransEState = (
+            ray.get(state_ref)
+            if isinstance(state_ref, ray.ObjectRef)
+            else state_ref
+        )
+        self.margin_sq = margin_sq
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return _grad_partial(batch, self.st, self.margin_sq)
+
+
+def _grad_partial(
+    batch: pa.Table,
+    st: _TransEState,
+    margin_sq: int,
+) -> pa.Table:
     E, R = st.E, st.R
     n_ent = len(st.entities)
     subj = batch.column("subj").to_pylist()
@@ -266,7 +281,10 @@ def transe_curve_ds(
     for epoch in range(epochs):
         ref = ray.put(st)
         partials = tri.map_batches(
-            lambda b: _grad_partial(b, ref, margin_sq), batch_format="pyarrow"
+            _GradPartial,
+            fn_constructor_args=(ref, margin_sq),
+            concurrency=(1, 4),
+            batch_format="pyarrow",
         )
         summed = grouped_sum(partials, ["kind", "idx", "k"], sum_cols=["g"])
         grad_rows = [

@@ -154,3 +154,159 @@ def approx_distinct_users(sf_dir: str) -> ray.data.Dataset:
         f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
     )
     return hll_distinct(ds, key_col="user_id", group_col="event_type")
+
+
+# ---------------------------------------------------------------------------
+# Guaranteed heavy hitters: Misra-Gries candidate sketch + exact verify pass
+# ---------------------------------------------------------------------------
+
+_TOTAL_SENTINEL = "\x00total"  # cannot collide with a real token/ngram
+
+
+def _mg_compress(terms: np.ndarray, counts: np.ndarray, k: int):
+    """Closed-form Misra-Gries compression of a counted multiset to <= k
+    counters: subtract d = the (k+1)-th largest count from every counter and
+    keep the positive ones. Each decrement round removes k+1 occurrences, so
+    d * (k+1) <= n_block and every surviving estimate undercounts its true
+    block frequency by at most n_block/(k+1) (Misra & Gries 1982)."""
+    if len(terms) <= k:
+        return terms, counts
+    d = np.partition(counts, len(counts) - (k + 1))[len(counts) - (k + 1)]
+    keep = counts > d
+    return terms[keep], counts[keep] - d
+
+
+def _ngrams_of_block(texts: list[str], n: int) -> np.ndarray:
+    grams: list[str] = []
+    if n == 1:
+        for t in texts:
+            grams.extend(t.split(" "))
+    else:
+        for t in texts:
+            toks = t.split(" ")
+            grams.extend(
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            )
+    return np.asarray(grams, dtype=object)
+
+
+def heavy_ngrams(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    n: int = 2,
+    denom: int = 700,
+) -> ray.data.Dataset:
+    """EXACT heavy hitters with sketch-bounded intermediate state: every
+    n-gram whose corpus frequency f satisfies f * denom > N (N = total
+    n-gram occurrences), with its exact count. Output (term, cnt) sorted.
+
+    Two streaming passes:
+    1. per-block Misra-Gries(k = 2*denom - 1) summaries -> grouped-sum
+       merge. Summing per-block MG estimates undercounts any term by at
+       most sum_b n_b/(k+1) = N/(2*denom), so every true heavy hitter
+       (f > N/denom) survives with merged estimate > N/(2*denom); pruning
+       at that bound leaves a GUARANTEED superset of <= 2*denom candidates
+       (estimates sum to <= N) — bounded independent of corpus size,
+       vocabulary, and block count.
+    2. exact count of candidate n-grams only (candidate set broadcast via
+       ``ray.put``, np.isin per block, int64 grouped sum), then the exact
+       threshold f * denom > N.
+
+    The shuffles move <= blocks x k sketch rows (pass 1) and <= 2*denom
+    candidate rows (pass 2) — never the n-gram space itself."""
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
+
+    k = 2 * denom - 1
+
+    def sketch_partial(batch: pa.Table) -> pa.Table:
+        grams = _ngrams_of_block(batch.column(text_col).to_pylist(), n)
+        terms, counts = np.unique(grams, return_counts=True)
+        n_block = int(counts.sum())
+        terms, counts = _mg_compress(terms, counts, k)
+        return pa.table(
+            {
+                "term": pa.array(
+                    list(terms) + [_TOTAL_SENTINEL], type=pa.string()
+                ),
+                "est": pa.array(
+                    list(counts.astype(np.int64)) + [n_block],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    merged = grouped_sum(
+        ds.map_batches(sketch_partial, batch_format="pyarrow"),
+        ["term"],
+        sum_cols=["est"],
+    ).materialize()
+
+    import pyarrow.compute as pc
+
+    total_rows = merged.map_batches(
+        lambda b: b.filter(pc.equal(b.column("term"), _TOTAL_SENTINEL)),
+        batch_format="pyarrow",
+    ).take_all()
+    total = int(total_rows[0]["est"]) if total_rows else 0
+    if total == 0:
+        return ray.data.from_arrow(
+            pa.schema([("term", pa.string()), ("cnt", pa.int64())]).empty_table()
+        )
+
+    # guaranteed-superset prune: est > N/(2*denom) (see proof above)
+    def prune(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater(pc.multiply(b.column("est"), 2 * denom), total),
+            pc.not_equal(b.column("term"), _TOTAL_SENTINEL),
+        )
+        return b.filter(keep)
+
+    cand_rows = merged.map_batches(prune, batch_format="pyarrow").take_all()
+    candidates = np.asarray(
+        sorted(r["term"] for r in cand_rows), dtype=object
+    )
+    cand_ref = ray.put(candidates)
+
+    class _ExactCount:
+        """Exact candidate counts per block; candidate array fetched once
+        per actor."""
+
+        def __init__(self, ref):
+            self.cand = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            grams = _ngrams_of_block(batch.column(text_col).to_pylist(), n)
+            hits = grams[np.isin(grams, self.cand)]
+            terms, counts = np.unique(hits, return_counts=True)
+            return pa.table(
+                {
+                    "term": pa.array(list(terms), type=pa.string()),
+                    "cnt": pa.array(counts.astype(np.int64), type=pa.int64()),
+                }
+            )
+
+    exact = grouped_sum(
+        ds.map_batches(
+            _ExactCount,
+            fn_constructor_args=(cand_ref,),
+            concurrency=(1, 8),
+            batch_format="pyarrow",
+        ),
+        ["term"],
+        sum_cols=["cnt"],
+    )
+    def threshold(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pc.greater(pc.multiply(b.column("cnt"), denom), total)
+        )
+
+    return exact.map_batches(threshold, batch_format="pyarrow").sort("term")
+
+
+def heavy_bigrams(sf_dir: str, denom: int = 700) -> ray.data.Dataset:
+    """Corpus bigrams with frequency > N/denom (exact counts; sketch-bounded
+    discovery). Oracle: plain GROUP BY ... HAVING over the same bigrams."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    return heavy_ngrams(ds, text_col="text", n=2, denom=denom)
