@@ -786,6 +786,12 @@ def _q_approx_distinct_users(sf_dir: str):
     return approx_distinct_users(sf_dir)
 
 
+def _q_kg_edge_lifetimes(sf_dir: str):
+    from ner_pytorch_ray.pipelines.graph_ops import kg_edge_lifetimes
+
+    return kg_edge_lifetimes(sf_dir, n_crawls=3)
+
+
 def _q_heavy_bigrams(sf_dir: str):
     from ner_pytorch_ray.pipelines.sketches import heavy_bigrams
 
@@ -827,6 +833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triangles": _q_kg_triangles,
         "kg_node_metrics": _q_kg_node_metrics,
         "kg_bfs_hops": _q_kg_bfs_hops,
+        "kg_edge_lifetimes": _q_kg_edge_lifetimes,
         # similarity search (round 2-3, never driver-checked)
         "knn_topk": _q_knn_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -879,8 +886,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # adversarial-variant pipeline core
         "adv_rep_variants": _q_adv_rep_variants,
         "adv_ppl_filtered": _q_adv_ppl_filtered,
-        "adv_topk_loss": _q_adv_topk_loss,
         # ---- past the driver's 50-entry window: stable since r1-r3 ------
+        # (adv_topk_loss driver-green r1-r3)
+        "adv_topk_loss": _q_adv_topk_loss,
         # (driver-green rows already recorded: exact_dedup r1-r3,
         # ngram_jaccard_pairs r3, kg_sentence_counts r1-r3, the four
         # relational demos r1-r3, neural_confusion r1-r3, corpus_filter r3,
@@ -2021,6 +2029,23 @@ reach(node, root) AS (
   SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
 )
 SELECT node, MIN(root) AS component FROM reach GROUP BY node
+"""
+    )
+    # temporal KG edges: per-triple first/last crawl + crawl count, crawl =
+    # doc_id mod 3 (the deterministic stand-in for a warc_ts crawl
+    # partition); distinct (pair, crawl) then min/max/count
+    out["kg_edge_lifetimes"] = (
+        _KG_MENTIONS_CTE
+        + """
+, pr AS (
+  SELECT DISTINCT m1.doc_id % 3 AS crawl, m1.ent AS a, m2.ent AS b
+  FROM men m1 JOIN men m2 ON m1.doc_id = m2.doc_id AND m1.sent = m2.sent
+  WHERE m1.ent < m2.ent
+)
+SELECT a AS subj, 'co_occurs_with' AS pred, b AS obj,
+       MIN(crawl) AS first_crawl, MAX(crawl) AS last_crawl,
+       CAST(COUNT(*) AS BIGINT) AS n_crawls
+FROM pr GROUP BY a, b ORDER BY subj, obj
 """
     )
     # multi-source BFS hop distance from ORG entities over the KG's

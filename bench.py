@@ -218,6 +218,25 @@ def run_extras(sf_dir: str) -> dict:
     timed("corpus_filter", lambda: corpus_filter(sf_dir).count())
     timed("sentence_dedup", lambda: sentence_dedup(sf_dir).count())
     timed("sequence_pack", lambda: sequence_pack(sf_dir).count())
+
+    # round 4: corpus hygiene, bounded-state sketches, KG deepeners
+    from ner_pytorch_ray.pipelines.graph_ops import kg_bfs_hops
+    from ner_pytorch_ray.pipelines.kg_embed import kg_transe_curve
+    from ner_pytorch_ray.pipelines.scrub import decontaminate, pii_scrub
+    from ner_pytorch_ray.pipelines.sketches import (
+        approx_distinct_users,
+        heavy_bigrams,
+    )
+
+    timed("decontaminate", lambda: decontaminate(sf_dir).count())
+    timed("pii_scrub", lambda: pii_scrub(sf_dir).count())
+    timed("hll_distinct", lambda: approx_distinct_users(sf_dir).count())
+    timed("heavy_bigrams", lambda: heavy_bigrams(sf_dir).count())
+    timed("kg_bfs_hops", lambda: kg_bfs_hops(sf_dir).count())
+    timed(
+        "kg_transe_5ep",
+        lambda: kg_transe_curve(sf_dir, dim=16, epochs=5).num_rows,
+    )
     return extras
 
 

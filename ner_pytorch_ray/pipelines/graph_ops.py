@@ -1146,3 +1146,145 @@ def kg_bfs_hops(
     return bfs_hops_over_edges(
         sym, seeds, node_type=pa.string(), max_iters=max_iters
     )
+
+
+def kg_edge_lifetimes(sf_dir: str, n_crawls: int = 3) -> ray.data.Dataset:
+    """Temporal KG edge table: for every co-occurrence triple, the first /
+    last crawl it was observed in and in how many distinct crawls — the
+    recency/stability signal an incremental crawl pipeline attaches to each
+    edge. Crawl id derives deterministically from the page (doc_id mod
+    ``n_crawls``), standing in for the warc_ts crawl partition of a real
+    Common-Crawl layout.
+
+    Scale shape: pair generation is block-local and vectorized (same
+    repeat/arange index arithmetic as ``stages/graph._pairs_partial``);
+    each block emits DISTINCT (subj, obj, crawl) partials, so the first
+    shuffle moves at most |distinct triples| x n_crawls small rows; the
+    lifetime fold is one more native grouped aggregate (min / max-via-
+    negated-min / sum). Output sorted (subj, obj)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ner_pytorch_ray.pipelines.kg import linked_mentions_cached
+    from ner_pytorch_ray.stages.graph import CO_OCCURS
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
+
+    empty = pa.schema(
+        [
+            ("subj", pa.string()),
+            ("obj", pa.string()),
+            ("crawl", pa.int64()),
+            ("one", pa.int64()),
+        ]
+    )
+
+    def pair_crawl_partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(["url", "sent_id", "entity_id"]).combine_chunks()
+        t = t.filter(pc.not_equal(t.column("entity_id"), ""))
+        if t.num_rows == 0:
+            return empty.empty_table()
+        u_enc = t.column("url").combine_chunks().dictionary_encode()
+        e_enc = t.column("entity_id").combine_chunks().dictionary_encode()
+        u = u_enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        e = e_enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        e_dict = np.asarray(e_enc.dictionary.to_pylist(), dtype=object)
+        # crawl of each distinct url: the page id digits after "doc-"
+        doc_ids = pc.struct_field(
+            pc.extract_regex(u_enc.dictionary, r"doc-(?P<d>[0-9]+)"), "d"
+        )
+        crawl_of_url = np.asarray(
+            pc.cast(doc_ids, pa.int64()).to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        ) % n_crawls
+        s = np.asarray(
+            t.column("sent_id").combine_chunks().to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+
+        order = np.lexsort((e, s, u))
+        u, s, e = u[order], s[order], e[order]
+        if len(u) > 1:
+            dup = (u[1:] == u[:-1]) & (s[1:] == s[:-1]) & (e[1:] == e[:-1])
+            keep = np.r_[True, ~dup]
+            u, s, e = u[keep], s[keep], e[keep]
+
+        new = np.ones(len(u), dtype=bool)
+        if len(u) > 1:
+            new[1:] = (u[1:] != u[:-1]) | (s[1:] != s[:-1])
+        starts = np.nonzero(new)[0]
+        counts = np.diff(np.r_[starts, len(u)])
+        idx = np.arange(len(u))
+        pos = idx - np.repeat(starts, counts)
+        reps = np.repeat(counts, counts) - 1 - pos
+        total = int(reps.sum())
+        if total == 0:
+            return empty.empty_table()
+        left = np.repeat(idx, reps)
+        right = (
+            np.arange(total) - np.repeat(np.cumsum(reps) - reps, reps) + left + 1
+        )
+
+        e_rank = np.empty(len(e_dict), dtype=np.int64)
+        e_rank[np.argsort(e_dict)] = np.arange(len(e_dict))
+        ex, ey = e[left], e[right]
+        swap = e_rank[ex] > e_rank[ey]
+        ex, ey = np.where(swap, ey, ex), np.where(swap, ex, ey)
+        crawl = crawl_of_url[u[left]]
+
+        key = (ex * np.int64(len(e_dict)) + ey) * n_crawls + crawl
+        uniq = np.unique(key)
+        kc = uniq % n_crawls
+        pair = uniq // n_crawls
+        sx = (pair // len(e_dict)).astype(np.int64)
+        sy = (pair % len(e_dict)).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "subj": pa.array(e_dict[sx].tolist(), type=pa.string()),
+                "obj": pa.array(e_dict[sy].tolist(), type=pa.string()),
+                "crawl": pa.array(kc.astype(np.int64), type=pa.int64()),
+                "one": pa.array(np.ones(len(uniq), dtype=np.int64)),
+            }
+        )
+
+    partials = linked_mentions_cached(sf_dir).map_batches(
+        pair_crawl_partial, batch_format="pyarrow"
+    )
+    # global distinct (subj, obj, crawl)
+    distinct = grouped_sum(
+        partials, ["subj", "obj", "crawl"], sum_cols=["one"]
+    )
+
+    def fold_rows(batch: pa.Table) -> pa.Table:
+        c = batch.column("crawl")
+        return pa.table(
+            {
+                "subj": batch.column("subj"),
+                "obj": batch.column("obj"),
+                "crawl": c,
+                "neg_crawl": pc.negate(c),
+                "one": pa.array([1] * len(batch), type=pa.int64()),
+            }
+        )
+
+    folded = grouped_sum(
+        distinct.map_batches(fold_rows, batch_format="pyarrow"),
+        ["subj", "obj"],
+        sum_cols=["one"],
+        min_cols=["crawl", "neg_crawl"],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "subj": batch.column("subj"),
+                "pred": pa.array([CO_OCCURS] * len(batch), type=pa.string()),
+                "obj": batch.column("obj"),
+                "first_crawl": batch.column("crawl"),
+                "last_crawl": pc.negate(batch.column("neg_crawl")),
+                "n_crawls": batch.column("one"),
+            }
+        )
+
+    return folded.map_batches(finish, batch_format="pyarrow").sort(
+        ["subj", "obj"]
+    )

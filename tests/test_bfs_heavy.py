@@ -175,3 +175,33 @@ def test_mg_compress_error_bound():
         for t, c in zip(st, sc):
             assert c <= true[t]
             assert true[t] - c <= n_block // (k + 1) + 1
+
+
+def test_kg_edge_lifetimes_matches_sql(ray_session):
+    """Temporal KG edges at sf0.001: distinct-(pair, crawl) min/max/count
+    must equal the DuckDB recompute of the same pseudo-crawl partition."""
+    import importlib.util
+
+    import duckdb
+
+    from ner_pytorch_ray.pipelines.graph_ops import kg_edge_lifetimes
+
+    sf = "/root/testdata/sf0.001"
+    df = kg_edge_lifetimes(sf, n_crawls=3).to_pandas().reset_index(drop=True)
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod", "/root/repo/__ray_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    odf = con.execute(mod.oracle_sql()["kg_edge_lifetimes"]).df()
+    assert df.equals(odf)
+    # lifetimes are consistent with the plain edge table: every edge of
+    # kg_edge_lifetimes appears with 1 <= n_crawls <= 3 and ordered bounds
+    assert ((df["n_crawls"] >= 1) & (df["n_crawls"] <= 3)).all()
+    assert (df["first_crawl"] <= df["last_crawl"]).all()
