@@ -786,6 +786,12 @@ def _q_approx_distinct_users(sf_dir: str):
     return approx_distinct_users(sf_dir)
 
 
+def _q_graph_coreness(sf_dir: str):
+    from ner_pytorch_ray.pipelines.graph_ops import graph_coreness
+
+    return graph_coreness(sf_dir)
+
+
 def _q_kg_edge_lifetimes(sf_dir: str):
     from ner_pytorch_ray.pipelines.graph_ops import kg_edge_lifetimes
 
@@ -828,6 +834,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_components": _q_graph_components,
         "graph_pagerank": _q_graph_pagerank,
         "graph_link_scores": _q_graph_link_scores,
+        "graph_coreness": _q_graph_coreness,
         "kg_components": _q_kg_components,
         "kg_pagerank": _q_kg_pagerank,
         "kg_triangles": _q_kg_triangles,
@@ -884,10 +891,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_curve_full": _q_training_curve_full,
         "training_curve_adv": _q_training_curve_adv,
         # adversarial-variant pipeline core
-        "adv_rep_variants": _q_adv_rep_variants,
         "adv_ppl_filtered": _q_adv_ppl_filtered,
         # ---- past the driver's 50-entry window: stable since r1-r3 ------
-        # (adv_topk_loss driver-green r1-r3)
+        # (adv_rep_variants / adv_topk_loss driver-green r1-r3)
+        "adv_rep_variants": _q_adv_rep_variants,
         "adv_topk_loss": _q_adv_topk_loss,
         # (driver-green rows already recorded: exact_dedup r1-r3,
         # ngram_jaccard_pairs r3, kg_sentence_counts r1-r3, the four
@@ -976,6 +983,10 @@ def _expected_oracles() -> dict[str, str]:
         # integer TransE: frozen by an independent scalar-loop sequential
         # recompute (make_expected.transe_expected)
         "kg_transe_curve",
+        # H-index-fixpoint coreness: frozen by an independent sequential
+        # min-degree peel over the SQL-derived edge set
+        # (make_expected.coreness_expected)
+        "graph_coreness",
     ]
     return {
         n: f"SELECT * FROM read_parquet('{_EXPECTED}/{n}.parquet')"

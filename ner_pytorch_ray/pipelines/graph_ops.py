@@ -1288,3 +1288,157 @@ def kg_edge_lifetimes(sf_dir: str, n_crawls: int = 3) -> ray.data.Dataset:
     return folded.map_batches(finish, batch_format="pyarrow").sort(
         ["subj", "obj"]
     )
+
+
+def _h_index(vals) -> int:
+    """Largest h such that at least h of ``vals`` are >= h."""
+    vs = sorted(vals, reverse=True)
+    h = 0
+    for i, v in enumerate(vs, start=1):
+        if v >= i:
+            h = i
+        else:
+            break
+    return h
+
+
+def coreness_over_edges(
+    edges: ray.data.Dataset,
+    node_type: pa.DataType = pa.int64(),
+    max_iters: int = 100,
+) -> ray.data.Dataset:
+    """k-core decomposition over a SYMMETRIC edge table (a, b):
+    (node, core) where core = the largest k such that the node survives in
+    the k-core (every member of a k-core has >= k neighbors inside it).
+
+    Distributed H-index fixpoint (Montresor, De Pellegrini & Miorandi 2011,
+    "Distributed k-Core Decomposition"): initialize every estimate at the
+    node's degree; each round set est_v = min(est_v, H({est_u : u in
+    N(v)})) where H is the Hirsch index of the neighbor estimates. The
+    update is monotone non-increasing and converges exactly to the
+    coreness. Estimates only decrease over a fixed node set, so the label
+    sum is strictly monotone and equality across a round PROVES the
+    fixpoint (same convergence functional as hash-min components).
+
+    Per round: one keyed collect co-locates a node's estimate with its
+    out-edges and fans the estimate out (message volume = edge count), a
+    second keyed collect gathers each node's incoming estimates for the
+    H-index fold (group size = degree — bounded upstream by the pair
+    stage's ``max_bucket`` hub guard). Only the small (node, est) state
+    materializes between rounds."""
+    from ner_pytorch_ray.stages.groupby_utils import (
+        collect_tuples,
+        flat_map_groups,
+        grouped_sum,
+    )
+
+    adj = edges.materialize()
+
+    # init: est = degree (native grouped count over out-edges)
+    def one_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("a").cast(node_type),
+                "one": pa.array([1] * len(batch), type=pa.int64()),
+            }
+        )
+
+    ests = (
+        grouped_sum(
+            adj.map_batches(one_rows, batch_format="pyarrow"),
+            keys=["node"],
+            sum_cols=["one"],
+        )
+        .map_batches(
+            lambda b: b.rename_columns(["node", "label"]),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    msg_schema = pa.schema(
+        [("node", node_type), ("label", pa.int64()), ("own", pa.int64())]
+    )
+    out_schema = pa.schema([("node", node_type), ("label", pa.int64())])
+
+    def label_rows(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "node": batch.column("node"),
+                "peer": pa.array([None] * len(batch), type=node_type),
+                "label": batch.column("label"),
+            }
+        )
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "node": batch.column("a").cast(node_type),
+                "peer": batch.column("b").cast(node_type),
+                "label": pa.array([None] * len(batch), type=pa.int64()),
+            }
+        )
+
+    def fanout(key, items) -> pa.Table:
+        if items is None:
+            return msg_schema.empty_table()
+        own = min(l for _, l in items if l is not None)
+        peers = [p for p, _ in items if p is not None]
+        nodes = peers + [key[0]]
+        labels = [own] * len(peers) + [own]
+        owns = [0] * len(peers) + [1]
+        return pa.Table.from_pydict(
+            {
+                "node": pa.array(nodes, type=node_type),
+                "label": pa.array(labels, type=pa.int64()),
+                "own": pa.array(owns, type=pa.int64()),
+            }
+        )
+
+    def fold(key, items) -> pa.Table:
+        if items is None:
+            return out_schema.empty_table()
+        own = min(l for l, s in items if s == 1)
+        incoming = [l for l, s in items if s == 0]
+        new = min(own, _h_index(incoming))
+        return pa.Table.from_pydict(
+            {
+                "node": pa.array([key[0]], type=node_type),
+                "label": pa.array([new], type=pa.int64()),
+            }
+        )
+
+    prev = ests.sum("label")
+    for _ in range(max_iters):
+        unioned = ests.map_batches(
+            label_rows, batch_format="pyarrow"
+        ).union(adj.map_batches(edge_rows, batch_format="pyarrow"))
+        collected = collect_tuples(
+            unioned, ["node"], ["peer", "label"], shuffle_blocks="auto"
+        )
+        msgs = flat_map_groups(collected, fanout, ["node"])
+        gathered = collect_tuples(
+            msgs, ["node"], ["label", "own"], shuffle_blocks="auto"
+        )
+        ests = flat_map_groups(gathered, fold, ["node"]).materialize()
+        cur = ests.sum("label")
+        if cur == prev:  # estimates only decrease: equal sum == fixpoint
+            break
+        prev = cur
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["node", "core"])
+
+    return ests.map_batches(rename, batch_format="pyarrow").sort("node")
+
+
+def graph_coreness(
+    sf_dir: str, m: int = 5, max_bucket: int = 100_000, max_iters: int = 100
+) -> ray.data.Dataset:
+    """Coreness of every doc in the containment dup graph — the density
+    layer a curation pass uses to separate tight mirror cliques (high
+    core) from incidental chains (core 1). Returns (node:int64,
+    core:int64), sorted."""
+    return coreness_over_edges(
+        dup_edges(sf_dir, m, max_bucket), max_iters=max_iters
+    )

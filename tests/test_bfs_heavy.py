@@ -205,3 +205,30 @@ def test_kg_edge_lifetimes_matches_sql(ray_session):
     # kg_edge_lifetimes appears with 1 <= n_crawls <= 3 and ordered bounds
     assert ((df["n_crawls"] >= 1) & (df["n_crawls"] <= 3)).all()
     assert (df["first_crawl"] <= df["last_crawl"]).all()
+
+
+def test_coreness_crafted_graph(ray_session):
+    """Known decomposition by construction: a 4-clique (core 3) with a
+    pendant chain (core 1) hanging off it, plus a separate triangle
+    (core 2). The H-index fixpoint needs several rounds because the chain
+    degrees must 'drain' before the clique estimates settle."""
+    from ner_pytorch_ray.pipelines.graph_ops import coreness_over_edges
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    chain = [(3, 10), (10, 11), (11, 12)]
+    tri = [(20, 21), (21, 22), (20, 22)]
+    pairs = clique + chain + tri
+    out = coreness_over_edges(_edges_ds(pairs)).to_pandas()
+    got = dict(zip(out["node"], out["core"]))
+    expect = {0: 3, 1: 3, 2: 3, 3: 3, 10: 1, 11: 1, 12: 1, 20: 2, 21: 2, 22: 2}
+    assert got == expect
+
+
+def test_coreness_star_hub(ray_session):
+    """A star (hub degree 8, leaves degree 1) is all core 1 — degree alone
+    would misreport the hub as 8; the H-index fold must pull it down."""
+    from ner_pytorch_ray.pipelines.graph_ops import coreness_over_edges
+
+    pairs = [(0, i) for i in range(1, 9)]
+    out = coreness_over_edges(_edges_ds(pairs)).to_pandas()
+    assert set(out["core"]) == {1}

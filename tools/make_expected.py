@@ -1265,6 +1265,59 @@ def transe_expected(sf_dir: str, dim: int = 16, epochs: int = 5) -> pa.Table:
     )
 
 
+def coreness_expected(sf_dir: str) -> pa.Table:
+    """Sequential k-core peel — INDEPENDENT implementation (classic
+    min-degree peeling with dict adjacency; the pipeline runs the
+    Montresor H-index fixpoint). Edges come from the graph_components
+    oracle's SQL pair CTE (itself proven equal to the distributed
+    containment stage), so this gates the decomposition, not the pair
+    generation."""
+    import collections
+
+    import duckdb
+
+    q = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                  ' ' || text || ' ' AS padded
+           FROM read_parquet('{sf_dir}/documents.parquet')),
+p AS (SELECT doc_id, ' ' || array_to_string(toks[1:5], ' ') || ' ' AS prefix
+      FROM t WHERE len(toks) >= 5),
+pairs AS (SELECT p.doc_id AS a, t2.doc_id AS b FROM p JOIN t t2
+          ON position(p.prefix IN t2.padded) > 0
+         AND t2.doc_id <> p.doc_id AND len(t2.toks) >= 5),
+edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs)
+SELECT a, b FROM edges
+"""
+    rows = duckdb.sql(q).fetchall()
+    adjacency = collections.defaultdict(set)
+    for a, b in rows:
+        adjacency[a].add(b)
+    remaining = {v: len(ns) for v, ns in adjacency.items()}
+    core: dict[int, int] = {}
+    k = 0
+    while remaining:
+        k = max(k, min(remaining.values()))
+        peel = [v for v, d in remaining.items() if d <= k]
+        while peel:
+            v = peel.pop()
+            if v not in remaining:
+                continue
+            core[v] = k
+            del remaining[v]
+            for u in adjacency[v]:
+                if u in remaining:
+                    remaining[u] -= 1
+                    if remaining[u] <= k:
+                        peel.append(u)
+    ks = sorted(core)
+    return pa.table(
+        {
+            "node": pa.array(ks, type=pa.int64()),
+            "core": pa.array([core[n] for n in ks], type=pa.int64()),
+        }
+    )
+
+
 def main(sf_dir: str, out_dir: str) -> None:
     os.makedirs(out_dir, exist_ok=True)
 
@@ -1277,6 +1330,7 @@ def main(sf_dir: str, out_dir: str) -> None:
     write("pq_topk", pq_topk_expected(sf_dir))
     write("approx_distinct_users", hll_expected(sf_dir))
     write("kg_transe_curve", transe_expected(sf_dir))
+    write("graph_coreness", coreness_expected(sf_dir))
 
     sents = sentence_rows(sf_dir, zeros=True)
     tagged = [(u, s, t, gaz_tags(t)) for u, s, t in sents]
