@@ -277,19 +277,44 @@ def transe_curve_ds(
     ).repartition(8)
     tri = tri.materialize()
 
+    # size routing (embedding-near-dup precedent): a small model ships in
+    # the task closure (zero actor-ramp per epoch); a large one is
+    # broadcast once per epoch via ray.put and fetched once per actor in
+    # _GradPartial.__init__ (never per batch)
+    small_model = st.E.nbytes + st.R.nbytes <= 4 * 1024 * 1024
+
     curve = []
     for epoch in range(epochs):
-        ref = ray.put(st)
-        partials = tri.map_batches(
-            _GradPartial,
-            fn_constructor_args=(ref, margin_sq),
-            concurrency=(1, 4),
-            batch_format="pyarrow",
-        )
-        summed = grouped_sum(partials, ["kind", "idx", "k"], sum_cols=["g"])
-        grad_rows = [
-            (r["kind"], r["idx"], r["k"], r["g"]) for r in summed.take_all()
-        ]  # bounded: touched-vocab x dim
+        if small_model:
+            partials = tri.map_batches(
+                _GradPartial(st, margin_sq), batch_format="pyarrow"
+            )
+        else:
+            ref = ray.put(st)
+            partials = tri.map_batches(
+                _GradPartial,
+                fn_constructor_args=(ref, margin_sq),
+                concurrency=(1, 4),
+                batch_format="pyarrow",
+            )
+        if small_model:
+            # per-block partials are already combined; for a small model the
+            # merged table is bounded by blocks x touched-vocab x dim, so
+            # fold it driver-side and skip the shuffle's fixed cost. Integer
+            # addition is order-free — identical to the groupby path.
+            acc: dict[tuple[int, int, int], int] = {}
+            for r in partials.take_all():
+                kk = (r["kind"], r["idx"], r["k"])
+                acc[kk] = acc.get(kk, 0) + r["g"]
+            grad_rows = [(k[0], k[1], k[2], g) for k, g in acc.items()]
+        else:
+            summed = grouped_sum(
+                partials, ["kind", "idx", "k"], sum_cols=["g"]
+            )
+            grad_rows = [
+                (r["kind"], r["idx"], r["k"], r["g"])
+                for r in summed.take_all()
+            ]  # bounded: touched-vocab x dim
         loss, active = _apply_step(st, grad_rows, lr_micro)
         curve.append((epoch, loss, active, _checksum(st)))
 
