@@ -786,6 +786,12 @@ def _q_approx_distinct_users(sf_dir: str):
     return approx_distinct_users(sf_dir)
 
 
+def _q_kg_transe_hits(sf_dir: str):
+    from ner_pytorch_ray.pipelines.kg_embed import kg_transe_hits
+
+    return kg_transe_hits(sf_dir, dim=16, epochs=5)
+
+
 def _q_graph_coreness(sf_dir: str):
     from ner_pytorch_ray.pipelines.graph_ops import graph_coreness
 
@@ -876,6 +882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": _q_approx_distinct_users,
         "heavy_bigrams": _q_heavy_bigrams,
         "kg_transe_curve": _q_kg_transe_curve,
+        "kg_transe_hits": _q_kg_transe_hits,
         # flagship knowledge-graph DAG
         "kg_edges": _q_kg_edges,
         "kg_edges_incremental": _q_kg_edges_incremental,
@@ -889,13 +896,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neural_epoch_loss": _q_neural_epoch_loss,
         "training_curve": _q_training_curve,
         "training_curve_full": _q_training_curve_full,
-        "training_curve_adv": _q_training_curve_adv,
         # adversarial-variant pipeline core
         "adv_ppl_filtered": _q_adv_ppl_filtered,
         # ---- past the driver's 50-entry window: stable since r1-r3 ------
-        # (adv_rep_variants / adv_topk_loss driver-green r1-r3)
+        # (adv_rep_variants / adv_topk_loss driver-green r1-r3,
+        # training_curve_adv r3)
         "adv_rep_variants": _q_adv_rep_variants,
         "adv_topk_loss": _q_adv_topk_loss,
+        "training_curve_adv": _q_training_curve_adv,
         # (driver-green rows already recorded: exact_dedup r1-r3,
         # ngram_jaccard_pairs r3, kg_sentence_counts r1-r3, the four
         # relational demos r1-r3, neural_confusion r1-r3, corpus_filter r3,
@@ -987,6 +995,9 @@ def _expected_oracles() -> dict[str, str]:
         # min-degree peel over the SQL-derived edge set
         # (make_expected.coreness_expected)
         "graph_coreness",
+        # TransE link-prediction scores: frozen by the scalar-loop
+        # sequential train+score recompute (make_expected.transe_hits_expected)
+        "kg_transe_hits",
     ]
     return {
         n: f"SELECT * FROM read_parquet('{_EXPECTED}/{n}.parquet')"

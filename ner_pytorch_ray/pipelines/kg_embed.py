@@ -256,6 +256,19 @@ def transe_curve_ds(
     """Train TransE over a (subj, pred, obj) Dataset; returns the per-epoch
     curve table (loss in micro^2 units, hinge-active count, state
     checksum). Bit-identical for any partitioning of ``triples``."""
+    curve, _, _ = _transe_train(triples, dim, epochs, lr_micro, margin_sq)
+    return curve
+
+
+def _transe_train(
+    triples: ray.data.Dataset,
+    dim: int,
+    epochs: int,
+    lr_micro: int,
+    margin_sq: int,
+):
+    """Shared training loop: returns (curve table, final state, the
+    materialized distinct-triple Dataset)."""
     from ner_pytorch_ray.stages.groupby_utils import grouped_sum
 
     # vocab: distinct strings (the triple table is the small, already
@@ -318,7 +331,7 @@ def transe_curve_ds(
         loss, active = _apply_step(st, grad_rows, lr_micro)
         curve.append((epoch, loss, active, _checksum(st)))
 
-    return pa.Table.from_pydict(
+    curve_t = pa.Table.from_pydict(
         {
             "epoch": pa.array([c[0] for c in curve], type=pa.int64()),
             "loss_micro2": pa.array([c[1] for c in curve], type=pa.int64()),
@@ -327,6 +340,7 @@ def transe_curve_ds(
         },
         schema=_CURVE_SCHEMA,
     )
+    return curve_t, st, tri
 
 
 def kg_transe_curve(sf_dir: str, dim: int = 16, epochs: int = 5) -> pa.Table:
@@ -338,3 +352,117 @@ def kg_transe_curve(sf_dir: str, dim: int = 16, epochs: int = 5) -> pa.Table:
         ["subj", "pred", "obj"]
     )
     return transe_curve_ds(triples, dim=dim, epochs=epochs)
+
+
+class _ScorePartial:
+    """Per-block TransE triple scoring with the trained model: exact
+    integer distances d(h,r,t) in micro^2 for the positive and its two
+    content-keyed corruptions (same 'nt'/'nh' salts as training). State is
+    fetched once per actor for broadcast models; small models arrive in
+    the task closure."""
+
+    def __init__(self, state_ref):
+        self.st: _TransEState = (
+            ray.get(state_ref)
+            if isinstance(state_ref, ray.ObjectRef)
+            else state_ref
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        st = self.st
+        subj = batch.column("subj").to_pylist()
+        pred = batch.column("pred").to_pylist()
+        obj = batch.column("obj").to_pylist()
+        n = len(subj)
+        empty = pa.schema(
+            [
+                ("subj", pa.string()),
+                ("pred", pa.string()),
+                ("obj", pa.string()),
+                ("d_pos", pa.int64()),
+                ("d_neg_tail", pa.int64()),
+                ("d_neg_head", pa.int64()),
+                ("hit", pa.int64()),
+            ]
+        )
+        if n == 0:
+            return empty.empty_table()
+        n_ent = len(st.entities)
+        E, R = st.E, st.R
+        hi = np.array([st.eid[s] for s in subj], dtype=np.int64)
+        ri = np.array([st.rid[p] for p in pred], dtype=np.int64)
+        ti = np.array([st.eid[o] for o in obj], dtype=np.int64)
+        nt = np.array(
+            [
+                _neg_index(s, p, o, "nt", n_ent)
+                for s, p, o in zip(subj, pred, obj)
+            ],
+            dtype=np.int64,
+        )
+        nh = np.array(
+            [
+                _neg_index(s, p, o, "nh", n_ent)
+                for s, p, o in zip(subj, pred, obj)
+            ],
+            dtype=np.int64,
+        )
+        nt = np.where(nt == ti, (nt + 1) % n_ent, nt)
+        nh = np.where(nh == hi, (nh + 1) % n_ent, nh)
+
+        def dist(a, r, b):
+            d = E[a] + R[r] - E[b]
+            return np.einsum("ij,ij->i", d, d)
+
+        d_pos = dist(hi, ri, ti)
+        d_nt = dist(hi, ri, nt)
+        d_nh = dist(nh, ri, ti)
+        hit = ((d_pos < d_nt) & (d_pos < d_nh)).astype(np.int64)
+        return pa.table(
+            {
+                "subj": batch.column("subj"),
+                "pred": batch.column("pred"),
+                "obj": batch.column("obj"),
+                "d_pos": pa.array(d_pos.astype(np.int64)),
+                "d_neg_tail": pa.array(d_nt.astype(np.int64)),
+                "d_neg_head": pa.array(d_nh.astype(np.int64)),
+                "hit": pa.array(hit),
+            }
+        )
+
+
+def transe_hits_ds(
+    triples: ray.data.Dataset,
+    dim: int = 16,
+    epochs: int = 5,
+    lr_micro: int = 10_000,
+    margin_sq: int = MICRO * MICRO,
+) -> ray.data.Dataset:
+    """Train TransE, then score every distinct triple against its two
+    content-keyed corruptions — the link-prediction evaluation the
+    embeddings exist for. Returns (subj, pred, obj, d_pos, d_neg_tail,
+    d_neg_head, hit) sorted by triple; all distances exact int64 micro^2,
+    so the table is bit-identical under any partitioning."""
+    _, st, tri = _transe_train(triples, dim, epochs, lr_micro, margin_sq)
+    small_model = st.E.nbytes + st.R.nbytes <= 4 * 1024 * 1024
+    if small_model:
+        scored = tri.map_batches(_ScorePartial(st), batch_format="pyarrow")
+    else:
+        ref = ray.put(st)
+        scored = tri.map_batches(
+            _ScorePartial,
+            fn_constructor_args=(ref,),
+            concurrency=(1, 4),
+            batch_format="pyarrow",
+        )
+    return scored.sort(["subj", "pred", "obj"])
+
+
+def kg_transe_hits(sf_dir: str, dim: int = 16, epochs: int = 5):
+    """TransE link-prediction scores over the engine's own constructed KG
+    triples."""
+    from ner_pytorch_ray.pipelines.kg import relations_from_documents
+
+    triples = relations_from_documents(sf_dir).select_columns(
+        ["subj", "pred", "obj"]
+    )
+    return transe_hits_ds(triples, dim=dim, epochs=epochs)

@@ -110,3 +110,38 @@ def test_transe_loss_decreases(ray_session):
 
     curve = kg_transe_curve(SF, epochs=4).to_pydict()
     assert curve["loss_micro2"][-1] < 0.8 * curve["loss_micro2"][0]
+
+
+def test_transe_hits_partitioning_invariance(ray_session):
+    """Scores and hits are bit-identical for any input partitioning, and
+    the hit flag is exactly (d_pos < both corruption distances)."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from ner_pytorch_ray.pipelines.kg_embed import transe_hits_ds
+
+    ents = [f"e{i}" for i in range(12)]
+    tri = [
+        (ents[i % 12], f"r{i % 3}", ents[(i * 5 + 1) % 12])
+        for i in range(24)
+    ]
+    t = pa.table(
+        {
+            "subj": pa.array([x[0] for x in tri], type=pa.string()),
+            "pred": pa.array([x[1] for x in tri], type=pa.string()),
+            "obj": pa.array([x[2] for x in tri], type=pa.string()),
+        }
+    )
+    one = transe_hits_ds(
+        ray.data.from_arrow(t).repartition(1), dim=8, epochs=3
+    ).to_pandas()
+    many = transe_hits_ds(
+        ray.data.from_arrow(t).repartition(7), dim=8, epochs=3
+    ).to_pandas()
+    assert one.equals(many)
+    assert (
+        one["hit"]
+        == ((one["d_pos"] < one["d_neg_tail"]) & (one["d_pos"] < one["d_neg_head"])).astype("int64")
+    ).all()
+    assert (one["d_pos"] >= 0).all()

@@ -1165,6 +1165,19 @@ def transe_expected(sf_dir: str, dim: int = 16, epochs: int = 5) -> pa.Table:
     Triples come from the kg_relations SQL oracle (itself proven equal to
     the distributed extraction), so this gates the training math, not the
     extraction."""
+    curve, _, _, _, _ = _transe_train_seq(sf_dir, dim, epochs)
+    return pa.table(
+        {
+            "epoch": pa.array([c[0] for c in curve], type=pa.int64()),
+            "loss_micro2": pa.array([c[1] for c in curve], type=pa.int64()),
+            "n_active": pa.array([c[2] for c in curve], type=pa.int64()),
+            "emb_checksum": pa.array([c[3] for c in curve], type=pa.int64()),
+        }
+    )
+
+
+def _transe_train_seq(sf_dir: str, dim: int, epochs: int):
+    """Shared sequential trainer: (curve rows, E, R, entities, triples)."""
     import glob
 
     import duckdb
@@ -1257,12 +1270,50 @@ def transe_expected(sf_dir: str, dim: int = 16, epochs: int = 5) -> pa.Table:
             abs(x) for v in R.values() for x in v
         )
         curve.append((epoch, loss, active, checksum))
+    return curve, E, R, entities, tri
+
+
+def transe_hits_expected(sf_dir: str, dim: int = 16, epochs: int = 5) -> pa.Table:
+    """Sequential TransE link-prediction scoring — scalar loops over the
+    sequentially-trained state (pipeline scores with vectorized gather +
+    einsum over the distributed-trained state; equality gates both the
+    training and the scoring math)."""
+    _, E, R, entities, tri = _transe_train_seq(sf_dir, dim, epochs)
+    n_ent = len(entities)
+    eix = {e: i for i, e in enumerate(entities)}
+
+    def h64(s: str) -> int:
+        return int.from_bytes(
+            hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
+        )
+
+    def dist(h, r, t):
+        return sum((h[k] + r[k] - t[k]) ** 2 for k in range(dim))
+
+    rows = []
+    for s_, p_, o_ in sorted(tri):
+        nt = h64(f"{s_}|{p_}|{o_}|nt") % n_ent
+        if nt == eix[o_]:
+            nt = (nt + 1) % n_ent
+        nh = h64(f"{s_}|{p_}|{o_}|nh") % n_ent
+        if nh == eix[s_]:
+            nh = (nh + 1) % n_ent
+        d_pos = dist(E[s_], R[p_], E[o_])
+        d_nt = dist(E[s_], R[p_], E[entities[nt]])
+        d_nh = dist(E[entities[nh]], R[p_], E[o_])
+        rows.append(
+            (s_, p_, o_, d_pos, d_nt, d_nh,
+             int(d_pos < d_nt and d_pos < d_nh))
+        )
     return pa.table(
         {
-            "epoch": pa.array([c[0] for c in curve], type=pa.int64()),
-            "loss_micro2": pa.array([c[1] for c in curve], type=pa.int64()),
-            "n_active": pa.array([c[2] for c in curve], type=pa.int64()),
-            "emb_checksum": pa.array([c[3] for c in curve], type=pa.int64()),
+            "subj": pa.array([r[0] for r in rows], type=pa.string()),
+            "pred": pa.array([r[1] for r in rows], type=pa.string()),
+            "obj": pa.array([r[2] for r in rows], type=pa.string()),
+            "d_pos": pa.array([r[3] for r in rows], type=pa.int64()),
+            "d_neg_tail": pa.array([r[4] for r in rows], type=pa.int64()),
+            "d_neg_head": pa.array([r[5] for r in rows], type=pa.int64()),
+            "hit": pa.array([r[6] for r in rows], type=pa.int64()),
         }
     )
 
@@ -1333,6 +1384,7 @@ def main(sf_dir: str, out_dir: str) -> None:
     write("approx_distinct_users", hll_expected(sf_dir))
     write("kg_transe_curve", transe_expected(sf_dir))
     write("graph_coreness", coreness_expected(sf_dir))
+    write("kg_transe_hits", transe_hits_expected(sf_dir))
 
     sents = sentence_rows(sf_dir, zeros=True)
     tagged = [(u, s, t, gaz_tags(t)) for u, s, t in sents]
