@@ -822,6 +822,36 @@ def _q_kg_transe_curve(sf_dir: str):
     return kg_transe_curve(sf_dir, dim=16, epochs=5)
 
 
+def _q_kg_paths_2hop(sf_dir: str):
+    from ner_pytorch_ray.pipelines.kg_analytics import metapaths_2hop
+
+    return metapaths_2hop(sf_dir)
+
+
+def _q_kg_edge_lift(sf_dir: str):
+    from ner_pytorch_ray.pipelines.kg_analytics import edge_lift
+
+    return edge_lift(sf_dir)
+
+
+def _q_kg_schema_stats(sf_dir: str):
+    from ner_pytorch_ray.pipelines.kg_analytics import schema_stats
+
+    return schema_stats(sf_dir)
+
+
+def _q_kg_communities(sf_dir: str):
+    from ner_pytorch_ray.pipelines.kg_analytics import kg_communities
+
+    return kg_communities(sf_dir, rounds=4)
+
+
+def _q_kg_ppr(sf_dir: str):
+    from ner_pytorch_ray.pipelines.kg_analytics import kg_ppr
+
+    return kg_ppr(sf_dir, seeds=("org:spark",), iters=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2.
 
@@ -847,6 +877,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_node_metrics": _q_kg_node_metrics,
         "kg_bfs_hops": _q_kg_bfs_hops,
         "kg_edge_lifetimes": _q_kg_edge_lifetimes,
+        # round-4 KG analytics (new this session — never driver-checked):
+        # 2-hop metapaths (partitioned self-join of the triple table),
+        # exact-integer edge lift, ontology signature stats, weighted-LPA
+        # communities, personalized PageRank
+        "kg_paths_2hop": _q_kg_paths_2hop,
+        "kg_edge_lift": _q_kg_edge_lift,
+        "kg_schema_stats": _q_kg_schema_stats,
+        "kg_communities": _q_kg_communities,
+        "kg_ppr": _q_kg_ppr,
         # similarity search (round 2-3, never driver-checked)
         "knn_topk": _q_knn_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -885,22 +924,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_transe_hits": _q_kg_transe_hits,
         # flagship knowledge-graph DAG
         "kg_edges": _q_kg_edges,
-        "kg_edges_incremental": _q_kg_edges_incremental,
         "kg_nodes": _q_kg_nodes,
         "kg_mentions": _q_kg_mentions,
-        "kg_linked": _q_kg_linked,
         "kg_relations": _q_kg_relations,
-        # neural tagger + training path (model scoring — frozen oracles)
+        # neural tagger + training path (model scoring — frozen oracles):
+        # neural_epoch_loss's rounding changed this round (host-portable
+        # 2-decimal total) and training_curve_full is new in round 4, so
+        # both stay inside the window
         "neural_mentions": _q_neural_mentions,
-        "neural_eval_metrics": _q_neural_eval_metrics,
         "neural_epoch_loss": _q_neural_epoch_loss,
-        "training_curve": _q_training_curve,
         "training_curve_full": _q_training_curve_full,
-        # adversarial-variant pipeline core
-        "adv_ppl_filtered": _q_adv_ppl_filtered,
         # ---- past the driver's 50-entry window: stable since r1-r3 ------
-        # (adv_rep_variants / adv_topk_loss driver-green r1-r3,
-        # training_curve_adv r3)
+        # (kg_edges_incremental / kg_linked / neural_eval_metrics /
+        # training_curve / adv_ppl_filtered driver-green r3;
+        # adv_rep_variants / adv_topk_loss r1-r3, training_curve_adv r3)
+        "kg_edges_incremental": _q_kg_edges_incremental,
+        "kg_linked": _q_kg_linked,
+        "neural_eval_metrics": _q_neural_eval_metrics,
+        "training_curve": _q_training_curve,
+        "adv_ppl_filtered": _q_adv_ppl_filtered,
         "adv_rep_variants": _q_adv_rep_variants,
         "adv_topk_loss": _q_adv_topk_loss,
         "training_curve_adv": _q_training_curve_adv,
@@ -2219,6 +2261,172 @@ r0 AS (SELECT node, 1000000000000 // (SELECT COUNT(*) FROM nodes) AS rank
         )
         + """
 SELECT node, CAST(rank AS BIGINT) AS rank FROM r3
+"""
+    )
+
+    # personalized PageRank: teleport mass only to the seed set, same
+    # scaled-integer update (ner_pytorch_ray/pipelines/kg_analytics.kg_ppr)
+    _kg_ppr_iter = """
+r{i} AS (
+  SELECT n.node,
+         (CASE WHEN n.node IN (SELECT node FROM seeds)
+               THEN 150 * 1000000000000 // (1000 * (SELECT ns FROM sn))
+               ELSE 0 END)
+         + COALESCE(SUM((850 * rp.rank * e.w) // (1000 * s.sw)), 0) AS rank
+  FROM nodes n
+  LEFT JOIN edges e ON e.b = n.node
+  LEFT JOIN r{p} rp ON rp.node = e.a
+  LEFT JOIN sw s ON s.node = e.a
+  GROUP BY n.node
+)"""
+    out["kg_ppr"] = (
+        _KG_MENTIONS_CTE
+        + """
+, pairs AS (
+  SELECT DISTINCT m1.doc_id, m1.sent, m1.ent AS a, m2.ent AS b
+  FROM men m1
+  JOIN men m2 ON m1.doc_id = m2.doc_id AND m1.sent = m2.sent
+  WHERE m1.ent < m2.ent
+),
+ew AS (SELECT a, b, COUNT(*) AS w FROM pairs GROUP BY a, b),
+edges AS (SELECT a, b, w FROM ew UNION ALL SELECT b AS a, a AS b, w FROM ew),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+sw AS (SELECT a AS node, SUM(w) AS sw FROM edges GROUP BY a),
+seeds AS (SELECT node FROM (VALUES ('org:spark')) v(node)
+          WHERE node IN (SELECT node FROM nodes)),
+sn AS (SELECT COUNT(*) AS ns FROM seeds),
+r0 AS (SELECT node,
+              CASE WHEN node IN (SELECT node FROM seeds)
+                   THEN 1000000000000 // (SELECT ns FROM sn)
+                   ELSE 0 END AS rank
+       FROM nodes),
+"""
+        + ",".join(
+            _kg_ppr_iter.format(i=i, p=i - 1) for i in (1, 2, 3)
+        )
+        + """
+SELECT node, CAST(rank AS BIGINT) AS rank FROM r3
+"""
+    )
+
+    # weighted synchronous label propagation, 4 unrolled rounds: per round
+    # each node adopts the label with max summed incident weight, ties ->
+    # smallest label (kg_analytics.communities_over_edges)
+    _kg_lpa_round = """
+s{i} AS (
+  SELECT e.b AS node, r.lab AS lab, SUM(e.w) AS s
+  FROM edges e JOIN r{p} r ON r.node = e.a
+  GROUP BY 1, 2
+),
+r{i} AS (
+  SELECT node, lab FROM (
+    SELECT node, lab,
+           row_number() OVER (PARTITION BY node ORDER BY s DESC, lab) AS rn
+    FROM s{i}
+  ) WHERE rn = 1
+)"""
+    out["kg_communities"] = (
+        _KG_MENTIONS_CTE
+        + """
+, pairs AS (
+  SELECT DISTINCT m1.doc_id, m1.sent, m1.ent AS a, m2.ent AS b
+  FROM men m1
+  JOIN men m2 ON m1.doc_id = m2.doc_id AND m1.sent = m2.sent
+  WHERE m1.ent < m2.ent
+),
+ew AS (SELECT a, b, COUNT(*) AS w FROM pairs GROUP BY a, b),
+edges AS (SELECT a, b, w FROM ew UNION ALL SELECT b AS a, a AS b, w FROM ew),
+r0 AS (SELECT DISTINCT a AS node, a AS lab FROM edges),
+"""
+        + ",".join(
+            _kg_lpa_round.format(i=i, p=i - 1) for i in (1, 2, 3, 4)
+        )
+        + """
+SELECT node, lab AS community FROM r4 ORDER BY node
+"""
+    )
+
+    # exact-integer edge lift over the (sentence, entity) incidence set
+    # (kg_analytics.edge_lift): HUGEINT numerator, floor division
+    out["kg_edge_lift"] = (
+        _KG_MENTIONS_CTE
+        + """
+, inc AS (SELECT DISTINCT doc_id, sent, ent FROM men),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t
+        FROM (SELECT DISTINCT doc_id, sent FROM men)),
+marg AS (SELECT ent, CAST(COUNT(*) AS BIGINT) AS c FROM inc GROUP BY ent),
+pairs AS (
+  SELECT DISTINCT i1.doc_id, i1.sent, i1.ent AS a, i2.ent AS b
+  FROM inc i1
+  JOIN inc i2 ON i1.doc_id = i2.doc_id AND i1.sent = i2.sent
+  WHERE i1.ent < i2.ent
+),
+ew AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS w FROM pairs GROUP BY a, b)
+SELECT ew.a AS subj, ew.b AS obj, ew.w AS weight, ma.c AS ca, mb.c AS cb,
+       CAST((1000000 * CAST(ew.w AS HUGEINT) * tot.t)
+            // (ma.c * mb.c) AS BIGINT) AS lift_ppm
+FROM ew
+JOIN marg ma ON ma.ent = ew.a
+JOIN marg mb ON mb.ent = ew.b, tot
+ORDER BY subj, obj
+"""
+    )
+
+    # 2-hop metapaths: self-join of the verb-pattern triple table on the
+    # intermediate entity (kg_analytics.metapaths_2hop)
+    _TRIP_CTE = """
+, verbs AS (
+  SELECT doc_id, pos // 12 AS sent_id, pos % 12 AS vpos, w AS verb
+  FROM tok
+  WHERE w IN ('scan', 'filter', 'merge', 'sort', 'group', 'query')
+),
+relpairs AS (
+  SELECT DISTINCT m1.doc_id, m1.sent_id,
+         m1.ent AS subj,
+         (SELECT v.verb FROM verbs v
+          WHERE v.doc_id = m1.doc_id AND v.sent_id = m1.sent_id
+            AND v.vpos >= m1.e AND v.vpos < m2.b
+          ORDER BY v.vpos LIMIT 1) AS pred,
+         m2.ent AS obj
+  FROM menpos m1
+  JOIN menpos m2
+    ON m1.doc_id = m2.doc_id AND m1.sent_id = m2.sent_id AND m1.e <= m2.b
+),
+trip AS (
+  SELECT subj, pred, obj, CAST(COUNT(*) AS BIGINT) AS w
+  FROM relpairs
+  WHERE pred IS NOT NULL
+  GROUP BY 1, 2, 3
+)"""
+    out["kg_paths_2hop"] = (
+        _KG_MENTIONS_POS_CTE
+        + _TRIP_CTE
+        + """
+SELECT t1.subj, t1.pred AS pred1, t2.pred AS pred2, t2.obj,
+       CAST(COUNT(*) AS BIGINT) AS n_mids,
+       CAST(SUM(t1.w * t2.w) AS BIGINT) AS path_weight
+FROM trip t1
+JOIN trip t2 ON t1.obj = t2.subj
+WHERE t1.subj <> t2.obj
+GROUP BY 1, 2, 3, 4
+ORDER BY 1, 2, 3, 4
+"""
+    )
+
+    # ontology signature distribution (kg_analytics.schema_stats): entity
+    # type = upper-cased namespace prefix of the linked id
+    out["kg_schema_stats"] = (
+        _KG_MENTIONS_POS_CTE
+        + _TRIP_CTE
+        + """
+SELECT upper(split_part(subj, ':', 1)) AS subj_type,
+       pred,
+       upper(split_part(obj, ':', 1)) AS obj_type,
+       CAST(COUNT(*) AS BIGINT) AS n_triples,
+       CAST(SUM(w) AS BIGINT) AS total_weight
+FROM trip
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
 """
     )
     return out

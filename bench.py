@@ -237,6 +237,21 @@ def run_extras(sf_dir: str) -> dict:
         "kg_transe_5ep",
         lambda: kg_transe_curve(sf_dir, dim=16, epochs=5).num_rows,
     )
+
+    # round-4 continuation: KG analytics layer (2-hop metapath self-join,
+    # exact-integer lift with two partitioned marginal joins, weighted-LPA
+    # communities, personalized PageRank)
+    from ner_pytorch_ray.pipelines.kg_analytics import (
+        edge_lift,
+        kg_communities,
+        kg_ppr,
+        metapaths_2hop,
+    )
+
+    timed("kg_paths_2hop", lambda: metapaths_2hop(sf_dir).count())
+    timed("kg_edge_lift", lambda: edge_lift(sf_dir).count())
+    timed("kg_communities", lambda: kg_communities(sf_dir).count())
+    timed("kg_ppr", lambda: kg_ppr(sf_dir).count())
     return extras
 
 

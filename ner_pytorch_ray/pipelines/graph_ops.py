@@ -298,6 +298,7 @@ def pagerank_over_edges(
     node_type: pa.DataType = pa.int64(),
     weight_col: str | None = None,
     small_graph: int = 0,
+    teleport: list | None = None,
 ) -> ray.data.Dataset:
     """(node, rank) after ``iters`` weighted-PageRank rounds over a
     SYMMETRIC edge table (a, b[, weight]), damping 0.85, int64 fixed-point
@@ -309,6 +310,13 @@ def pagerank_over_edges(
         r_k(v)  = (150 * scale) // (1000 * N)
                   + sum over in-edges (u, v) of
                     (850 * r_{k-1}(u) * w(u, v)) // (1000 * sw(u))
+
+    ``teleport``: optional PERSONALIZED PageRank seed list (small by
+    contract — a query's seed entities, shipped in task closures, never a
+    shuffle side). With seeds, the teleport mass goes only to the seeds
+    that exist in the node set (S): r0(v) = scale // |S| for v in S else
+    0, and the per-round base term is paid only to seeds. Raises if no
+    seed is present.
 
     where sw(u) = sum of u's out-edge weights (w == 1 without a
     ``weight_col``, making sw the degree). Contributions are computed in
@@ -346,10 +354,23 @@ def pagerank_over_edges(
             sw_l: dict = {}
             for a, _, w in ew:
                 sw_l[a] = sw_l.get(a, 0) + w
-            r_l = {v: scale // n_l for v in nodes_l}
-            base_l = (150 * scale) // (1000 * n_l)
+            if teleport is not None:
+                seeds_l = frozenset(teleport) & set(nodes_l)
+                if not seeds_l:
+                    raise ValueError("no teleport seed present in the graph")
+                ns_l = len(seeds_l)
+                r_l = {
+                    v: (scale // ns_l if v in seeds_l else 0) for v in nodes_l
+                }
+                base_of = lambda v: (  # noqa: E731
+                    (150 * scale) // (1000 * ns_l) if v in seeds_l else 0
+                )
+            else:
+                r_l = {v: scale // n_l for v in nodes_l}
+                base_l = (150 * scale) // (1000 * n_l)
+                base_of = lambda v: base_l  # noqa: E731
             for _ in range(iters):
-                nr = {v: base_l for v in nodes_l}
+                nr = {v: base_of(v) for v in nodes_l}
                 for a, b, w in ew:
                     nr[b] += (DAMP_NUM * r_l[a] * w) // (DAMP_DEN * sw_l[a])
                 r_l = nr
@@ -403,16 +424,59 @@ def pagerank_over_edges(
                 [("node", node_type), ("rank", pa.int64())]
             ).empty_table()
         )
-    base = (150 * scale) // (1000 * n_nodes)
-    r0 = scale // n_nodes
+    if teleport is not None:
+        # |S| = seeds actually present; the seed list is small by contract,
+        # so membership tests ride in task closures (no shuffle side).
+        seed_set = frozenset(teleport)
+        n_seeds = nodes.map_batches(
+            lambda t: pa.Table.from_pydict(
+                {
+                    "n": pa.array(
+                        [sum(1 for v in t.column("node").to_pylist()
+                             if v in seed_set)],
+                        type=pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).sum("n")
+        if not n_seeds:
+            raise ValueError("no teleport seed present in the graph")
+        base_seed = (150 * scale) // (1000 * n_seeds)
+        r0_seed = scale // n_seeds
 
-    def init_ranks(batch: pa.Table) -> pa.Table:
-        return pa.Table.from_pydict(
-            {
-                "node": batch.column("node"),
-                "rank": pa.array([r0] * len(batch), type=pa.int64()),
-            }
-        )
+        def init_ranks(batch: pa.Table) -> pa.Table:
+            vals = [
+                r0_seed if v in seed_set else 0
+                for v in batch.column("node").to_pylist()
+            ]
+            return pa.Table.from_pydict(
+                {
+                    "node": batch.column("node"),
+                    "rank": pa.array(vals, type=pa.int64()),
+                }
+            )
+
+        def base_for(node_col: pa.ChunkedArray) -> pa.Array:
+            return pa.array(
+                [base_seed if v in seed_set else 0
+                 for v in node_col.to_pylist()],
+                type=pa.int64(),
+            )
+    else:
+        base = (150 * scale) // (1000 * n_nodes)
+        r0 = scale // n_nodes
+
+        def init_ranks(batch: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict(
+                {
+                    "node": batch.column("node"),
+                    "rank": pa.array([r0] * len(batch), type=pa.int64()),
+                }
+            )
+
+        def base_for(node_col: pa.ChunkedArray) -> pa.Array:
+            return pa.array([base] * len(node_col), type=pa.int64())
 
     ranks = nodes.map_batches(init_ranks, batch_format="pyarrow").materialize()
     msg_schema = pa.schema([("node", node_type), ("contrib", pa.int64())])
@@ -451,7 +515,9 @@ def pagerank_over_edges(
         return pa.Table.from_pydict(
             {
                 "node": batch.column("node"),
-                "rank": pc.add(batch.column("contrib"), base),
+                "rank": pc.add(
+                    batch.column("contrib"), base_for(batch.column("node"))
+                ),
             }
         )
 

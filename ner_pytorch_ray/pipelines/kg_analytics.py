@@ -1,0 +1,609 @@
+"""Deeper analytics over the CONSTRUCTED knowledge graph.
+
+The reference stops at emitting tagged spans (`/root/reference/train.py`
+evaluation loop); the KG layer this engine builds on top (stages/graph.py,
+stages/relations.py) makes the classic downstream KG queries possible.
+This module adds the ones a KG-construction service is actually asked for,
+each shaped for the 100 TB regime:
+
+- :func:`metapaths_2hop` — directed 2-hop metapath counts over the typed
+  triple table: ``subj -pred1-> mid -pred2-> obj``, aggregated over the
+  intermediate node. The join is Ray Data's PARTITIONED hash join
+  (``Dataset.join`` on the mid entity) — a big-x-big self-join of the
+  triple table, no broadcast, no driver materialization.
+- :func:`edge_lift` — exact-integer association strength ("lift", the
+  log-free core of PMI) for every co-occurrence edge:
+  ``lift_ppm = (1e6 * w * T) // (ca * cb)`` over the distinct
+  (sentence, entity) incidence set. Marginals are joined back onto the
+  edge table with two partitioned hash joins (entity marginals are
+  corpus-sized at web scale — NOT broadcastable).
+- :func:`schema_stats` — the ontology signature distribution
+  ``(subj_type, pred, obj_type)``: a pure vectorized projection +
+  two-phase aggregate over the triple table.
+- :func:`communities_over_edges` / :func:`kg_communities` — synchronous
+  WEIGHTED label propagation (Raghavan et al. 2007, made deterministic):
+  each round every node adopts the label with the maximum summed incident
+  edge weight, ties broken by the lexicographically smallest label.
+  Integer weight sums + total tie ordering make every round a pure
+  function of the previous labeling, so the result is bit-identical under
+  any partitioning and an unrolled SQL oracle reproduces it exactly.
+- :func:`kg_ppr` — PERSONALIZED PageRank from a seed entity set
+  (graph_ops.pagerank_over_edges with ``teleport=``): the "related
+  entities" query KG products serve; same scaled-integer fixed-point
+  update as kg_pagerank, so it is partitioning-proof and SQL-oracle-able.
+
+Scale notes (100 TB): every input here is an AGGREGATED graph table
+(triples / edges / incidence), orders of magnitude smaller than the
+corpus; the corpus-sized stages (sentence scan, mention extraction) are
+shared via linked_mentions_cached. Joins are partitioned hash joins keyed
+on the entity id; LPA rounds move only (node, label, weight) message rows
+and materialize the small label table per round (flat lineage, same
+discipline as pagerank_over_edges).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ner_pytorch_ray.stages.groupby_utils import (
+    collect_tuples,
+    flat_map_groups,
+    grouped_sum,
+)
+
+LIFT_SCALE = 1_000_000  # lift 1.0 == 1e6 (parts-per-million fixed point)
+
+
+def _join_partitions(n_rows: int) -> int:
+    """Partition count for Dataset.join, sized from the (already
+    aggregated, hence countable) input: each partition carries a fixed
+    actor/dispatch cost, so small inputs get few partitions while web-scale
+    tables fan out (same rule as windows.order_revenue_join)."""
+    return int(min(64, max(2, n_rows // 250_000 + 2)))
+
+
+# ---------------------------------------------------------------------------
+# 2-hop metapaths
+# ---------------------------------------------------------------------------
+
+
+def metapaths_2hop(sf_dir: str) -> ray.data.Dataset:
+    """Directed 2-hop metapath aggregate over the verb-pattern triples:
+
+        (subj, pred1, pred2, obj,
+         n_mids       = #distinct intermediate entities,
+         path_weight  = sum over mids of w1 * w2)
+
+    for every pair of triples ``subj -pred1-> mid`` and ``mid -pred2-> obj``
+    with ``subj != obj`` (trivial 2-cycles excluded). The self-join runs as
+    Ray Data's partitioned hash join keyed on the mid entity — at web scale
+    both sides are the full triple table, so neither is broadcastable; skew
+    on hub mids is bounded upstream by the relation extractor's per-sentence
+    pair cap."""
+    from ner_pytorch_ray.pipelines.kg import relations_from_documents
+
+    triples = relations_from_documents(sf_dir).select_columns(
+        ["subj", "pred", "obj", "weight"]
+    )
+    tri = triples.materialize()  # aggregated triple table, ≪ corpus
+    n_parts = _join_partitions(tri.count())
+
+    def left_side(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "subj": batch.column("subj"),
+                "pred1": batch.column("pred"),
+                "mid": batch.column("obj"),
+                "w1": batch.column("weight"),
+            }
+        )
+
+    def right_side(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "mid2": batch.column("subj"),
+                "pred2": batch.column("pred"),
+                "obj": batch.column("obj"),
+                "w2": batch.column("weight"),
+            }
+        )
+
+    joined = tri.map_batches(left_side, batch_format="pyarrow").join(
+        tri.map_batches(right_side, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=n_parts,
+        on=("mid",),
+        right_on=("mid2",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # pure Arrow combiner: drop 2-cycles, one hash group_by per block.
+        # multiply_checked: raise (never wrap) if a web-scale weight
+        # product ever exceeds int64.
+        keep = pc.not_equal(batch.column("subj"), batch.column("obj"))
+        t = batch.filter(keep)
+        prod = pc.multiply_checked(t.column("w1"), t.column("w2"))
+        flat = pa.table(
+            {
+                "subj": t.column("subj").combine_chunks(),
+                "pred1": t.column("pred1").combine_chunks(),
+                "pred2": t.column("pred2").combine_chunks(),
+                "obj": t.column("obj").combine_chunks(),
+                "pw": prod.combine_chunks()
+                if isinstance(prod, pa.ChunkedArray)
+                else prod,
+            }
+        )
+        g = flat.group_by(["subj", "pred1", "pred2", "obj"]).aggregate(
+            [("pw", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "subj": g.column("subj"),
+                "pred1": g.column("pred1"),
+                "pred2": g.column("pred2"),
+                "obj": g.column("obj"),
+                "n_mids": g.column("count_all").cast(pa.int64()),
+                "path_weight": g.column("pw_sum").cast(pa.int64()),
+            }
+        )
+
+    merged = grouped_sum(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        ["subj", "pred1", "pred2", "obj"],
+        sum_cols=["n_mids", "path_weight"],
+    )
+    return merged.sort(["subj", "pred1", "pred2", "obj"])
+
+
+# ---------------------------------------------------------------------------
+# Edge lift (exact-integer association strength)
+# ---------------------------------------------------------------------------
+
+
+def edge_lift(sf_dir: str) -> ray.data.Dataset:
+    """Association strength of every co-occurrence edge, exact in ppm:
+
+        lift_ppm(a, b) = (1e6 * w(a,b) * T) // (c(a) * c(b))
+
+    over the DISTINCT (url, sent_id, entity) incidence set: w = #sentences
+    containing both, c(x) = #sentences containing x, T = #sentences with
+    >= 1 mention. Everything is integer counts, so the result is exact
+    under any partitioning and bit-equal to the DuckDB oracle (HUGEINT in
+    SQL, arbitrary-precision Python here — the numerator overflows int64
+    at web scale).
+
+    Output: (subj, obj, weight, ca, cb, lift_ppm) sorted by (subj, obj).
+    Marginals join back via partitioned hash joins — the entity marginal
+    table is corpus-vocabulary-sized at 100 TB, never a broadcast."""
+    from ner_pytorch_ray.pipelines.kg import linked_mentions_cached
+    from ner_pytorch_ray.stages.graph import edge_partials_merged
+
+    linked = linked_mentions_cached(sf_dir)
+
+    def inc_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "url": batch.column("url").combine_chunks(),
+                "sent_id": batch.column("sent_id").combine_chunks(),
+                "entity_id": batch.column("entity_id").combine_chunks(),
+            }
+        )
+        g = t.group_by(["url", "sent_id", "entity_id"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {
+                "url": g.column("url"),
+                "sent_id": g.column("sent_id"),
+                "entity_id": g.column("entity_id"),
+                "one": pa.array([1] * len(g), type=pa.int64()),
+            }
+        )
+
+    # distinct incidence rows (block-local distinct, then one exchange);
+    # size = distinct (sentence, entity) pairs — the aggregated layer the
+    # rest of the query runs on.
+    inc = (
+        grouped_sum(
+            linked.map_batches(inc_partial, batch_format="pyarrow"),
+            ["url", "sent_id", "entity_id"],
+            sum_cols=["one"],
+        )
+        .select_columns(["url", "sent_id", "entity_id"])
+        .materialize()
+    )
+
+    def sent_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "url": batch.column("url").combine_chunks(),
+                "sent_id": batch.column("sent_id").combine_chunks(),
+            }
+        )
+        g = t.group_by(["url", "sent_id"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "url": g.column("url"),
+                "sent_id": g.column("sent_id"),
+                "one": pa.array([1] * len(g), type=pa.int64()),
+            }
+        )
+
+    # T: one scalar — the count of a distinct-aggregated (small) table.
+    total_sents = grouped_sum(
+        inc.map_batches(sent_partial, batch_format="pyarrow"),
+        ["url", "sent_id"],
+        sum_cols=["one"],
+    ).count()
+
+    marg = grouped_sum(
+        inc.map_batches(
+            lambda t: pa.table(
+                {
+                    "ent": t.column("entity_id"),
+                    "c": pa.array([1] * len(t), type=pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["ent"],
+        sum_cols=["c"],
+    ).materialize()
+
+    edges = (
+        edge_partials_merged(linked)
+        .select_columns(["subj", "obj", "weight"])
+        .materialize()
+    )
+    n_parts = _join_partitions(edges.count())
+
+    def marg_a(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["ent_a", "ca"])
+
+    def marg_b(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["ent_b", "cb"])
+
+    with_a = edges.join(
+        marg.map_batches(marg_a, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=n_parts,
+        on=("subj",),
+        right_on=("ent_a",),
+    )
+    with_ab = with_a.join(
+        marg.map_batches(marg_b, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=n_parts,
+        on=("obj",),
+        right_on=("ent_b",),
+    )
+
+    def lift(batch: pa.Table) -> pa.Table:
+        # final small edge table: arbitrary-precision Python ints so
+        # 1e6 * w * T never overflows (same discipline as the PageRank
+        # contribution arithmetic).
+        w = batch.column("weight").to_pylist()
+        ca = batch.column("ca").to_pylist()
+        cb = batch.column("cb").to_pylist()
+        vals = [
+            (LIFT_SCALE * wi * total_sents) // (cai * cbi)
+            for wi, cai, cbi in zip(w, ca, cb)
+        ]
+        return pa.table(
+            {
+                "subj": batch.column("subj"),
+                "obj": batch.column("obj"),
+                "weight": batch.column("weight"),
+                "ca": batch.column("ca"),
+                "cb": batch.column("cb"),
+                "lift_ppm": pa.array(vals, type=pa.int64()),
+            }
+        )
+
+    return with_ab.map_batches(lift, batch_format="pyarrow").sort(
+        ["subj", "obj"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ontology schema signature stats
+# ---------------------------------------------------------------------------
+
+
+def schema_stats(sf_dir: str) -> ray.data.Dataset:
+    """Distribution of relation signatures ``(subj_type, pred, obj_type)``
+    over the typed triples — entity types are the namespace prefix of the
+    linked entity ids ('org:spark' -> 'ORG'). One vectorized projection +
+    the standard two-phase aggregate; output sorted by the signature."""
+    from ner_pytorch_ray.pipelines.kg import relations_from_documents
+
+    triples = relations_from_documents(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        def ns(col: pa.ChunkedArray) -> pa.Array:
+            split = pc.split_pattern(col, pattern=":", max_splits=1)
+            return pc.utf8_upper(pc.list_element(split, 0))
+
+        t = pa.table(
+            {
+                "subj_type": ns(batch.column("subj")).combine_chunks(),
+                "pred": batch.column("pred").combine_chunks(),
+                "obj_type": ns(batch.column("obj")).combine_chunks(),
+                "w": batch.column("weight").combine_chunks(),
+            }
+        )
+        g = t.group_by(["subj_type", "pred", "obj_type"]).aggregate(
+            [("w", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "subj_type": g.column("subj_type"),
+                "pred": g.column("pred"),
+                "obj_type": g.column("obj_type"),
+                "n_triples": g.column("count_all").cast(pa.int64()),
+                "total_weight": g.column("w_sum").cast(pa.int64()),
+            }
+        )
+
+    merged = grouped_sum(
+        triples.map_batches(partial, batch_format="pyarrow"),
+        ["subj_type", "pred", "obj_type"],
+        sum_cols=["n_triples", "total_weight"],
+    )
+    return merged.sort(["subj_type", "pred", "obj_type"])
+
+
+# ---------------------------------------------------------------------------
+# Weighted synchronous label propagation (community detection)
+# ---------------------------------------------------------------------------
+
+
+def communities_over_edges(
+    edges: ray.data.Dataset,
+    rounds: int = 4,
+    node_type: pa.DataType = pa.string(),
+    weight_col: str | None = None,
+    small_graph: int = 0,
+) -> ray.data.Dataset:
+    """(node, community) after ``rounds`` synchronous weighted-LPA rounds
+    over a SYMMETRIC edge table (a, b[, weight]).
+
+    Deterministic update (bit-identical under any partitioning):
+
+        label_0(v) = v
+        label_k(v) = the label L maximizing sum of w(u, v) over neighbors
+                     u with label_{k-1}(u) == L; ties -> smallest L.
+
+    Integer weight sums are summation-order independent and (max sum,
+    min label) is a total order, so each round is a pure function of the
+    previous labeling — an unrolled SQL oracle (GROUP BY label + window
+    rank) reproduces it exactly.
+
+    Per round: one keyed collect co-locates a node's label with its
+    out-edges (group size = out-degree, hub-capped upstream), one
+    groupby-sum folds (node, label) votes, one keyed collect picks the
+    argmax; only the small (node, label) state materializes per round."""
+    if small_graph:
+        em = edges.materialize()
+        if em.count() <= small_graph:
+            rows = em.take_all()
+            ew = [
+                (r["a"], r["b"], int(r[weight_col]) if weight_col else 1)
+                for r in rows
+            ]
+            nodes_l = sorted({a for a, _, _ in ew})
+            if not nodes_l:
+                return ray.data.from_arrow(
+                    pa.schema(
+                        [("node", node_type), ("community", node_type)]
+                    ).empty_table()
+                )
+            lab = {v: v for v in nodes_l}
+            for _ in range(rounds):
+                votes: dict = {}
+                for a, b, w in ew:
+                    key = (b, lab[a])
+                    votes[key] = votes.get(key, 0) + w
+                new = {}
+                for (v, lb), s in votes.items():
+                    cur = new.get(v)
+                    if cur is None or (-s, lb) < (-cur[0], cur[1]):
+                        new[v] = (s, lb)
+                lab = {v: new[v][1] if v in new else lab[v] for v in nodes_l}
+            return ray.data.from_arrow(
+                pa.Table.from_pydict(
+                    {
+                        "node": pa.array(nodes_l, type=node_type),
+                        "community": pa.array(
+                            [lab[v] for v in nodes_l], type=node_type
+                        ),
+                    }
+                )
+            )
+        edges = em
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        w = (
+            batch.column(weight_col).cast(pa.int64())
+            if weight_col
+            else pa.array([1] * n, type=pa.int64())
+        )
+        return pa.Table.from_pydict(
+            {
+                "node": batch.column("a").cast(node_type),
+                "peer": batch.column("b").cast(node_type),
+                "w": w,
+                "lab": pa.array([None] * n, type=node_type),
+            }
+        )
+
+    adj = edges.map_batches(edge_rows, batch_format="pyarrow").materialize()
+
+    def node_rows(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "node": batch.column("node"),
+                "one": pa.array([1] * len(batch), type=pa.int64()),
+            }
+        )
+
+    nodes = (
+        grouped_sum(
+            adj.map_batches(node_rows, batch_format="pyarrow"),
+            keys=["node"],
+            sum_cols=["one"],
+        )
+        .select_columns(["node"])
+        .materialize()
+    )
+    if nodes.count() == 0:
+        return ray.data.from_arrow(
+            pa.schema(
+                [("node", node_type), ("community", node_type)]
+            ).empty_table()
+        )
+
+    labels = nodes.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"node": t.column("node"), "lab": t.column("node")}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    vote_schema = pa.schema(
+        [("node", node_type), ("lab", node_type), ("w", pa.int64())]
+    )
+    pick_schema = pa.schema([("node", node_type), ("community", node_type)])
+
+    def label_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.Table.from_pydict(
+            {
+                "node": batch.column("node"),
+                "peer": pa.array([None] * n, type=node_type),
+                "w": pa.array([0] * n, type=pa.int64()),
+                "lab": batch.column("lab"),
+            }
+        )
+
+    def emit_votes(key, items) -> pa.Table:
+        if items is None:
+            return vote_schema.empty_table()
+        lab = next(lb for p, _, lb in items if p is None)
+        out_n, out_l, out_w = [], [], []
+        for p, w, _ in items:
+            if p is not None:
+                out_n.append(p)
+                out_l.append(lab)
+                out_w.append(w)
+        return pa.Table.from_pydict(
+            {
+                "node": pa.array(out_n, type=node_type),
+                "lab": pa.array(out_l, type=node_type),
+                "w": pa.array(out_w, type=pa.int64()),
+            }
+        )
+
+    def pick_argmax(key, items) -> pa.Table:
+        if items is None:
+            return pick_schema.empty_table()
+        best = min(items, key=lambda t: (-t[1], t[0]))
+        return pa.Table.from_pydict(
+            {
+                "node": pa.array([key[0]], type=node_type),
+                "community": pa.array([best[0]], type=node_type),
+            }
+        )
+
+    for _ in range(rounds):
+        unioned = labels.map_batches(
+            label_rows, batch_format="pyarrow"
+        ).union(adj)
+        collected = collect_tuples(
+            unioned, ["node"], ["peer", "w", "lab"], shuffle_blocks="auto"
+        )
+        votes = flat_map_groups(collected, emit_votes, ["node"])
+        summed = grouped_sum(votes, keys=["node", "lab"], sum_cols=["w"])
+        per_node = collect_tuples(
+            summed, ["node"], ["lab", "w"], shuffle_blocks="auto"
+        )
+        labels = (
+            flat_map_groups(per_node, pick_argmax, ["node"])
+            .map_batches(
+                lambda t: t.rename_columns(["node", "lab"]),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+
+    return labels.map_batches(
+        lambda t: t.rename_columns(["node", "community"]),
+        batch_format="pyarrow",
+    ).sort("node")
+
+
+def _kg_symmetric_edges(sf_dir: str) -> ray.data.Dataset:
+    """Symmetric weighted co-occurrence edges of the constructed KG
+    (shared derivation with kg_pagerank)."""
+    from ner_pytorch_ray.pipelines.kg import linked_mentions_cached
+    from ner_pytorch_ray.stages.graph import edge_partials_merged
+
+    ew = edge_partials_merged(linked_mentions_cached(sf_dir))
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        fwd = pa.table(
+            {
+                "a": batch.column("subj"),
+                "b": batch.column("obj"),
+                "w": batch.column("weight"),
+            }
+        )
+        rev = pa.table(
+            {
+                "a": batch.column("obj"),
+                "b": batch.column("subj"),
+                "w": batch.column("weight"),
+            }
+        )
+        return pa.concat_tables([fwd, rev])
+
+    return ew.map_batches(symmetrize, batch_format="pyarrow")
+
+
+def kg_communities(sf_dir: str, rounds: int = 4) -> ray.data.Dataset:
+    """Weighted LPA communities over the constructed KG's co-occurrence
+    graph. Returns (node:string, community:string) sorted by node."""
+    return communities_over_edges(
+        _kg_symmetric_edges(sf_dir),
+        rounds=rounds,
+        node_type=pa.string(),
+        weight_col="w",
+    )
+
+
+def kg_ppr(
+    sf_dir: str,
+    seeds: tuple[str, ...] = ("org:spark",),
+    iters: int = 3,
+) -> ray.data.Dataset:
+    """Personalized PageRank over the constructed KG from a seed entity
+    set — 'entities related to X', the canonical KG neighborhood query.
+    Returns (node:string, rank:int64), rank 1.0 == 10**12 fixed point."""
+    from ner_pytorch_ray.pipelines.graph_ops import (
+        SCALE,
+        pagerank_over_edges,
+    )
+
+    return pagerank_over_edges(
+        _kg_symmetric_edges(sf_dir),
+        iters=iters,
+        scale=SCALE,
+        node_type=pa.string(),
+        weight_col="w",
+        teleport=list(seeds),
+    )

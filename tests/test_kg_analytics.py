@@ -1,0 +1,223 @@
+"""KG analytics layer (pipelines/kg_analytics.py): 2-hop metapaths,
+exact-integer edge lift, ontology schema stats, weighted-LPA communities,
+personalized PageRank. Ground truth is plain-Python recompute on hand-built
+edge sets; the SQL-oracle comparison runs via tools/check_oracles.py."""
+
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+SF = "/root/testdata/sf0.001"
+
+
+def _edges_ds(rows):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([r[0] for r in rows], type=pa.string()),
+                "b": pa.array([r[1] for r in rows], type=pa.string()),
+                "w": pa.array([r[2] for r in rows], type=pa.int64()),
+            }
+        )
+    )
+
+
+def _sym(rows):
+    return rows + [(b, a, w) for a, b, w in rows]
+
+
+def _lpa_ref(rows, rounds):
+    """Sequential weighted LPA: max summed weight, ties -> smallest label."""
+    nodes = sorted({a for a, _, _ in rows})
+    lab = {v: v for v in nodes}
+    for _ in range(rounds):
+        votes = {}
+        for a, b, w in rows:
+            key = (b, lab[a])
+            votes[key] = votes.get(key, 0) + w
+        new = {}
+        for (v, lb), s in votes.items():
+            cur = new.get(v)
+            if cur is None or (-s, lb) < (-cur[0], cur[1]):
+                new[v] = (s, lb)
+        lab = {v: (new[v][1] if v in new else lab[v]) for v in nodes}
+    return lab
+
+
+class TestCommunities:
+    def test_two_cliques_with_bridge(self):
+        from ner_pytorch_ray.pipelines.kg_analytics import (
+            communities_over_edges,
+        )
+
+        # two weighted triangles joined by one weak bridge: LPA must keep
+        # them as separate communities (bridge weight < intra weight)
+        tri1 = [("a1", "a2", 5), ("a2", "a3", 5), ("a1", "a3", 5)]
+        tri2 = [("b1", "b2", 5), ("b2", "b3", 5), ("b1", "b3", 5)]
+        bridge = [("a3", "b1", 1)]
+        rows = _sym(tri1 + tri2 + bridge)
+        got = {
+            r["node"]: r["community"]
+            for r in communities_over_edges(
+                _edges_ds(rows), rounds=4, weight_col="w"
+            ).take_all()
+        }
+        ref = _lpa_ref(rows, 4)
+        assert got == ref
+        assert len({got["a1"], got["a2"], got["a3"]}) == 1
+        assert len({got["b1"], got["b2"], got["b3"]}) == 1
+        assert got["a1"] != got["b1"]
+
+    def test_partitioning_invariance(self):
+        from ner_pytorch_ray.pipelines.kg_analytics import (
+            communities_over_edges,
+        )
+
+        rows = _sym(
+            [
+                ("n%d" % i, "n%d" % ((i + 1) % 7), (i % 3) + 1)
+                for i in range(7)
+            ]
+            + [("n0", "n3", 4), ("n2", "n5", 2)]
+        )
+        ref = _lpa_ref(rows, 3)
+        for blocks in (1, 5):
+            ds = _edges_ds(rows).repartition(blocks)
+            got = {
+                r["node"]: r["community"]
+                for r in communities_over_edges(
+                    ds, rounds=3, weight_col="w"
+                ).take_all()
+            }
+            assert got == ref
+
+    def test_small_graph_routing_matches_distributed(self):
+        from ner_pytorch_ray.pipelines.kg_analytics import (
+            communities_over_edges,
+        )
+
+        rows = _sym([("x", "y", 2), ("y", "z", 3), ("x", "z", 1)])
+        dist = communities_over_edges(
+            _edges_ds(rows), rounds=4, weight_col="w"
+        ).take_all()
+        local = communities_over_edges(
+            _edges_ds(rows), rounds=4, weight_col="w", small_graph=10**6
+        ).take_all()
+        key = lambda r: r["node"]  # noqa: E731
+        assert sorted(dist, key=key) == sorted(local, key=key)
+
+
+class TestPPR:
+    def test_teleport_mass_concentrates_on_seed(self):
+        from ner_pytorch_ray.pipelines.graph_ops import pagerank_over_edges
+
+        # star around 'hub' plus a far pair; PPR from 'leaf1' must rank
+        # leaf1 and hub above the disconnected pair (which gets 0)
+        rows = _sym(
+            [
+                ("hub", "leaf1", 1),
+                ("hub", "leaf2", 1),
+                ("hub", "leaf3", 1),
+                ("p1", "p2", 1),
+            ]
+        )
+        got = {
+            r["node"]: r["rank"]
+            for r in pagerank_over_edges(
+                _edges_ds(rows),
+                iters=3,
+                node_type=pa.string(),
+                weight_col="w",
+                teleport=["leaf1"],
+            ).take_all()
+        }
+        assert got["p1"] == 0 and got["p2"] == 0
+        # the seed keeps the teleport base on top of the same hub
+        # contribution its sibling leaves get (mass oscillates across the
+        # bipartite star, so hub vs leaf ordering depends on iter parity —
+        # the stable invariants are seed > siblings > 0 and hub > 0)
+        assert got["leaf1"] > got["leaf2"] > 0
+        assert got["leaf2"] == got["leaf3"]
+        assert got["hub"] > 0
+
+    def test_seed_absent_raises(self):
+        from ner_pytorch_ray.pipelines.graph_ops import pagerank_over_edges
+
+        rows = _sym([("a", "b", 1)])
+        with pytest.raises(ValueError, match="no teleport seed"):
+            pagerank_over_edges(
+                _edges_ds(rows),
+                iters=1,
+                node_type=pa.string(),
+                weight_col="w",
+                teleport=["zzz"],
+            ).take_all()
+
+    def test_small_graph_routing_matches_distributed(self):
+        from ner_pytorch_ray.pipelines.graph_ops import pagerank_over_edges
+
+        rows = _sym([("a", "b", 2), ("b", "c", 1), ("a", "c", 3)])
+        kwargs = dict(
+            iters=3, node_type=pa.string(), weight_col="w", teleport=["b"]
+        )
+        dist = pagerank_over_edges(_edges_ds(rows), **kwargs).take_all()
+        local = pagerank_over_edges(
+            _edges_ds(rows), small_graph=10**6, **kwargs
+        ).take_all()
+        key = lambda r: r["node"]  # noqa: E731
+        assert sorted(dist, key=key) == sorted(local, key=key)
+
+
+class TestLiftAndPaths:
+    def test_edge_lift_formula(self):
+        """lift_ppm recomputed from the same pipeline's own edge/marginal
+        counts (w, ca, cb are SQL-oracled; this pins the integer formula)."""
+        from ner_pytorch_ray.pipelines.kg_analytics import (
+            LIFT_SCALE,
+            edge_lift,
+        )
+
+        rows = edge_lift(SF).take_all()
+        assert rows
+        t = _T(rows)  # the shared total-sentence constant
+        for r in rows:
+            assert r["lift_ppm"] == (LIFT_SCALE * r["weight"] * t) // (
+                r["ca"] * r["cb"]
+            )
+
+    def test_paths_2hop_excludes_2cycles(self):
+        from ner_pytorch_ray.pipelines.kg_analytics import metapaths_2hop
+
+        rows = metapaths_2hop(SF).take_all()
+        assert rows
+        assert all(r["subj"] != r["obj"] for r in rows)
+        assert all(r["n_mids"] >= 1 and r["path_weight"] >= 1 for r in rows)
+
+    def test_schema_stats_types(self):
+        from ner_pytorch_ray.pipelines.kg_analytics import schema_stats
+
+        rows = schema_stats(SF).take_all()
+        assert rows
+        types = {r["subj_type"] for r in rows} | {
+            r["obj_type"] for r in rows
+        }
+        assert types <= {"ORG", "PER", "LOC", "MISC"}
+
+
+def _T(rows):
+    """Recover the total-sentence constant T from the reported integer
+    fields: T is the unique integer with
+    lift = (S*w*T)//(ca*cb)  for every row simultaneously."""
+    from ner_pytorch_ray.pipelines.kg_analytics import LIFT_SCALE
+
+    r = rows[0]
+    lo = (r["lift_ppm"] * r["ca"] * r["cb"]) // (LIFT_SCALE * r["weight"])
+    for t in range(max(1, lo), lo + r["ca"] * r["cb"] + 2):
+        if all(
+            x["lift_ppm"]
+            == (LIFT_SCALE * x["weight"] * t) // (x["ca"] * x["cb"])
+            for x in rows
+        ):
+            return t
+    raise AssertionError("no consistent T")
