@@ -82,10 +82,18 @@ def metapaths_2hop(sf_dir: str) -> ray.data.Dataset:
     Ray Data's partitioned hash join keyed on the mid entity — at web scale
     both sides are the full triple table, so neither is broadcastable; skew
     on hub mids is bounded upstream by the relation extractor's per-sentence
-    pair cap."""
-    from ner_pytorch_ray.pipelines.kg import relations_from_documents
+    pair cap. Consumes the UNSORTED merged triples (the join
+    hash-partitions on mid, so the flagship sort would be wasted work)."""
+    from ner_pytorch_ray.pipelines.kg import pages_from_documents
+    from ner_pytorch_ray.stages.extract import extract_stage
+    from ner_pytorch_ray.stages.gazetteer import gazetteer_tag_stage
+    from ner_pytorch_ray.stages.relations import relation_partials_merged
+    from ner_pytorch_ray.stages.sentences import sentences_stage
 
-    triples = relations_from_documents(sf_dir).select_columns(
+    tagged = gazetteer_tag_stage(
+        sentences_stage(extract_stage(pages_from_documents(sf_dir)))
+    )
+    triples = relation_partials_merged(tagged).select_columns(
         ["subj", "pred", "obj", "weight"]
     )
     tri = triples.materialize()  # aggregated triple table, ≪ corpus
@@ -318,10 +326,20 @@ def schema_stats(sf_dir: str) -> ray.data.Dataset:
     """Distribution of relation signatures ``(subj_type, pred, obj_type)``
     over the typed triples — entity types are the namespace prefix of the
     linked entity ids ('org:spark' -> 'ORG'). One vectorized projection +
-    the standard two-phase aggregate; output sorted by the signature."""
-    from ner_pytorch_ray.pipelines.kg import relations_from_documents
+    the standard two-phase aggregate (over the UNSORTED merged triples —
+    this re-aggregates, so the flagship sort would be wasted); output
+    sorted by the signature."""
+    from ner_pytorch_ray.pipelines.kg import pages_from_documents
+    from ner_pytorch_ray.stages.extract import extract_stage
+    from ner_pytorch_ray.stages.gazetteer import gazetteer_tag_stage
+    from ner_pytorch_ray.stages.relations import relation_partials_merged
+    from ner_pytorch_ray.stages.sentences import sentences_stage
 
-    triples = relations_from_documents(sf_dir)
+    triples = relation_partials_merged(
+        gazetteer_tag_stage(
+            sentences_stage(extract_stage(pages_from_documents(sf_dir)))
+        )
+    )
 
     def partial(batch: pa.Table) -> pa.Table:
         def ns(col: pa.ChunkedArray) -> pa.Array:
@@ -383,10 +401,13 @@ def communities_over_edges(
     previous labeling — an unrolled SQL oracle (GROUP BY label + window
     rank) reproduces it exactly.
 
-    Per round: one keyed collect co-locates a node's label with its
-    out-edges (group size = out-degree, hub-capped upstream), one
-    groupby-sum folds (node, label) votes, one keyed collect picks the
-    argmax; only the small (node, label) state materializes per round."""
+    Per round: TWO exchanges — one keyed collect co-locates a node's label
+    with its out-edges (group size = out-degree, hub-capped upstream), then
+    one groupby whose accumulator folds votes into a per-node
+    {label: weight_sum} dict (block-local pre-aggregation included) and
+    finalizes the argmax; only the small (node, label) state materializes
+    per round."""
+    from ray.data.aggregate import AggregateFn
     if small_graph:
         em = edges.materialize()
         if em.count() <= small_graph:
@@ -478,7 +499,6 @@ def communities_over_edges(
     vote_schema = pa.schema(
         [("node", node_type), ("lab", node_type), ("w", pa.int64())]
     )
-    pick_schema = pa.schema([("node", node_type), ("community", node_type)])
 
     def label_rows(batch: pa.Table) -> pa.Table:
         n = len(batch)
@@ -509,16 +529,24 @@ def communities_over_edges(
             }
         )
 
-    def pick_argmax(key, items) -> pa.Table:
-        if items is None:
-            return pick_schema.empty_table()
-        best = min(items, key=lambda t: (-t[1], t[0]))
-        return pa.Table.from_pydict(
-            {
-                "node": pa.array([key[0]], type=node_type),
-                "community": pa.array([best[0]], type=node_type),
-            }
-        )
+    def vote_acc(d: dict, block) -> dict:
+        # integer sums into a dict: summation-order independent
+        out = dict(d)
+        for lb, w in zip(
+            block.column("lab").to_pylist(), block.column("w").to_pylist()
+        ):
+            out[lb] = out.get(lb, 0) + w
+        return out
+
+    def vote_merge(a: dict, b: dict) -> dict:
+        out = dict(a)
+        for lb, w in b.items():
+            out[lb] = out.get(lb, 0) + w
+        return out
+
+    def vote_fin(d: dict):
+        # (max weight sum, min label) — a total order, so deterministic
+        return min(d.items(), key=lambda kv: (-kv[1], kv[0]))[0]
 
     for _ in range(rounds):
         unioned = labels.map_batches(
@@ -528,18 +556,24 @@ def communities_over_edges(
             unioned, ["node"], ["peer", "w", "lab"], shuffle_blocks="auto"
         )
         votes = flat_map_groups(collected, emit_votes, ["node"])
-        summed = grouped_sum(votes, keys=["node", "lab"], sum_cols=["w"])
-        per_node = collect_tuples(
-            summed, ["node"], ["lab", "w"], shuffle_blocks="auto"
-        )
-        labels = (
-            flat_map_groups(per_node, pick_argmax, ["node"])
-            .map_batches(
-                lambda t: t.rename_columns(["node", "lab"]),
-                batch_format="pyarrow",
+        picked = votes.groupby("node").aggregate(
+            AggregateFn(
+                init=lambda k: {},
+                accumulate_block=vote_acc,
+                merge=vote_merge,
+                finalize=vote_fin,
+                name="lab",
             )
-            .materialize()
         )
+        labels = picked.map_batches(
+            lambda t: pa.Table.from_pydict(
+                {
+                    "node": t.column("node").cast(node_type),
+                    "lab": t.column("lab").cast(node_type),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
 
     return labels.map_batches(
         lambda t: t.rename_columns(["node", "community"]),

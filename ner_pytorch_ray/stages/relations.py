@@ -164,16 +164,23 @@ def _relations_partial(batch: pa.Table) -> pa.Table:
     )
 
 
-def relations_from_tagged(tagged: ray.data.Dataset) -> ray.data.Dataset:
-    """tagged sentences -> (subj, pred, obj, weight, sample_url), deduped,
-    sorted by (subj, pred, obj)."""
+def relation_partials_merged(tagged: ray.data.Dataset) -> ray.data.Dataset:
+    """tagged sentences -> merged (but UNSORTED) triple aggregate rows —
+    the input for downstream consumers that re-shuffle anyway (the 2-hop
+    metapath join hash-partitions on the mid entity, so a pre-sort would
+    be wasted work)."""
     from ner_pytorch_ray.stages.groupby_utils import grouped_sum
 
     partial = tagged.map_batches(_relations_partial, batch_format="pyarrow")
-    merged = grouped_sum(
+    return grouped_sum(
         partial,
         ["subj", "pred", "obj"],
         sum_cols=["weight"],
         min_cols=["sample_url"],
     )
-    return merged.sort(["subj", "pred", "obj"])
+
+
+def relations_from_tagged(tagged: ray.data.Dataset) -> ray.data.Dataset:
+    """tagged sentences -> (subj, pred, obj, weight, sample_url), deduped,
+    sorted by (subj, pred, obj)."""
+    return relation_partials_merged(tagged).sort(["subj", "pred", "obj"])
