@@ -852,6 +852,12 @@ def _q_kg_ppr(sf_dir: str):
     return kg_ppr(sf_dir, seeds=("org:spark",), iters=3)
 
 
+def _q_kg_random_walks(sf_dir: str):
+    from ner_pytorch_ray.pipelines.kg_analytics import kg_random_walks
+
+    return kg_random_walks(sf_dir, walks_per_node=2, steps=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2.
 
@@ -886,6 +892,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_schema_stats": _q_kg_schema_stats,
         "kg_communities": _q_kg_communities,
         "kg_ppr": _q_kg_ppr,
+        "kg_random_walks": _q_kg_random_walks,
         # similarity search (round 2-3, never driver-checked)
         "knn_topk": _q_knn_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -922,9 +929,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_bigrams": _q_heavy_bigrams,
         "kg_transe_curve": _q_kg_transe_curve,
         "kg_transe_hits": _q_kg_transe_hits,
-        # flagship knowledge-graph DAG
+        # flagship knowledge-graph DAG (kg_nodes moved past the window —
+        # driver-green r1-r3 and unchanged)
         "kg_edges": _q_kg_edges,
-        "kg_nodes": _q_kg_nodes,
         "kg_mentions": _q_kg_mentions,
         "kg_relations": _q_kg_relations,
         # neural tagger + training path (model scoring — frozen oracles):
@@ -938,6 +945,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (kg_edges_incremental / kg_linked / neural_eval_metrics /
         # training_curve / adv_ppl_filtered driver-green r3;
         # adv_rep_variants / adv_topk_loss r1-r3, training_curve_adv r3)
+        "kg_nodes": _q_kg_nodes,
         "kg_edges_incremental": _q_kg_edges_incremental,
         "kg_linked": _q_kg_linked,
         "neural_eval_metrics": _q_neural_eval_metrics,
@@ -2343,6 +2351,64 @@ r0 AS (SELECT DISTINCT a AS node, a AS lab FROM edges),
         )
         + """
 SELECT node, lab AS community FROM r4 ORDER BY node
+"""
+    )
+
+    # deterministic weighted random walks (kg_analytics.kg_random_walks):
+    # next hop = first neighbor (sorted) whose cumulative weight exceeds
+    # the md5-derived threshold mod node strength — the same expression in
+    # SQL and Python, so the walk corpus is exactly reproducible
+    _walk_thresh = (
+        "CAST(concat('0x', substring(md5(p.start || '|' || "
+        "CAST(p.walk_idx AS VARCHAR) || '|' || '{k}' || '|' || p.cur), "
+        "1, 12)) AS BIGINT) % s.sw"
+    )
+    _walk_step = (
+        """
+w{k} AS (
+  SELECT p.start, p.walk_idx, c.b AS cur
+  FROM w{p} p
+  JOIN sw s ON s.node = p.cur
+  JOIN cum c ON c.a = p.cur
+  WHERE c.cum > """
+        + _walk_thresh
+        + """
+    AND c.cum - c.w <= """
+        + _walk_thresh
+        + """
+)"""
+    )
+    out["kg_random_walks"] = (
+        _KG_MENTIONS_CTE
+        + """
+, pairs AS (
+  SELECT DISTINCT m1.doc_id, m1.sent, m1.ent AS a, m2.ent AS b
+  FROM men m1
+  JOIN men m2 ON m1.doc_id = m2.doc_id AND m1.sent = m2.sent
+  WHERE m1.ent < m2.ent
+),
+ew AS (SELECT a, b, COUNT(*) AS w FROM pairs GROUP BY a, b),
+edges AS (SELECT a, b, w FROM ew UNION ALL SELECT b AS a, a AS b, w FROM ew),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+sw AS (SELECT a AS node, SUM(w) AS sw FROM edges GROUP BY a),
+cum AS (
+  SELECT a, b, w,
+         SUM(w) OVER (PARTITION BY a ORDER BY b
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM edges
+),
+w0 AS (SELECT node AS start, CAST(r.r AS BIGINT) AS walk_idx, node AS cur
+       FROM nodes, (SELECT unnest(range(2)) AS r) r),
+"""
+        + ",".join(
+            _walk_step.format(k=k, p=k - 1) for k in (1, 2, 3)
+        )
+        + """
+SELECT start, walk_idx, CAST(0 AS BIGINT) AS step, start AS node FROM w0
+UNION ALL SELECT start, walk_idx, CAST(1 AS BIGINT), cur FROM w1
+UNION ALL SELECT start, walk_idx, CAST(2 AS BIGINT), cur FROM w2
+UNION ALL SELECT start, walk_idx, CAST(3 AS BIGINT), cur FROM w3
+ORDER BY start, walk_idx, step
 """
     )
 

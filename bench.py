@@ -245,6 +245,7 @@ def run_extras(sf_dir: str) -> dict:
         edge_lift,
         kg_communities,
         kg_ppr,
+        kg_random_walks,
         metapaths_2hop,
     )
 
@@ -252,6 +253,7 @@ def run_extras(sf_dir: str) -> dict:
     timed("kg_edge_lift", lambda: edge_lift(sf_dir).count())
     timed("kg_communities", lambda: kg_communities(sf_dir).count())
     timed("kg_ppr", lambda: kg_ppr(sf_dir).count())
+    timed("kg_random_walks", lambda: kg_random_walks(sf_dir).count())
     return extras
 
 

@@ -620,6 +620,243 @@ def kg_communities(sf_dir: str, rounds: int = 4) -> ray.data.Dataset:
     )
 
 
+# ---------------------------------------------------------------------------
+# Deterministic weighted random walks (node2vec-style corpus generation)
+# ---------------------------------------------------------------------------
+
+
+def _walk_threshold(start, walk_idx: int, step: int, cur) -> int:
+    """Deterministic per-(walk, step) threshold: the first 12 hex chars of
+    md5('start|walk_idx|step|cur') as an integer — the same expression a
+    SQL oracle can evaluate (CAST('0x'||substring(md5(s),1,12) AS BIGINT)),
+    so walk selection is reproducible everywhere."""
+    import hashlib
+
+    s = f"{start}|{walk_idx}|{step}|{cur}"
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:12], 16)
+
+
+def random_walks_over_edges(
+    edges: ray.data.Dataset,
+    walks_per_node: int = 2,
+    steps: int = 3,
+    node_type: pa.DataType = pa.string(),
+    weight_col: str | None = None,
+) -> ray.data.Dataset:
+    """Weighted random-walk corpus over a SYMMETRIC edge table
+    (a, b[, weight]) — the node2vec/DeepWalk input generator (Grover &
+    Leskovec 2016; Perozzi et al. 2014), made DETERMINISTIC so distributed
+    runs are bit-reproducible and SQL-oracle-able:
+
+        walk (v, r): w_0 = v;  at step k, from node c the next hop is the
+        first neighbor (sorted by id) whose cumulative edge weight exceeds
+        md5-threshold('v|r|k|c') mod sw(c).
+
+    Output: one row per visited position, (start, walk_idx, step, node),
+    step 0..steps.
+
+    Scale shape: adjacency lists are collected ONCE (group size =
+    out-degree, hub-capped upstream) and packed as binary cells; each step
+    is then a single keyed collect that co-locates the walk frontier rows
+    with their node's packed adjacency — L steps = L exchanges moving only
+    (start, walk_idx, cur) rows, never the corpus. The md5 draw happens
+    inside the group emit (a per-walk-row scalar, not a corpus scan)."""
+    import pickle
+
+    from ner_pytorch_ray.stages.groupby_utils import (
+        collect_tuples as _collect,
+    )
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        w = (
+            batch.column(weight_col).cast(pa.int64())
+            if weight_col
+            else pa.array([1] * n, type=pa.int64())
+        )
+        return pa.Table.from_pydict(
+            {
+                "node": batch.column("a").cast(node_type),
+                "b": batch.column("b").cast(node_type),
+                "w": w,
+            }
+        )
+
+    adj_schema = pa.schema([("node", node_type), ("adj", pa.binary())])
+
+    def pack_adj(key, items) -> pa.Table:
+        if items is None:
+            return adj_schema.empty_table()
+        nbrs = sorted(items)  # (b, w) sorted by neighbor id
+        bs = [b for b, _ in nbrs]
+        cums = []
+        acc = 0
+        for _, w in nbrs:
+            acc += int(w)
+            cums.append(acc)
+        return pa.Table.from_pydict(
+            {
+                "node": pa.array([key[0]], type=node_type),
+                "adj": pa.array(
+                    [pickle.dumps((bs, cums), protocol=4)], type=pa.binary()
+                ),
+            }
+        )
+
+    adj = flat_map_groups(
+        _collect(
+            edges.map_batches(edge_rows, batch_format="pyarrow"),
+            ["node"],
+            ["b", "w"],
+        ),
+        pack_adj,
+        ["node"],
+    ).materialize()
+
+    # adjacency rows are unioned with walk rows per step: tag via null adj
+    def adj_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.Table.from_pydict(
+            {
+                "node": batch.column("node"),
+                "adj": batch.column("adj"),
+                "start": pa.array([None] * n, type=node_type),
+                "walk_idx": pa.array([None] * n, type=pa.int64()),
+            }
+        )
+
+    adj_tagged = adj.map_batches(adj_rows, batch_format="pyarrow")
+
+    def init_walks(batch: pa.Table) -> pa.Table:
+        nodes = batch.column("node").to_pylist()
+        starts, idxs = [], []
+        for v in nodes:
+            for r in range(walks_per_node):
+                starts.append(v)
+                idxs.append(r)
+        return pa.Table.from_pydict(
+            {
+                "node": pa.array(starts, type=node_type),  # cur == start
+                "adj": pa.array([None] * len(starts), type=pa.binary()),
+                "start": pa.array(starts, type=node_type),
+                "walk_idx": pa.array(idxs, type=pa.int64()),
+            }
+        )
+
+    frontier = adj.select_columns(["node"]).map_batches(
+        init_walks, batch_format="pyarrow"
+    ).materialize()
+
+    out_schema = pa.schema(
+        [
+            ("start", node_type),
+            ("walk_idx", pa.int64()),
+            ("step", pa.int64()),
+            ("node", node_type),
+        ]
+    )
+
+    def emit_step(step_k: int):
+        def emit(key, items) -> pa.Table:
+            if items is None:
+                return pa.schema(
+                    [
+                        ("node", node_type),
+                        ("adj", pa.binary()),
+                        ("start", node_type),
+                        ("walk_idx", pa.int64()),
+                    ]
+                ).empty_table()
+            import bisect
+            import pickle as _p
+
+            packed = next(
+                (a for a, s, _ in items if s is None and a is not None), None
+            )
+            walks = [(s, wi) for a, s, wi in items if s is not None]
+            if packed is None or not walks:
+                # node without adjacency (can't happen on symmetric edges)
+                # or no walk currently here
+                return pa.Table.from_pydict(
+                    {
+                        "node": pa.array([], type=node_type),
+                        "adj": pa.array([], type=pa.binary()),
+                        "start": pa.array([], type=node_type),
+                        "walk_idx": pa.array([], type=pa.int64()),
+                    }
+                )
+            bs, cums = _p.loads(packed)
+            sw = cums[-1]
+            cur = key[0]
+            nxt, starts, idxs = [], [], []
+            for s, wi in walks:
+                t = _walk_threshold(s, wi, step_k, cur) % sw
+                j = bisect.bisect_right(cums, t)
+                nxt.append(bs[j])
+                starts.append(s)
+                idxs.append(wi)
+            return pa.Table.from_pydict(
+                {
+                    "node": pa.array(nxt, type=node_type),
+                    "adj": pa.array([None] * len(nxt), type=pa.binary()),
+                    "start": pa.array(starts, type=node_type),
+                    "walk_idx": pa.array(idxs, type=pa.int64()),
+                }
+            )
+
+        return emit
+
+    def positions(frontier_ds: ray.data.Dataset, step_k: int):
+        return frontier_ds.map_batches(
+            lambda t: pa.Table.from_pydict(
+                {
+                    "start": t.column("start"),
+                    "walk_idx": t.column("walk_idx"),
+                    "step": pa.array([step_k] * len(t), type=pa.int64()),
+                    "node": t.column("node"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    outputs = [positions(frontier, 0)]
+    for k in range(1, steps + 1):
+        collected = _collect(
+            frontier.select_columns(
+                ["node", "adj", "start", "walk_idx"]
+            ).union(adj_tagged),
+            ["node"],
+            ["adj", "start", "walk_idx"],
+            shuffle_blocks="auto",
+        )
+        frontier = flat_map_groups(
+            collected, emit_step(k), ["node"]
+        ).materialize()
+        outputs.append(positions(frontier, k))
+
+    result = outputs[0]
+    for o in outputs[1:]:
+        result = result.union(o)
+    # guard: empty-union schema
+    _ = out_schema
+    return result.sort(["start", "walk_idx", "step"])
+
+
+def kg_random_walks(
+    sf_dir: str, walks_per_node: int = 2, steps: int = 3
+) -> ray.data.Dataset:
+    """Deterministic weighted random walks over the constructed KG's
+    co-occurrence graph — the training-corpus generator for skip-gram
+    node embeddings. Returns (start, walk_idx, step, node)."""
+    return random_walks_over_edges(
+        _kg_symmetric_edges(sf_dir),
+        walks_per_node=walks_per_node,
+        steps=steps,
+        node_type=pa.string(),
+        weight_col="w",
+    )
+
+
 def kg_ppr(
     sf_dir: str,
     seeds: tuple[str, ...] = ("org:spark",),

@@ -205,6 +205,79 @@ class TestLiftAndPaths:
         assert types <= {"ORG", "PER", "LOC", "MISC"}
 
 
+class TestRandomWalks:
+    def _ref_walks(self, rows, walks_per_node, steps):
+        """Sequential recompute: sorted adjacency + md5 threshold."""
+        import bisect
+
+        from ner_pytorch_ray.pipelines.kg_analytics import _walk_threshold
+
+        adj = {}
+        for a, b, w in rows:
+            adj.setdefault(a, []).append((b, w))
+        out = []
+        for v in sorted(adj):
+            nbrs = sorted(adj[v])
+            for r in range(walks_per_node):
+                cur = v
+                out.append((v, r, 0, v))
+                for k in range(1, steps + 1):
+                    nb = sorted(adj[cur])
+                    cums, acc = [], 0
+                    for _, w in nb:
+                        acc += w
+                        cums.append(acc)
+                    t = _walk_threshold(v, r, k, cur) % acc
+                    cur = nb[bisect.bisect_right(cums, t)][0]
+                    out.append((v, r, k, cur))
+        return sorted(out)
+
+    def test_matches_sequential_and_partitioning_invariant(self):
+        from ner_pytorch_ray.pipelines.kg_analytics import (
+            random_walks_over_edges,
+        )
+
+        rows = _sym(
+            [
+                ("a", "b", 3),
+                ("b", "c", 1),
+                ("c", "d", 5),
+                ("a", "d", 2),
+                ("b", "d", 4),
+            ]
+        )
+        ref = self._ref_walks(rows, 2, 3)
+        for blocks in (1, 4):
+            got = sorted(
+                (r["start"], r["walk_idx"], r["step"], r["node"])
+                for r in random_walks_over_edges(
+                    _edges_ds(rows).repartition(blocks),
+                    walks_per_node=2,
+                    steps=3,
+                    weight_col="w",
+                ).take_all()
+            )
+            assert got == ref
+
+    def test_walk_edges_are_real_edges(self):
+        from ner_pytorch_ray.pipelines.kg_analytics import kg_random_walks
+
+        rows = kg_random_walks(SF, walks_per_node=1, steps=2).take_all()
+        assert rows
+        walks = {}
+        for r in rows:
+            walks.setdefault((r["start"], r["walk_idx"]), {})[r["step"]] = r[
+                "node"
+            ]
+        for (start, _), pos in walks.items():
+            assert pos[0] == start
+            assert sorted(pos) == list(range(len(pos)))
+            # consecutive nodes differ (no self-loops in the co-occurrence
+            # graph, so a hop never stays put)
+            for k in range(1, len(pos)):
+                assert pos[k] != pos[k - 1]
+
+
 def _T(rows):
     """Recover the total-sentence constant T from the reported integer
     fields: T is the unique integer with
