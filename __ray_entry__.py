@@ -858,6 +858,12 @@ def _q_kg_random_walks(sf_dir: str):
     return kg_random_walks(sf_dir, walks_per_node=2, steps=3)
 
 
+def _q_kg_skipgram_pairs(sf_dir: str):
+    from ner_pytorch_ray.pipelines.kg_analytics import kg_skipgram_pairs
+
+    return kg_skipgram_pairs(sf_dir, walks_per_node=2, steps=3, window=2)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2.
 
@@ -893,6 +899,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_communities": _q_kg_communities,
         "kg_ppr": _q_kg_ppr,
         "kg_random_walks": _q_kg_random_walks,
+        "kg_skipgram_pairs": _q_kg_skipgram_pairs,
         # similarity search (round 2-3, never driver-checked)
         "knn_topk": _q_knn_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -929,10 +936,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_bigrams": _q_heavy_bigrams,
         "kg_transe_curve": _q_kg_transe_curve,
         "kg_transe_hits": _q_kg_transe_hits,
-        # flagship knowledge-graph DAG (kg_nodes moved past the window —
-        # driver-green r1-r3 and unchanged)
+        # flagship knowledge-graph DAG (kg_nodes / kg_mentions moved past
+        # the window — driver-green r1-r3 and unchanged)
         "kg_edges": _q_kg_edges,
-        "kg_mentions": _q_kg_mentions,
         "kg_relations": _q_kg_relations,
         # neural tagger + training path (model scoring — frozen oracles):
         # neural_epoch_loss's rounding changed this round (host-portable
@@ -946,6 +952,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training_curve / adv_ppl_filtered driver-green r3;
         # adv_rep_variants / adv_topk_loss r1-r3, training_curve_adv r3)
         "kg_nodes": _q_kg_nodes,
+        "kg_mentions": _q_kg_mentions,
         "kg_edges_incremental": _q_kg_edges_incremental,
         "kg_linked": _q_kg_linked,
         "neural_eval_metrics": _q_neural_eval_metrics,
@@ -2378,7 +2385,7 @@ w{k} AS (
         + """
 )"""
     )
-    out["kg_random_walks"] = (
+    _walk_common = (
         _KG_MENTIONS_CTE
         + """
 , pairs AS (
@@ -2403,12 +2410,36 @@ w0 AS (SELECT node AS start, CAST(r.r AS BIGINT) AS walk_idx, node AS cur
         + ",".join(
             _walk_step.format(k=k, p=k - 1) for k in (1, 2, 3)
         )
+        + """,
+walkpos AS (
+  SELECT start, walk_idx, CAST(0 AS BIGINT) AS step, start AS node FROM w0
+  UNION ALL SELECT start, walk_idx, CAST(1 AS BIGINT), cur FROM w1
+  UNION ALL SELECT start, walk_idx, CAST(2 AS BIGINT), cur FROM w2
+  UNION ALL SELECT start, walk_idx, CAST(3 AS BIGINT), cur FROM w3
+)
+"""
+    )
+    out["kg_random_walks"] = (
+        _walk_common
         + """
-SELECT start, walk_idx, CAST(0 AS BIGINT) AS step, start AS node FROM w0
-UNION ALL SELECT start, walk_idx, CAST(1 AS BIGINT), cur FROM w1
-UNION ALL SELECT start, walk_idx, CAST(2 AS BIGINT), cur FROM w2
-UNION ALL SELECT start, walk_idx, CAST(3 AS BIGINT), cur FROM w3
+SELECT start, walk_idx, step, node FROM walkpos
 ORDER BY start, walk_idx, step
+"""
+    )
+
+    # skip-gram pairs from the walk corpus: all ordered position pairs
+    # within the window inside one walk (kg_analytics.kg_skipgram_pairs)
+    out["kg_skipgram_pairs"] = (
+        _walk_common
+        + """
+SELECT p1.node AS center, p2.node AS context,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM walkpos p1
+JOIN walkpos p2
+  ON p1.start = p2.start AND p1.walk_idx = p2.walk_idx
+ AND p1.step <> p2.step AND abs(p1.step - p2.step) <= 2
+GROUP BY 1, 2
+ORDER BY 1, 2
 """
     )
 

@@ -254,6 +254,9 @@ def run_extras(sf_dir: str) -> dict:
     timed("kg_communities", lambda: kg_communities(sf_dir).count())
     timed("kg_ppr", lambda: kg_ppr(sf_dir).count())
     timed("kg_random_walks", lambda: kg_random_walks(sf_dir).count())
+    from ner_pytorch_ray.pipelines.kg_analytics import kg_skipgram_pairs
+
+    timed("kg_skipgram_pairs", lambda: kg_skipgram_pairs(sf_dir).count())
     return extras
 
 

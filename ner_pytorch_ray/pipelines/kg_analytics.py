@@ -642,6 +642,7 @@ def random_walks_over_edges(
     steps: int = 3,
     node_type: pa.DataType = pa.string(),
     weight_col: str | None = None,
+    sort: bool = True,
 ) -> ray.data.Dataset:
     """Weighted random-walk corpus over a SYMMETRIC edge table
     (a, b[, weight]) — the node2vec/DeepWalk input generator (Grover &
@@ -839,6 +840,8 @@ def random_walks_over_edges(
         result = result.union(o)
     # guard: empty-union schema
     _ = out_schema
+    if not sort:  # downstream re-shuffles (e.g. skip-gram pairing)
+        return result
     return result.sort(["start", "walk_idx", "step"])
 
 
@@ -855,6 +858,69 @@ def kg_random_walks(
         node_type=pa.string(),
         weight_col="w",
     )
+
+
+def skipgram_pairs_over_walks(
+    walks: ray.data.Dataset,
+    window: int = 2,
+    node_type: pa.DataType = pa.string(),
+) -> ray.data.Dataset:
+    """(center, context, n_pairs) skip-gram training pairs from a walk
+    corpus (start, walk_idx, step, node) — the second half of the
+    node2vec/DeepWalk data path: pairs are all ordered position pairs
+    within ``window`` steps of each other inside one walk.
+
+    One keyed collect co-locates a walk's positions (group size = walk
+    length + 1, a constant), pairs are emitted block-locally, and the
+    final counts fold through the standard grouped sum. Output sorted by
+    (center, context)."""
+    pair_schema = pa.schema(
+        [("center", node_type), ("context", node_type), ("n", pa.int64())]
+    )
+
+    def emit_pairs(key, items) -> pa.Table:
+        if items is None:
+            return pair_schema.empty_table()
+        pos = sorted(items)  # (step, node), walk length is tiny
+        cs, xs = [], []
+        for i, (si, ni) in enumerate(pos):
+            for sj, nj in pos:
+                if sj != si and abs(sj - si) <= window:
+                    cs.append(ni)
+                    xs.append(nj)
+        return pa.Table.from_pydict(
+            {
+                "center": pa.array(cs, type=node_type),
+                "context": pa.array(xs, type=node_type),
+                "n": pa.array([1] * len(cs), type=pa.int64()),
+            }
+        )
+
+    collected = collect_tuples(
+        walks, ["start", "walk_idx"], ["step", "node"], shuffle_blocks="auto"
+    )
+    pairs = flat_map_groups(collected, emit_pairs, ["start", "walk_idx"])
+    merged = grouped_sum(pairs, ["center", "context"], sum_cols=["n"])
+    return merged.map_batches(
+        lambda t: t.rename_columns(["center", "context", "n_pairs"]),
+        batch_format="pyarrow",
+    ).sort(["center", "context"])
+
+
+def kg_skipgram_pairs(
+    sf_dir: str, walks_per_node: int = 2, steps: int = 3, window: int = 2
+) -> ray.data.Dataset:
+    """Skip-gram (center, context) pair counts from the deterministic KG
+    walk corpus — ready-to-train input for skip-gram node embeddings."""
+    walks = random_walks_over_edges(
+        _kg_symmetric_edges(sf_dir),
+        walks_per_node=walks_per_node,
+        steps=steps,
+        node_type=pa.string(),
+        weight_col="w",
+        sort=False,  # the pairing collect re-shuffles anyway
+    )
+    return skipgram_pairs_over_walks(walks, window=window)
 
 
 def kg_ppr(

@@ -278,6 +278,38 @@ class TestRandomWalks:
                 assert pos[k] != pos[k - 1]
 
 
+class TestSkipgram:
+    def test_pairs_symmetric_and_counted(self):
+        from ner_pytorch_ray.pipelines.kg_analytics import (
+            kg_random_walks,
+            kg_skipgram_pairs,
+        )
+
+        pairs = kg_skipgram_pairs(
+            SF, walks_per_node=2, steps=3, window=2
+        ).take_all()
+        assert pairs
+        got = {(r["center"], r["context"]): r["n_pairs"] for r in pairs}
+        # recompute from the walk corpus itself
+        walks = {}
+        for r in kg_random_walks(SF, walks_per_node=2, steps=3).take_all():
+            walks.setdefault((r["start"], r["walk_idx"]), {})[r["step"]] = r[
+                "node"
+            ]
+        ref: dict = {}
+        for pos in walks.values():
+            steps = sorted(pos)
+            for i in steps:
+                for j in steps:
+                    if i != j and abs(i - j) <= 2:
+                        k = (pos[i], pos[j])
+                        ref[k] = ref.get(k, 0) + 1
+        assert got == ref
+        # skip-gram windows are symmetric: (a,b) and (b,a) counts match
+        for (c, x), n in got.items():
+            assert got[(x, c)] == n
+
+
 def _T(rows):
     """Recover the total-sentence constant T from the reported integer
     fields: T is the unique integer with
