@@ -864,6 +864,12 @@ def _q_kg_skipgram_pairs(sf_dir: str):
     return kg_skipgram_pairs(sf_dir, walks_per_node=2, steps=3, window=2)
 
 
+def _q_kg_validated_triples(sf_dir: str):
+    from ner_pytorch_ray.pipelines.kg_analytics import validated_triples
+
+    return validated_triples(sf_dir, min_support=3)
+
+
 def _q_kg_ntriples_roundtrip(sf_dir: str):
     """KG edges -> N-Triples Datasink (part files + committed manifest) ->
     streaming read-back. The oracle checks the read-back triples, so a
@@ -923,6 +929,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_random_walks": _q_kg_random_walks,
         "kg_skipgram_pairs": _q_kg_skipgram_pairs,
         "kg_ntriples_roundtrip": _q_kg_ntriples_roundtrip,
+        "kg_validated_triples": _q_kg_validated_triples,
         # similarity search (round 2-3, never driver-checked)
         "knn_topk": _q_knn_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -959,10 +966,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_bigrams": _q_heavy_bigrams,
         "kg_transe_curve": _q_kg_transe_curve,
         "kg_transe_hits": _q_kg_transe_hits,
-        # flagship knowledge-graph DAG (kg_nodes / kg_mentions moved past
-        # the window — driver-green r1-r3 and unchanged)
+        # flagship knowledge-graph DAG (kg_nodes / kg_mentions /
+        # kg_relations moved past the window — driver-green r1-r3 and
+        # unchanged; the round-4 metapath/schema/validated queries exercise
+        # the same relation extractor inside the window)
         "kg_edges": _q_kg_edges,
-        "kg_relations": _q_kg_relations,
         # neural tagger + training path (model scoring — frozen oracles):
         # neural_epoch_loss's rounding changed this round (host-portable
         # 2-decimal total) and training_curve_full is new in round 4, so
@@ -976,6 +984,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # adv_rep_variants / adv_topk_loss r1-r3, training_curve_adv r3)
         "kg_nodes": _q_kg_nodes,
         "kg_mentions": _q_kg_mentions,
+        "kg_relations": _q_kg_relations,
         "neural_mentions": _q_neural_mentions,
         "kg_edges_incremental": _q_kg_edges_incremental,
         "kg_linked": _q_kg_linked,
@@ -2548,6 +2557,31 @@ JOIN trip t2 ON t1.obj = t2.subj
 WHERE t1.subj <> t2.obj
 GROUP BY 1, 2, 3, 4
 ORDER BY 1, 2, 3, 4
+"""
+    )
+
+    # constraint mining + enforcement (kg_analytics.validated_triples):
+    # keep triples whose mined (subj_type, pred, obj_type) signature has
+    # support >= 3
+    out["kg_validated_triples"] = (
+        _KG_MENTIONS_POS_CTE
+        + _TRIP_CTE
+        + """,
+sigs AS (
+  SELECT upper(split_part(subj, ':', 1)) AS st, pred,
+         upper(split_part(obj, ':', 1)) AS ot,
+         COUNT(*) AS n
+  FROM trip
+  GROUP BY 1, 2, 3
+)
+SELECT t.subj, t.pred, t.obj, t.w AS weight
+FROM trip t
+JOIN sigs s
+  ON s.st = upper(split_part(t.subj, ':', 1))
+ AND s.pred = t.pred
+ AND s.ot = upper(split_part(t.obj, ':', 1))
+WHERE s.n >= 3
+ORDER BY 1, 2, 3
 """
     )
 

@@ -257,6 +257,11 @@ def run_extras(sf_dir: str) -> dict:
     from ner_pytorch_ray.pipelines.kg_analytics import kg_skipgram_pairs
 
     timed("kg_skipgram_pairs", lambda: kg_skipgram_pairs(sf_dir).count())
+    from ner_pytorch_ray.pipelines.kg_analytics import validated_triples
+
+    timed(
+        "kg_validated_triples", lambda: validated_triples(sf_dir).count()
+    )
     return extras
 
 

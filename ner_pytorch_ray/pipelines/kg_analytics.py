@@ -375,6 +375,96 @@ def schema_stats(sf_dir: str) -> ray.data.Dataset:
     return merged.sort(["subj_type", "pred", "obj_type"])
 
 
+def validated_triples(sf_dir: str, min_support: int = 3) -> ray.data.Dataset:
+    """Constraint mining + enforcement — the KG-construction quality gate:
+
+    1. mine the ontology signatures ``(subj_type, pred, obj_type)`` whose
+       triple count reaches ``min_support`` (data-derived schema, the same
+       aggregate as :func:`schema_stats`);
+    2. keep only triples matching a mined signature.
+
+    The mined signature set is bounded by #types² × #predicates —
+    broadcast once via ``ray.put`` and probed per batch (a semi-join
+    against a provably small side; the TRIPLE side streams). Output:
+    the surviving triples sorted by (subj, pred, obj)."""
+    import ray as _ray
+
+    from ner_pytorch_ray.pipelines.kg import pages_from_documents
+    from ner_pytorch_ray.stages.extract import extract_stage
+    from ner_pytorch_ray.stages.gazetteer import gazetteer_tag_stage
+    from ner_pytorch_ray.stages.relations import relation_partials_merged
+    from ner_pytorch_ray.stages.sentences import sentences_stage
+
+    tagged = gazetteer_tag_stage(
+        sentences_stage(extract_stage(pages_from_documents(sf_dir)))
+    )
+    triples = relation_partials_merged(tagged).materialize()
+
+    def _ns(col: pa.ChunkedArray) -> pa.Array:
+        split = pc.split_pattern(col, pattern=":", max_splits=1)
+        return pc.utf8_upper(pc.list_element(split, 0))
+
+    def sig_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "subj_type": _ns(batch.column("subj")).combine_chunks(),
+                "pred": batch.column("pred").combine_chunks(),
+                "obj_type": _ns(batch.column("obj")).combine_chunks(),
+            }
+        )
+        g = t.group_by(["subj_type", "pred", "obj_type"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {
+                "subj_type": g.column("subj_type"),
+                "pred": g.column("pred"),
+                "obj_type": g.column("obj_type"),
+                "n": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    sigs = grouped_sum(
+        triples.map_batches(sig_partial, batch_format="pyarrow"),
+        ["subj_type", "pred", "obj_type"],
+        sum_cols=["n"],
+    )
+    allowed = {
+        (r["subj_type"], r["pred"], r["obj_type"])
+        for r in sigs.take_all()  # bounded: #types^2 x #preds
+        if r["n"] >= min_support
+    }
+    allowed_ref = _ray.put(frozenset(allowed))
+
+    class Enforce:
+        """Actor-pool stage: fetch the mined signature set ONCE per actor
+        (never per batch), probe vectorized columns against it."""
+
+        def __init__(self, ref):
+            self._allowed = _ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            st = _ns(batch.column("subj")).to_pylist()
+            pr = batch.column("pred").to_pylist()
+            ot = _ns(batch.column("obj")).to_pylist()
+            keep = pa.array(
+                [
+                    (a, p, b) in self._allowed
+                    for a, p, b in zip(st, pr, ot)
+                ],
+                type=pa.bool_(),
+            )
+            return batch.filter(keep)
+
+    kept = triples.map_batches(
+        Enforce,
+        batch_format="pyarrow",
+        concurrency=2,
+        fn_constructor_args=(allowed_ref,),
+    ).select_columns(["subj", "pred", "obj", "weight"])
+    return kept.sort(["subj", "pred", "obj"])
+
+
 # ---------------------------------------------------------------------------
 # Weighted synchronous label propagation (community detection)
 # ---------------------------------------------------------------------------

@@ -205,6 +205,35 @@ class TestLiftAndPaths:
         assert types <= {"ORG", "PER", "LOC", "MISC"}
 
 
+class TestValidatedTriples:
+    def test_enforces_mined_signatures(self):
+        from ner_pytorch_ray.pipelines.kg_analytics import (
+            schema_stats,
+            validated_triples,
+        )
+
+        sigs = {
+            (r["subj_type"], r["pred"], r["obj_type"]): r["n_triples"]
+            for r in schema_stats(SF).take_all()
+        }
+        kept = validated_triples(SF, min_support=3).take_all()
+        assert kept
+
+        def sig(r):
+            return (
+                r["subj"].split(":")[0].upper(),
+                r["pred"],
+                r["obj"].split(":")[0].upper(),
+            )
+
+        assert all(sigs[sig(r)] >= 3 for r in kept)
+        # the gate actually binds: some signature is below support
+        n_total = sum(sigs.values())
+        n_kept = len(kept)
+        assert n_kept < n_total
+        assert n_kept == sum(n for n in sigs.values() if n >= 3)
+
+
 class TestRandomWalks:
     def _ref_walks(self, rows, walks_per_node, steps):
         """Sequential recompute: sorted adjacency + md5 threshold."""
