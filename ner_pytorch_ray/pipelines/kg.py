@@ -75,6 +75,33 @@ def linked_mentions_cached(
     return ds
 
 
+_TRIPLES_CACHE: dict = {}
+
+
+def triples_merged_cached(sf_dir: str) -> ray.data.Dataset:
+    """Process-local memo of the MATERIALIZED merged (unsorted) verb-pattern
+    triple table — the shared-scan reduction for the KG-analytics layer
+    (metapaths / schema stats / constraint mining all consume the same
+    aggregated triples; same mtime-keyed pattern as
+    :func:`linked_mentions_cached`). The triple table is the DAG's
+    reduction, orders of magnitude smaller than pages — holding it in the
+    object store is the intended working set."""
+    import os
+
+    from ner_pytorch_ray.stages.relations import relation_partials_merged
+
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    key = (sf_dir, st.st_mtime_ns)
+    ds = _TRIPLES_CACHE.get(key)
+    if ds is None:
+        tagged = gazetteer_tag_stage(
+            sentences_stage(extract_stage(pages_from_documents(sf_dir)))
+        )
+        ds = relation_partials_merged(tagged).materialize()
+        _TRIPLES_CACHE[key] = ds
+    return ds
+
+
 def kg_from_documents(sf_dir: str, tagger: str = "gazetteer"):
     """Full DAG over the documents-derived pages at ``sf_dir``.
 

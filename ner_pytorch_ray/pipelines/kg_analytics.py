@@ -82,21 +82,14 @@ def metapaths_2hop(sf_dir: str) -> ray.data.Dataset:
     Ray Data's partitioned hash join keyed on the mid entity — at web scale
     both sides are the full triple table, so neither is broadcastable; skew
     on hub mids is bounded upstream by the relation extractor's per-sentence
-    pair cap. Consumes the UNSORTED merged triples (the join
-    hash-partitions on mid, so the flagship sort would be wasted work)."""
-    from ner_pytorch_ray.pipelines.kg import pages_from_documents
-    from ner_pytorch_ray.stages.extract import extract_stage
-    from ner_pytorch_ray.stages.gazetteer import gazetteer_tag_stage
-    from ner_pytorch_ray.stages.relations import relation_partials_merged
-    from ner_pytorch_ray.stages.sentences import sentences_stage
+    pair cap. Consumes the UNSORTED merged triples via the shared memo
+    (the join hash-partitions on mid, so the flagship sort would be
+    wasted work)."""
+    from ner_pytorch_ray.pipelines.kg import triples_merged_cached
 
-    tagged = gazetteer_tag_stage(
-        sentences_stage(extract_stage(pages_from_documents(sf_dir)))
-    )
-    triples = relation_partials_merged(tagged).select_columns(
+    tri = triples_merged_cached(sf_dir).select_columns(
         ["subj", "pred", "obj", "weight"]
-    )
-    tri = triples.materialize()  # aggregated triple table, ≪ corpus
+    )  # aggregated triple table, ≪ corpus (already materialized)
     n_parts = _join_partitions(tri.count())
 
     def left_side(batch: pa.Table) -> pa.Table:
@@ -329,17 +322,9 @@ def schema_stats(sf_dir: str) -> ray.data.Dataset:
     the standard two-phase aggregate (over the UNSORTED merged triples —
     this re-aggregates, so the flagship sort would be wasted); output
     sorted by the signature."""
-    from ner_pytorch_ray.pipelines.kg import pages_from_documents
-    from ner_pytorch_ray.stages.extract import extract_stage
-    from ner_pytorch_ray.stages.gazetteer import gazetteer_tag_stage
-    from ner_pytorch_ray.stages.relations import relation_partials_merged
-    from ner_pytorch_ray.stages.sentences import sentences_stage
+    from ner_pytorch_ray.pipelines.kg import triples_merged_cached
 
-    triples = relation_partials_merged(
-        gazetteer_tag_stage(
-            sentences_stage(extract_stage(pages_from_documents(sf_dir)))
-        )
-    )
+    triples = triples_merged_cached(sf_dir)
 
     def partial(batch: pa.Table) -> pa.Table:
         def ns(col: pa.ChunkedArray) -> pa.Array:
@@ -389,16 +374,9 @@ def validated_triples(sf_dir: str, min_support: int = 3) -> ray.data.Dataset:
     the surviving triples sorted by (subj, pred, obj)."""
     import ray as _ray
 
-    from ner_pytorch_ray.pipelines.kg import pages_from_documents
-    from ner_pytorch_ray.stages.extract import extract_stage
-    from ner_pytorch_ray.stages.gazetteer import gazetteer_tag_stage
-    from ner_pytorch_ray.stages.relations import relation_partials_merged
-    from ner_pytorch_ray.stages.sentences import sentences_stage
+    from ner_pytorch_ray.pipelines.kg import triples_merged_cached
 
-    tagged = gazetteer_tag_stage(
-        sentences_stage(extract_stage(pages_from_documents(sf_dir)))
-    )
-    triples = relation_partials_merged(tagged).materialize()
+    triples = triples_merged_cached(sf_dir)
 
     def _ns(col: pa.ChunkedArray) -> pa.Array:
         split = pc.split_pattern(col, pattern=":", max_splits=1)
