@@ -31,6 +31,16 @@ each shaped for the 100 TB regime:
   (graph_ops.pagerank_over_edges with ``teleport=``): the "related
   entities" query KG products serve; same scaled-integer fixed-point
   update as kg_pagerank, so it is partitioning-proof and SQL-oracle-able.
+- :func:`random_walks_over_edges` / :func:`kg_random_walks` /
+  :func:`skipgram_pairs_over_walks` / :func:`kg_skipgram_pairs` — the
+  node2vec/DeepWalk data path (Grover & Leskovec 2016; Perozzi et al.
+  2014) made deterministic: md5-threshold next-hop selection (the same
+  expression SQL evaluates), packed adjacency collected once, one keyed
+  collect per step / per walk.
+- :func:`validated_triples` — constraint mining + enforcement: mine
+  (subj_type, pred, obj_type) signatures with sufficient support
+  (bounded set, broadcast once per actor), stream triples through a
+  vectorized semi-join.
 
 Scale notes (100 TB): every input here is an AGGREGATED graph table
 (triples / edges / incidence), orders of magnitude smaller than the
