@@ -864,6 +864,18 @@ def _q_kg_skipgram_pairs(sf_dir: str):
     return kg_skipgram_pairs(sf_dir, walks_per_node=2, steps=3, window=2)
 
 
+def _q_kg_sparsified_edges(sf_dir: str):
+    from ner_pytorch_ray.pipelines.kg_analytics import sparsify_edges
+
+    return sparsify_edges(sf_dir, k=2)
+
+
+def _q_kg_evidence(sf_dir: str):
+    from ner_pytorch_ray.pipelines.kg_analytics import kg_evidence
+
+    return kg_evidence(sf_dir)
+
+
 def _q_kg_validated_triples(sf_dir: str):
     from ner_pytorch_ray.pipelines.kg_analytics import validated_triples
 
@@ -907,8 +919,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- priority window (first 50 entries) -------------------------
         # graph operators over the dup-pair graph / constructed KG (round 3,
         # never driver-checked before round 4)
-        "graph_components": _q_graph_components,
-        "graph_pagerank": _q_graph_pagerank,
+        # (graph_components / graph_pagerank moved past the window: their
+        # kg_* twins inside it run the SAME generalized loops —
+        # components_over_edges / pagerank_over_edges — over a different
+        # edge derivation, and that derivation (containment pairs) is
+        # itself driver-checked via prefix_containment)
         "graph_link_scores": _q_graph_link_scores,
         "graph_coreness": _q_graph_coreness,
         "kg_components": _q_kg_components,
@@ -930,6 +945,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_skipgram_pairs": _q_kg_skipgram_pairs,
         "kg_ntriples_roundtrip": _q_kg_ntriples_roundtrip,
         "kg_validated_triples": _q_kg_validated_triples,
+        "kg_sparsified_edges": _q_kg_sparsified_edges,
+        "kg_evidence": _q_kg_evidence,
         # similarity search (round 2-3, never driver-checked)
         "knn_topk": _q_knn_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -986,6 +1003,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mentions": _q_kg_mentions,
         "kg_relations": _q_kg_relations,
         "neural_mentions": _q_neural_mentions,
+        "graph_components": _q_graph_components,
+        "graph_pagerank": _q_graph_pagerank,
         "kg_edges_incremental": _q_kg_edges_incremental,
         "kg_linked": _q_kg_linked,
         "neural_eval_metrics": _q_neural_eval_metrics,
@@ -2557,6 +2576,64 @@ JOIN trip t2 ON t1.obj = t2.subj
 WHERE t1.subj <> t2.obj
 GROUP BY 1, 2, 3, 4
 ORDER BY 1, 2, 3, 4
+"""
+    )
+
+    # degree-capped union sparsifier (kg_analytics.sparsify_edges): every
+    # node keeps its top-2 incident edges by (weight desc, neighbor asc)
+    out["kg_sparsified_edges"] = (
+        _KG_MENTIONS_CTE
+        + """
+, pairs AS (
+  SELECT DISTINCT m1.doc_id, m1.sent, m1.ent AS a, m2.ent AS b
+  FROM men m1
+  JOIN men m2 ON m1.doc_id = m2.doc_id AND m1.sent = m2.sent
+  WHERE m1.ent < m2.ent
+),
+ew AS (SELECT a, b, COUNT(*) AS w FROM pairs GROUP BY a, b),
+edges AS (SELECT a, b, w FROM ew UNION ALL SELECT b AS a, a AS b, w FROM ew),
+kept AS (
+  SELECT a, b, w FROM (
+    SELECT a, b, w,
+           row_number() OVER (PARTITION BY a ORDER BY w DESC, b) AS rn
+    FROM edges
+  ) WHERE rn <= 2
+)
+SELECT DISTINCT least(a, b) AS subj, greatest(a, b) AS obj,
+       CAST(w AS BIGINT) AS weight
+FROM kept
+ORDER BY subj, obj
+"""
+    )
+
+    # relation evidence / provenance rows (kg_analytics.kg_evidence)
+    out["kg_evidence"] = (
+        _KG_MENTIONS_POS_CTE
+        + """
+, verbs AS (
+  SELECT doc_id, pos // 12 AS sent_id, pos % 12 AS vpos, w AS verb
+  FROM tok
+  WHERE w IN ('scan', 'filter', 'merge', 'sort', 'group', 'query')
+),
+relpairs AS (
+  SELECT DISTINCT m1.doc_id, m1.sent_id,
+         m1.ent AS subj,
+         (SELECT v.verb FROM verbs v
+          WHERE v.doc_id = m1.doc_id AND v.sent_id = m1.sent_id
+            AND v.vpos >= m1.e AND v.vpos < m2.b
+          ORDER BY v.vpos LIMIT 1) AS pred,
+         m2.ent AS obj
+  FROM menpos m1
+  JOIN menpos m2
+    ON m1.doc_id = m2.doc_id AND m1.sent_id = m2.sent_id AND m1.e <= m2.b
+)
+SELECT DISTINCT
+       'https://doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+           || '.example.test/page' AS url,
+       sent_id, subj, pred, obj
+FROM relpairs
+WHERE pred IS NOT NULL
+ORDER BY url, sent_id, subj, pred, obj
 """
     )
 

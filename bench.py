@@ -262,6 +262,13 @@ def run_extras(sf_dir: str) -> dict:
     timed(
         "kg_validated_triples", lambda: validated_triples(sf_dir).count()
     )
+    from ner_pytorch_ray.pipelines.kg_analytics import (
+        kg_evidence,
+        sparsify_edges,
+    )
+
+    timed("kg_sparsified_edges", lambda: sparsify_edges(sf_dir).count())
+    timed("kg_evidence", lambda: kg_evidence(sf_dir).count())
     return extras
 
 

@@ -698,6 +698,94 @@ def kg_communities(sf_dir: str, rounds: int = 4) -> ray.data.Dataset:
     )
 
 
+def sparsify_edges(sf_dir: str, k: int = 2) -> ray.data.Dataset:
+    """Degree-capped graph sparsification — the hub-taming step run before
+    walk/embedding stages on web-scale graphs: every node keeps its top-k
+    incident edges by (weight desc, neighbor asc — a total order), and an
+    undirected edge survives if EITHER endpoint keeps it (the standard
+    union sparsifier, so the result stays connected wherever either side
+    cares). One keyed collect (group size = degree, hub-capped upstream)
+    + one grouped distinct. Output (subj, obj, weight) sorted."""
+    sym = _kg_symmetric_edges(sf_dir)
+
+    def rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("a"),
+                "b": batch.column("b"),
+                "w": batch.column("w"),
+            }
+        )
+
+    kept_schema = pa.schema(
+        [("subj", pa.string()), ("obj", pa.string()), ("weight", pa.int64())]
+    )
+
+    def pick(key, items) -> pa.Table:
+        if items is None:
+            return kept_schema.empty_table()
+        top = sorted(items, key=lambda t: (-t[1], t[0]))[:k]
+        node = key[0]
+        return pa.Table.from_pydict(
+            {
+                "subj": pa.array(
+                    [min(node, b) for b, _ in top], type=pa.string()
+                ),
+                "obj": pa.array(
+                    [max(node, b) for b, _ in top], type=pa.string()
+                ),
+                "weight": pa.array([w for _, w in top], type=pa.int64()),
+            }
+        )
+
+    collected = collect_tuples(
+        sym.map_batches(rows, batch_format="pyarrow"),
+        ["node"],
+        ["b", "w"],
+        shuffle_blocks="auto",
+    )
+    kept = flat_map_groups(collected, pick, ["node"])
+    # both endpoints may keep the same undirected edge (same weight):
+    # fold to one row via a grouped min over the identical weights
+    distinct = grouped_sum(
+        kept.map_batches(
+            lambda t: pa.table(
+                {
+                    "subj": t.column("subj"),
+                    "obj": t.column("obj"),
+                    "w0": t.column("weight"),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["subj", "obj"],
+        sum_cols=[],
+        min_cols=["w0"],
+    )
+    return distinct.map_batches(
+        lambda t: t.rename_columns(["subj", "obj", "weight"]),
+        batch_format="pyarrow",
+    ).sort(["subj", "obj"])
+
+
+def kg_evidence(sf_dir: str) -> ray.data.Dataset:
+    """Distinct relation-evidence (provenance) rows
+    (url, sent_id, subj, pred, obj) — which page and sentence asserted
+    each triple; the lineage surface KG consumers audit."""
+    from ner_pytorch_ray.pipelines.kg import pages_from_documents
+    from ner_pytorch_ray.stages.extract import extract_stage
+    from ner_pytorch_ray.stages.gazetteer import gazetteer_tag_stage
+    from ner_pytorch_ray.stages.relations import (
+        relation_evidence_from_tagged,
+    )
+    from ner_pytorch_ray.stages.sentences import sentences_stage
+
+    tagged = gazetteer_tag_stage(
+        sentences_stage(extract_stage(pages_from_documents(sf_dir)))
+    )
+    return relation_evidence_from_tagged(tagged)
+
+
 # ---------------------------------------------------------------------------
 # Deterministic weighted random walks (node2vec-style corpus generation)
 # ---------------------------------------------------------------------------

@@ -53,7 +53,9 @@ _EMPTY = pa.schema(
 )
 
 
-def _relations_partial(batch: pa.Table) -> pa.Table:
+def _relations_evidence_df(batch: pa.Table):
+    """Shared vectorized core: distinct per-sentence relation EVIDENCE
+    rows (url, sid, subj, pred, obj) for this block, or None."""
     tokens = batch.column("tokens")
     if isinstance(tokens, pa.ChunkedArray):
         tokens = tokens.combine_chunks()
@@ -72,7 +74,7 @@ def _relations_partial(batch: pa.Table) -> pa.Table:
 
     begin, end, sent_of, start_tags = vectorized_spans(flat_tags, offsets)
     if not len(begin):
-        return _EMPTY.empty_table()
+        return None
 
     # entity per mention (exact gazetteer link on the lowered surface)
     first_tok = pc.utf8_lower(pc.take(flat_toks, pa.array(begin)))
@@ -96,7 +98,7 @@ def _relations_partial(batch: pa.Table) -> pa.Table:
     )
     linked = np.array([e is not None for e in ents], dtype=bool)
     if not linked.any():
-        return _EMPTY.empty_table()
+        return None
     begin, end, sent_of, ents = (
         begin[linked],
         end[linked],
@@ -114,7 +116,7 @@ def _relations_partial(batch: pa.Table) -> pa.Table:
     vmask = np.isin(codes, np.fromiter(verb_codes, dtype=np.int64)) if verb_codes else np.zeros(len(codes), bool)
     vpos = np.nonzero(vmask)[0]  # sorted ascending
     if not len(vpos):
-        return _EMPTY.empty_table()
+        return None
     vtok = np.asarray(pc.take(flat_toks, pa.array(vpos)), dtype=object)
 
     # ordered co-sentence pairs via a self-merge on the sentence index
@@ -122,7 +124,7 @@ def _relations_partial(batch: pa.Table) -> pa.Table:
     m = df.merge(df, on="sent", suffixes=("_1", "_2"))
     m = m[m["e_1"] <= m["b_2"]]
     if m.empty:
-        return _EMPTY.empty_table()
+        return None
 
     # first verb at flat position in [e_1, b_2): sentences are contiguous
     # flat ranges, so the window never crosses a sentence boundary
@@ -132,7 +134,7 @@ def _relations_partial(batch: pa.Table) -> pa.Table:
     ok = (vi < len(vpos)) & (vpos[np.minimum(vi, len(vpos) - 1)] < b2)
     m = m[ok]
     if m.empty:
-        return _EMPTY.empty_table()
+        return None
     pred = vtok[vi[ok]]
 
     urls = np.asarray(batch.column("url"), dtype=object)
@@ -146,8 +148,16 @@ def _relations_partial(batch: pa.Table) -> pa.Table:
             "obj": m["ent_2"].to_numpy(),
         }
     )
-    # one vote per sentence, then block-local combine before the shuffle
-    out = out.drop_duplicates(["url", "sid", "subj", "pred", "obj"])
+    # one vote per sentence (block-local distinct before any shuffle)
+    return out.drop_duplicates(["url", "sid", "subj", "pred", "obj"])
+
+
+def _relations_partial(batch: pa.Table) -> pa.Table:
+    """Block-local triple aggregate (weight + min sample_url) over the
+    evidence core."""
+    out = _relations_evidence_df(batch)
+    if out is None:
+        return _EMPTY.empty_table()
     g = (
         out.groupby(["subj", "pred", "obj"], sort=True)
         .agg(weight=("url", "size"), sample_url=("url", "min"))
@@ -162,6 +172,59 @@ def _relations_partial(batch: pa.Table) -> pa.Table:
             "sample_url": pa.array(g["sample_url"], type=pa.string()),
         }
     )
+
+
+_EV_EMPTY = pa.schema(
+    [
+        ("url", pa.string()),
+        ("sent_id", pa.int64()),
+        ("subj", pa.string()),
+        ("pred", pa.string()),
+        ("obj", pa.string()),
+    ]
+)
+
+
+def _relations_evidence_partial(batch: pa.Table) -> pa.Table:
+    out = _relations_evidence_df(batch)
+    if out is None:
+        return _EV_EMPTY.empty_table()
+    return pa.Table.from_pydict(
+        {
+            "url": pa.array(out["url"], type=pa.string()),
+            "sent_id": pa.array(
+                out["sid"].to_numpy(dtype=np.int64), type=pa.int64()
+            ),
+            "subj": pa.array(out["subj"], type=pa.string()),
+            "pred": pa.array(out["pred"], type=pa.string()),
+            "obj": pa.array(out["obj"], type=pa.string()),
+        }
+    )
+
+
+def relation_evidence_from_tagged(
+    tagged: ray.data.Dataset,
+) -> ray.data.Dataset:
+    """tagged sentences -> DISTINCT relation evidence rows
+    (url, sent_id, subj, pred, obj) — the per-sentence PROVENANCE of every
+    triple (which page and sentence asserted it), the lineage surface KG
+    consumers audit. Block-local distinct, one grouped exchange, sorted."""
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
+
+    ev = tagged.map_batches(
+        _relations_evidence_partial, batch_format="pyarrow"
+    )
+
+    def one(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "one", pa.array([1] * len(batch), type=pa.int64())
+        )
+
+    keys = ["url", "sent_id", "subj", "pred", "obj"]
+    distinct = grouped_sum(
+        ev.map_batches(one, batch_format="pyarrow"), keys, sum_cols=["one"]
+    ).select_columns(keys)
+    return distinct.sort(keys)
 
 
 def relation_partials_merged(tagged: ray.data.Dataset) -> ray.data.Dataset:

@@ -234,6 +234,52 @@ class TestValidatedTriples:
         assert n_kept == sum(n for n in sigs.values() if n >= 3)
 
 
+class TestSparsifyAndEvidence:
+    def test_sparsify_union_semantics(self):
+        from ner_pytorch_ray.pipelines.kg_analytics import (
+            _kg_symmetric_edges,
+            sparsify_edges,
+        )
+
+        sym = {
+            (r["a"], r["b"]): r["w"]
+            for r in _kg_symmetric_edges(SF).take_all()
+        }
+        kept = {
+            (r["subj"], r["obj"]): r["weight"]
+            for r in sparsify_edges(SF, k=2).take_all()
+        }
+        assert kept
+        # reference: per node top-2 by (w desc, b asc), union both sides
+        by_node: dict = {}
+        for (a, b), w in sym.items():
+            by_node.setdefault(a, []).append((b, w))
+        ref = {}
+        for node, nbrs in by_node.items():
+            for b, w in sorted(nbrs, key=lambda t: (-t[1], t[0]))[:2]:
+                ref[(min(node, b), max(node, b))] = w
+        assert kept == ref
+        # it actually sparsifies on this graph (6-clique, degree 5 > 2)
+        assert len(kept) < len(sym) // 2
+
+    def test_evidence_supports_relations(self):
+        from ner_pytorch_ray.pipelines.kg import relations_from_documents
+        from ner_pytorch_ray.pipelines.kg_analytics import kg_evidence
+
+        ev = kg_evidence(SF).take_all()
+        assert ev
+        # folding evidence rows reproduces every triple's weight exactly
+        agg: dict = {}
+        for r in ev:
+            k = (r["subj"], r["pred"], r["obj"])
+            agg[k] = agg.get(k, 0) + 1
+        triples = {
+            (r["subj"], r["pred"], r["obj"]): r["weight"]
+            for r in relations_from_documents(SF).take_all()
+        }
+        assert agg == triples
+
+
 class TestRandomWalks:
     def _ref_walks(self, rows, walks_per_node, steps):
         """Sequential recompute: sorted adjacency + md5 threshold."""
