@@ -870,6 +870,12 @@ def _q_kg_sparsified_edges(sf_dir: str):
     return sparsify_edges(sf_dir, k=2)
 
 
+def _q_kg_inverse_relations(sf_dir: str):
+    from ner_pytorch_ray.pipelines.kg_analytics import inverse_relations
+
+    return inverse_relations(sf_dir)
+
+
 def _q_kg_evidence(sf_dir: str):
     from ner_pytorch_ray.pipelines.kg_analytics import kg_evidence
 
@@ -995,7 +1001,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver-green r1-r3 and unchanged)
         "neural_epoch_loss": _q_neural_epoch_loss,
         "training_curve_full": _q_training_curve_full,
-        # ---- past the driver's 50-entry window: stable since r1-r3 ------
+        # ---- past the driver's 50-entry window: stable since r1-r3, or
+        # added after the window filled (exact local oracles still gate) --
+        "kg_inverse_relations": _q_kg_inverse_relations,
         # (kg_edges_incremental / kg_linked / neural_eval_metrics /
         # training_curve / adv_ppl_filtered driver-green r3;
         # adv_rep_variants / adv_topk_loss r1-r3, training_curve_adv r3)
@@ -2603,6 +2611,24 @@ SELECT DISTINCT least(a, b) AS subj, greatest(a, b) AS obj,
        CAST(w AS BIGINT) AS weight
 FROM kept
 ORDER BY subj, obj
+"""
+    )
+
+    # symmetric / inverse relation-property mining
+    # (kg_analytics.inverse_relations): predicate pairs co-asserted on
+    # reversed entity pairs; diagonal = symmetry support
+    out["kg_inverse_relations"] = (
+        _KG_MENTIONS_POS_CTE
+        + _TRIP_CTE
+        + """
+SELECT t1.pred AS pred_a, t2.pred AS pred_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(t1.w * t2.w) AS BIGINT) AS joint_weight
+FROM trip t1
+JOIN trip t2 ON t1.subj = t2.obj AND t1.obj = t2.subj
+WHERE t1.subj < t1.obj
+GROUP BY 1, 2
+ORDER BY 1, 2
 """
     )
 

@@ -768,6 +768,96 @@ def sparsify_edges(sf_dir: str, k: int = 2) -> ray.data.Dataset:
     ).sort(["subj", "obj"])
 
 
+def inverse_relations(sf_dir: str) -> ray.data.Dataset:
+    """Relation-property mining over the triple table: which predicate
+    PAIRS co-occur on REVERSED entity pairs?  For every (pred_a, pred_b)
+    such that some entity pair holds both ``a -pred_a-> b`` and
+    ``b -pred_b-> a`` (a < b, self-loops excluded):
+
+        (pred_a, pred_b,
+         n_pairs      = #distinct entity pairs with that combination,
+         joint_weight = sum over pairs of w_fwd * w_bwd)
+
+    Diagonal rows (pred_a == pred_b) measure a predicate's SYMMETRY
+    support; off-diagonal heavy hitters are INVERSE-relation candidates
+    (``owns``/``owned_by``) — the standard ontology-alignment signal mined
+    from an extracted KG (cf. AMIE-style rule mining, public literature).
+
+    Shape for scale: one keyed collect on the canonical unordered entity
+    pair — group size is the number of distinct predicates asserted
+    between two specific entities (tiny; bounded by the predicate
+    vocabulary), NOT node degree — then a within-group forward x backward
+    cross product and an integer grouped_sum over (pred_a, pred_b), whose
+    keyspace is |preds|^2.  No joins, no driver materialization; consumes
+    the shared materialized triple memo like the other analytics."""
+    from ner_pytorch_ray.pipelines.kg import triples_merged_cached
+
+    tri = triples_merged_cached(sf_dir).select_columns(
+        ["subj", "pred", "obj", "weight"]
+    )
+
+    def rows(batch: pa.Table) -> pa.Table:
+        s, o = batch.column("subj"), batch.column("obj")
+        keep = pc.not_equal(s, o)  # self-loops are their own reverse
+        s, o = s.filter(keep), o.filter(keep)
+        pred = batch.column("pred").filter(keep)
+        w = batch.column("weight").filter(keep)
+        lt = pc.less(s, o)
+        return pa.table(
+            {
+                "a": pc.if_else(lt, s, o),
+                "b": pc.if_else(lt, o, s),
+                # fwd=1: subj is the smaller endpoint (the SQL oracle's
+                # t1 side); fwd=0: the reversed assertion
+                "fwd": pc.cast(lt, pa.int64()),
+                "pred": pred,
+                "w": w,
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("pred_a", pa.string()),
+            ("pred_b", pa.string()),
+            ("n_pairs", pa.int64()),
+            ("joint_weight", pa.int64()),
+        ]
+    )
+
+    def cross(key, items) -> pa.Table:
+        if items is None:
+            return out_schema.empty_table()
+        f = [(p, w) for d, p, w in items if d]
+        r = [(p, w) for d, p, w in items if not d]
+        if not f or not r:
+            return None
+        pa_, pb_, jw = [], [], []
+        for p1, w1 in f:
+            for p2, w2 in r:
+                pa_.append(p1)
+                pb_.append(p2)
+                jw.append(w1 * w2)
+        return pa.Table.from_pydict(
+            {
+                "pred_a": pa.array(pa_, type=pa.string()),
+                "pred_b": pa.array(pb_, type=pa.string()),
+                "n_pairs": pa.array([1] * len(jw), type=pa.int64()),
+                "joint_weight": pa.array(jw, type=pa.int64()),
+            }
+        )
+
+    collected = collect_tuples(
+        tri.map_batches(rows, batch_format="pyarrow"),
+        ["a", "b"],
+        ["fwd", "pred", "w"],
+        shuffle_blocks="auto",
+    )
+    combos = flat_map_groups(collected, cross, ["a", "b"])
+    return grouped_sum(
+        combos, ["pred_a", "pred_b"], sum_cols=["n_pairs", "joint_weight"]
+    ).sort(["pred_a", "pred_b"])
+
+
 def kg_evidence(sf_dir: str) -> ray.data.Dataset:
     """Distinct relation-evidence (provenance) rows
     (url, sent_id, subj, pred, obj) — which page and sentence asserted

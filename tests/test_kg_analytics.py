@@ -280,6 +280,38 @@ class TestSparsifyAndEvidence:
         assert agg == triples
 
 
+class TestInverseRelations:
+    def test_matches_sequential_recompute(self):
+        from ner_pytorch_ray.pipelines.kg import triples_merged_cached
+        from ner_pytorch_ray.pipelines.kg_analytics import inverse_relations
+
+        got = {
+            (r["pred_a"], r["pred_b"]): (r["n_pairs"], r["joint_weight"])
+            for r in inverse_relations(SF).take_all()
+        }
+        # sequential recompute from the same triple table
+        tri = triples_merged_cached(SF).take_all()
+        fwd: dict = {}
+        for r in tri:
+            s, o = r["subj"], r["obj"]
+            if s == o:
+                continue
+            a, b = min(s, o), max(s, o)
+            fwd.setdefault((a, b), {True: [], False: []})[s == a].append(
+                (r["pred"], r["weight"])
+            )
+        ref: dict = {}
+        for sides in fwd.values():
+            for p1, w1 in sides[True]:
+                for p2, w2 in sides[False]:
+                    n, jw = ref.get((p1, p2), (0, 0))
+                    ref[(p1, p2)] = (n + 1, jw + w1 * w2)
+        assert got == ref
+        assert got  # non-degenerate on the fixture
+        # every diagonal entry is a symmetry-support row for that pred
+        assert any(a == b for a, b in got)
+
+
 class TestRandomWalks:
     def _ref_walks(self, rows, walks_per_node, steps):
         """Sequential recompute: sorted adjacency + md5 threshold."""
