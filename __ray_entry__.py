@@ -876,6 +876,18 @@ def _q_kg_inverse_relations(sf_dir: str):
     return inverse_relations(sf_dir)
 
 
+def _q_term_postings(sf_dir: str):
+    from ner_pytorch_ray.pipelines.search import term_postings
+
+    return term_postings(sf_dir, k=3)
+
+
+def _q_search_conjunctive(sf_dir: str):
+    from ner_pytorch_ray.pipelines.search import conjunctive_search
+
+    return conjunctive_search(sf_dir, ["dup", "scan", "merge"], k=10)
+
+
 def _q_kg_evidence(sf_dir: str):
     from ner_pytorch_ray.pipelines.kg_analytics import kg_evidence
 
@@ -1004,6 +1016,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- past the driver's 50-entry window: stable since r1-r3, or
         # added after the window filled (exact local oracles still gate) --
         "kg_inverse_relations": _q_kg_inverse_relations,
+        "term_postings": _q_term_postings,
+        "search_conjunctive": _q_search_conjunctive,
         # (kg_edges_incremental / kg_linked / neural_eval_metrics /
         # training_curve / adv_ppl_filtered driver-green r3;
         # adv_rep_variants / adv_topk_loss r1-r3, training_curve_adv r3)
@@ -2613,6 +2627,51 @@ FROM kept
 ORDER BY subj, obj
 """
     )
+
+    # inverted-index head (pipelines/search.py term_postings): per term,
+    # top-3 postings by (tf desc, doc_id asc)
+    out["term_postings"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY w
+                               ORDER BY tf DESC, doc_id) AS rk
+  FROM tf
+)
+SELECT w AS term, doc_id, CAST(tf AS BIGINT) AS tf,
+       CAST(rk AS BIGINT) AS "rank"
+FROM ranked WHERE rk <= 3
+ORDER BY term, "rank"
+"""
+
+    # conjunctive multi-term search with exact-integer tf-idf scoring
+    # (pipelines/search.py conjunctive_search): docs containing ALL of
+    # ('dup','scan','merge'), top-10 by (score desc, doc_id asc)
+    out["search_conjunctive"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+tf AS (
+  SELECT doc_id, w, COUNT(*) AS tf FROM tok
+  WHERE w IN ('dup', 'scan', 'merge') GROUP BY 1, 2
+),
+df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+n AS (SELECT COUNT(*) AS n FROM documents),
+hits AS (
+  SELECT doc_id, COUNT(*) AS nt, SUM(tf.tf) AS tf_total,
+         SUM(tf.tf * ((1000000 * n.n) // df.df)) AS score_i
+  FROM tf JOIN df ON tf.w = df.w, n
+  GROUP BY doc_id
+  HAVING COUNT(*) = 3
+)
+SELECT doc_id, CAST(tf_total AS BIGINT) AS tf_total,
+       CAST(score_i AS BIGINT) AS score_i
+FROM hits
+ORDER BY score_i DESC, doc_id
+LIMIT 10
+"""
 
     # symmetric / inverse relation-property mining
     # (kg_analytics.inverse_relations): predicate pairs co-asserted on

@@ -1,0 +1,200 @@
+"""Inverted-index text search over the documents corpus.
+
+The reference repo ranks k-NN neighbors over embeddings
+(`/root/reference/word_rep.py:26-38`); this module adds the TERM side of
+retrieval a web-scale corpus engine needs next to it:
+
+- :func:`term_postings` — the inverted-index build: exact per-(doc, term)
+  term frequencies (one corpus scan, block-local Arrow ``group_by`` — each
+  document row lives in exactly one block, so block-local counts are
+  final), then the classic impact-ordered index head: the top-k postings
+  per term by (tf desc, doc_id asc).
+- :func:`conjunctive_search` — multi-term AND retrieval with an
+  exact-integer tf-idf score (the same ``(1e6 * N) // df`` idf surrogate
+  the tf-idf operator uses, so scores are bit-identical cross-engine):
+  one corpus scan emits (doc, term, tf) candidate rows for the query
+  terms only, a k-row df aggregate prices each term, and a per-doc
+  grouped-sum keeps docs matching ALL terms, top-k by (score desc,
+  doc_id asc).
+
+Shape for scale (100 TB):
+
+- Both operators scan ``documents`` ONCE with column pruning
+  (``doc_id, text``) and tokenize vectorized (``pc.split_pattern`` +
+  ``pc.list_parent_indices`` + Arrow ``group_by`` — no Python loop over
+  rows or tokens).
+- ``conjunctive_search``'s shuffled payload is the CANDIDATE set — docs
+  containing at least one query term — not the corpus; the df table is
+  |query| rows and the final exchange carries 3-int rows grouped by
+  doc_id.
+- ``term_postings`` bounds the per-term collect with a BLOCK-LOCAL top-k
+  partial first, so the collect group is k x #blocks rows, independent
+  of document frequency (a hot stopword's postings never travel).  At
+  extreme block counts add one more fold level (tree reduction) — noted
+  inline.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ner_pytorch_ray.stages.groupby_utils import (
+    collect_tuples,
+    flat_map_groups,
+    grouped_sum,
+)
+
+IDF_SCALE = 1_000_000  # idf 1.0 == 1e6 (same fixed point as tfidf_top_terms)
+
+
+def _doc_term_tf(batch: pa.Table, terms: list[str] | None) -> pa.Table:
+    """Vectorized (doc_id, w, tf) rows for one block of whole documents.
+
+    Documents are row-atomic (one block holds whole docs), so the
+    block-local count IS the exact per-document term frequency."""
+    toks = pc.split_pattern(batch.column("text"), " ")
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks)
+    doc = pc.take(batch.column("doc_id"), parent)
+    t = pa.table({"doc_id": doc, "w": flat})
+    if terms is not None:
+        t = t.filter(pc.is_in(t.column("w"), value_set=pa.array(terms)))
+    out = t.group_by(["doc_id", "w"]).aggregate([("w", "count")])
+    return out.rename_columns(["doc_id", "w", "tf"])
+
+
+def term_postings(sf_dir: str, k: int = 3) -> ray.data.Dataset:
+    """Impact-ordered inverted-index head: per term, document frequency +
+    the top-k postings by (tf desc, doc_id asc).
+
+    Output (term, doc_id, tf, rank) with rank 1..k, sorted by (term, rank).
+    """
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    tf = docs.map_batches(
+        lambda b: _doc_term_tf(b, None), batch_format="pyarrow"
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        # block-local top-k partial: bounds the per-term collect at
+        # k rows per block regardless of term frequency.  (At extreme
+        # block counts, repartition + a second local_topk pass folds
+        # k x #blocks down again — same monotone partial.)
+        idx = pc.sort_indices(
+            batch,
+            sort_keys=[("w", "ascending"), ("tf", "descending"),
+                       ("doc_id", "ascending")],
+        )
+        s = batch.take(idx)
+        if not len(s):
+            return s
+        import numpy as np
+
+        w = np.asarray(s.column("w").to_pylist(), dtype=object)
+        first = np.r_[True, w[1:] != w[:-1]]
+        grp_start = np.maximum.accumulate(
+            np.where(first, np.arange(len(w)), 0)
+        )
+        rank = np.arange(len(w)) - grp_start
+        return s.filter(pa.array(rank < k))
+
+    out_schema = pa.schema(
+        [
+            ("term", pa.string()),
+            ("doc_id", pa.int64()),
+            ("tf", pa.int64()),
+            ("rank", pa.int64()),
+        ]
+    )
+
+    def pick(key, items) -> pa.Table:
+        if items is None:
+            return out_schema.empty_table()
+        top = sorted(items, key=lambda t: (-t[1], t[0]))[:k]
+        return pa.Table.from_pydict(
+            {
+                "term": pa.array([key[0]] * len(top), type=pa.string()),
+                "doc_id": pa.array([d for d, _ in top], type=pa.int64()),
+                "tf": pa.array([f for _, f in top], type=pa.int64()),
+                "rank": pa.array(range(1, len(top) + 1), type=pa.int64()),
+            }
+        )
+
+    collected = collect_tuples(
+        tf.map_batches(local_topk, batch_format="pyarrow"),
+        ["w"],
+        ["doc_id", "tf"],
+        shuffle_blocks="auto",
+    )
+    return flat_map_groups(collected, pick, ["w"]).sort(["term", "rank"])
+
+
+def conjunctive_search(
+    sf_dir: str, terms: list[str], k: int = 10
+) -> ray.data.Dataset:
+    """Multi-term AND retrieval with exact-integer tf-idf scoring.
+
+    Keeps documents containing EVERY query term; scores them
+    ``sum over terms of tf * ((IDF_SCALE * N) // df)`` (df measured on the
+    candidate set — a doc containing the term is by construction a
+    candidate, so this equals corpus df); returns the top-k by
+    (score desc, doc_id asc) as (doc_id, tf_total, score_i)."""
+    if not terms:
+        raise ValueError("conjunctive_search needs at least one query term")
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    n_docs = docs.count()
+    # candidate rows: docs containing >= 1 query term (the index-driven
+    # candidate set — the only thing that shuffles)
+    cand = docs.map_batches(
+        lambda b: _doc_term_tf(b, list(terms)), batch_format="pyarrow"
+    ).materialize()
+    # per-term document frequency: |terms| rows — bounded driver state
+    df_rows = grouped_sum(
+        cand.map_batches(
+            lambda t: pa.table(
+                {
+                    "w": t.column("w"),
+                    "df": pa.array([1] * len(t), type=pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["w"],
+        sum_cols=["df"],
+    ).take_all()
+    idf = {
+        r["w"]: (IDF_SCALE * n_docs) // r["df"] for r in df_rows
+    }
+
+    def score(batch: pa.Table) -> pa.Table:
+        w = batch.column("w").to_pylist()
+        tf = batch.column("tf")
+        s = pa.array([idf[x] for x in w], type=pa.int64())
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "nt": pa.array([1] * len(batch), type=pa.int64()),
+                "tf_total": tf,
+                "score_i": pc.multiply_checked(pc.cast(tf, pa.int64()), s),
+            }
+        )
+
+    n_terms = len(terms)
+
+    def keep_full(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("nt"), n_terms)).drop_columns(
+            ["nt"]
+        )
+
+    hits = grouped_sum(
+        cand.map_batches(score, batch_format="pyarrow"),
+        ["doc_id"],
+        sum_cols=["nt", "tf_total", "score_i"],
+    ).map_batches(keep_full, batch_format="pyarrow")
+    return hits.sort(["score_i", "doc_id"], descending=[True, False]).limit(k)

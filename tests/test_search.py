@@ -1,0 +1,93 @@
+"""Inverted-index search (pipelines/search.py): postings build +
+conjunctive tf-idf retrieval. Ground truth is a plain-Python recompute
+from the same parquet; the SQL-oracle comparison runs via
+tools/check_oracles.py."""
+
+import collections
+
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+IDF_SCALE = 1_000_000
+
+
+def _tf_table():
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    tf: dict = {}
+    for doc, text in zip(
+        t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+    ):
+        for w, c in collections.Counter(text.split(" ")).items():
+            tf[(doc, w)] = c
+    return tf
+
+
+class TestTermPostings:
+    def test_matches_sequential_recompute(self):
+        from ner_pytorch_ray.pipelines.search import term_postings
+
+        got = [
+            (r["term"], r["doc_id"], r["tf"], r["rank"])
+            for r in term_postings(SF, k=3).take_all()
+        ]
+        tf = _tf_table()
+        by_term: dict = {}
+        for (doc, w), c in tf.items():
+            by_term.setdefault(w, []).append((doc, c))
+        ref = []
+        for w in sorted(by_term):
+            top = sorted(by_term[w], key=lambda t: (-t[1], t[0]))[:3]
+            ref.extend(
+                (w, d, c, i + 1) for i, (d, c) in enumerate(top)
+            )
+        assert sorted(got) == sorted(ref)
+        # ranks are 1..k and tf non-increasing within a term
+        per = {}
+        for w, d, c, rk in got:
+            per.setdefault(w, []).append((rk, c))
+        for rows in per.values():
+            rows.sort()
+            assert [rk for rk, _ in rows] == list(range(1, len(rows) + 1))
+            assert all(
+                rows[i][1] >= rows[i + 1][1] for i in range(len(rows) - 1)
+            )
+
+
+class TestConjunctiveSearch:
+    TERMS = ["dup", "scan", "merge"]
+
+    def test_matches_sequential_recompute(self):
+        from ner_pytorch_ray.pipelines.search import conjunctive_search
+
+        got = [
+            (r["doc_id"], r["tf_total"], r["score_i"])
+            for r in conjunctive_search(SF, self.TERMS, k=10).take_all()
+        ]
+        tf = _tf_table()
+        n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+        df = collections.Counter(
+            w for (_, w) in tf if w in self.TERMS
+        )
+        idf = {w: (IDF_SCALE * n_docs) // df[w] for w in self.TERMS}
+        scores = {}
+        for (doc, w), c in tf.items():
+            if w in self.TERMS:
+                nt, tt, sc = scores.get(doc, (0, 0, 0))
+                scores[doc] = (nt + 1, tt + c, sc + c * idf[w])
+        hits = [
+            (doc, tt, sc)
+            for doc, (nt, tt, sc) in scores.items()
+            if nt == len(self.TERMS)
+        ]
+        hits.sort(key=lambda t: (-t[2], t[0]))
+        assert got == hits[:10]
+        assert got  # the fixture has conjunctive matches
+
+    def test_empty_terms_raises(self):
+        import pytest
+
+        from ner_pytorch_ray.pipelines.search import conjunctive_search
+
+        with pytest.raises(ValueError):
+            conjunctive_search(SF, [])
