@@ -607,24 +607,33 @@ def communities_over_edges(
             }
         )
 
-    def vote_acc(d: dict, block) -> dict:
-        # integer sums into a dict: summation-order independent
-        out = dict(d)
+    # The partial accumulator is a SORTED LIST of (label, weight_sum)
+    # pairs, NOT a dict: Ray stores partial aggregates inside Arrow
+    # blocks, and a dict accumulator gets silently coerced to a struct
+    # whose fields are the UNION of keys across rows — absent keys come
+    # back as None and poison the merge (observed as `int + NoneType`
+    # in vote_merge under multi-block partial layouts).  Lists of
+    # mixed-type tuples take the exact pickled-object path instead
+    # (same as collect_tuples' items), so they round-trip verbatim.
+
+    def vote_acc(a: list, block) -> list:
+        # integer sums: summation-order independent
+        d = dict(a)
         for lb, w in zip(
             block.column("lab").to_pylist(), block.column("w").to_pylist()
         ):
-            out[lb] = out.get(lb, 0) + w
-        return out
+            d[lb] = d.get(lb, 0) + w
+        return sorted(d.items())
 
-    def vote_merge(a: dict, b: dict) -> dict:
-        out = dict(a)
-        for lb, w in b.items():
-            out[lb] = out.get(lb, 0) + w
-        return out
+    def vote_merge(a: list, b: list) -> list:
+        d = dict(a)
+        for lb, w in b:
+            d[lb] = d.get(lb, 0) + w
+        return sorted(d.items())
 
-    def vote_fin(d: dict):
+    def vote_fin(pairs: list):
         # (max weight sum, min label) — a total order, so deterministic
-        return min(d.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        return min(pairs, key=lambda kv: (-kv[1], kv[0]))[0]
 
     for _ in range(rounds):
         unioned = labels.map_batches(
@@ -636,7 +645,7 @@ def communities_over_edges(
         votes = flat_map_groups(collected, emit_votes, ["node"])
         picked = votes.groupby("node").aggregate(
             AggregateFn(
-                init=lambda k: {},
+                init=lambda k: [],
                 accumulate_block=vote_acc,
                 merge=vote_merge,
                 finalize=vote_fin,

@@ -69,6 +69,37 @@ class TestCommunities:
         assert len({got["b1"], got["b2"], got["b3"]}) == 1
         assert got["a1"] != got["b1"]
 
+    def test_multiblock_merge_path(self):
+        # regression: the vote accumulator used to be a dict, which Ray
+        # coerces to a union-struct when storing partial aggregates in
+        # Arrow blocks — absent keys came back as None and crashed
+        # vote_merge (int + NoneType) whenever one node's votes spanned
+        # multiple partial blocks.  Many small blocks force that merge
+        # path deterministically.
+        from ner_pytorch_ray.pipelines.kg_analytics import (
+            communities_over_edges,
+        )
+
+        # star-of-cliques: every hub node receives votes from neighbors
+        # scattered across blocks
+        rows = []
+        for c in range(6):
+            ns = [f"c{c}n{i}" for i in range(5)]
+            rows += [
+                (ns[i], ns[j], 3 + (i + j) % 4)
+                for i in range(5)
+                for j in range(i + 1, 5)
+            ]
+        rows += [(f"c{c}n0", f"c{(c+1)%6}n0", 1) for c in range(6)]
+        sym = _sym(rows)
+        got = {
+            r["node"]: r["community"]
+            for r in communities_over_edges(
+                _edges_ds(sym).repartition(16), rounds=3, weight_col="w"
+            ).take_all()
+        }
+        assert got == _lpa_ref(sym, 3)
+
     def test_partitioning_invariance(self):
         from ner_pytorch_ray.pipelines.kg_analytics import (
             communities_over_edges,
