@@ -762,6 +762,12 @@ def _q_customer_order_activity(sf_dir: str):
     return customer_order_activity(sf_dir)
 
 
+def _q_nation_balance_rank(sf_dir: str):
+    from ner_pytorch_ray.pipelines.relational import nation_balance_rank
+
+    return nation_balance_rank(sf_dir)
+
+
 def _q_orders_rollup(sf_dir: str):
     from ner_pytorch_ray.pipelines.relational import orders_rollup
 
@@ -1018,6 +1024,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_inverse_relations": _q_kg_inverse_relations,
         "term_postings": _q_term_postings,
         "search_conjunctive": _q_search_conjunctive,
+        "nation_balance_rank": _q_nation_balance_rank,
         # (kg_edges_incremental / kg_linked / neural_eval_metrics /
         # training_curve / adv_ppl_filtered driver-green r3;
         # adv_rep_variants / adv_topk_loss r1-r3, training_curve_adv r3)
@@ -2627,6 +2634,16 @@ FROM kept
 ORDER BY subj, obj
 """
     )
+
+    # distributed window function (relational.nation_balance_rank /
+    # groupby_utils.grouped_rank): row_number over nation partitions
+    out["nation_balance_rank"] = """
+SELECT c_custkey, c_nationkey, c_acctbal,
+       CAST(row_number() OVER (
+            PARTITION BY c_nationkey
+            ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS balance_rank
+FROM customer
+"""
 
     # inverted-index head (pipelines/search.py term_postings): per term,
     # top-3 postings by (tf desc, doc_id asc)

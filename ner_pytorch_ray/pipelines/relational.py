@@ -411,3 +411,26 @@ def distinct_users_by_type(sf_dir: str) -> ray.data.Dataset:
         sum_cols=["n_users", "n_events"],
     )
     return merged.sort("event_type")
+
+
+def nation_balance_rank(sf_dir: str) -> ray.data.Dataset:
+    """Per-nation account-balance ranking of customers — the window
+    function ``row_number() OVER (PARTITION BY c_nationkey ORDER BY
+    c_acctbal DESC, c_custkey)`` run distributed via
+    :func:`~ner_pytorch_ray.stages.groupby_utils.grouped_rank` (global
+    sort + O(#blocks) driver carry chain; no per-nation collect, so a
+    hot nation with 10^9 customers ranks without any task holding the
+    group)."""
+    from ner_pytorch_ray.stages.groupby_utils import grouped_rank
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    )
+    return grouped_rank(
+        ds,
+        part_keys=["c_nationkey"],
+        order_keys=["c_acctbal", "c_custkey"],
+        descending=[True, False],
+        out_col="balance_rank",
+    )

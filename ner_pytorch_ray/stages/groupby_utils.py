@@ -262,3 +262,111 @@ def add_exclusive_prefix(
 
     new_refs = [_append.remote(r, o) for r, o in zip(refs, offsets)]
     return ray.data.from_arrow_refs(new_refs)
+
+
+def _run_boundaries(block: "pa.Table", part_keys: list[str]):
+    """Boolean vector ``new_run[i]`` = row i starts a new partition-key run
+    in an ALREADY-SORTED block (row 0 always starts one). Vectorized
+    per-column adjacent equality; part keys must be non-null."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    n = block.num_rows
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    same = np.ones(n - 1, dtype=bool)
+    for k in part_keys:
+        a = block.column(k).combine_chunks()
+        eq = pc.equal(a.slice(0, n - 1), a.slice(1, n - 1))
+        same &= np.asarray(eq.to_numpy(zero_copy_only=False), dtype=bool)
+    return np.concatenate(([True], ~same))
+
+
+def grouped_rank(
+    ds: ray.data.Dataset,
+    part_keys: list[str],
+    order_keys: list[str],
+    descending: list[bool],
+    out_col: str = "rank",
+    start: int = 1,
+) -> ray.data.Dataset:
+    """Distributed ``row_number() OVER (PARTITION BY part_keys ORDER BY
+    order_keys)`` — the window-function building block WITHOUT a per-group
+    collect (per-user/per-key groups at web scale are unbounded; shipping a
+    group to one task is the skew trap this avoids).
+
+    Three phases, same discipline as :func:`add_global_index` /
+    :func:`add_exclusive_prefix`:
+
+    1. global sort on part_keys + order_keys (Ray's range-partitioned
+       sort) — after it, every partition's rows are contiguous in block
+       order, possibly spanning adjacent blocks;
+    2. one tiny task per block summarizes (first_key, last_key,
+       leading-run length, trailing-run length, n_rows); the driver scans
+       those O(#blocks) summaries once, chaining the carry each block's
+       leading run inherits from the previous block;
+    3. per-block tasks append ``carry + local row-number within run``,
+       fully vectorized. Blocks never leave the object store.
+
+    ``order_keys`` must end with a unique tiebreaker for determinism;
+    part keys must be non-null."""
+    import numpy as np
+
+    import ray
+
+    m = ds.sort(
+        part_keys + order_keys,
+        descending=[False] * len(part_keys) + list(descending),
+    ).materialize()
+    refs = [
+        ref
+        for bundle in m.iter_internal_ref_bundles()
+        for ref, _meta in bundle.blocks
+    ]
+
+    @ray.remote
+    def _summary(block):
+        if not isinstance(block, pa.Table):
+            block = pa.Table.from_pandas(block)
+        n = block.num_rows
+        if n == 0:
+            return (None, None, 0, 0, 0)
+        new_run = _run_boundaries(block, part_keys)
+        starts = np.flatnonzero(new_run)
+        first = tuple(block.column(k)[0].as_py() for k in part_keys)
+        last = tuple(block.column(k)[n - 1].as_py() for k in part_keys)
+        n_first = int(starts[1]) if len(starts) > 1 else n
+        n_last = n - int(starts[-1])
+        return (first, last, n_first, n_last, n)
+
+    infos = ray.get([_summary.remote(r) for r in refs])
+    carries: list[int] = []
+    prev_last, prev_run_end = None, 0
+    for first, last, _n_first, n_last, n in infos:
+        if n == 0:
+            carries.append(0)
+            continue
+        carry = prev_run_end if first == prev_last else 0
+        carries.append(carry)
+        # a sorted block whose first and last keys agree is one single run
+        prev_run_end = (carry + n) if first == last else n_last
+        prev_last = last
+
+    @ray.remote
+    def _rank(block, carry: int):
+        if not isinstance(block, pa.Table):
+            block = pa.Table.from_pandas(block)
+        n = block.num_rows
+        new_run = _run_boundaries(block, part_keys)
+        idx = np.arange(n, dtype=np.int64)
+        run_start = np.maximum.accumulate(np.where(new_run, idx, 0))
+        local = idx - run_start
+        if n:
+            lead = int(np.flatnonzero(new_run)[1]) if new_run.sum() > 1 else n
+            local[:lead] += carry
+        return block.append_column(
+            out_col, pa.array(local + start, type=pa.int64())
+        )
+
+    new_refs = [_rank.remote(r, c) for r, c in zip(refs, carries)]
+    return ray.data.from_arrow_refs(new_refs)
