@@ -690,6 +690,14 @@ def _q_sliding_window(sf_dir: str):
     return sliding_window_counts(sf_dir, window_minutes=60, slide_minutes=15)
 
 
+def _q_sliding_window_incremental(sf_dir: str):
+    from ner_pytorch_ray.pipelines.incremental import (
+        sliding_incremental_from_events,
+    )
+
+    return sliding_incremental_from_events(sf_dir, n_deltas=3)
+
+
 def _q_user_sessions(sf_dir: str):
     from ner_pytorch_ray.pipelines.windows import user_sessions
 
@@ -1025,6 +1033,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_postings": _q_term_postings,
         "search_conjunctive": _q_search_conjunctive,
         "nation_balance_rank": _q_nation_balance_rank,
+        "sliding_window_incremental": _q_sliding_window_incremental,
         # (kg_edges_incremental / kg_linked / neural_eval_metrics /
         # training_curve / adv_ppl_filtered driver-green r3;
         # adv_rep_variants / adv_topk_loss r1-r3, training_curve_adv r3)
@@ -1993,6 +2002,26 @@ SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
            AS sum_value_cents
 FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+        # 3-delta incremental sliding-window state must equal the batch
+        # sliding windows bit-for-bit (same SQL as sliding_window)
+        "sliding_window_incremental": """
+WITH e AS (
+  SELECT epoch_us(ts) AS us, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+w AS (
+  SELECT ((us // 900000000) - j) * 900000000 AS window_start_us,
+         event_type, cents
+  FROM e, (SELECT unnest(range(4)) AS j) r
+)
+SELECT window_start_us, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS sum_value_cents
+FROM w
 GROUP BY 1, 2
 ORDER BY 1, 2
 """,

@@ -683,6 +683,124 @@ def windows_incremental_from_events(
     return out
 
 
+def ingest_sliding_delta(
+    events: ray.data.Dataset,
+    state_dir: str,
+    delta_id: str,
+    fingerprint: str | None = None,
+    window_minutes: int = 60,
+    slide_minutes: int = 15,
+) -> int:
+    """Fold one delta of (ts, event_type, value) events into persisted
+    SLIDING-WINDOW state — the overlapping-window sibling of
+    :func:`ingest_window_delta`.  Each event's replication into its
+    ``window/slide`` covering windows happens inside the delta's
+    vectorized partial, so the persisted state stays one row per
+    (window, type) and late data is free exactly as in the tumbling
+    case.  The (window, slide) parameterization is part of the state's
+    identity (window keys are functions of it) and guarded like the
+    minhash sketch params."""
+    from ner_pytorch_ray.pipelines.windows import US_PER_MIN, sliding_partials
+
+    os.makedirs(state_dir, exist_ok=True)
+    state = read_state(state_dir)
+    _check_kind(state, "sliding_windows", state_dir)
+    _check_params(
+        state,
+        {"window_minutes": window_minutes, "slide_minutes": slide_minutes},
+        state_dir,
+    )
+    fingerprint = fingerprint or delta_id
+    if _check_delta(state, delta_id, fingerprint):
+        return state["version"]
+
+    width = window_minutes * US_PER_MIN
+    slide = slide_minutes * US_PER_MIN
+    delta = sliding_partials(events, width, slide).materialize()
+    # delta-local manifest counter: window rows count events once per
+    # covering window — divide the replication back out
+    n_events = int(delta.sum("n_events") or 0) // (width // slide)
+
+    ver = state["version"]
+    new = ver + 1
+    prior = os.path.join(state_dir, f"v{ver}", "windows") if ver else None
+    out = os.path.join(state_dir, f"v{new}", "windows")
+    _merge_and_write(
+        prior,
+        delta,
+        ["window_start_us", "event_type"],
+        ["n_events", "sum_value_cents"],
+        [],
+        _WINDOW_SCHEMA,
+        out,
+    )
+
+    import pyarrow.dataset as pads
+
+    state["version"] = new
+    state["deltas"][delta_id] = {
+        "fingerprint": fingerprint,
+        "n_events": n_events,
+        "state_window_rows": pads.dataset(out, format="parquet").count_rows(),
+        "version": new,
+    }
+    _write_state(state_dir, state)
+    _retire_versions(state_dir, new)
+    return new
+
+
+def final_sliding(state_dir: str) -> ray.data.Dataset:
+    ver = _current_version(state_dir)
+    return ray.data.read_parquet(
+        os.path.join(state_dir, f"v{ver}", "windows")
+    ).sort(["window_start_us", "event_type"])
+
+
+def sliding_incremental_from_events(
+    sf_dir: str,
+    n_deltas: int = 3,
+    state_dir: str | None = None,
+    window_minutes: int = 60,
+    slide_minutes: int = 15,
+) -> ray.data.Dataset:
+    """Ingest ``sf_dir``'s events as ``n_deltas`` arrival batches (split
+    by event_id, NOT by time, so every delta hits already-open windows)
+    and return the final sliding-window table — bit-identical to the
+    batch ``sliding_window_counts`` (shares its SQL oracle)."""
+    import shutil
+
+    owns_state = state_dir is None
+    if owns_state:
+        import tempfile
+
+        state_dir = tempfile.mkdtemp(prefix="slide_incremental_", dir="/tmp")
+    from ner_pytorch_ray.pipelines.windows import read_events
+
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(ev_path)
+    for d in range(n_deltas):
+        fp = f"{ev_path}:{st.st_mtime_ns}:delta={d}/{n_deltas}"
+        ev = read_events(sf_dir, ["event_id", "ts", "event_type", "value"])
+
+        def keep(b: pa.Table, d=d) -> pa.Table:
+            mask = (b.column("event_id").to_numpy() % n_deltas) == d
+            return b.filter(pa.array(mask))
+
+        ingest_sliding_delta(
+            ev.map_batches(keep, batch_format="pyarrow"),
+            state_dir,
+            delta_id=f"delta={d}/{n_deltas}",
+            fingerprint=fp,
+            window_minutes=window_minutes,
+            slide_minutes=slide_minutes,
+        )
+    out = final_sliding(state_dir)
+    if owns_state:
+        out = out.materialize()
+        shutil.rmtree(state_dir, ignore_errors=True)
+    return out
+
+
 # --------------------------------------------------- incremental minhash
 _MH_BANDS_SCHEMA = pa.schema(
     [

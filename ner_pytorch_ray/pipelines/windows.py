@@ -766,9 +766,26 @@ def sliding_window_counts(
 
     width = window_minutes * US_PER_MIN
     slide = slide_minutes * US_PER_MIN
+    ds = read_events(sf_dir, ["ts", "event_type", "value"])
+    merged = grouped_sum(
+        sliding_partials(ds, width, slide),
+        ["window_start_us", "event_type"],
+        sum_cols=["n_events", "sum_value_cents"],
+    )
+    return merged.sort(["window_start_us", "event_type"])
+
+
+def sliding_partials(
+    ds: ray.data.Dataset, width: int, slide: int
+) -> ray.data.Dataset:
+    """Block-local sliding-window partials: one pre-summed row per
+    (window, type) per block, each event replicated into its
+    ``width // slide`` covering windows INSIDE the vectorized partial
+    (never across the shuffle). Shared by the batch query and the
+    incremental sliding-window ingestion — integer arithmetic end to end
+    so both hash identically to the SQL oracle."""
     assert width % slide == 0
     n_win = width // slide
-    ds = read_events(sf_dir, ["ts", "event_type", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
         # pure Arrow combiner: replicate each event into its n_win covering
@@ -805,12 +822,7 @@ def sliding_window_counts(
             }
         )
 
-    merged = grouped_sum(
-        ds.map_batches(partial, batch_format="pyarrow"),
-        ["window_start_us", "event_type"],
-        sum_cols=["n_events", "sum_value_cents"],
-    )
-    return merged.sort(["window_start_us", "event_type"])
+    return ds.map_batches(partial, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------------ lag gaps

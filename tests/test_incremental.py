@@ -320,6 +320,54 @@ def test_windows_incremental_equals_batch_with_late_data(ray_session, tmp_path):
     assert len(batch) > 3
 
 
+def test_sliding_incremental_equals_batch_with_late_data(
+    ray_session, tmp_path
+):
+    """Sliding sibling of the tumbling test: event-id-split deltas hit
+    already-open (overlapping) windows; the final state must equal the
+    batch sliding windows exactly."""
+    import pandas as pd
+
+    from ner_pytorch_ray.pipelines.incremental import (
+        sliding_incremental_from_events,
+    )
+    from ner_pytorch_ray.pipelines.windows import sliding_window_counts
+
+    inc = _pd(
+        sliding_incremental_from_events(
+            SF, n_deltas=3, state_dir=str(tmp_path / "s")
+        )
+    )
+    batch = _pd(
+        sliding_window_counts(SF, window_minutes=60, slide_minutes=15)
+    )
+    pd.testing.assert_frame_equal(inc, batch, check_dtype=False)
+
+
+def test_sliding_param_change_refused(ray_session, tmp_path):
+    """The (window, slide) parameterization is part of the state identity:
+    window keys are functions of it, so a re-ingest with different params
+    must fail loudly rather than corrupt the accumulated windows."""
+    import ray
+    import pyarrow as pa
+
+    from ner_pytorch_ray.pipelines.incremental import ingest_sliding_delta
+
+    sd = str(tmp_path / "state")
+    events = ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "ts": pa.array([0, 60_000_000], type=pa.timestamp("us")),
+                "event_type": ["click", "click"],
+                "value": [1.0, 2.0],
+            }
+        )
+    )
+    ingest_sliding_delta(events, sd, delta_id="d0", slide_minutes=15)
+    with pytest.raises(ValueError, match="param"):
+        ingest_sliding_delta(events, sd, delta_id="d1", slide_minutes=30)
+
+
 # --------------------------------------------------- state-kind guard
 def test_mixed_ingest_kinds_refused(ray_session, tmp_path):
     """One state_dir holds ONE ingest kind; a second kind must fail loudly
