@@ -776,6 +776,12 @@ def _q_nation_balance_rank(sf_dir: str):
     return nation_balance_rank(sf_dir)
 
 
+def _q_customer_running_revenue(sf_dir: str):
+    from ner_pytorch_ray.pipelines.relational import customer_running_revenue
+
+    return customer_running_revenue(sf_dir)
+
+
 def _q_orders_rollup(sf_dir: str):
     from ner_pytorch_ray.pipelines.relational import orders_rollup
 
@@ -1034,6 +1040,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_conjunctive": _q_search_conjunctive,
         "nation_balance_rank": _q_nation_balance_rank,
         "sliding_window_incremental": _q_sliding_window_incremental,
+        "customer_running_revenue": _q_customer_running_revenue,
         # (kg_edges_incremental / kg_linked / neural_eval_metrics /
         # training_curve / adv_ppl_filtered driver-green r3;
         # adv_rep_variants / adv_topk_loss r1-r3, training_curve_adv r3)
@@ -2672,6 +2679,16 @@ SELECT c_custkey, c_nationkey, c_acctbal,
             PARTITION BY c_nationkey
             ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS balance_rank
 FROM customer
+"""
+
+    # distributed running window aggregate (customer_running_revenue /
+    # groupby_utils.grouped_running_sum): per-customer revenue prefix
+    out["customer_running_revenue"] = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS running_cents
+FROM orders
 """
 
     # inverted-index head (pipelines/search.py term_postings): per term,

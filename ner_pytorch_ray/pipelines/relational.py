@@ -434,3 +434,38 @@ def nation_balance_rank(sf_dir: str) -> ray.data.Dataset:
         descending=[True, False],
         out_col="balance_rank",
     )
+
+
+def customer_running_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Running order-revenue total per customer — the window aggregate
+    ``SUM(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderdate,
+    o_orderkey)`` run distributed via
+    :func:`~ner_pytorch_ray.stages.groupby_utils.grouped_running_sum`
+    (global sort + O(#blocks) carry chain + per-block segmented cumsum;
+    integer cents so the running totals are exact)."""
+    from ner_pytorch_ray.stages.groupby_utils import grouped_running_sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": batch.column("o_custkey"),
+                "o_orderkey": batch.column("o_orderkey"),
+                "date_us": batch.column("o_orderdate").cast(pa.int64()),
+                "cents": _cents(batch.column("o_totalprice")),
+            }
+        )
+
+    out = grouped_running_sum(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        part_keys=["o_custkey"],
+        order_keys=["date_us", "o_orderkey"],
+        descending=[False, False],
+        value_col="cents",
+        out_col="running_cents",
+    )
+    return out.select_columns(["o_custkey", "o_orderkey", "running_cents"])

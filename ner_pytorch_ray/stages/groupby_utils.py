@@ -370,3 +370,99 @@ def grouped_rank(
 
     new_refs = [_rank.remote(r, c) for r, c in zip(refs, carries)]
     return ray.data.from_arrow_refs(new_refs)
+
+
+def grouped_running_sum(
+    ds: ray.data.Dataset,
+    part_keys: list[str],
+    order_keys: list[str],
+    descending: list[bool],
+    value_col: str,
+    out_col: str = "running_sum",
+) -> ray.data.Dataset:
+    """Distributed ``SUM(value) OVER (PARTITION BY part_keys ORDER BY
+    order_keys ROWS UNBOUNDED PRECEDING)`` — the running-total sibling of
+    :func:`grouped_rank`, same three phases: global sort, O(#blocks)
+    driver carry chain (here the carry is the partition's value sum up to
+    the block boundary), then per-block vectorized segmented cumsum.
+    ``value_col`` must be integer (the repo-wide exactness contract:
+    integer sums are order-independent); order_keys must end with a
+    unique tiebreaker; part keys must be non-null."""
+    import numpy as np
+
+    import ray
+
+    m = ds.sort(
+        part_keys + order_keys,
+        descending=[False] * len(part_keys) + list(descending),
+    ).materialize()
+    refs = [
+        ref
+        for bundle in m.iter_internal_ref_bundles()
+        for ref, _meta in bundle.blocks
+    ]
+
+    @ray.remote
+    def _summary(block):
+        if not isinstance(block, pa.Table):
+            block = pa.Table.from_pandas(block)
+        n = block.num_rows
+        if n == 0:
+            return (None, None, 0, 0)
+        new_run = _run_boundaries(block, part_keys)
+        starts = np.flatnonzero(new_run)
+        v = np.asarray(
+            block.column(value_col).to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        first = tuple(block.column(k)[0].as_py() for k in part_keys)
+        last = tuple(block.column(k)[n - 1].as_py() for k in part_keys)
+        # value sum of the trailing run (the partition still open at the
+        # block's end)
+        last_run_sum = int(v[int(starts[-1]) :].sum())
+        return (first, last, last_run_sum, int(v.sum()))
+
+    infos = ray.get([_summary.remote(r) for r in refs])
+    carries: list[int] = []
+    prev_last, prev_run_end = None, 0
+    for first, last, last_run_sum, total in infos:
+        if first is None:
+            carries.append(0)
+            continue
+        carry = prev_run_end if first == prev_last else 0
+        carries.append(carry)
+        prev_run_end = (
+            (carry + total) if first == last else last_run_sum
+        )
+        prev_last = last
+
+    @ray.remote
+    def _cumsum(block, carry: int):
+        if not isinstance(block, pa.Table):
+            block = pa.Table.from_pandas(block)
+        n = block.num_rows
+        new_run = _run_boundaries(block, part_keys)
+        v = np.asarray(
+            block.column(value_col).to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        cum = np.cumsum(v)
+        if n:
+            # segmented cumsum: subtract the cumulative total just before
+            # each row's run start (index-based propagation — correct for
+            # negative values too, where cumsum is not monotone)
+            starts = np.flatnonzero(new_run)
+            idx = np.arange(n, dtype=np.int64)
+            run_start = np.maximum.accumulate(np.where(new_run, idx, 0))
+            base = cum[run_start] - v[run_start]
+            out = cum - base
+            lead = int(starts[1]) if len(starts) > 1 else n
+            out[:lead] += carry
+        else:
+            out = cum
+        return block.append_column(
+            out_col, pa.array(out, type=pa.int64())
+        )
+
+    new_refs = [_cumsum.remote(r, c) for r, c in zip(refs, carries)]
+    return ray.data.from_arrow_refs(new_refs)
