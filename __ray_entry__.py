@@ -896,6 +896,14 @@ def _q_kg_inverse_relations(sf_dir: str):
     return inverse_relations(sf_dir)
 
 
+def _q_part_entity_resolution(sf_dir: str):
+    from ner_pytorch_ray.pipelines.entity_resolution import (
+        part_entity_resolution,
+    )
+
+    return part_entity_resolution(sf_dir)
+
+
 def _q_term_postings(sf_dir: str):
     from ner_pytorch_ray.pipelines.search import term_postings
 
@@ -988,6 +996,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 relation-property mining / inverted-index search / window
         # functions (new this session — never driver-checked):
         "kg_inverse_relations": _q_kg_inverse_relations,
+        "part_entity_resolution": _q_part_entity_resolution,
         "term_postings": _q_term_postings,
         "search_conjunctive": _q_search_conjunctive,
         "nation_balance_rank": _q_nation_balance_rank,
@@ -1001,7 +1010,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # moved past the window — driver-green earlier and unchanged; the
         # incremental minhash is new this round)
         "minhash_lsh_incremental": _q_minhash_lsh_incremental,
-        "simhash_pairs": _q_simhash,
         "prefix_containment": _q_prefix_containment,
         "substring_containment": _q_substring_containment,
         # windowed / session / join operators (batch tumbling_window and
@@ -1048,6 +1056,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # gate the full set every round) ----------------------------------
         "knn_topk": _q_knn_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "simhash_pairs": _q_simhash,
         "minhash_lsh_pairs": _q_minhash_lsh,
         "emb_cosine_pairs": _q_emb_cosine_pairs,
         "tumbling_window": _q_tumbling_window,
@@ -2690,6 +2699,29 @@ SELECT c_custkey, c_nationkey, c_acctbal,
             PARTITION BY c_nationkey
             ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS balance_rank
 FROM customer
+"""
+
+    # entity resolution over the part catalog (pipelines/
+    # entity_resolution.py): token blocking + same-p_size verify ->
+    # transitive closure -> canonical id = min reachable p_partkey
+    out["part_entity_resolution"] = """
+WITH RECURSIVE rec AS (
+  SELECT p_partkey, string_split(p_name, ' ') AS ts, p_size FROM part
+),
+tokrec AS (SELECT p_partkey, unnest(ts) AS tok, p_size FROM rec),
+pairs AS (
+  SELECT DISTINCT x.p_partkey AS a, y.p_partkey AS b
+  FROM tokrec x JOIN tokrec y ON x.tok = y.tok AND x.p_size = y.p_size
+  WHERE x.p_partkey < y.p_partkey
+),
+edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+reach(node, root) AS (
+  SELECT p_partkey, p_partkey FROM rec
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node AS p_partkey, MIN(root) AS entity_id
+FROM reach GROUP BY node ORDER BY p_partkey
 """
 
     # distributed running window aggregate (customer_running_revenue /
