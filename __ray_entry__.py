@@ -896,6 +896,12 @@ def _q_kg_inverse_relations(sf_dir: str):
     return inverse_relations(sf_dir)
 
 
+def _q_part_er_incremental(sf_dir: str):
+    from ner_pytorch_ray.pipelines.incremental import er_incremental_from_parts
+
+    return er_incremental_from_parts(sf_dir)
+
+
 def _q_part_entity_resolution(sf_dir: str):
     from ner_pytorch_ray.pipelines.entity_resolution import (
         part_entity_resolution,
@@ -997,6 +1003,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # functions (new this session — never driver-checked):
         "kg_inverse_relations": _q_kg_inverse_relations,
         "part_entity_resolution": _q_part_entity_resolution,
+        "part_er_incremental": _q_part_er_incremental,
         "term_postings": _q_term_postings,
         "search_conjunctive": _q_search_conjunctive,
         "nation_balance_rank": _q_nation_balance_rank,
@@ -1022,7 +1029,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window_incremental": _q_sliding_window_incremental,
         "user_sessions": _q_user_sessions,
         "asof_attribution": _q_asof_attribution,
-        "range_join_events": _q_range_join_events,
         # relational operator demos (never driver-checked)
         # round-4 additions (new this round — never driver-checked):
         # corpus hygiene (decontamination / PII / stratified sampling) and
@@ -1061,6 +1067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_cosine_pairs": _q_emb_cosine_pairs,
         "tumbling_window": _q_tumbling_window,
         "order_revenue_join": _q_order_revenue_join,
+        "range_join_events": _q_range_join_events,
         # (kg_edges_incremental / kg_linked / neural_eval_metrics /
         # training_curve / adv_ppl_filtered driver-green r3;
         # adv_rep_variants / adv_topk_loss r1-r3, training_curve_adv r3)
@@ -2723,6 +2730,10 @@ reach(node, root) AS (
 SELECT node AS p_partkey, MIN(root) AS entity_id
 FROM reach GROUP BY node ORDER BY p_partkey
 """
+
+    # incremental ER must reproduce the batch resolution bit-for-bit
+    # (touched-block recompute proof): same oracle as the batch query
+    out["part_er_incremental"] = out["part_entity_resolution"]
 
     # distributed running window aggregate (customer_running_revenue /
     # groupby_utils.grouped_running_sum): per-customer revenue prefix

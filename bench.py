@@ -269,6 +269,39 @@ def run_extras(sf_dir: str) -> dict:
 
     timed("kg_sparsified_edges", lambda: sparsify_edges(sf_dir).count())
     timed("kg_evidence", lambda: kg_evidence(sf_dir).count())
+
+    # round-4 continuation 3: relation-property mining, inverted-index
+    # search, distributed window functions, entity resolution
+    from ner_pytorch_ray.pipelines.entity_resolution import (
+        part_entity_resolution,
+    )
+    from ner_pytorch_ray.pipelines.kg_analytics import inverse_relations
+    from ner_pytorch_ray.pipelines.relational import (
+        customer_running_revenue,
+        nation_balance_rank,
+    )
+    from ner_pytorch_ray.pipelines.search import (
+        conjunctive_search,
+        term_postings,
+    )
+
+    timed("kg_inverse_relations", lambda: inverse_relations(sf_dir).count())
+    timed("term_postings", lambda: term_postings(sf_dir, k=3).count())
+    timed(
+        "search_conjunctive",
+        lambda: conjunctive_search(sf_dir, ["dup", "scan", "merge"], k=10).count(),
+    )
+    timed(
+        "nation_balance_rank", lambda: nation_balance_rank(sf_dir).count()
+    )
+    timed(
+        "customer_running_revenue",
+        lambda: customer_running_revenue(sf_dir).count(),
+    )
+    timed(
+        "part_entity_resolution",
+        lambda: part_entity_resolution(sf_dir).count(),
+    )
     return extras
 
 

@@ -125,6 +125,61 @@ def blocked_match_pairs(
     return merged.map_batches(verify, batch_format="pyarrow")
 
 
+def blocked_star_edges(
+    records: ray.data.Dataset,
+    id_col: str,
+    name_col: str,
+    attr_cols: list[str] | None = None,
+    max_block: int = 100_000,
+) -> ray.data.Dataset:
+    """Connectivity-only candidate edges: per block, a STAR from the
+    block's minimum record id to every other member — O(block) edges with
+    the SAME transitive closure as the O(block^2) clique (every member is
+    connected through the representative). This is the scale path when
+    ``min_shared == 1`` (no cross-block evidence needed); a hot block
+    costs linear edges, so ``max_block`` here only bounds the collect
+    group's memory, not a quadratic blow-up."""
+    from ner_pytorch_ray.stages.groupby_utils import (
+        collect_tuples,
+        flat_map_groups,
+    )
+
+    attrs = list(attr_cols or [])
+    blocks = records.map_batches(
+        lambda b: token_block_rows(b, id_col, name_col, attrs),
+        batch_format="pyarrow",
+    )
+    collected = collect_tuples(blocks, ["tok", *attrs], [id_col])
+    schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+    def gen_star(key, items) -> pa.Table:
+        if items is None:
+            return schema.empty_table()
+        uniq = {i for (i,) in items}
+        if len(uniq) < 2:
+            return schema.empty_table()
+        if len(uniq) > max_block:
+            raise ValueError(
+                f"blocking key {key!r} has {len(uniq)} records "
+                f"(max_block={max_block})"
+            )
+        ids = np.sort(np.fromiter(uniq, dtype=np.int64, count=len(uniq)))
+        return pa.Table.from_arrays(
+            [pa.array(np.full(len(ids) - 1, ids[0])), pa.array(ids[1:])],
+            schema=schema,
+        )
+
+    star = flat_map_groups(collected, gen_star, ["tok", *attrs])
+    # the same (rep, member) edge arrives from every shared block: one
+    # grouped dedupe keeps the components loop's input minimal
+    from ray.data.aggregate import Count
+
+    distinct = star.repartition(8).groupby(["a", "b"]).aggregate(Count())
+    return distinct.map_batches(
+        lambda t: t.select(["a", "b"]), batch_format="pyarrow"
+    )
+
+
 def resolve_entities(
     records: ray.data.Dataset,
     pairs: ray.data.Dataset,
@@ -175,15 +230,26 @@ def resolve_records(
     max_block: int = 10_000,
 ) -> ray.data.Dataset:
     """End-to-end entity resolution: block -> verify -> components ->
-    canonical (id_col, entity_id) assignment covering every record."""
-    pairs = blocked_match_pairs(
-        records,
-        id_col,
-        name_col,
-        attr_cols=attr_cols,
-        min_shared=min_shared,
-        max_block=max_block,
-    ).materialize()
+    canonical (id_col, entity_id) assignment covering every record.
+
+    ``min_shared == 1`` needs no cross-block evidence, so candidate
+    edges come from :func:`blocked_star_edges` (O(block) star edges,
+    identical closure); ``min_shared >= 2`` pays the O(block^2) clique
+    expansion that the evidence grouped-sum requires."""
+    if min_shared <= 1:
+        pairs = blocked_star_edges(
+            records, id_col, name_col, attr_cols=attr_cols,
+            max_block=max_block,
+        ).materialize()
+    else:
+        pairs = blocked_match_pairs(
+            records,
+            id_col,
+            name_col,
+            attr_cols=attr_cols,
+            min_shared=min_shared,
+            max_block=max_block,
+        ).materialize()
     return resolve_entities(records, pairs, id_col)
 
 

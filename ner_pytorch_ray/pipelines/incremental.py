@@ -1011,3 +1011,302 @@ def minhash_incremental_from_documents(
         out = out.materialize()
         shutil.rmtree(state_dir, ignore_errors=True)
     return out
+
+
+# --------------------------------------------- incremental entity resolution
+_ER_BLOCKS_SCHEMA = pa.schema([("bkey", pa.string()), ("rid", pa.int64())])
+_ER_PAIRS_SCHEMA = pa.schema(
+    [("bkey", pa.string()), ("a", pa.int64()), ("b", pa.int64())]
+)
+
+
+class _TouchedKeyFilter:
+    """Actor-pool filter of prior ER state rows by the delta's touched
+    STRING block keys — the string-key sibling of ``_TouchedFilter``
+    (broadcast fetched once per actor in ``__init__``; ``__call__`` is one
+    vectorized ``pc.is_in`` against the sorted key set)."""
+
+    def __init__(self, touched_ref, keep: bool):
+        import pyarrow.compute as pc  # noqa: F401  (imported for workers)
+
+        ks = (
+            ray.get(touched_ref)
+            if isinstance(touched_ref, ray.ObjectRef)
+            else touched_ref
+        )
+        self.vs = pa.array(sorted(ks), type=pa.string())
+        self.keep = keep
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        hit = pc.is_in(batch.column("bkey"), value_set=self.vs)
+        mask = hit if self.keep else pc.invert(hit)
+        return batch.filter(mask)
+
+
+def _er_block_rows_fn(id_col: str, name_col: str, attrs: list[str]):
+    """Per-batch (bkey, rid) blocking rows: token explode -> bijective
+    string key tok\\x1fattr1\\x1f... -> per-batch distinct (a record's rows
+    all come from its own batch, so batch-local dedupe is global)."""
+
+    def rows(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ner_pytorch_ray.pipelines.entity_resolution import (
+            token_block_rows,
+        )
+
+        t = token_block_rows(batch, id_col, name_col, attrs)
+        key = t.column("tok").cast(pa.string())
+        for a in attrs:
+            key = pc.binary_join_element_wise(
+                key, t.column(a).cast(pa.string()), "\x1f"
+            )
+        out = pa.table(
+            {"bkey": key, "rid": t.column(id_col).cast(pa.int64())}
+        )
+        return out.group_by(["bkey", "rid"]).aggregate([])
+
+    return rows
+
+
+def _er_block_pairs_fn(max_block: int):
+    """Bucket kernel: all candidate pairs of one block WITH block-key
+    provenance (one evidence row per (bkey, pair)); overflowing blocks
+    RAISE — identical stance to the batch ``blocked_match_pairs``."""
+
+    def gen(key, items) -> pa.Table:
+        if items is None:
+            return _ER_PAIRS_SCHEMA.empty_table()
+        uniq = {i for (i,) in items}
+        if len(uniq) < 2:
+            return _ER_PAIRS_SCHEMA.empty_table()
+        if len(uniq) > max_block:
+            raise ValueError(
+                f"blocking key {key!r} has {len(uniq)} records across "
+                f"crawls (max_block={max_block}); add an exact attribute "
+                "to the blocking key"
+            )
+        ids = np.sort(np.fromiter(uniq, dtype=np.int64, count=len(uniq)))
+        ai, bi = np.triu_indices(len(ids), k=1)
+        return pa.Table.from_arrays(
+            [
+                pa.array([key[0]] * len(ai), type=pa.string()),
+                pa.array(ids[ai]),
+                pa.array(ids[bi]),
+            ],
+            schema=_ER_PAIRS_SCHEMA,
+        )
+
+    return gen
+
+
+def ingest_er_delta(
+    records: ray.data.Dataset,
+    state_dir: str,
+    delta_id: str,
+    fingerprint: str | None = None,
+    id_col: str = "rid",
+    name_col: str = "name",
+    attr_cols: list[str] | None = None,
+    max_block: int = 10_000,
+) -> int:
+    """Fold one delta of records into persisted ENTITY-RESOLUTION state —
+    new records are matched against ALL history without regenerating old
+    blocks' pairs.
+
+    State per version (the minhash-incremental design, applied to token
+    blocking):
+      * ``blocks``: distinct (bkey, rid) rows — a pure per-record
+        function, so deltas UNION to exactly the batch blocking table;
+      * ``pairs``: candidate pairs WITH block-key provenance (one row per
+        (bkey, pair) = one unit of shared-token evidence).
+
+    Ingest recomputes pairs ONLY for blocks the delta touches (prior rows
+    of touched blocks + delta rows re-run the block kernel; prior pairs of
+    touched blocks are retracted and replaced), so the final evidence
+    table equals the batch ``blocked_match_pairs`` over the union corpus
+    bit-for-bit in any delta order. A block that overflows ``max_block``
+    across crawls raises exactly like the batch path. Per-ingest cost is
+    O(delta + touched-block membership), never O(corpus)."""
+    from ner_pytorch_ray.stages.groupby_utils import (
+        collect_tuples,
+        flat_map_groups,
+    )
+
+    attrs = list(attr_cols or [])
+    os.makedirs(state_dir, exist_ok=True)
+    state = read_state(state_dir)
+    _check_kind(state, "entity_resolution", state_dir)
+    _check_params(
+        state,
+        {"id_col": id_col, "name_col": name_col, "attrs": attrs,
+         "max_block": max_block},
+        state_dir,
+    )
+    fingerprint = fingerprint or delta_id
+    if _check_delta(state, delta_id, fingerprint):
+        return state["version"]
+
+    delta_blocks = records.map_batches(
+        _er_block_rows_fn(id_col, name_col, attrs), batch_format="pyarrow"
+    ).materialize()
+
+    touched: set[str] = set()
+    for b in delta_blocks.select_columns(["bkey"]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        touched.update(b.column("bkey").to_pylist())
+    touched_ref = ray.put(touched)
+
+    ver = state["version"]
+    prior_blocks = (
+        ray.data.read_parquet(os.path.join(state_dir, f"v{ver}", "blocks"))
+        if ver
+        else None
+    )
+    if prior_blocks is not None:
+        block_input = prior_blocks.map_batches(
+            _TouchedKeyFilter,
+            fn_constructor_args=(touched_ref, True),
+            concurrency=(1, 4),
+            batch_format="pyarrow",
+        ).union(delta_blocks)
+    else:
+        block_input = delta_blocks
+    collected = collect_tuples(
+        block_input, ["bkey"], ["rid"], shuffle_blocks="auto"
+    )
+    new_pairs = flat_map_groups(
+        collected, _er_block_pairs_fn(max_block), ["bkey"]
+    )
+
+    new = ver + 1
+    blocks_out = os.path.join(state_dir, f"v{new}", "blocks")
+    pairs_out = os.path.join(state_dir, f"v{new}", "pairs")
+    all_blocks = (
+        prior_blocks.union(delta_blocks)
+        if prior_blocks is not None
+        else delta_blocks
+    )
+    _write_versioned(all_blocks, _ER_BLOCKS_SCHEMA, blocks_out)
+    if ver:
+        prior_pairs = ray.data.read_parquet(
+            os.path.join(state_dir, f"v{ver}", "pairs")
+        )
+        pairs_state = prior_pairs.map_batches(
+            _TouchedKeyFilter,
+            fn_constructor_args=(touched_ref, False),
+            concurrency=(1, 4),
+            batch_format="pyarrow",
+        ).union(new_pairs)
+    else:
+        pairs_state = new_pairs
+    _write_versioned(pairs_state, _ER_PAIRS_SCHEMA, pairs_out)
+
+    import pyarrow.dataset as pads
+
+    state["version"] = new
+    state["deltas"][delta_id] = {
+        "fingerprint": fingerprint,
+        "n_block_rows": delta_blocks.count(),
+        "n_touched_blocks": len(touched),
+        "state_block_rows": pads.dataset(
+            blocks_out, format="parquet"
+        ).count_rows(),
+        "state_pair_rows": pads.dataset(
+            pairs_out, format="parquet"
+        ).count_rows(),
+        "version": new,
+    }
+    _write_state(state_dir, state)
+    _retire_versions(state_dir, new)
+    return new
+
+
+def final_entities(state_dir: str, min_shared: int = 1) -> ray.data.Dataset:
+    """Canonical (rid, entity_id) over every record ingested so far —
+    identical to the batch ``resolve_records`` on the union corpus:
+    evidence grouped-sum -> min_shared verify -> hash-min components ->
+    singleton fill from the blocks table's distinct rids."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count
+
+    from ner_pytorch_ray.pipelines.entity_resolution import resolve_entities
+
+    ver = _current_version(state_dir)
+    pairs = ray.data.read_parquet(os.path.join(state_dir, f"v{ver}", "pairs"))
+    evidence = (
+        pairs.repartition(8).groupby(["a", "b"]).aggregate(Count())
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["a", "b", "n_shared"])
+        return t.filter(
+            pc.greater_equal(t.column("n_shared"), pa.scalar(min_shared))
+        )
+
+    verified = evidence.map_batches(verify, batch_format="pyarrow")
+    blocks = ray.data.read_parquet(
+        os.path.join(state_dir, f"v{ver}", "blocks")
+    )
+    rids = (
+        blocks.select_columns(["rid"])
+        .repartition(8)
+        .groupby(["rid"])
+        .aggregate(Count())
+    ).map_batches(lambda t: t.select(["rid"]), batch_format="pyarrow")
+    return resolve_entities(rids, verified.materialize(), "rid")
+
+
+def er_incremental_from_parts(
+    sf_dir: str, n_deltas: int = 3, state_dir: str | None = None
+) -> ray.data.Dataset:
+    """Ingest ``sf_dir``'s part catalog as ``n_deltas`` successive deltas
+    (p_partkey % n_deltas) and return the resolved (p_partkey, entity_id)
+    — bit-identical to the batch ``part_entity_resolution`` (it shares
+    that query's SQL oracle)."""
+    import hashlib
+
+    owns_state = state_dir is None
+    if owns_state:
+        import tempfile
+
+        state_dir = tempfile.mkdtemp(prefix="er_incremental_", dir="/tmp")
+    path = f"{sf_dir}/part.parquet"
+    st = os.stat(path)
+    for d in range(n_deltas):
+        h = hashlib.blake2b(digest_size=16)
+        h.update(
+            f"er_incremental:{n_deltas}:{d}:{path}:{st.st_size}:"
+            f"{st.st_mtime_ns}".encode()
+        )
+        parts = ray.data.read_parquet(
+            path, columns=["p_partkey", "p_name", "p_size"]
+        )
+
+        def keep(b: pa.Table, d=d) -> pa.Table:
+            mask = (b.column("p_partkey").to_numpy() % n_deltas) == d
+            return b.filter(pa.array(mask))
+
+        ingest_er_delta(
+            parts.map_batches(keep, batch_format="pyarrow"),
+            state_dir,
+            delta_id=f"delta={d}/{n_deltas}",
+            fingerprint=h.hexdigest(),
+            id_col="p_partkey",
+            name_col="p_name",
+            attr_cols=["p_size"],
+        )
+    out = final_entities(state_dir)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["p_partkey", "entity_id"])
+
+    out = out.map_batches(rename, batch_format="pyarrow").sort("p_partkey")
+    if owns_state:
+        out = out.materialize()
+        shutil.rmtree(state_dir, ignore_errors=True)
+    return out

@@ -520,3 +520,140 @@ def test_minhash_incremental_param_mismatch_refused(ray_session, tmp_path):
     ingest_minhash_delta(docs, sd, delta_id="d0", tau=0.5)
     with pytest.raises(ValueError, match="params"):
         ingest_minhash_delta(docs, sd, delta_id="d1", tau=0.4)
+
+
+# ----------------------------------------------- incremental entity resolution
+def _er_records_ds(rows):
+    import pyarrow as pa
+
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "rid": pa.array([r[0] for r in rows], type=pa.int64()),
+                "name": pa.array([r[1] for r in rows], type=pa.string()),
+                "grp": pa.array([r[2] for r in rows], type=pa.int64()),
+            }
+        )
+    ).repartition(2)
+
+
+_ER_ROWS = [
+    (1, "small ring", 0),
+    (2, "small bolt", 0),
+    (3, "red bolt", 0),
+    (4, "red bolt", 1),
+    (5, "blue gear", 0),
+    (6, "blue gear", 1),
+    (7, "gear blue", 1),
+    (8, "lone widget", 2),
+]
+
+
+class TestIncrementalEntityResolution:
+    def _batch(self):
+        from ner_pytorch_ray.pipelines.entity_resolution import resolve_records
+
+        return sorted(
+            (r["rid"], r["entity_id"])
+            for r in resolve_records(
+                _er_records_ds(_ER_ROWS), "rid", "name", attr_cols=["grp"]
+            ).take_all()
+        )
+
+    def _ingest(self, sd, order):
+        from ner_pytorch_ray.pipelines.incremental import ingest_er_delta
+
+        for i, shard in enumerate(order):
+            rows = [r for r in _ER_ROWS if r[0] % 3 == shard]
+            ingest_er_delta(
+                _er_records_ds(rows),
+                sd,
+                delta_id=f"d{shard}",
+                id_col="rid",
+                name_col="name",
+                attr_cols=["grp"],
+            )
+
+    def test_deltas_equal_batch_any_order(self, ray_session, tmp_path):
+        from ner_pytorch_ray.pipelines.incremental import final_entities
+
+        for order in ([0, 1, 2], [2, 0, 1]):
+            sd = str(tmp_path / f"er_{'_'.join(map(str, order))}")
+            self._ingest(sd, order)
+            got = sorted(
+                (r["rid"], r["entity_id"])
+                for r in final_entities(sd).take_all()
+            )
+            assert got == self._batch()
+
+    def test_reingest_same_delta_is_noop(self, ray_session, tmp_path):
+        from ner_pytorch_ray.pipelines.incremental import (
+            final_entities,
+            ingest_er_delta,
+        )
+
+        sd = str(tmp_path / "er_noop")
+        self._ingest(sd, [0, 1, 2])
+        before = sorted(
+            (r["rid"], r["entity_id"]) for r in final_entities(sd).take_all()
+        )
+        ver = ingest_er_delta(
+            _er_records_ds([r for r in _ER_ROWS if r[0] % 3 == 1]),
+            sd,
+            delta_id="d1",
+            id_col="rid",
+            name_col="name",
+            attr_cols=["grp"],
+        )
+        assert ver == 3  # unchanged version, exactly-once
+        after = sorted(
+            (r["rid"], r["entity_id"]) for r in final_entities(sd).take_all()
+        )
+        assert after == before
+
+    def test_cross_crawl_overflow_raises(self, ray_session, tmp_path):
+        import pytest
+
+        from ner_pytorch_ray.pipelines.incremental import ingest_er_delta
+
+        sd = str(tmp_path / "er_overflow")
+        ingest_er_delta(
+            _er_records_ds([(i, "hot x%d" % i, 0) for i in range(3)]),
+            sd,
+            delta_id="d0",
+            id_col="rid",
+            name_col="name",
+            attr_cols=["grp"],
+            max_block=4,
+        )
+        # the 'hot' block reaches 6 members across crawls -> must raise,
+        # exactly like the batch path on the union corpus
+        with pytest.raises(Exception, match="max_block"):
+            ingest_er_delta(
+                _er_records_ds([(10 + i, "hot y%d" % i, 0) for i in range(3)]),
+                sd,
+                delta_id="d1",
+                id_col="rid",
+                name_col="name",
+                attr_cols=["grp"],
+                max_block=4,
+            )
+
+    def test_param_guard(self, ray_session, tmp_path):
+        import pytest
+
+        from ner_pytorch_ray.pipelines.incremental import ingest_er_delta
+
+        sd = str(tmp_path / "er_params")
+        self._ingest(sd, [0])
+        with pytest.raises(ValueError):
+            ingest_er_delta(
+                _er_records_ds([r for r in _ER_ROWS if r[0] % 3 == 1]),
+                sd,
+                delta_id="d1",
+                id_col="rid",
+                name_col="name",
+                attr_cols=[],  # different blocking params than the state
+            )
