@@ -890,6 +890,12 @@ def _q_kg_sparsified_edges(sf_dir: str):
     return sparsify_edges(sf_dir, k=2)
 
 
+def _q_kg_star_query(sf_dir: str):
+    from ner_pytorch_ray.pipelines.kg_analytics import star_query
+
+    return star_query(sf_dir)
+
+
 def _q_kg_inverse_relations(sf_dir: str):
     from ner_pytorch_ray.pipelines.kg_analytics import inverse_relations
 
@@ -999,6 +1005,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_validated_triples": _q_kg_validated_triples,
         "kg_sparsified_edges": _q_kg_sparsified_edges,
         "kg_evidence": _q_kg_evidence,
+        "kg_star_query": _q_kg_star_query,
         # round-4 relation-property mining / inverted-index search / window
         # functions (new this session — never driver-checked):
         "kg_inverse_relations": _q_kg_inverse_relations,
@@ -1027,7 +1034,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window_incremental": _q_tumbling_window_incremental,
         "sliding_window": _q_sliding_window,
         "sliding_window_incremental": _q_sliding_window_incremental,
-        "user_sessions": _q_user_sessions,
         "asof_attribution": _q_asof_attribution,
         # relational operator demos (never driver-checked)
         # round-4 additions (new this round — never driver-checked):
@@ -1068,6 +1074,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window": _q_tumbling_window,
         "order_revenue_join": _q_order_revenue_join,
         "range_join_events": _q_range_join_events,
+        "user_sessions": _q_user_sessions,
         # (kg_edges_incremental / kg_linked / neural_eval_metrics /
         # training_curve / adv_ppl_filtered driver-green r3;
         # adv_rep_variants / adv_topk_loss r1-r3, training_curve_adv r3)
@@ -2656,6 +2663,30 @@ trip AS (
   WHERE pred IS NOT NULL
   GROUP BY 1, 2, 3
 )"""
+    # SPARQL-style star BGP (kg_analytics.star_query): subjects satisfying
+    # ALL constraints, answered as a counting semi-join (no self-join)
+    out["kg_star_query"] = (
+        _KG_MENTIONS_POS_CTE
+        + _TRIP_CTE
+        + """
+, cmatch AS (
+  SELECT subj, 0 AS cid, w FROM trip
+  WHERE pred = 'scan' AND obj LIKE 'loc:%'
+  UNION ALL
+  SELECT subj, 1 AS cid, w FROM trip
+  WHERE pred = 'merge' AND obj LIKE 'org:%'
+),
+per AS (
+  SELECT subj, cid, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(w) AS BIGINT) AS tw
+  FROM cmatch GROUP BY 1, 2
+)
+SELECT subj, CAST(SUM(n) AS BIGINT) AS n_matches,
+       CAST(SUM(tw) AS BIGINT) AS total_weight
+FROM per GROUP BY subj HAVING COUNT(*) = 2 ORDER BY subj
+"""
+    )
+
     out["kg_paths_2hop"] = (
         _KG_MENTIONS_POS_CTE
         + _TRIP_CTE

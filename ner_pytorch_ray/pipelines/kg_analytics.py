@@ -1209,3 +1209,100 @@ def kg_ppr(
         weight_col="w",
         teleport=list(seeds),
     )
+
+
+def star_query(
+    sf_dir: str,
+    constraints: list[tuple[str, str]] | None = None,
+) -> ray.data.Dataset:
+    """SPARQL-style star basic-graph-pattern over the triple table: the
+    subjects satisfying EVERY constraint ``(pred, obj_prefix)`` — e.g.
+    "entities that *scan* some location AND *merge* some organization".
+
+    Answered as a COUNTING SEMI-JOIN in two aggregation passes instead of
+    a (k-1)-way self-join: each triple is tested against all k constraints
+    vectorized (one scan of the aggregated triple table), matches emit
+    (subj, constraint_id) partials, a grouped sum collapses them to
+    distinct-constraint coverage per subject, and subjects covering all k
+    survive. No join ever materializes candidate combinations, so a hub
+    subject with millions of matching triples costs rows proportional to
+    its matches, never their cross product.
+
+    Returns (subj, n_matches, total_weight) sorted by subj: the count and
+    summed weight of the subject's constraint-matching triples.
+    """
+    from ner_pytorch_ray.pipelines.kg import triples_merged_cached
+
+    cons = list(
+        constraints
+        if constraints is not None
+        else [("scan", "loc:"), ("merge", "org:")]
+    )
+    k = len(cons)
+    tri = triples_merged_cached(sf_dir).select_columns(
+        ["subj", "pred", "obj", "weight"]
+    )
+    schema = pa.schema(
+        [
+            ("subj", pa.string()),
+            ("cid", pa.int64()),
+            ("n", pa.int64()),
+            ("w", pa.int64()),
+        ]
+    )
+
+    def match_rows(batch: pa.Table) -> pa.Table:
+        outs = []
+        for cid, (pred, obj_prefix) in enumerate(cons):
+            mask = pc.and_(
+                pc.equal(batch.column("pred"), pa.scalar(pred)),
+                pc.starts_with(batch.column("obj"), pattern=obj_prefix),
+            )
+            hit = batch.filter(mask)
+            if hit.num_rows:
+                outs.append(
+                    pa.table(
+                        {
+                            "subj": hit.column("subj"),
+                            "cid": pa.array(
+                                [cid] * hit.num_rows, type=pa.int64()
+                            ),
+                            "n": pa.array(
+                                [1] * hit.num_rows, type=pa.int64()
+                            ),
+                            "w": hit.column("weight").cast(pa.int64()),
+                        }
+                    )
+                )
+        if not outs:
+            return schema.empty_table()
+        return pa.concat_tables(outs)
+
+    partials = tri.map_batches(match_rows, batch_format="pyarrow")
+    per_constraint = grouped_sum(
+        partials, keys=["subj", "cid"], sum_cols=["n", "w"]
+    )
+
+    def coverage_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "subj": batch.column("subj"),
+                "n_cons": pa.array([1] * batch.num_rows, type=pa.int64()),
+                "n_matches": batch.column("n"),
+                "total_weight": batch.column("w"),
+            }
+        )
+
+    per_subj = grouped_sum(
+        per_constraint.map_batches(coverage_rows, batch_format="pyarrow"),
+        keys=["subj"],
+        sum_cols=["n_cons", "n_matches", "total_weight"],
+    )
+
+    def keep_covered(batch: pa.Table) -> pa.Table:
+        out = batch.filter(pc.equal(batch.column("n_cons"), pa.scalar(k)))
+        return out.select(["subj", "n_matches", "total_weight"])
+
+    return per_subj.map_batches(
+        keep_covered, batch_format="pyarrow"
+    ).sort("subj")

@@ -464,3 +464,44 @@ def _T(rows):
         ):
             return t
     raise AssertionError("no consistent T")
+
+
+class TestStarQuery:
+    def test_matches_sequential_recompute(self):
+        from ner_pytorch_ray.pipelines.kg import triples_merged_cached
+        from ner_pytorch_ray.pipelines.kg_analytics import star_query
+
+        cons = [("scan", "loc:"), ("merge", "org:")]
+        got = [
+            (r["subj"], r["n_matches"], r["total_weight"])
+            for r in star_query(SF, constraints=cons).take_all()
+        ]
+        # sequential recompute: subjects covering EVERY constraint
+        tri = triples_merged_cached(SF).take_all()
+        per: dict = {}
+        for r in tri:
+            for cid, (pred, pre) in enumerate(cons):
+                if r["pred"] == pred and r["obj"].startswith(pre):
+                    cov, n, w = per.get(r["subj"], (set(), 0, 0))
+                    per[r["subj"]] = (
+                        cov | {cid},
+                        n + 1,
+                        w + r["weight"],
+                    )
+        ref = sorted(
+            (s, n, w)
+            for s, (cov, n, w) in per.items()
+            if len(cov) == len(cons)
+        )
+        assert got == ref
+        assert got  # the default constraints hit at sf0.001
+        # the ALL-constraints gate binds: some subject matches only one
+        assert any(len(cov) < len(cons) for cov, _, _ in per.values())
+
+    def test_output_sorted_and_partial_subjects_excluded(self):
+        from ner_pytorch_ray.pipelines.kg_analytics import star_query
+
+        rows = star_query(SF).take_all()
+        subjects = [r["subj"] for r in rows]
+        assert subjects == sorted(subjects)
+        assert len(subjects) == len(set(subjects))
