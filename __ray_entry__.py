@@ -902,6 +902,12 @@ def _q_kg_inverse_relations(sf_dir: str):
     return inverse_relations(sf_dir)
 
 
+def _q_surface_fuzzy_pairs(sf_dir: str):
+    from ner_pytorch_ray.pipelines.fuzzy import surface_fuzzy_pairs
+
+    return surface_fuzzy_pairs(sf_dir, max_dist=2)
+
+
 def _q_part_er_incremental(sf_dir: str):
     from ner_pytorch_ray.pipelines.incremental import er_incremental_from_parts
 
@@ -1011,6 +1017,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_inverse_relations": _q_kg_inverse_relations,
         "part_entity_resolution": _q_part_entity_resolution,
         "part_er_incremental": _q_part_er_incremental,
+        "surface_fuzzy_pairs": _q_surface_fuzzy_pairs,
         "term_postings": _q_term_postings,
         "search_conjunctive": _q_search_conjunctive,
         "nation_balance_rank": _q_nation_balance_rank,
@@ -2765,6 +2772,23 @@ FROM reach GROUP BY node ORDER BY p_partkey
     # incremental ER must reproduce the batch resolution bit-for-bit
     # (touched-block recompute proof): same oracle as the batch query
     out["part_er_incremental"] = out["part_entity_resolution"]
+
+    # fuzzy surface-form matching (pipelines/fuzzy.py): every DISTINCT
+    # vocabulary pair within Levenshtein distance 2, found via FastSS
+    # deletion-neighborhood blocking + exact verify; oracle = brute-force
+    # levenshtein over the (small at sf0.01) distinct vocab
+    out["surface_fuzzy_pairs"] = """
+WITH v AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents
+),
+vv AS (SELECT w FROM v WHERE length(w) >= 1)
+SELECT a.w AS surf_a, b.w AS surf_b,
+       CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
+FROM vv a JOIN vv b
+  ON a.w < b.w AND abs(length(a.w) - length(b.w)) <= 2
+WHERE levenshtein(a.w, b.w) <= 2
+ORDER BY surf_a, surf_b
+"""
 
     # distributed running window aggregate (customer_running_revenue /
     # groupby_utils.grouped_running_sum): per-customer revenue prefix
