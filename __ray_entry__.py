@@ -908,6 +908,12 @@ def _q_surface_fuzzy_pairs(sf_dir: str):
     return surface_fuzzy_pairs(sf_dir, max_dist=2)
 
 
+def _q_fuzzy_canonical_map(sf_dir: str):
+    from ner_pytorch_ray.pipelines.fuzzy import fuzzy_canonical_map
+
+    return fuzzy_canonical_map(sf_dir, max_dist=2)
+
+
 def _q_part_er_incremental(sf_dir: str):
     from ner_pytorch_ray.pipelines.incremental import er_incremental_from_parts
 
@@ -1018,6 +1024,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_entity_resolution": _q_part_entity_resolution,
         "part_er_incremental": _q_part_er_incremental,
         "surface_fuzzy_pairs": _q_surface_fuzzy_pairs,
+        "fuzzy_canonical_map": _q_fuzzy_canonical_map,
         "term_postings": _q_term_postings,
         "search_conjunctive": _q_search_conjunctive,
         "nation_balance_rank": _q_nation_balance_rank,
@@ -2788,6 +2795,31 @@ FROM vv a JOIN vv b
   ON a.w < b.w AND abs(length(a.w) - length(b.w)) <= 2
 WHERE levenshtein(a.w, b.w) <= 2
 ORDER BY surf_a, surf_b
+"""
+
+    # fuzzy canonicalization (pipelines/fuzzy.py fuzzy_canonical_map):
+    # surfaces within edit distance 2 chain into connected components;
+    # canonical = lexicographic min of the component (hash-min label
+    # propagation == SQL min-label transitive closure). Only surfaces
+    # participating in >=1 pair are emitted.
+    out["fuzzy_canonical_map"] = """
+WITH RECURSIVE v AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents
+),
+p AS (
+  SELECT a.w AS wa, b.w AS wb
+  FROM v a JOIN v b
+    ON a.w < b.w AND abs(length(a.w) - length(b.w)) <= 2
+       AND levenshtein(a.w, b.w) <= 2
+),
+e AS (SELECT wa AS a, wb AS b FROM p UNION ALL SELECT wb, wa FROM p),
+cc(node, lab) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT e.b, cc.lab FROM cc JOIN e ON e.a = cc.node
+)
+SELECT node AS surface, MIN(lab) AS canonical
+FROM cc GROUP BY node ORDER BY canonical, surface
 """
 
     # distributed running window aggregate (customer_running_revenue /

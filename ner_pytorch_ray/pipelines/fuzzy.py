@@ -199,9 +199,7 @@ def fuzzy_surface_pairs(
     )
 
 
-def surface_fuzzy_pairs(sf_dir: str, max_dist: int = 2) -> ray.data.Dataset:
-    """Edit-distance-<=``max_dist`` pairs over the documents vocabulary
-    (whitespace tokens) — the registered-query entry point."""
+def _vocab_dataset(sf_dir: str) -> ray.data.Dataset:
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["text"]
     )
@@ -212,7 +210,64 @@ def surface_fuzzy_pairs(sf_dir: str, max_dist: int = 2) -> ray.data.Dataset:
         )
         return pa.table({"surface": toks})
 
-    return fuzzy_surface_pairs(
-        ds.map_batches(token_rows, batch_format="pyarrow"),
-        max_dist=max_dist,
+    return ds.map_batches(token_rows, batch_format="pyarrow")
+
+
+def surface_fuzzy_pairs(sf_dir: str, max_dist: int = 2) -> ray.data.Dataset:
+    """Edit-distance-<=``max_dist`` pairs over the documents vocabulary
+    (whitespace tokens) — the registered-query entry point."""
+    return fuzzy_surface_pairs(_vocab_dataset(sf_dir), max_dist=max_dist)
+
+
+def fuzzy_canonical_clusters(
+    pairs: ray.data.Dataset, max_iters: int = 50
+) -> ray.data.Dataset:
+    """(surface, canonical) for every surface that participates in at
+    least one fuzzy pair: surfaces within edit distance of each other
+    chain into connected components (hash-min label propagation over the
+    symmetrized pair table — :func:`components_over_edges` with STRING
+    node ids), canonical = lexicographic min surface of the component.
+
+    This is the surface-canonicalization step the KG node table needs
+    when the same entity arrives with typos: the pair stage proposes
+    near-misses, the closure merges chains ("googel"~"google"~"googly")
+    even when the chain's endpoints exceed ``max_dist``. Unpaired
+    surfaces are their own canonical and are deliberately NOT emitted —
+    at web scale the vocabulary is ~1e8 rows of self-maps while the
+    merged clusters are the small interesting output."""
+    from ner_pytorch_ray.pipelines.graph_ops import components_over_edges
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        a = batch.column("surf_a")
+        b = batch.column("surf_b")
+        return pa.table(
+            {
+                "a": pa.concat_arrays(
+                    [a.combine_chunks(), b.combine_chunks()]
+                ),
+                "b": pa.concat_arrays(
+                    [b.combine_chunks(), a.combine_chunks()]
+                ),
+            }
+        )
+
+    comp = components_over_edges(
+        pairs.map_batches(symmetrize, batch_format="pyarrow"),
+        node_type=pa.string(),
+        max_iters=max_iters,
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["surface", "canonical"])
+
+    return comp.map_batches(rename, batch_format="pyarrow").sort(
+        ["canonical", "surface"]
+    )
+
+
+def fuzzy_canonical_map(sf_dir: str, max_dist: int = 1) -> ray.data.Dataset:
+    """Registered-query entry point: canonicalize the documents
+    vocabulary by edit-distance-``max_dist`` clusters."""
+    return fuzzy_canonical_clusters(
+        surface_fuzzy_pairs(sf_dir, max_dist=max_dist)
     )

@@ -116,6 +116,38 @@ class TestPipeline:
         with pytest.raises(Exception, match="max_bucket"):
             self._run(hot, max_bucket=5)
 
+    def test_canonical_clusters_match_bruteforce_closure(self):
+        from ner_pytorch_ray.pipelines.fuzzy import fuzzy_canonical_clusters
+
+        ds = ray.data.from_arrow(
+            pa.table({"surface": pa.array(VOCAB, type=pa.string())})
+        )
+        pairs = fuzzy_surface_pairs(ds, max_dist=2)
+        got = sorted(
+            (r["surface"], r["canonical"])
+            for r in fuzzy_canonical_clusters(pairs).take_all()
+        )
+        # brute-force union-find over the same pair set
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        members = set()
+        for a, b, _ in self._expect(VOCAB):
+            members |= {a, b}
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expect = sorted((s, find(s)) for s in members)
+        assert got == expect
+        # chains merge across > max_dist endpoints: googel~google~googly
+        canon = dict(got)
+        assert canon["googly"] == canon["googel"]
+
     def test_partitioning_invariance(self):
         ds = ray.data.from_arrow(
             pa.table({"surface": pa.array(VOCAB * 3, type=pa.string())})
