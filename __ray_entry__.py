@@ -914,6 +914,12 @@ def _q_fuzzy_canonical_map(sf_dir: str):
     return fuzzy_canonical_map(sf_dir, max_dist=2)
 
 
+def _q_bucketed_join_orders(sf_dir: str):
+    from ner_pytorch_ray.sources.bucketed import bucketed_join_orders
+
+    return bucketed_join_orders(sf_dir, n_buckets=16)
+
+
 def _q_part_er_incremental(sf_dir: str):
     from ner_pytorch_ray.pipelines.incremental import er_incremental_from_parts
 
@@ -1025,6 +1031,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_er_incremental": _q_part_er_incremental,
         "surface_fuzzy_pairs": _q_surface_fuzzy_pairs,
         "fuzzy_canonical_map": _q_fuzzy_canonical_map,
+        "bucketed_join_orders": _q_bucketed_join_orders,
         "term_postings": _q_term_postings,
         "search_conjunctive": _q_search_conjunctive,
         "nation_balance_rank": _q_nation_balance_rank,
@@ -2820,6 +2827,16 @@ cc(node, lab) AS (
 )
 SELECT node AS surface, MIN(lab) AS canonical
 FROM cc GROUP BY node ORDER BY canonical, surface
+"""
+
+    # hash-bucketed storage layout + shuffle-free co-located join
+    # (sources/bucketed.py): the joined rows prove the bucket-local join
+    # loses and duplicates nothing vs a plain SQL equi-join
+    out["bucketed_join_orders"] = """
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS o_cents
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+ORDER BY c.c_custkey, o.o_orderkey
 """
 
     # distributed running window aggregate (customer_running_revenue /

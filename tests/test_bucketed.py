@@ -1,0 +1,157 @@
+"""Hash-bucketed Parquet layout + co-located join (sources/bucketed.py):
+round trip, manifest commit-on-success gating, stale-part overwrite,
+empty buckets, join parity vs a local pandas merge."""
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data
+
+from ner_pytorch_ray.sources.bucketed import (
+    bucket_ids,
+    bucketed_join,
+    bucketed_write,
+    load_manifest,
+    read_bucketed,
+    splitmix64,
+)
+
+
+def _table(n, offset=0):
+    k = np.arange(offset, offset + n, dtype=np.int64)
+    return pa.table(
+        {
+            "k": pa.array(k),
+            "v": pa.array([f"row{x}" for x in k], type=pa.string()),
+        }
+    )
+
+
+class TestBucketing:
+    def test_splitmix64_avalanche(self):
+        # consecutive keys spread: no bucket gets more than 3x its share
+        b = bucket_ids(pa.array(np.arange(8000, dtype=np.int64)), 16)
+        counts = np.bincount(b, minlength=16)
+        assert counts.min() > 0 and counts.max() < 3 * 8000 / 16
+
+    def test_bucket_ids_deterministic(self):
+        a = bucket_ids(pa.array([1, 2, 3], type=pa.int64()), 8)
+        b = bucket_ids(pa.array([1, 2, 3], type=pa.int64()), 8)
+        assert list(a) == list(b)
+
+    def test_splitmix64_known_zero(self):
+        # splitmix64(0) reference value (public test vector)
+        got = splitmix64(np.array([0], dtype=np.uint64))[0]
+        assert int(got) == 0xE220A8397B1DCDAF
+
+
+class TestWriteRead:
+    def test_round_trip(self, tmp_path):
+        t = _table(500)
+        m = bucketed_write(ray.data.from_arrow(t), "k", 8, str(tmp_path / "l"))
+        assert m["n_rows"] == 500 and m["n_buckets"] == 8
+        back = read_bucketed(str(tmp_path / "l")).take_all()
+        assert sorted((r["k"], r["v"]) for r in back) == list(
+            zip(t.column("k").to_pylist(), t.column("v").to_pylist())
+        )
+
+    def test_rows_land_in_their_hash_bucket(self, tmp_path):
+        bucketed_write(
+            ray.data.from_arrow(_table(200)), "k", 4, str(tmp_path / "l")
+        )
+        man = load_manifest(str(tmp_path / "l"))
+        for p in man["parts"]:
+            part = pq.read_table(
+                str(tmp_path / "l" / f"bucket={p['bucket']}" / p["file"])
+            )
+            got = bucket_ids(part.column("k"), 4)
+            assert (got == p["bucket"]).all()
+
+    def test_reader_requires_manifest(self, tmp_path):
+        bucketed_write(
+            ray.data.from_arrow(_table(50)), "k", 4, str(tmp_path / "l")
+        )
+        os.remove(tmp_path / "l" / "_MANIFEST.json")
+        with pytest.raises(FileNotFoundError, match="_MANIFEST"):
+            read_bucketed(str(tmp_path / "l"))
+
+    def test_rerun_clears_stale_parts(self, tmp_path):
+        path = str(tmp_path / "l")
+        bucketed_write(
+            ray.data.from_arrow(_table(400)).repartition(4), "k", 4, path
+        )
+        bucketed_write(ray.data.from_arrow(_table(10)), "k", 4, path)
+        back = read_bucketed(path).take_all()
+        assert sorted(r["k"] for r in back) == list(range(10))
+
+    def test_manifest_counts_match_files(self, tmp_path):
+        path = str(tmp_path / "l")
+        bucketed_write(ray.data.from_arrow(_table(123)), "k", 8, path)
+        man = json.load(open(os.path.join(path, "_MANIFEST.json")))
+        total = 0
+        for p in man["parts"]:
+            n = pq.read_table(
+                os.path.join(path, f"bucket={p['bucket']}", p["file"])
+            ).num_rows
+            assert n == p["n_rows"]
+            total += n
+        assert total == man["n_rows"] == 123
+
+
+class TestJoin:
+    def test_join_matches_pandas_merge(self, tmp_path):
+        left = _table(100)
+        # right: keys 50..149 with an extra payload column, some keys twice
+        k = np.concatenate(
+            [np.arange(50, 150), np.arange(60, 70)]
+        ).astype(np.int64)
+        right = pa.table(
+            {"rk": pa.array(k), "w": pa.array(k * 2)}
+        )
+        bucketed_write(ray.data.from_arrow(left), "k", 8, str(tmp_path / "a"))
+        bucketed_write(
+            ray.data.from_arrow(right), "rk", 8, str(tmp_path / "b")
+        )
+        got = sorted(
+            (r["k"], r["v"], r["w"])
+            for r in bucketed_join(
+                str(tmp_path / "a"), str(tmp_path / "b")
+            ).take_all()
+        )
+        exp = sorted(
+            left.to_pandas()
+            .merge(right.to_pandas(), left_on="k", right_on="rk")[
+                ["k", "v", "w"]
+            ]
+            .itertuples(index=False, name=None)
+        )
+        assert got == exp
+
+    def test_join_rejects_mismatched_bucketing(self, tmp_path):
+        bucketed_write(
+            ray.data.from_arrow(_table(10)), "k", 4, str(tmp_path / "a")
+        )
+        bucketed_write(
+            ray.data.from_arrow(_table(10)), "k", 8, str(tmp_path / "b")
+        )
+        with pytest.raises(ValueError, match="identical bucketing"):
+            bucketed_join(str(tmp_path / "a"), str(tmp_path / "b"))
+
+    def test_join_with_empty_buckets(self, tmp_path):
+        # 2 rows into 16 buckets: most buckets empty on both sides
+        bucketed_write(
+            ray.data.from_arrow(_table(2)), "k", 16, str(tmp_path / "a")
+        )
+        bucketed_write(
+            ray.data.from_arrow(_table(2)), "k", 16, str(tmp_path / "b")
+        )
+        got = bucketed_join(str(tmp_path / "a"), str(tmp_path / "b"))
+        rows = got.take_all()
+        assert sorted(r["k"] for r in rows) == [0, 1]
+        # shared non-key column name arrives suffixed, values preserved
+        assert all(r["v"] == r["v_r"] == f"row{r['k']}" for r in rows)
