@@ -920,6 +920,12 @@ def _q_bucketed_join_orders(sf_dir: str):
     return bucketed_join_orders(sf_dir, n_buckets=16)
 
 
+def _q_bucketed_user_totals(sf_dir: str):
+    from ner_pytorch_ray.sources.bucketed import bucketed_user_totals
+
+    return bucketed_user_totals(sf_dir, n_buckets=16)
+
+
 def _q_part_er_incremental(sf_dir: str):
     from ner_pytorch_ray.pipelines.incremental import er_incremental_from_parts
 
@@ -1032,6 +1038,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "surface_fuzzy_pairs": _q_surface_fuzzy_pairs,
         "fuzzy_canonical_map": _q_fuzzy_canonical_map,
         "bucketed_join_orders": _q_bucketed_join_orders,
+        "bucketed_user_totals": _q_bucketed_user_totals,
         "term_postings": _q_term_postings,
         "search_conjunctive": _q_search_conjunctive,
         "nation_balance_rank": _q_nation_balance_rank,
@@ -2837,6 +2844,17 @@ SELECT c.c_custkey, c.c_name, o.o_orderkey,
        CAST(round(o.o_totalprice * 100) AS BIGINT) AS o_cents
 FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
 ORDER BY c.c_custkey, o.o_orderkey
+"""
+
+    # shuffle-free bucket-local aggregation over the same layout
+    # (sources/bucketed.py bucketed_aggregate): per-bucket local groupby
+    # is final because all rows of a user live in one bucket
+    out["bucketed_user_totals"] = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents
+FROM events GROUP BY user_id ORDER BY user_id
 """
 
     # distributed running window aggregate (customer_running_revenue /

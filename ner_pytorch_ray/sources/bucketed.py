@@ -252,6 +252,82 @@ def bucketed_join(
     ).map_batches(join_bucket, batch_format="pyarrow", batch_size=1)
 
 
+def bucketed_aggregate(
+    path: str, keys: list[str], sum_cols: list[str]
+) -> ray.data.Dataset:
+    """groupby(keys).sum(sum_cols) over a bucketed layout with NO
+    shuffle: when the layout's bucketing key is one of ``keys``, every
+    row of a group lives in exactly one bucket, so the per-bucket local
+    aggregate IS the final answer. The second way the one write-time
+    exchange keeps paying off (first: :func:`bucketed_join`)."""
+    manifest = load_manifest(path)
+    if manifest["key"] not in keys:
+        raise ValueError(
+            f"layout is bucketed by {manifest['key']!r}, which must be one "
+            f"of the grouping keys {keys} for bucket-local aggregation to "
+            "be exact"
+        )
+
+    def agg_bucket(batch: pa.Table) -> pa.Table:
+        outs = []
+        for i in batch.column("bucket").to_pylist():
+            t = _bucket_table(path, manifest, int(i))
+            g = t.group_by(keys).aggregate([(c, "sum") for c in sum_cols])
+            outs.append(
+                g.rename_columns(keys + sum_cols)
+            )
+        return pa.concat_tables(outs, promote_options="default")
+
+    return ray.data.from_arrow(
+        pa.table(
+            {"bucket": pa.array(range(manifest["n_buckets"]), pa.int64())}
+        )
+    ).map_batches(agg_bucket, batch_format="pyarrow", batch_size=1)
+
+
+def bucketed_user_totals(sf_dir: str, n_buckets: int = 16) -> pa.Table:
+    """Registered-query entry point for :func:`bucketed_aggregate`:
+    bucket events by user, then per-user event count + value total (exact
+    cents) with bucket-local finality — no aggregation shuffle."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="bucketed_agg_")
+    try:
+        events = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+        )
+
+        from ner_pytorch_ray.pipelines.relational import _cents
+
+        def prep(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "user_id": batch.column("user_id"),
+                    "n_events": pa.array(
+                        np.ones(len(batch), dtype=np.int64)
+                    ),
+                    "value_cents": _cents(batch.column("value")),
+                }
+            )
+
+        bucketed_write(
+            events.map_batches(prep, batch_format="pyarrow"),
+            "user_id",
+            n_buckets,
+            f"{tmp}/events",
+        )
+        return (
+            bucketed_aggregate(
+                f"{tmp}/events", ["user_id"], ["n_events", "value_cents"]
+            )
+            .sort("user_id")
+            .materialize()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def bucketed_join_orders(sf_dir: str, n_buckets: int = 16) -> pa.Table:
     """Registered-query entry point: bucket ``customer`` and ``orders``
     by custkey under /tmp, then join co-located — the joined rows
@@ -270,16 +346,13 @@ def bucketed_join_orders(sf_dir: str, n_buckets: int = 16) -> pa.Table:
             columns=["o_orderkey", "o_custkey", "o_totalprice"],
         )
 
+        from ner_pytorch_ray.pipelines.relational import _cents
+
         def cents(batch: pa.Table) -> pa.Table:
             return batch.set_column(
                 batch.schema.get_field_index("o_totalprice"),
                 "o_cents",
-                pc.cast(
-                    pc.round(
-                        pc.multiply(batch.column("o_totalprice"), 100.0)
-                    ),
-                    pa.int64(),
-                ),
+                _cents(batch.column("o_totalprice")),
             )
 
         bucketed_write(cust, "c_custkey", n_buckets, f"{tmp}/customer")

@@ -103,6 +103,37 @@ class TestWriteRead:
         assert total == man["n_rows"] == 123
 
 
+class TestAggregate:
+    def test_bucket_local_aggregate_matches_pandas(self, tmp_path):
+        from ner_pytorch_ray.sources.bucketed import bucketed_aggregate
+
+        rng = np.random.default_rng(7)
+        k = rng.integers(0, 20, size=500).astype(np.int64)
+        t = pa.table({"g": pa.array(k), "x": pa.array(k * 3 + 1)})
+        bucketed_write(
+            ray.data.from_arrow(t).repartition(5), "g", 8, str(tmp_path / "l")
+        )
+        got = sorted(
+            (r["g"], r["x"])
+            for r in bucketed_aggregate(
+                str(tmp_path / "l"), ["g"], ["x"]
+            ).take_all()
+        )
+        exp = sorted(
+            t.to_pandas().groupby("g")["x"].sum().items()
+        )
+        assert got == exp
+
+    def test_aggregate_rejects_wrong_key(self, tmp_path):
+        from ner_pytorch_ray.sources.bucketed import bucketed_aggregate
+
+        bucketed_write(
+            ray.data.from_arrow(_table(10)), "k", 4, str(tmp_path / "l")
+        )
+        with pytest.raises(ValueError, match="bucketed by"):
+            bucketed_aggregate(str(tmp_path / "l"), ["v"], [])
+
+
 class TestJoin:
     def test_join_matches_pandas_merge(self, tmp_path):
         left = _table(100)
