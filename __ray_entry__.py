@@ -926,6 +926,12 @@ def _q_bucketed_user_totals(sf_dir: str):
     return bucketed_user_totals(sf_dir, n_buckets=16)
 
 
+def _q_pivot_events(sf_dir: str):
+    from ner_pytorch_ray.pipelines.relational import pivot_events
+
+    return pivot_events(sf_dir)
+
+
 def _q_part_er_incremental(sf_dir: str):
     from ner_pytorch_ray.pipelines.incremental import er_incremental_from_parts
 
@@ -1039,6 +1045,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_canonical_map": _q_fuzzy_canonical_map,
         "bucketed_join_orders": _q_bucketed_join_orders,
         "bucketed_user_totals": _q_bucketed_user_totals,
+        "pivot_events": _q_pivot_events,
         "term_postings": _q_term_postings,
         "search_conjunctive": _q_search_conjunctive,
         "nation_balance_rank": _q_nation_balance_rank,
@@ -2856,6 +2863,23 @@ SELECT user_id,
            AS value_cents
 FROM events GROUP BY user_id ORDER BY user_id
 """
+
+    # distributed PIVOT (pipelines/relational.py pivot_events): long ->
+    # wide, one (count, cents) column pair per event type; the type set
+    # is the data's own enum (discovered distinct = this fixed list)
+    _pivot_cols = ",\n".join(
+        f"       CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS n_{t},\n"
+        f"       CAST(SUM(CASE WHEN event_type = '{t}'"
+        f" THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)"
+        f" AS BIGINT) AS cents_{t}"
+        for t in ["click", "error", "purchase", "signup", "view"]
+    )
+    out["pivot_events"] = (
+        "SELECT user_id,\n"
+        + _pivot_cols
+        + "\nFROM events GROUP BY user_id ORDER BY user_id"
+    )
 
     # distributed running window aggregate (customer_running_revenue /
     # groupby_utils.grouped_running_sum): per-customer revenue prefix

@@ -469,3 +469,95 @@ def customer_running_revenue(sf_dir: str) -> ray.data.Dataset:
         out_col="running_cents",
     )
     return out.select_columns(["o_custkey", "o_orderkey", "running_cents"])
+
+
+def pivot_events(sf_dir: str) -> ray.data.Dataset:
+    """Distributed PIVOT (long -> wide): one row per user with a count
+    and an exact-cents value total per event type.
+
+    Two-phase shape for scale:
+
+    1. **Discover the column set** — distinct event types via a grouped
+       count (the pivot domain is an enum, orders of magnitude smaller
+       than the corpus; a pivot over an unbounded domain is a schema
+       error, so a guard raises past ``max_types``).
+    2. **Block-local wide partials** — each block hash-groups
+       (user, type) with Arrow, then scatters the grouped rows into a
+       fixed (users x types) numpy matrix (``pc.index_in`` for the type
+       axis — no Python loop over rows). The exchange therefore carries
+       one row per user per block with 2·|types| int64 columns, never
+       the long event rows.
+    3. One ``grouped_sum`` over user_id merges the partials; per-column
+       sums are integers, so the result is bit-exact under any
+       partitioning.
+    """
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
+
+    max_types = 64
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "value"],
+    )
+
+    def type_rows(batch: pa.Table) -> pa.Table:
+        u = pc.unique(batch.column("event_type"))
+        return pa.table(
+            {
+                "event_type": u,
+                "one": pa.array(np.ones(len(u), dtype=np.int64)),
+            }
+        )
+
+    type_tbl = grouped_sum(
+        ds.map_batches(type_rows, batch_format="pyarrow"),
+        ["event_type"],
+        sum_cols=["one"],
+    )
+    types = sorted(r["event_type"] for r in type_tbl.take_all())
+    if len(types) > max_types:
+        raise ValueError(
+            f"pivot domain has {len(types)} types (max {max_types}); an "
+            "unbounded pivot domain is a schema error, not a wide table"
+        )
+    type_arr = pa.array(types, type=pa.string())
+    n_cols = [f"n_{t}" for t in types]
+    c_cols = [f"cents_{t}" for t in types]
+
+    def wide_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "event_type": batch.column("event_type"),
+                "cents": _cents(batch.column("value")),
+            }
+        )
+        g = t.group_by(["user_id", "event_type"]).aggregate(
+            [([], "count_all"), ("cents", "sum")]
+        )
+        users, uidx = np.unique(
+            g.column("user_id").to_numpy(zero_copy_only=False),
+            return_inverse=True,
+        )
+        tidx = pc.index_in(
+            g.column("event_type"), value_set=type_arr
+        ).to_numpy(zero_copy_only=False)
+        counts = np.zeros((len(users), len(types)), dtype=np.int64)
+        cents = np.zeros((len(users), len(types)), dtype=np.int64)
+        counts[uidx, tidx] = g.column("count_all").to_numpy(
+            zero_copy_only=False
+        )
+        cents[uidx, tidx] = g.column("cents_sum").to_numpy(
+            zero_copy_only=False
+        )
+        cols: dict = {"user_id": pa.array(users)}
+        for j, name in enumerate(n_cols):
+            cols[name] = pa.array(counts[:, j])
+        for j, name in enumerate(c_cols):
+            cols[name] = pa.array(cents[:, j])
+        return pa.table(cols)
+
+    return grouped_sum(
+        ds.map_batches(wide_partial, batch_format="pyarrow"),
+        ["user_id"],
+        sum_cols=n_cols + c_cols,
+    ).sort("user_id")

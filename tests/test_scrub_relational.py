@@ -258,3 +258,56 @@ def test_hll_partitioning_invariance_and_error(ray_session, tmp_path):
     exact = len(np.unique(users))
     got = est_file.n_distinct_approx.iloc[0]
     assert abs(got - exact) / exact < 0.05  # ~3 sigma at m=4096 (sigma ~1.6%)
+
+
+class TestPivotEvents:
+    def test_matches_pandas_pivot(self):
+        import pandas as pd
+
+        from ner_pytorch_ray.pipelines.relational import pivot_events
+
+        got = pivot_events(SF).to_pandas()
+        ev = pq.read_table(
+            f"{SF}/events.parquet", columns=["user_id", "event_type", "value"]
+        ).to_pandas()
+        ev["cents"] = (
+            np.sign(ev.value) * np.floor(np.abs(ev.value) * 100 + 0.5)
+        ).astype(np.int64)
+        types = sorted(ev.event_type.unique())
+        exp = ev.pivot_table(
+            index="user_id",
+            columns="event_type",
+            values="cents",
+            aggfunc=["count", "sum"],
+            fill_value=0,
+        )
+        exp.columns = [
+            ("n_" if a == "count" else "cents_") + t for a, t in exp.columns
+        ]
+        exp = exp.reset_index()
+        cols = ["user_id"] + [f"n_{t}" for t in types] + [
+            f"cents_{t}" for t in types
+        ]
+        assert list(got.columns) == cols
+        pd.testing.assert_frame_equal(
+            got[cols].astype(np.int64),
+            exp[cols].astype(np.int64),
+            check_names=False,
+        )
+
+    def test_unbounded_domain_raises(self, tmp_path):
+        from ner_pytorch_ray.pipelines.relational import pivot_events
+
+        n = 200
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array(np.arange(n, dtype=np.int64)),
+                    "event_type": pa.array([f"t{i}" for i in range(n)]),
+                    "value": pa.array(np.ones(n)),
+                }
+            ),
+            tmp_path / "events.parquet",
+        )
+        with pytest.raises(ValueError, match="pivot domain"):
+            pivot_events(str(tmp_path)).materialize()
