@@ -932,6 +932,12 @@ def _q_pivot_events(sf_dir: str):
     return pivot_events(sf_dir)
 
 
+def _q_bloom_semijoin_orders(sf_dir: str):
+    from ner_pytorch_ray.pipelines.sketches import bloom_semijoin_orders
+
+    return bloom_semijoin_orders(sf_dir, segment="BUILDING")
+
+
 def _q_part_er_incremental(sf_dir: str):
     from ner_pytorch_ray.pipelines.incremental import er_incremental_from_parts
 
@@ -1046,6 +1052,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucketed_join_orders": _q_bucketed_join_orders,
         "bucketed_user_totals": _q_bucketed_user_totals,
         "pivot_events": _q_pivot_events,
+        "bloom_semijoin_orders": _q_bloom_semijoin_orders,
         "term_postings": _q_term_postings,
         "search_conjunctive": _q_search_conjunctive,
         "nation_balance_rank": _q_nation_balance_rank,
@@ -2880,6 +2887,20 @@ FROM events GROUP BY user_id ORDER BY user_id
         + _pivot_cols
         + "\nFROM events GROUP BY user_id ORDER BY user_id"
     )
+
+    # Bloom-filter semijoin (pipelines/sketches.py bloom_semijoin_orders):
+    # bloom prune on the fact side + exact verify on survivors == a plain
+    # SQL semijoin (the bloom stage has no false negatives; the verify
+    # stage kills the false positives)
+    out["bloom_semijoin_orders"] = """
+SELECT o.o_custkey, o.o_orderkey,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS o_cents
+FROM orders o
+WHERE o.o_custkey IN (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+)
+ORDER BY o.o_custkey, o.o_orderkey
+"""
 
     # distributed running window aggregate (customer_running_revenue /
     # groupby_utils.grouped_running_sum): per-customer revenue prefix

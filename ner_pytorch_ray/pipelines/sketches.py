@@ -310,3 +310,182 @@ def heavy_bigrams(sf_dir: str, denom: int = 700) -> ray.data.Dataset:
         f"{sf_dir}/documents.parquet", columns=["text"]
     )
     return heavy_ngrams(ds, text_col="text", n=2, denom=denom)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semijoin: broadcast-compressed filtering for big-vs-small joins
+# ---------------------------------------------------------------------------
+
+_BF_SEED = np.uint64(0x9E3779B97F4A7C15)
+
+
+def bloom_build(keys: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """Set-membership bitmap (as uint64 words) over int64 keys — the
+    block-local partial. Double hashing (Kirsch & Mitzenmacher 2006):
+    k probe positions from two splitmix64-derived hashes."""
+    words = np.zeros(m_bits >> 6, dtype=np.uint64)
+    if len(keys) == 0:
+        return words
+    h1 = _hash64(keys.astype(np.int64))
+    h2 = _hash64(keys.astype(np.int64) ^ np.int64(0x5851F42D4C957F2D)) | np.uint64(1)
+    m = np.uint64(m_bits)
+    for i in range(k):
+        with np.errstate(over="ignore"):
+            pos = (h1 + np.uint64(i) * h2) % m
+        np.bitwise_or.at(
+            words, (pos >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (pos & np.uint64(63)),
+        )
+    return words
+
+
+def bloom_contains(
+    words: np.ndarray, keys: np.ndarray, m_bits: int, k: int
+) -> np.ndarray:
+    """Vectorized membership probe: True for every inserted key (no false
+    negatives by construction), True for ~fp-rate of absent keys."""
+    if len(keys) == 0:
+        return np.zeros(0, dtype=bool)
+    h1 = _hash64(keys.astype(np.int64))
+    h2 = _hash64(keys.astype(np.int64) ^ np.int64(0x5851F42D4C957F2D)) | np.uint64(1)
+    m = np.uint64(m_bits)
+    out = np.ones(len(keys), dtype=bool)
+    for i in range(k):
+        with np.errstate(over="ignore"):
+            pos = (h1 + np.uint64(i) * h2) % m
+        bit = (
+            words[(pos >> np.uint64(6)).astype(np.int64)]
+            >> (pos & np.uint64(63))
+        ) & np.uint64(1)
+        out &= bit.astype(bool)
+    return out
+
+
+def bloom_from_dataset(
+    ds: ray.data.Dataset, col: str, m_bits: int = 1 << 20, k: int = 7
+) -> np.ndarray:
+    """Distributed build: one bitmap partial per block, OR-merged. The
+    partials are fixed-size (m_bits/8 bytes) regardless of key count —
+    at 1e9 dim keys the broadcastable filter is ~0.15 GB where the raw
+    key set is 8 GB. The driver fold is O(#blocks x words); past ~1e4
+    blocks insert one tree-fold level (the sequence_pack precedent)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"bf": pa.array([bloom_build(keys, m_bits, k).tobytes()],
+                            type=pa.binary())}
+        )
+
+    words = np.zeros(m_bits >> 6, dtype=np.uint64)
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        words |= np.frombuffer(row["bf"], dtype=np.uint64)
+    return words
+
+
+def bloom_semijoin_orders(
+    sf_dir: str,
+    segment: str = "BUILDING",
+    m_bits: int = 1 << 20,
+    k: int = 7,
+) -> ray.data.Dataset:
+    """Orders whose customer is in ``segment``, via the two-stage
+    big-vs-small semijoin a 100 TB fact table needs:
+
+    1. **Bloom prune (no exchange on the fact side)** — build the filter
+       over the dim keys distributively, ``ray.put`` it once, and drop
+       ~all non-matching fact rows inside ``map_batches``. No false
+       negatives, so nothing is lost; survivors = matches + ~fp-rate.
+    2. **Exact verify (exchange on SURVIVORS only)** — the survivors and
+       the dim keys co-group by key; groups holding a dim marker emit
+       their fact rows. False positives die here, so the result is
+       exact while the all-to-all only ever carries the pruned rows.
+    """
+    import pyarrow.compute as pc
+
+    from ner_pytorch_ray.pipelines.relational import _cents
+    from ner_pytorch_ray.stages.groupby_utils import (
+        collect_tuples,
+        flat_map_groups,
+    )
+
+    dim = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).filter(
+        expr=f"c_mktsegment == '{segment}'"
+    )
+    bf = bloom_from_dataset(dim, "c_custkey", m_bits, k)
+    bf_ref = ray.put(bf)
+
+    class BloomPrune:
+        def __init__(self, ref):
+            self._bf = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+            mask = bloom_contains(self._bf, keys, m_bits, k)
+            t = batch.filter(pa.array(mask))
+            return pa.table(
+                {
+                    "key": t.column("o_custkey"),
+                    "o_orderkey": t.column("o_orderkey"),
+                    "o_cents": _cents(t.column("o_totalprice")),
+                    "src": pa.array(
+                        np.ones(len(t), dtype=np.int64)
+                    ),
+                }
+            )
+
+    facts = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    ).map_batches(
+        BloomPrune,
+        fn_constructor_args=(bf_ref,),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    def dim_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "key": batch.column("c_custkey"),
+                "o_orderkey": pa.array(np.full(n, -1, dtype=np.int64)),
+                "o_cents": pa.array(np.zeros(n, dtype=np.int64)),
+                "src": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    tagged = facts.union(dim.map_batches(dim_rows, batch_format="pyarrow"))
+    groups = collect_tuples(
+        tagged, ["key"], ["src", "o_orderkey", "o_cents"]
+    )
+
+    def verify(key_tuple, items) -> pa.Table:
+        schema = pa.schema(
+            [
+                ("o_custkey", pa.int64()),
+                ("o_orderkey", pa.int64()),
+                ("o_cents", pa.int64()),
+            ]
+        )
+        if items is None or not any(src == 0 for (src, _, _) in items):
+            return schema.empty_table()
+        rows = [(ok, cents) for (src, ok, cents) in items if src == 1]
+        if not rows:
+            return schema.empty_table()
+        (key,) = key_tuple
+        return pa.table(
+            {
+                "o_custkey": pa.array(
+                    np.full(len(rows), key, dtype=np.int64)
+                ),
+                "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "o_cents": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        )
+
+    return flat_map_groups(groups, verify, ["key"]).sort(
+        ["o_custkey", "o_orderkey"]
+    )

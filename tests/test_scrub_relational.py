@@ -311,3 +311,72 @@ class TestPivotEvents:
         )
         with pytest.raises(ValueError, match="pivot domain"):
             pivot_events(str(tmp_path)).materialize()
+
+
+class TestBloomSemijoin:
+    def test_no_false_negatives_and_fp_rate(self):
+        from ner_pytorch_ray.pipelines.sketches import (
+            bloom_build,
+            bloom_contains,
+        )
+
+        m, k = 1 << 14, 7
+        rng = np.random.default_rng(3)
+        present = rng.choice(10_000_000, size=500, replace=False).astype(
+            np.int64
+        )
+        bf = bloom_build(present, m, k)
+        assert bloom_contains(bf, present, m, k).all()
+        absent = (
+            rng.choice(10_000_000, size=20_000, replace=False).astype(
+                np.int64
+            )
+            + 10_000_000
+        )
+        fp = bloom_contains(bf, absent, m, k).mean()
+        # n=500, m=16384, k=7 -> theoretical fp ~ 2e-4; allow slack
+        assert fp < 0.01
+
+    def test_distributed_build_equals_local(self, tmp_path):
+        import ray
+
+        from ner_pytorch_ray.pipelines.sketches import (
+            bloom_build,
+            bloom_from_dataset,
+        )
+
+        keys = np.arange(2_000, dtype=np.int64) * 37
+        ds = ray.data.from_arrow(
+            pa.table({"key": pa.array(keys)})
+        ).repartition(13)
+        got = bloom_from_dataset(ds, "key", m_bits=1 << 16, k=5)
+        exp = bloom_build(keys, 1 << 16, 5)
+        assert (got == exp).all()
+
+    def test_semijoin_exact_even_with_forced_false_positives(self):
+        from ner_pytorch_ray.pipelines.sketches import bloom_semijoin_orders
+
+        # m_bits=64 saturates the filter: nearly every fact row survives
+        # the prune, so the verify stage alone must produce exactness
+        got = bloom_semijoin_orders(
+            SF, segment="BUILDING", m_bits=64, k=2
+        ).to_pandas()
+        cust = pq.read_table(
+            f"{SF}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+        ).to_pandas()
+        orders = pq.read_table(
+            f"{SF}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        ).to_pandas()
+        keep = set(cust[cust.c_mktsegment == "BUILDING"].c_custkey)
+        exp = orders[orders.o_custkey.isin(keep)].copy()
+        exp["o_cents"] = (
+            np.sign(exp.o_totalprice)
+            * np.floor(np.abs(exp.o_totalprice) * 100 + 0.5)
+        ).astype(np.int64)
+        exp = exp.sort_values(["o_custkey", "o_orderkey"]).reset_index(
+            drop=True
+        )
+        assert got[["o_custkey", "o_orderkey", "o_cents"]].values.tolist() == (
+            exp[["o_custkey", "o_orderkey", "o_cents"]].values.tolist()
+        )
