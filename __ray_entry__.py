@@ -932,6 +932,12 @@ def _q_pivot_events(sf_dir: str):
     return pivot_events(sf_dir)
 
 
+def _q_zonemap_time_range(sf_dir: str):
+    from ner_pytorch_ray.sources.bucketed import zonemap_time_range
+
+    return zonemap_time_range(sf_dir)
+
+
 def _q_bloom_semijoin_orders(sf_dir: str):
     from ner_pytorch_ray.pipelines.sketches import bloom_semijoin_orders
 
@@ -1053,6 +1059,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucketed_user_totals": _q_bucketed_user_totals,
         "pivot_events": _q_pivot_events,
         "bloom_semijoin_orders": _q_bloom_semijoin_orders,
+        "zonemap_time_range": _q_zonemap_time_range,
         "term_postings": _q_term_postings,
         "search_conjunctive": _q_search_conjunctive,
         "nation_balance_rank": _q_nation_balance_rank,
@@ -2900,6 +2907,18 @@ WHERE o.o_custkey IN (
   SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
 )
 ORDER BY o.o_custkey, o.o_orderkey
+"""
+
+    # zone-map data skipping (sources/bucketed.py zonemap_time_range):
+    # per-part ts min/max prunes non-intersecting parts; exact in-part
+    # filter == a plain time-range scan. 2024-01-08/-12 UTC in micros.
+    out["zonemap_time_range"] = """
+SELECT event_id, user_id,
+       epoch_us(ts) AS ts_us,
+       CAST(round(value * 100) AS BIGINT) AS cents
+FROM events
+WHERE epoch_us(ts) >= 1704672000000000 AND epoch_us(ts) < 1705017600000000
+ORDER BY event_id
 """
 
     # distributed running window aggregate (customer_running_revenue /

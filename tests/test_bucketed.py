@@ -134,6 +134,73 @@ class TestAggregate:
             bucketed_aggregate(str(tmp_path / "l"), ["v"], [])
 
 
+class TestZoneMaps:
+    def _layout(self, tmp_path, shuffled=False):
+        n = 4000
+        ts = np.arange(n, dtype=np.int64) * 1000  # time-ordered
+        if shuffled:
+            ts = np.random.default_rng(5).permutation(ts)
+        t = pa.table(
+            {
+                "k": pa.array(np.arange(n, dtype=np.int64) % 97),
+                "ts": pa.array(ts),
+            }
+        )
+        path = str(tmp_path / "l")
+        bucketed_write(
+            ray.data.from_arrow(t).repartition(10),
+            "k",
+            4,
+            path,
+            stats_cols=["ts"],
+        )
+        return path, t
+
+    def test_skips_parts_on_clustered_input(self, tmp_path):
+        from ner_pytorch_ray.sources.bucketed import (
+            prune_parts,
+            read_bucketed_range,
+        )
+
+        path, t = self._layout(tmp_path)
+        lo, hi = 1_000_000, 1_400_000  # 10% of the time range
+        kept, total = prune_parts(load_manifest(path), "ts", lo, hi)
+        assert total > 10 and len(kept) < total / 2  # real skipping
+        got = sorted(
+            r["ts"] for r in read_bucketed_range(path, "ts", lo, hi).take_all()
+        )
+        exp = sorted(
+            x for x in t.column("ts").to_pylist() if lo <= x < hi
+        )
+        assert got == exp
+
+    def test_exact_on_shuffled_input(self, tmp_path):
+        from ner_pytorch_ray.sources.bucketed import read_bucketed_range
+
+        path, t = self._layout(tmp_path, shuffled=True)
+        lo, hi = 1_000_000, 1_400_000
+        got = sorted(
+            r["ts"] for r in read_bucketed_range(path, "ts", lo, hi).take_all()
+        )
+        exp = sorted(x for x in t.column("ts").to_pylist() if lo <= x < hi)
+        assert got == exp
+
+    def test_empty_window(self, tmp_path):
+        from ner_pytorch_ray.sources.bucketed import read_bucketed_range
+
+        path, _ = self._layout(tmp_path)
+        assert read_bucketed_range(path, "ts", 10**12, 10**13).count() == 0
+
+    def test_requires_stats_col(self, tmp_path):
+        from ner_pytorch_ray.sources.bucketed import read_bucketed_range
+
+        bucketed_write(
+            ray.data.from_arrow(_table(10)), "k", 4, str(tmp_path / "l")
+        )
+        with pytest.raises(ValueError, match="zone maps"):
+            read_bucketed_range(str(tmp_path / "l"), "k", 0, 5)
+
+
 class TestJoin:
     def test_join_matches_pandas_merge(self, tmp_path):
         left = _table(100)
