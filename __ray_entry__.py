@@ -932,6 +932,12 @@ def _q_pivot_events(sf_dir: str):
     return pivot_events(sf_dir)
 
 
+def _q_bottomk_quantiles(sf_dir: str):
+    from ner_pytorch_ray.pipelines.sketches import bottomk_quantile_sketch
+
+    return bottomk_quantile_sketch(sf_dir, k=512)
+
+
 def _q_zonemap_time_range(sf_dir: str):
     from ner_pytorch_ray.sources.bucketed import zonemap_time_range
 
@@ -1060,6 +1066,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_events": _q_pivot_events,
         "bloom_semijoin_orders": _q_bloom_semijoin_orders,
         "zonemap_time_range": _q_zonemap_time_range,
+        "bottomk_quantiles": _q_bottomk_quantiles,
         "term_postings": _q_term_postings,
         "search_conjunctive": _q_search_conjunctive,
         "nation_balance_rank": _q_nation_balance_rank,
@@ -2919,6 +2926,29 @@ SELECT event_id, user_id,
 FROM events
 WHERE epoch_us(ts) >= 1704672000000000 AND epoch_us(ts) < 1705017600000000
 ORDER BY event_id
+"""
+
+    # bottom-k sample quantile sketch (sketches.py): the oracle draws the
+    # IDENTICAL deterministic md5 bottom-k sample, so the compare is
+    # bit-exact (md5_number_upper == digest[:8] little-endian, the
+    # hash_sample convention)
+    out["bottomk_quantiles"] = """
+WITH s AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+  ORDER BY CAST(md5_number_upper('q:' || CAST(event_id AS VARCHAR))
+                & 9223372036854775807 AS BIGINT)
+  LIMIT 512
+),
+ranked AS (
+  SELECT cents, row_number() OVER (ORDER BY cents) - 1 AS r,
+         COUNT(*) OVER () AS n
+  FROM s
+)
+SELECT v.pct, ranked.cents
+FROM (VALUES (10), (25), (50), (75), (90)) v(pct)
+JOIN ranked ON ranked.r = (v.pct * (ranked.n - 1)) // 100
+ORDER BY v.pct
 """
 
     # distributed running window aggregate (customer_running_revenue /

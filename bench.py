@@ -302,6 +302,34 @@ def run_extras(sf_dir: str) -> dict:
         "part_entity_resolution",
         lambda: part_entity_resolution(sf_dir).count(),
     )
+
+    # round-4 continuation 4: fuzzy matching, bucketed storage layout
+    # (co-located join / bucket-local aggregate / zone-map skipping),
+    # Bloom semijoin, distributed pivot
+    from ner_pytorch_ray.pipelines.fuzzy import surface_fuzzy_pairs
+    from ner_pytorch_ray.pipelines.relational import pivot_events
+    from ner_pytorch_ray.pipelines.sketches import bloom_semijoin_orders
+    from ner_pytorch_ray.sources.bucketed import (
+        bucketed_join_orders,
+        zonemap_time_range,
+    )
+
+    timed(
+        "surface_fuzzy_pairs",
+        lambda: surface_fuzzy_pairs(sf_dir, max_dist=2).count(),
+    )
+    timed(
+        "bucketed_join_orders",
+        lambda: bucketed_join_orders(sf_dir).num_rows,
+    )
+    timed(
+        "zonemap_time_range", lambda: zonemap_time_range(sf_dir).num_rows
+    )
+    timed(
+        "bloom_semijoin_orders",
+        lambda: bloom_semijoin_orders(sf_dir).count(),
+    )
+    timed("pivot_events", lambda: pivot_events(sf_dir).count())
     return extras
 
 

@@ -489,3 +489,74 @@ def bloom_semijoin_orders(
     return flat_map_groups(groups, verify, ["key"]).sort(
         ["o_custkey", "o_orderkey"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k sample quantile sketch: mergeable, deterministic, fixed-size
+# ---------------------------------------------------------------------------
+
+
+def _md5_u63(s: str) -> int:
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.md5(s.encode()).digest()[:8], "little"
+    ) & 0x7FFFFFFFFFFFFFFF
+
+
+def bottomk_quantile_sketch(
+    sf_dir: str, k: int = 512, pcts: tuple = (10, 25, 50, 75, 90)
+) -> ray.data.Dataset:
+    """Approximate quantiles of the event value from a DETERMINISTIC
+    bottom-k sample: keep the k rows whose md5(row id) is smallest —
+    a uniform sample without replacement that is
+
+    - **mergeable**: bottom-k of a union == bottom-k of the merged
+      per-block bottom-ks, so each block contributes at most k rows and
+      the exchange is k x #blocks rows no matter the corpus size
+      (`token_count_quantiles` is the EXACT path — it shuffles every
+      distinct value; this is the fixed-size-summary path, rank error
+      O(1/sqrt(k)) with high probability);
+    - **deterministic**: no RNG state, stable under partitioning and
+      retries, and SQL-expressible (the oracle draws the identical
+      sample via the same md5, so the gate is bit-exact, not
+      statistical).
+
+    Output: one row per percentile, value = sample element at integer
+    rank ``(pct * (n-1)) // 100`` of the cents-sorted sample."""
+    from ner_pytorch_ray.pipelines.relational import _cents
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id").to_pylist()
+        h = np.array([_md5_u63(f"q:{i}") for i in ids], dtype=np.int64)
+        cents = _cents(batch.column("value")).to_numpy(zero_copy_only=False)
+        if len(h) > k:
+            idx = np.argpartition(h, k)[:k]
+            h, cents = h[idx], cents[idx]
+        return pa.table({"h": pa.array(h), "cents": pa.array(cents)})
+
+    # partials are <= k rows/block; the global bottom-k over the reduced
+    # set is one small sort + limit
+    sample = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .sort("h")
+        .limit(k)
+        .take_all()
+    )
+    cents_sorted = np.sort(np.array([r["cents"] for r in sample], np.int64))
+    n = len(cents_sorted)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "pct": pa.array(list(pcts), type=pa.int64()),
+                "cents": pa.array(
+                    [int(cents_sorted[(p * (n - 1)) // 100]) for p in pcts],
+                    type=pa.int64(),
+                ),
+            }
+        )
+    )

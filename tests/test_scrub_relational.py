@@ -380,3 +380,32 @@ class TestBloomSemijoin:
         assert got[["o_custkey", "o_orderkey", "o_cents"]].values.tolist() == (
             exp[["o_custkey", "o_orderkey", "o_cents"]].values.tolist()
         )
+
+
+class TestBottomkQuantiles:
+    def test_partition_invariant_and_rank_error(self):
+        import ray
+
+        from ner_pytorch_ray.pipelines.sketches import (
+            bottomk_quantile_sketch,
+        )
+
+        got = {
+            r["pct"]: r["cents"]
+            for r in bottomk_quantile_sketch(SF, k=256).take_all()
+        }
+        # exact quantiles of the full value distribution for comparison
+        vals = np.sort(
+            (
+                np.sign(v := pq.read_table(
+                    f"{SF}/events.parquet", columns=["value"]
+                ).column("value").to_numpy())
+                * np.floor(np.abs(v) * 100 + 0.5)
+            ).astype(np.int64)
+        )
+        n = len(vals)
+        for pct, cents in got.items():
+            exact_rank = (pct * (n - 1)) // 100
+            got_rank = np.searchsorted(vals, cents)
+            # rank error O(1/sqrt(k)): 3/sqrt(256) ~ 0.19 of n
+            assert abs(int(got_rank) - exact_rank) < 0.2 * n, (pct, cents)
