@@ -932,6 +932,12 @@ def _q_pivot_events(sf_dir: str):
     return pivot_events(sf_dir)
 
 
+def _q_cdc_latest_events(sf_dir: str):
+    from ner_pytorch_ray.sources.bucketed import cdc_latest_events
+
+    return cdc_latest_events(sf_dir)
+
+
 def _q_bottomk_quantiles(sf_dir: str):
     from ner_pytorch_ray.pipelines.sketches import bottomk_quantile_sketch
 
@@ -1067,6 +1073,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semijoin_orders": _q_bloom_semijoin_orders,
         "zonemap_time_range": _q_zonemap_time_range,
         "bottomk_quantiles": _q_bottomk_quantiles,
+        "cdc_latest_events": _q_cdc_latest_events,
         "term_postings": _q_term_postings,
         "search_conjunctive": _q_search_conjunctive,
         "nation_balance_rank": _q_nation_balance_rank,
@@ -2949,6 +2956,22 @@ SELECT v.pct, ranked.cents
 FROM (VALUES (10), (25), (50), (75), (90)) v(pct)
 JOIN ranked ON ranked.r = (v.pct * (ranked.n - 1)) // 100
 ORDER BY v.pct
+"""
+
+    # CDC upsert table (sources/bucketed.py bucketed_upsert): three
+    # unordered deltas fold latest-version-wins per user; the converged
+    # table == the one-shot argmax by (ts, event_id) per user
+    out["cdc_latest_events"] = """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       CAST(round(value * 100) AS BIGINT) AS cents
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+  ) AS rn
+  FROM events
+)
+WHERE rn = 1
+ORDER BY user_id
 """
 
     # distributed running window aggregate (customer_running_revenue /

@@ -320,10 +320,10 @@ def run_extras(sf_dir: str) -> dict:
     )
     timed(
         "bucketed_join_orders",
-        lambda: bucketed_join_orders(sf_dir).num_rows,
+        lambda: bucketed_join_orders(sf_dir).count(),
     )
     timed(
-        "zonemap_time_range", lambda: zonemap_time_range(sf_dir).num_rows
+        "zonemap_time_range", lambda: zonemap_time_range(sf_dir).count()
     )
     timed(
         "bloom_semijoin_orders",

@@ -414,6 +414,118 @@ def bucketed_user_totals(sf_dir: str, n_buckets: int = 16) -> pa.Table:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def bucketed_upsert(
+    base_path: str | None,
+    delta_path: str,
+    out_path: str,
+    order_cols: list[str],
+) -> dict:
+    """CDC upsert / compaction: merge a delta layout into a base layout,
+    keeping per key the row with the LARGEST ``order_cols`` tuple
+    (latest-version-wins). Both inputs and the output share one
+    bucketing, so the merge is bucket-local — each task compacts its own
+    bucket's base+delta parts with one vectorized sort, and NOTHING is
+    exchanged. Upsert is an associative max, so any delta arrival order
+    converges to the same table (the incremental-ingest contract).
+
+    ``base_path=None`` bootstraps the table from the first delta."""
+    md = load_manifest(delta_path)
+    if base_path is not None:
+        mb = load_manifest(base_path)
+        if (
+            mb["n_buckets"] != md["n_buckets"]
+            or mb["hash"] != md["hash"]
+            or mb["key"] != md["key"]
+        ):
+            raise ValueError(
+                "bucketed_upsert requires identical bucketing and key: "
+                f"{mb['key']}/{mb['n_buckets']} vs {md['key']}/{md['n_buckets']}"
+            )
+    key = md["key"]
+    n = md["n_buckets"]
+
+    def compact(batch: pa.Table) -> pa.Table:
+        outs = []
+        for i in batch.column("bucket").to_pylist():
+            parts = [_bucket_table(delta_path, md, int(i))]
+            if base_path is not None:
+                parts.append(_bucket_table(base_path, mb, int(i)))
+            t = pa.concat_tables(parts, promote_options="default")
+            if len(t) == 0:
+                outs.append(t)
+                continue
+            t = t.sort_by(
+                [(key, "ascending")]
+                + [(c, "ascending") for c in order_cols]
+            )
+            k = t.column(key).to_numpy(zero_copy_only=False)
+            last_of_run = np.append(k[:-1] != k[1:], True)
+            outs.append(t.filter(pa.array(last_of_run)))
+        return pa.concat_tables(outs, promote_options="default")
+
+    compacted = ray.data.from_arrow(
+        pa.table({"bucket": pa.array(range(n), pa.int64())})
+    ).map_batches(compact, batch_format="pyarrow", batch_size=1)
+    return bucketed_write(compacted, key, n, out_path)
+
+
+def cdc_latest_events(sf_dir: str, n_buckets: int = 8) -> pa.Table:
+    """Registered-query entry point for :func:`bucketed_upsert`: the
+    events stream arrives as three UNORDERED CDC deltas (event_id mod 3);
+    each folds into the upsert table keyed by user with version
+    (ts_us, event_id). The final table — each user's latest event — must
+    equal the one-shot SQL argmax over the whole stream."""
+    import shutil
+    import tempfile
+
+    from ner_pytorch_ray.pipelines.relational import _cents
+
+    tmp = tempfile.mkdtemp(prefix="cdc_upsert_")
+    try:
+        events = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "value"],
+        )
+
+        def prep(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "user_id": batch.column("user_id"),
+                    "ts_us": pc.cast(batch.column("ts"), pa.int64()),
+                    "event_id": batch.column("event_id"),
+                    "cents": _cents(batch.column("value")),
+                }
+            )
+
+        prepped = events.map_batches(prep, batch_format="pyarrow")
+        table = None
+        # deltas deliberately NOT time-ordered: upsert must converge anyway
+        def mod3(batch: pa.Table, r: int) -> pa.Table:
+            ids = batch.column("event_id").to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(ids % 3 == r))
+
+        for j, r in enumerate((2, 0, 1)):
+            delta = prepped.map_batches(
+                lambda b, _r=r: mod3(b, _r), batch_format="pyarrow"
+            )
+            bucketed_write(
+                delta, "user_id", n_buckets, f"{tmp}/delta{j}"
+            )
+            nxt = f"{tmp}/v{j}"
+            bucketed_upsert(
+                table, f"{tmp}/delta{j}", nxt, ["ts_us", "event_id"]
+            )
+            table = nxt
+        return (
+            read_bucketed(table)
+            .select_columns(["user_id", "event_id", "ts_us", "cents"])
+            .sort("user_id")
+            .materialize()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def zonemap_time_range(
     sf_dir: str,
     lo_us: int = 1704672000000000,  # 2024-01-08 00:00:00 UTC in micros

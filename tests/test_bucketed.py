@@ -134,6 +134,83 @@ class TestAggregate:
             bucketed_aggregate(str(tmp_path / "l"), ["v"], [])
 
 
+class TestUpsert:
+    def _delta(self, keys, vers):
+        return pa.table(
+            {
+                "k": pa.array(np.array(keys, np.int64)),
+                "ver": pa.array(np.array(vers, np.int64)),
+                "payload": pa.array([f"v{v}" for v in vers]),
+            }
+        )
+
+    def test_latest_wins_any_delta_order(self, tmp_path):
+        from ner_pytorch_ray.sources.bucketed import bucketed_upsert
+
+        d1 = self._delta([1, 2, 3], [10, 10, 10])
+        d2 = self._delta([2, 3, 4], [20, 5, 20])  # k=3 arrives OLDER
+        for order, name in (((d1, d2), "fwd"), ((d2, d1), "rev")):
+            base = None
+            for j, d in enumerate(order):
+                p = str(tmp_path / f"{name}_delta{j}")
+                bucketed_write(ray.data.from_arrow(d), "k", 4, p)
+                out = str(tmp_path / f"{name}_v{j}")
+                bucketed_upsert(base, p, out, ["ver"])
+                base = out
+            got = sorted(
+                (r["k"], r["ver"], r["payload"])
+                for r in read_bucketed(base).take_all()
+            )
+            assert got == [
+                (1, 10, "v10"),
+                (2, 20, "v20"),
+                (3, 10, "v10"),
+                (4, 20, "v20"),
+            ], name
+
+    def test_upsert_rejects_mismatched_layouts(self, tmp_path):
+        from ner_pytorch_ray.sources.bucketed import bucketed_upsert
+
+        bucketed_write(
+            ray.data.from_arrow(self._delta([1], [1])),
+            "k",
+            4,
+            str(tmp_path / "a"),
+        )
+        bucketed_write(
+            ray.data.from_arrow(self._delta([1], [1])),
+            "k",
+            8,
+            str(tmp_path / "b"),
+        )
+        with pytest.raises(ValueError, match="identical bucketing"):
+            bucketed_upsert(
+                str(tmp_path / "a"),
+                str(tmp_path / "b"),
+                str(tmp_path / "c"),
+                ["ver"],
+            )
+
+    def test_version_tiebreak_is_full_tuple(self, tmp_path):
+        from ner_pytorch_ray.sources.bucketed import bucketed_upsert
+
+        # equal ver -> second order col decides deterministically
+        d = pa.table(
+            {
+                "k": pa.array(np.array([7, 7], np.int64)),
+                "ver": pa.array(np.array([5, 5], np.int64)),
+                "seq": pa.array(np.array([1, 2], np.int64)),
+                "payload": pa.array(["a", "b"]),
+            }
+        )
+        p = str(tmp_path / "d")
+        bucketed_write(ray.data.from_arrow(d), "k", 2, p)
+        out = str(tmp_path / "v")
+        bucketed_upsert(None, p, out, ["ver", "seq"])
+        rows = read_bucketed(out).take_all()
+        assert len(rows) == 1 and rows[0]["payload"] == "b"
+
+
 class TestZoneMaps:
     def _layout(self, tmp_path, shuffled=False):
         n = 4000
