@@ -466,7 +466,12 @@ def bucketed_upsert(
     compacted = ray.data.from_arrow(
         pa.table({"bucket": pa.array(range(n), pa.int64())})
     ).map_batches(compact, batch_format="pyarrow", batch_size=1)
-    return bucketed_write(compacted, key, n, out_path)
+    # zone maps survive compaction: carry the union of both sides' stats
+    stats = sorted(
+        set(md.get("stats_cols", []))
+        | (set(mb.get("stats_cols", [])) if base_path is not None else set())
+    )
+    return bucketed_write(compacted, key, n, out_path, stats_cols=stats)
 
 
 def cdc_latest_events(sf_dir: str, n_buckets: int = 8) -> pa.Table:

@@ -168,6 +168,31 @@ class TestUpsert:
                 (4, 20, "v20"),
             ], name
 
+    def test_upsert_preserves_zone_maps(self, tmp_path):
+        from ner_pytorch_ray.sources.bucketed import (
+            bucketed_upsert,
+            read_bucketed_range,
+        )
+
+        d = pa.table(
+            {
+                "k": pa.array(np.arange(100, dtype=np.int64)),
+                "ver": pa.array(np.arange(100, dtype=np.int64) * 10),
+            }
+        )
+        p = str(tmp_path / "d")
+        bucketed_write(
+            ray.data.from_arrow(d), "k", 4, p, stats_cols=["ver"]
+        )
+        out = str(tmp_path / "v")
+        bucketed_upsert(None, p, out, ["ver"])
+        assert load_manifest(out)["stats_cols"] == ["ver"]
+        got = sorted(
+            r["ver"]
+            for r in read_bucketed_range(out, "ver", 100, 200).take_all()
+        )
+        assert got == [100, 110, 120, 130, 140, 150, 160, 170, 180, 190]
+
     def test_upsert_rejects_mismatched_layouts(self, tmp_path):
         from ner_pytorch_ray.sources.bucketed import bucketed_upsert
 
