@@ -932,6 +932,12 @@ def _q_pivot_events(sf_dir: str):
     return pivot_events(sf_dir)
 
 
+def _q_kg_crawl_diff(sf_dir: str):
+    from ner_pytorch_ray.pipelines.kg import kg_crawl_diff
+
+    return kg_crawl_diff(sf_dir)
+
+
 def _q_cdc_latest_events(sf_dir: str):
     from ner_pytorch_ray.sources.bucketed import cdc_latest_events
 
@@ -1074,6 +1080,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonemap_time_range": _q_zonemap_time_range,
         "bottomk_quantiles": _q_bottomk_quantiles,
         "cdc_latest_events": _q_cdc_latest_events,
+        "kg_crawl_diff": _q_kg_crawl_diff,
         "term_postings": _q_term_postings,
         "search_conjunctive": _q_search_conjunctive,
         "nation_balance_rank": _q_nation_balance_rank,
@@ -2977,6 +2984,43 @@ FROM (
 WHERE rn = 1
 ORDER BY user_id
 """
+
+    # KG evolution across crawls (pipelines/kg.py kg_crawl_diff): edge
+    # weights in crawls {0,1} vs {1,2} (doc_id % 3 pseudo-crawls), full
+    # outer alignment via weight-tagged union + grouped sum
+    out["kg_crawl_diff"] = (
+        _KG_MENTIONS_CTE
+        + """
+, pe AS (
+  SELECT DISTINCT m1.doc_id, m1.sent, m1.ent AS a, m2.ent AS b
+  FROM men m1
+  JOIN men m2 ON m1.doc_id = m2.doc_id AND m1.sent = m2.sent
+  WHERE m1.ent < m2.ent
+),
+eo AS (
+  SELECT a AS subj, 'co_occurs_with' AS pred, b AS obj,
+         COUNT(*) AS w
+  FROM pe WHERE doc_id % 3 IN (0, 1) GROUP BY 1, 2, 3
+),
+en AS (
+  SELECT a AS subj, 'co_occurs_with' AS pred, b AS obj,
+         COUNT(*) AS w
+  FROM pe WHERE doc_id % 3 IN (1, 2) GROUP BY 1, 2, 3
+)
+SELECT COALESCE(eo.subj, en.subj) AS subj,
+       COALESCE(eo.pred, en.pred) AS pred,
+       COALESCE(eo.obj, en.obj) AS obj,
+       CAST(COALESCE(eo.w, 0) AS BIGINT) AS w_old,
+       CAST(COALESCE(en.w, 0) AS BIGINT) AS w_new,
+       CASE WHEN eo.w IS NULL THEN 'added'
+            WHEN en.w IS NULL THEN 'removed'
+            WHEN eo.w = en.w THEN 'stable'
+            ELSE 'changed' END AS status
+FROM eo FULL OUTER JOIN en
+  ON eo.subj = en.subj AND eo.pred = en.pred AND eo.obj = en.obj
+ORDER BY subj, pred, obj
+"""
+    )
 
     # distributed running window aggregate (customer_running_revenue /
     # groupby_utils.grouped_running_sum): per-customer revenue prefix

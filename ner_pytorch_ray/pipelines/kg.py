@@ -132,3 +132,80 @@ def write_graph(edges: ray.data.Dataset, nodes: ray.data.Dataset, out_dir: str):
     """Materialize the graph as partitioned parquet (resumable layout)."""
     edges.write_parquet(f"{out_dir}/edges")
     nodes.write_parquet(f"{out_dir}/nodes")
+
+
+def kg_crawl_diff(
+    sf_dir: str,
+    old_crawls: tuple = (0, 1),
+    new_crawls: tuple = (1, 2),
+    n_deltas: int = 3,
+) -> ray.data.Dataset:
+    """KG evolution across crawls: per (subj, pred, obj) edge, the
+    co-occurrence weight in the OLD crawl set vs the NEW one, classified
+    added / removed / changed / stable — the audit surface an always-on
+    crawl-to-KG pipeline reports after every ingest.
+
+    Shape: both sides run the shared DAG prefix over ONLY their crawls'
+    pages, reduce to merged edge aggregates (the corpus never meets the
+    diff), then one grouped sum over the union of weight-tagged edge rows
+    computes the full outer alignment — no join operator, no driver
+    materialization. Pseudo-crawls are the doc_id % n_deltas split the
+    incremental-ingest path uses (`incremental.py:_delta_pages`)."""
+    import pyarrow.compute as pc
+
+    from ner_pytorch_ray.pipelines.incremental import _delta_pages
+    from ner_pytorch_ray.stages.graph import edge_partials_merged
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
+
+    def edges_for(crawls) -> ray.data.Dataset:
+        pages = _delta_pages(sf_dir, n_deltas, crawls[0])
+        for c in crawls[1:]:
+            pages = pages.union(_delta_pages(sf_dir, n_deltas, c))
+        return edge_partials_merged(linked_mentions(pages))
+
+    def tag(side: str):
+        def f(batch: pa.Table) -> pa.Table:
+            w = batch.column("weight")
+            zero = pa.array([0] * len(batch), type=pa.int64())
+            return pa.table(
+                {
+                    "subj": batch.column("subj"),
+                    "pred": batch.column("pred"),
+                    "obj": batch.column("obj"),
+                    "w_old": w if side == "old" else zero,
+                    "w_new": w if side == "new" else zero,
+                }
+            )
+
+        return f
+
+    both = edges_for(old_crawls).map_batches(
+        tag("old"), batch_format="pyarrow"
+    ).union(
+        edges_for(new_crawls).map_batches(tag("new"), batch_format="pyarrow")
+    )
+    merged = grouped_sum(
+        both, ["subj", "pred", "obj"], sum_cols=["w_old", "w_new"]
+    )
+
+    def classify(batch: pa.Table) -> pa.Table:
+        wo = batch.column("w_old")
+        wn = batch.column("w_new")
+        status = pc.if_else(
+            pc.equal(wo, pa.scalar(0, pa.int64())),
+            pa.scalar("added"),
+            pc.if_else(
+                pc.equal(wn, pa.scalar(0, pa.int64())),
+                pa.scalar("removed"),
+                pc.if_else(
+                    pc.equal(wo, wn),
+                    pa.scalar("stable"),
+                    pa.scalar("changed"),
+                ),
+            ),
+        )
+        return batch.append_column("status", status)
+
+    return merged.map_batches(classify, batch_format="pyarrow").sort(
+        ["subj", "pred", "obj"]
+    )

@@ -236,3 +236,49 @@ def test_linked_mentions_cached_memoizes(ray_session):
         cached[cols].sort_values(cols).reset_index(drop=True)
         .equals(fresh.sort_values(cols).reset_index(drop=True))
     )
+
+
+class TestCrawlDiff:
+    def test_diff_aligns_with_per_side_edges(self):
+        """The edge computation per side is already oracled (kg_edges);
+        what's new is the full-outer alignment + classification — verify
+        it against a pandas merge of the two sides' edge tables."""
+        import pandas as pd
+
+        from ner_pytorch_ray.pipelines.incremental import _delta_pages
+        from ner_pytorch_ray.pipelines.kg import kg_crawl_diff, linked_mentions
+        from ner_pytorch_ray.stages.graph import edge_partials_merged
+
+        sf = "/root/testdata/sf0.001"
+
+        def side(crawls):
+            pages = _delta_pages(sf, 3, crawls[0])
+            for c in crawls[1:]:
+                pages = pages.union(_delta_pages(sf, 3, c))
+            df = edge_partials_merged(linked_mentions(pages)).to_pandas()
+            return df[["subj", "pred", "obj", "weight"]]
+
+        old, new = side((0, 1)), side((1, 2))
+        exp = old.merge(
+            new, on=["subj", "pred", "obj"], how="outer",
+            suffixes=("_old", "_new"),
+        ).fillna(0)
+        exp["w_old"] = exp.weight_old.astype(int)
+        exp["w_new"] = exp.weight_new.astype(int)
+
+        def status(r):
+            if r.w_old == 0:
+                return "added"
+            if r.w_new == 0:
+                return "removed"
+            return "stable" if r.w_old == r.w_new else "changed"
+
+        exp["status"] = exp.apply(status, axis=1)
+        exp = exp.sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+        got = kg_crawl_diff(sf).to_pandas()
+        cols = ["subj", "pred", "obj", "w_old", "w_new", "status"]
+        pd.testing.assert_frame_equal(got[cols], exp[cols])
+        # weights must actually move between the crawl sets (a diff of
+        # identical sides would vacuously pass the alignment)
+        assert "changed" in set(got.status)
+        assert (got.w_old != got.w_new).any()
