@@ -932,6 +932,12 @@ def _q_pivot_events(sf_dir: str):
     return pivot_events(sf_dir)
 
 
+def _q_value_histogram(sf_dir: str):
+    from ner_pytorch_ray.pipelines.analysis import value_histogram
+
+    return value_histogram(sf_dir, n_bins=16)
+
+
 def _q_kg_crawl_diff(sf_dir: str):
     from ner_pytorch_ray.pipelines.kg import kg_crawl_diff
 
@@ -1081,6 +1087,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bottomk_quantiles": _q_bottomk_quantiles,
         "cdc_latest_events": _q_cdc_latest_events,
         "kg_crawl_diff": _q_kg_crawl_diff,
+        "value_histogram": _q_value_histogram,
         "term_postings": _q_term_postings,
         "search_conjunctive": _q_search_conjunctive,
         "nation_balance_rank": _q_nation_balance_rank,
@@ -3021,6 +3028,31 @@ FROM eo FULL OUTER JOIN en
 ORDER BY subj, pred, obj
 """
     )
+
+    # equi-width histogram (pipelines/analysis.py value_histogram):
+    # integer binning (v - lo) * 16 // span is identical arithmetic on
+    # both sides; empty bins emitted with zero counts
+    out["value_histogram"] = """
+WITH c AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events
+),
+mm AS (
+  SELECT MIN(cents) AS lo, MAX(cents) - MIN(cents) + 1 AS span FROM c
+),
+b AS (
+  SELECT (cents - lo) * 16 // span AS bin FROM c, mm
+),
+bins AS (SELECT range AS bin FROM range(16))
+SELECT bins.bin,
+       CAST(mm.lo + (bins.bin * mm.span + 15) // 16 AS BIGINT)
+           AS lo_cents,
+       CAST(mm.lo + ((bins.bin + 1) * mm.span + 15) // 16 - 1 AS BIGINT)
+           AS hi_cents,
+       CAST(COUNT(b.bin) AS BIGINT) AS n_events
+FROM bins CROSS JOIN mm LEFT JOIN b ON b.bin = bins.bin
+GROUP BY bins.bin, mm.lo, mm.span
+ORDER BY bins.bin
+"""
 
     # distributed running window aggregate (customer_running_revenue /
     # groupby_utils.grouped_running_sum): per-customer revenue prefix

@@ -474,3 +474,72 @@ def _tfidf_via_join(
         )
 
     return flat_map_groups(per_doc, topk, ["doc_id"], items_col="p")
+
+
+def value_histogram(sf_dir: str, n_bins: int = 16) -> ray.data.Dataset:
+    """Equi-width histogram of the event value (exact cents) — the
+    column-statistics primitive a query optimizer feeds on.
+
+    Two streaming passes: (1) one global (min, max) aggregate (two int64
+    scalars to the driver), (2) vectorized integer binning per block
+    (``bin = (v - lo) * n_bins // span`` — pure int64 arithmetic, so the
+    SQL oracle computes the identical bin for every row) + one grouped
+    sum over at most ``n_bins`` keys. Empty bins are emitted with
+    n_events = 0 so the output shape is the bin count, not the data."""
+    from ner_pytorch_ray.pipelines.relational import _cents
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["value"]
+    ).map_batches(
+        lambda b: pa.table({"cents": _cents(b.column("value"))}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    mm = ds.aggregate(
+        ray.data.aggregate.Min("cents"), ray.data.aggregate.Max("cents")
+    )
+    lo, hi = int(mm["min(cents)"]), int(mm["max(cents)"])
+    span = hi - lo + 1  # +1 so v == hi lands in the last bin
+
+    def binned(batch: pa.Table) -> pa.Table:
+        v = batch.column("cents").to_numpy(zero_copy_only=False)
+        b = (v - lo) * n_bins // span
+        bins, counts = np.unique(b, return_counts=True)
+        return pa.table(
+            {
+                "bin": pa.array(bins.astype(np.int64)),
+                "n_events": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    filled = grouped_sum(
+        ds.map_batches(binned, batch_format="pyarrow").union(
+            ray.data.from_arrow(
+                pa.table(
+                    {
+                        "bin": pa.array(range(n_bins), pa.int64()),
+                        "n_events": pa.array([0] * n_bins, pa.int64()),
+                    }
+                )
+            )
+        ),
+        ["bin"],
+        sum_cols=["n_events"],
+    )
+
+    def edges(batch: pa.Table) -> pa.Table:
+        b = batch.column("bin").to_numpy(zero_copy_only=False)
+        # smallest v with (v-lo)*n_bins//span == k is ceil(k*span/n_bins)+lo
+        lo_edge = lo + (b * span + n_bins - 1) // n_bins
+        hi_edge = lo + ((b + 1) * span + n_bins - 1) // n_bins - 1
+        return pa.table(
+            {
+                "bin": batch.column("bin"),
+                "lo_cents": pa.array(lo_edge.astype(np.int64)),
+                "hi_cents": pa.array(hi_edge.astype(np.int64)),
+                "n_events": batch.column("n_events"),
+            }
+        )
+
+    return filled.map_batches(edges, batch_format="pyarrow").sort("bin")

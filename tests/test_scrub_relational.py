@@ -409,3 +409,33 @@ class TestBottomkQuantiles:
             got_rank = np.searchsorted(vals, cents)
             # rank error O(1/sqrt(k)): 3/sqrt(256) ~ 0.19 of n
             assert abs(int(got_rank) - exact_rank) < 0.2 * n, (pct, cents)
+
+
+class TestValueHistogram:
+    def test_matches_numpy_and_covers_all_rows(self):
+        from ner_pytorch_ray.pipelines.analysis import value_histogram
+
+        got = value_histogram(SF, n_bins=16).to_pandas()
+        v = pq.read_table(f"{SF}/events.parquet", columns=["value"]).column(
+            "value"
+        ).to_numpy()
+        cents = (np.sign(v) * np.floor(np.abs(v) * 100 + 0.5)).astype(
+            np.int64
+        )
+        lo, hi = cents.min(), cents.max()
+        span = hi - lo + 1
+        bins = (cents - lo) * 16 // span
+        exp = np.bincount(bins, minlength=16)
+        assert got.n_events.tolist() == exp.tolist()
+        assert got.n_events.sum() == len(cents)
+        # edges partition [lo, hi] contiguously
+        assert got.lo_cents.iloc[0] == lo and got.hi_cents.iloc[15] == hi
+        assert (
+            got.lo_cents.iloc[1:].values == got.hi_cents.iloc[:-1].values + 1
+        ).all()
+        # every row's value falls inside its bin's edges
+        for b in range(16):
+            sel = cents[bins == b]
+            if len(sel):
+                assert sel.min() >= got.lo_cents.iloc[b]
+                assert sel.max() <= got.hi_cents.iloc[b]
