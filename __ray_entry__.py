@@ -932,6 +932,12 @@ def _q_pivot_events(sf_dir: str):
     return pivot_events(sf_dir)
 
 
+def _q_pca_components(sf_dir: str):
+    from ner_pytorch_ray.pipelines.similarity import pca_components
+
+    return pca_components(sf_dir, k=2)
+
+
 def _q_value_histogram(sf_dir: str):
     from ner_pytorch_ray.pipelines.analysis import value_histogram
 
@@ -1088,6 +1094,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_latest_events": _q_cdc_latest_events,
         "kg_crawl_diff": _q_kg_crawl_diff,
         "value_histogram": _q_value_histogram,
+        "pca_components": _q_pca_components,
         "term_postings": _q_term_postings,
         "search_conjunctive": _q_search_conjunctive,
         "nation_balance_rank": _q_nation_balance_rank,
@@ -1267,6 +1274,9 @@ def _expected_oracles() -> dict[str, str]:
         # TransE link-prediction scores: frozen by the scalar-loop
         # sequential train+score recompute (make_expected.transe_hits_expected)
         "kg_transe_hits",
+        # distributed PCA: frozen by the row-at-a-time sequential
+        # covariance recompute + eigh (make_expected.pca_expected)
+        "pca_components",
     ]
     return {
         n: f"SELECT * FROM read_parquet('{_EXPECTED}/{n}.parquet')"

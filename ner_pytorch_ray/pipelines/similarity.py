@@ -707,3 +707,112 @@ def pq_topk(
         )
 
     return local.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA over the embedding table (whitening prep for ANN)
+# ---------------------------------------------------------------------------
+
+_PCA_SUM_SCALE = 1_000_000_000  # per-dim sums in billionths
+_PCA_COV_SCALE = 1_000_000  # per-row outer products in millionths
+_PCA_OUT_SCALE = 10_000  # reported coords/eigvals in tenth-millis
+
+
+def _pca_covariance(sf_dir: str) -> tuple[np.ndarray, int]:
+    """Distributed covariance of the embedding rows with the repo's
+    integer-partial determinism contract: pass 1 accumulates per-dim sums
+    in int64 billionths (mean), pass 2 accumulates PER-ROW-quantized
+    centered outer products in int64 millionths — both order-free
+    integer sums, so the folded matrix is bit-identical under any
+    partitioning. d x d at d=64 is 32 KB per block partial; the driver
+    fold is O(#blocks) (tree-fold past ~1e4 blocks, the bloom/sequence
+    -pack precedent)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+
+    def sum_partial(batch: pa.Table) -> pa.Table:
+        m = np.stack(
+            batch.column("embedding").to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+        s = np.rint(m * _PCA_SUM_SCALE).astype(np.int64).sum(axis=0)
+        return pa.table(
+            {
+                "n": pa.array([len(m)], pa.int64()),
+                "s": pa.array([s.tobytes()], pa.binary()),
+            }
+        )
+
+    n = 0
+    s = None
+    for row in ds.map_batches(
+        sum_partial, batch_format="pyarrow"
+    ).take_all():
+        v = np.frombuffer(row["s"], dtype=np.int64)
+        s = v.copy() if s is None else s + v
+        n += row["n"]
+    mu = s.astype(np.float64) / _PCA_SUM_SCALE / n
+
+    def cov_partial(batch: pa.Table) -> pa.Table:
+        m = np.stack(
+            batch.column("embedding").to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+        y = m - mu
+        o = np.rint(
+            np.einsum("ni,nj->nij", y, y) * _PCA_COV_SCALE
+        ).astype(np.int64).sum(axis=0)
+        return pa.table({"c": pa.array([o.tobytes()], pa.binary())})
+
+    c = None
+    for row in ds.map_batches(
+        cov_partial, batch_format="pyarrow", batch_size=1024
+    ).take_all():
+        v = np.frombuffer(row["c"], dtype=np.int64)
+        c = v.copy() if c is None else c + v
+    d = len(mu)
+    cov = c.reshape(d, d).astype(np.float64) / _PCA_COV_SCALE / n
+    return cov, n
+
+
+def pca_sign_fix(v: np.ndarray) -> np.ndarray:
+    """Deterministic eigenvector orientation: flip so the first
+    coordinate with |value| > 1e-9 is positive."""
+    for x in v:
+        if abs(x) > 1e-9:
+            return v if x > 0 else -v
+    return v
+
+
+def pca_components(sf_dir: str, k: int = 2) -> ray.data.Dataset:
+    """Top-k principal components of the embedding table — the
+    whitening / dimensionality-reduction preprocessor in front of the
+    ANN stack (IVF/PQ train better in the rotated basis).
+
+    The heavy work is the two distributed integer-partial passes in
+    :func:`_pca_covariance`; the eigendecomposition runs driver-side on
+    the d x d reduction (d = 64 here; the pattern holds to d ~ few
+    thousand, past which power iteration over the same partials takes
+    over). Output coordinates and eigenvalues are rounded to 1e-4 —
+    coarse enough to absorb cross-host LAPACK last-bit drift, the
+    neural_epoch_loss host-portability lesson."""
+    cov, _n = _pca_covariance(sf_dir)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    comps, dims, vals, eigs = [], [], [], []
+    for rank, idx in enumerate(order):
+        vec = pca_sign_fix(v[:, idx])
+        for j, x in enumerate(vec):
+            comps.append(rank)
+            dims.append(j)
+            vals.append(int(np.rint(x * _PCA_OUT_SCALE)))
+            eigs.append(int(np.rint(w[idx] * _PCA_OUT_SCALE)))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "component": pa.array(comps, pa.int64()),
+                "dim_idx": pa.array(dims, pa.int64()),
+                "value_tm": pa.array(vals, pa.int64()),
+                "eigval_tm": pa.array(eigs, pa.int64()),
+            }
+        )
+    )

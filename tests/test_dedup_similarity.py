@@ -356,3 +356,57 @@ def test_pq_topk_recall_vs_brute(ray_session, tmp_path):
         assert len(ns) == 5
         good = sum(cluster_of[n] == cluster_of[q] for n in ns)
         assert good >= 4, (q, ns)
+
+
+class TestPCA:
+    SF = "/root/testdata/sf0.001"
+
+    def test_matches_plain_float_eigh(self):
+        import pyarrow.parquet as pq
+
+        from ner_pytorch_ray.pipelines.similarity import pca_components
+
+        got = pca_components(self.SF, k=2).to_pandas()
+        m = np.stack(
+            pq.read_table(self.SF + "/embeddings.parquet")
+            .column("embedding")
+            .to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+        c = np.cov(m, rowvar=False, bias=True)
+        w, v = np.linalg.eigh(c)
+        order = np.argsort(w)[::-1]
+        for rank in range(2):
+            gv = (
+                got[got.component == rank]
+                .sort_values("dim_idx")
+                .value_tm.values
+                / 10_000.0
+            )
+            ref = v[:, order[rank]]
+            cos = abs(gv @ ref) / (np.linalg.norm(gv) * np.linalg.norm(ref))
+            assert cos > 0.999, (rank, cos)
+            eig = got[got.component == rank].eigval_tm.iloc[0] / 10_000.0
+            assert abs(eig - w[order[rank]]) < 1e-2 * max(w[order[rank]], 1)
+        # eigenvalues sorted descending across components
+        e0 = got[got.component == 0].eigval_tm.iloc[0]
+        e1 = got[got.component == 1].eigval_tm.iloc[0]
+        assert e0 >= e1
+
+    def test_covariance_partitioning_invariant(self):
+        import ray
+
+        from ner_pytorch_ray.pipelines.similarity import _pca_covariance
+
+        c1, n1 = _pca_covariance(self.SF)
+        # same rows through a different block structure
+        import pyarrow.parquet as pq
+        import tempfile, os
+
+        t = pq.read_table(self.SF + "/embeddings.parquet")
+        with tempfile.TemporaryDirectory() as td:
+            # write as many tiny row groups to force different blocks
+            pq.write_table(t, os.path.join(td, "embeddings.parquet"),
+                           row_group_size=37)
+            c2, n2 = _pca_covariance(td)
+        assert n1 == n2
+        assert (c1 == c2).all()

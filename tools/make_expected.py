@@ -1385,6 +1385,7 @@ def main(sf_dir: str, out_dir: str) -> None:
     write("kg_transe_curve", transe_expected(sf_dir))
     write("graph_coreness", coreness_expected(sf_dir))
     write("kg_transe_hits", transe_hits_expected(sf_dir))
+    write("pca_components", pca_expected(sf_dir))
 
     sents = sentence_rows(sf_dir, zeros=True)
     tagged = [(u, s, t, gaz_tags(t)) for u, s, t in sents]
@@ -1478,3 +1479,51 @@ if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "tests", "expected")
     main(sf, out)
+
+
+def pca_expected(sf_dir: str, k: int = 2) -> pa.Table:
+    """Sequential PCA recompute: one plain row-at-a-time pass over the
+    vec_id-sorted embedding table with the engine's published
+    quantization spec (per-dim sums in int64 billionths; per-row centered
+    outer products in int64 millionths), then numpy eigh + the same
+    sign/rounding rules. No ray.data, no engine imports."""
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).sort_by("vec_id")
+    rows = [
+        np.asarray(e, dtype=np.float64)
+        for e in t.column("embedding").to_pylist()
+    ]
+    n, d = len(rows), len(rows[0])
+    s = np.zeros(d, dtype=np.int64)
+    for r in rows:
+        s += np.rint(r * 1_000_000_000).astype(np.int64)
+    mu = s.astype(np.float64) / 1_000_000_000 / n
+    c = np.zeros((d, d), dtype=np.int64)
+    for r in rows:
+        y = r - mu
+        c += np.rint(np.outer(y, y) * 1_000_000).astype(np.int64)
+    cov = c.astype(np.float64) / 1_000_000 / n
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    comps, dims, vals, eigs = [], [], [], []
+    for rank, idx in enumerate(order):
+        vec = v[:, idx]
+        for x in vec:
+            if abs(x) > 1e-9:
+                if x < 0:
+                    vec = -vec
+                break
+        for j, x in enumerate(vec):
+            comps.append(rank)
+            dims.append(j)
+            vals.append(int(np.rint(x * 10_000)))
+            eigs.append(int(np.rint(w[idx] * 10_000)))
+    return pa.Table.from_pydict(
+        {
+            "component": pa.array(comps, type=pa.int64()),
+            "dim_idx": pa.array(dims, type=pa.int64()),
+            "value_tm": pa.array(vals, type=pa.int64()),
+            "eigval_tm": pa.array(eigs, type=pa.int64()),
+        }
+    )
