@@ -932,6 +932,12 @@ def _q_pivot_events(sf_dir: str):
     return pivot_events(sf_dir)
 
 
+def _q_order_star_flat(sf_dir: str):
+    from ner_pytorch_ray.pipelines.relational import order_star_flat
+
+    return order_star_flat(sf_dir)
+
+
 def _q_pca_components(sf_dir: str):
     from ner_pytorch_ray.pipelines.similarity import pca_components
 
@@ -1095,6 +1101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_crawl_diff": _q_kg_crawl_diff,
         "value_histogram": _q_value_histogram,
         "pca_components": _q_pca_components,
+        "order_star_flat": _q_order_star_flat,
         "term_postings": _q_term_postings,
         "search_conjunctive": _q_search_conjunctive,
         "nation_balance_rank": _q_nation_balance_rank,
@@ -3062,6 +3069,19 @@ SELECT bins.bin,
 FROM bins CROSS JOIN mm LEFT JOIN b ON b.bin = bins.bin
 GROUP BY bins.bin, mm.lo, mm.span
 ORDER BY bins.bin
+"""
+
+    # star-schema denormalization (relational.py order_star_flat): the
+    # customer->nation->region chain composed into one broadcast lookup,
+    # resolved per fact batch — equals the plain 4-table join
+    out["order_star_flat"] = """
+SELECT o.o_orderkey, c.c_name, n.n_name, r.r_name,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS o_cents
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+ORDER BY o.o_orderkey
 """
 
     # distributed running window aggregate (customer_running_revenue /

@@ -561,3 +561,78 @@ def pivot_events(sf_dir: str) -> ray.data.Dataset:
         ["user_id"],
         sum_cols=n_cols + c_cols,
     ).sort("user_id")
+
+
+def order_star_flat(sf_dir: str) -> ray.data.Dataset:
+    """Star-schema denormalization: flatten every order with its
+    customer -> nation -> region dimension chain in ONE pass over the
+    fact table. The three dimension tables are composed into a single
+    custkey -> (c_name, n_name, r_name) lookup ONCE, shipped via
+    ``ray.put``, and resolved per batch with vectorized dictionary
+    take — the fact side is never exchanged and the dims are read once,
+    not per task (the broadcast-join chain every star query at 100 TB
+    wants; dim sizes here are customer-scale, far under worker heap)."""
+    import ray
+
+    cust = (
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_name", "c_nationkey"],
+        )
+        .to_pandas()
+    )
+    nat = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).to_pandas()
+    reg = ray.data.read_parquet(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    flat = cust.merge(
+        nat, left_on="c_nationkey", right_on="n_nationkey"
+    ).merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    # dense custkey -> row arrays (custkeys are 0..N-1 in this corpus;
+    # fall back to a hash map if ever sparse)
+    flat = flat.sort_values("c_custkey").reset_index(drop=True)
+    lookup = {
+        "custkey": flat.c_custkey.to_numpy(),
+        "c_name": flat.c_name.to_numpy(),
+        "n_name": flat.n_name.to_numpy(),
+        "r_name": flat.r_name.to_numpy(),
+    }
+    ref = ray.put(lookup)
+
+    class StarLookup:
+        def __init__(self, ref):
+            self._lk = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+            # custkey array is sorted: one vectorized searchsorted per batch
+            ck = self._lk["custkey"]
+            idx = np.searchsorted(ck, keys)
+            if not (ck[idx] == keys).all():
+                raise KeyError("order references unknown custkey")
+            return pa.table(
+                {
+                    "o_orderkey": batch.column("o_orderkey"),
+                    "c_name": pa.array(self._lk["c_name"][idx]),
+                    "n_name": pa.array(self._lk["n_name"][idx]),
+                    "r_name": pa.array(self._lk["r_name"][idx]),
+                    "o_cents": _cents(batch.column("o_totalprice")),
+                }
+            )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        )
+        .map_batches(
+            StarLookup,
+            fn_constructor_args=(ref,),
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+        )
+        .sort("o_orderkey")
+    )

@@ -439,3 +439,27 @@ class TestValueHistogram:
             if len(sel):
                 assert sel.min() >= got.lo_cents.iloc[b]
                 assert sel.max() <= got.hi_cents.iloc[b]
+
+
+class TestOrderStarFlat:
+    def test_matches_pandas_three_way_join(self):
+        from ner_pytorch_ray.pipelines.relational import order_star_flat
+
+        got = order_star_flat(SF).to_pandas()
+        o = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+        c = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+        n = pq.read_table(f"{SF}/nation.parquet").to_pandas()
+        r = pq.read_table(f"{SF}/region.parquet").to_pandas()
+        exp = (
+            o.merge(c, left_on="o_custkey", right_on="c_custkey")
+            .merge(n, left_on="c_nationkey", right_on="n_nationkey")
+            .merge(r, left_on="n_regionkey", right_on="r_regionkey")
+            .sort_values("o_orderkey")
+            .reset_index(drop=True)
+        )
+        exp["o_cents"] = (
+            np.sign(exp.o_totalprice)
+            * np.floor(np.abs(exp.o_totalprice) * 100 + 0.5)
+        ).astype(np.int64)
+        cols = ["o_orderkey", "c_name", "n_name", "r_name", "o_cents"]
+        assert got[cols].values.tolist() == exp[cols].values.tolist()
