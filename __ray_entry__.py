@@ -932,6 +932,12 @@ def _q_pivot_events(sf_dir: str):
     return pivot_events(sf_dir)
 
 
+def _q_unpivot_events(sf_dir: str):
+    from ner_pytorch_ray.pipelines.relational import unpivot_events
+
+    return unpivot_events(sf_dir)
+
+
 def _q_order_star_flat(sf_dir: str):
     from ner_pytorch_ray.pipelines.relational import order_star_flat
 
@@ -1102,6 +1108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": _q_value_histogram,
         "pca_components": _q_pca_components,
         "order_star_flat": _q_order_star_flat,
+        "unpivot_events": _q_unpivot_events,
         "term_postings": _q_term_postings,
         "search_conjunctive": _q_search_conjunctive,
         "nation_balance_rank": _q_nation_balance_rank,
@@ -3082,6 +3089,16 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 ORDER BY o.o_orderkey
+"""
+
+    # UNPIVOT round trip (relational.py unpivot_events): melt of the
+    # pivoted wide table == the plain long aggregate
+    out["unpivot_events"] = """
+SELECT user_id, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents
+FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type
 """
 
     # distributed running window aggregate (customer_running_revenue /

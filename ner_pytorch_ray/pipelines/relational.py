@@ -636,3 +636,49 @@ def order_star_flat(sf_dir: str) -> ray.data.Dataset:
         )
         .sort("o_orderkey")
     )
+
+
+def unpivot_events(sf_dir: str) -> ray.data.Dataset:
+    """Distributed UNPIVOT (wide -> long): melt the pivoted per-user
+    table back to one (user, type) row per non-empty cell. Pure
+    block-local reshape — each wide row becomes |types| long rows inside
+    the same block (vectorized tile/repeat, no exchange at all); the
+    round trip pivot -> unpivot == the plain long aggregate, which is
+    exactly what the SQL oracle checks."""
+    wide = pivot_events(sf_dir)
+
+    def melt(batch: pa.Table) -> pa.Table:
+        names = [c for c in batch.column_names if c.startswith("n_")]
+        types = [c[2:] for c in names]
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        n_rows, t = len(u), len(types)
+        counts = np.stack(
+            [
+                batch.column(f"n_{ty}").to_numpy(zero_copy_only=False)
+                for ty in types
+            ],
+            axis=1,
+        )
+        cents = np.stack(
+            [
+                batch.column(f"cents_{ty}").to_numpy(zero_copy_only=False)
+                for ty in types
+            ],
+            axis=1,
+        )
+        keep = counts.ravel() > 0
+        return pa.table(
+            {
+                "user_id": pa.array(np.repeat(u, t)[keep]),
+                "event_type": pa.array(
+                    np.tile(np.array(types, dtype=object), n_rows)[keep],
+                    type=pa.string(),
+                ),
+                "n_events": pa.array(counts.ravel()[keep]),
+                "value_cents": pa.array(cents.ravel()[keep]),
+            }
+        )
+
+    return wide.map_batches(melt, batch_format="pyarrow").sort(
+        ["user_id", "event_type"]
+    )

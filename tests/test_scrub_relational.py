@@ -463,3 +463,25 @@ class TestOrderStarFlat:
         ).astype(np.int64)
         cols = ["o_orderkey", "c_name", "n_name", "r_name", "o_cents"]
         assert got[cols].values.tolist() == exp[cols].values.tolist()
+
+
+class TestUnpivotEvents:
+    def test_round_trip_equals_long_aggregate(self):
+        from ner_pytorch_ray.pipelines.relational import unpivot_events
+
+        got = unpivot_events(SF).to_pandas()
+        ev = pq.read_table(
+            f"{SF}/events.parquet", columns=["user_id", "event_type", "value"]
+        ).to_pandas()
+        ev["cents"] = (
+            np.sign(ev.value) * np.floor(np.abs(ev.value) * 100 + 0.5)
+        ).astype(np.int64)
+        exp = (
+            ev.groupby(["user_id", "event_type"])
+            .agg(n_events=("cents", "size"), value_cents=("cents", "sum"))
+            .reset_index()
+            .sort_values(["user_id", "event_type"])
+            .reset_index(drop=True)
+        )
+        cols = ["user_id", "event_type", "n_events", "value_cents"]
+        assert got[cols].values.tolist() == exp[cols].values.tolist()
