@@ -932,6 +932,12 @@ def _q_pivot_events(sf_dir: str):
     return pivot_events(sf_dir)
 
 
+def _q_table_checksum(sf_dir: str):
+    from ner_pytorch_ray.pipelines.sketches import table_checksum
+
+    return table_checksum(sf_dir, table="orders")
+
+
 def _q_unpivot_events(sf_dir: str):
     from ner_pytorch_ray.pipelines.relational import unpivot_events
 
@@ -1109,6 +1115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_components": _q_pca_components,
         "order_star_flat": _q_order_star_flat,
         "unpivot_events": _q_unpivot_events,
+        "table_checksum": _q_table_checksum,
         "term_postings": _q_term_postings,
         "search_conjunctive": _q_search_conjunctive,
         "nation_balance_rank": _q_nation_balance_rank,
@@ -3099,6 +3106,24 @@ SELECT user_id, event_type,
        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
            AS value_cents
 FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type
+"""
+
+    # order-insensitive table checksum (sketches.py table_checksum):
+    # per-row md5 of '|'-joined canonicalized values (sorted column
+    # order; timestamps -> epoch micros, floats -> exact cents),
+    # XOR-folded — commutative, so any partitioning agrees
+    out["table_checksum"] = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       bit_xor(CAST(md5_number_upper(
+         COALESCE(CAST(o_custkey AS VARCHAR), '') || '|' ||
+         COALESCE(CAST(epoch_us(o_orderdate) AS VARCHAR), '') || '|' ||
+         COALESCE(CAST(o_orderkey AS VARCHAR), '') || '|' ||
+         COALESCE(CAST(o_orderpriority AS VARCHAR), '') || '|' ||
+         COALESCE(CAST(o_orderstatus AS VARCHAR), '') || '|' ||
+         COALESCE(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                       AS VARCHAR), '')
+       ) & 9223372036854775807 AS BIGINT)) AS xor_hash
+FROM orders
 """
 
     # distributed running window aggregate (customer_running_revenue /

@@ -560,3 +560,74 @@ def bottomk_quantile_sketch(
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Order-insensitive table checksum: the anti-entropy / migration-check
+# ---------------------------------------------------------------------------
+
+
+def table_checksum(sf_dir: str, table: str = "orders") -> ray.data.Dataset:
+    """One (n_rows, xor_hash) row for a whole table: per row an md5 of
+    the canonicalized row text, XOR-folded — XOR is commutative and
+    associative, so the checksum is independent of row order, block
+    structure, and fold order. This is how replicas / migrated copies /
+    re-partitioned layouts are compared WITHOUT moving the data: ship
+    two 16-byte summaries, not two tables. Per-block partials fold
+    driver-side (O(#blocks), same note as the bloom fold)."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet")
+
+    def canon(col: pa.ChunkedArray) -> list:
+        # canonical value text: timestamps as epoch micros, floats as
+        # exact cents — integer forms both engines print identically
+        # (raw float/timestamp printing differs between Arrow and SQL)
+        t = col.type
+        if pa.types.is_timestamp(t):
+            col = pc.cast(col, pa.int64())
+        elif pa.types.is_floating(t):
+            col = pc.cast(
+                pc.round(
+                    pc.multiply(col, pa.scalar(100.0)),
+                    round_mode="half_towards_infinity",
+                ),
+                pa.int64(),
+            )
+        return pc.cast(col, pa.string()).to_pylist()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # canonical row text: '|'-joined canonicalized column values in
+        # column-name order
+        cols = sorted(batch.column_names)
+        parts = [canon(batch.column(c)) for c in cols]
+        acc = 0
+        n = len(batch)
+        for row in zip(*parts):
+            h = int.from_bytes(
+                hashlib.md5("|".join("" if v is None else v for v in row).encode()).digest()[:8],
+                "little",
+            ) & 0x7FFFFFFFFFFFFFFF
+            acc ^= h
+        return pa.table(
+            {
+                "n_rows": pa.array([n], pa.int64()),
+                "x": pa.array([acc], pa.int64()),
+            }
+        )
+
+    n = 0
+    x = 0
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        n += row["n_rows"]
+        x ^= row["x"]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_rows": pa.array([n], pa.int64()),
+                "xor_hash": pa.array([x], pa.int64()),
+            }
+        )
+    )

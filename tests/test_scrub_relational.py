@@ -485,3 +485,31 @@ class TestUnpivotEvents:
         )
         cols = ["user_id", "event_type", "n_events", "value_cents"]
         assert got[cols].values.tolist() == exp[cols].values.tolist()
+
+
+class TestTableChecksum:
+    def test_order_insensitive_and_detects_change(self, tmp_path):
+        import ray
+
+        from ner_pytorch_ray.pipelines.sketches import table_checksum
+
+        t = pq.read_table(f"{SF}/orders.parquet")
+        base = table_checksum(SF, "orders").take_all()[0]
+        # same rows, reversed order + different row-group structure
+        rev = t.take(pa.array(list(range(t.num_rows))[::-1]))
+        pq.write_table(rev, tmp_path / "orders.parquet", row_group_size=41)
+        shuf = table_checksum(str(tmp_path), "orders").take_all()[0]
+        assert shuf == base
+        # one mutated cell flips the checksum
+        mut = t.set_column(
+            t.schema.get_field_index("o_orderstatus"),
+            "o_orderstatus",
+            pa.array(
+                ["X"] + t.column("o_orderstatus").to_pylist()[1:],
+                type=pa.string(),
+            ),
+        )
+        pq.write_table(mut, tmp_path / "orders.parquet")
+        mutc = table_checksum(str(tmp_path), "orders").take_all()[0]
+        assert mutc["n_rows"] == base["n_rows"]
+        assert mutc["xor_hash"] != base["xor_hash"]
