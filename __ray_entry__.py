@@ -932,6 +932,12 @@ def _q_pivot_events(sf_dir: str):
     return pivot_events(sf_dir)
 
 
+def _q_grouped_median_value(sf_dir: str):
+    from ner_pytorch_ray.pipelines.relational import grouped_median_value
+
+    return grouped_median_value(sf_dir)
+
+
 def _q_table_checksum(sf_dir: str):
     from ner_pytorch_ray.pipelines.sketches import table_checksum
 
@@ -1116,6 +1122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_star_flat": _q_order_star_flat,
         "unpivot_events": _q_unpivot_events,
         "table_checksum": _q_table_checksum,
+        "grouped_median_value": _q_grouped_median_value,
         "term_postings": _q_term_postings,
         "search_conjunctive": _q_search_conjunctive,
         "nation_balance_rank": _q_nation_balance_rank,
@@ -3124,6 +3131,27 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
                        AS VARCHAR), '')
        ) & 9223372036854775807 AS BIGINT)) AS xor_hash
 FROM orders
+"""
+
+    # exact per-group median (relational.py grouped_median_value): lower
+    # median selected by distributed window rank — no per-group collect
+    out["grouped_median_value"] = """
+WITH c AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+r AS (
+  SELECT event_type, cents,
+         row_number() OVER (
+             PARTITION BY event_type ORDER BY cents, event_id
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM c
+)
+SELECT event_type, cents AS median_cents,
+       CAST(n AS BIGINT) AS n_events
+FROM r WHERE rn = (n - 1) // 2 + 1 ORDER BY event_type
 """
 
     # distributed running window aggregate (customer_running_revenue /

@@ -682,3 +682,69 @@ def unpivot_events(sf_dir: str) -> ray.data.Dataset:
     return wide.map_batches(melt, batch_format="pyarrow").sort(
         ["user_id", "event_type"]
     )
+
+
+def grouped_median_value(sf_dir: str) -> ray.data.Dataset:
+    """Exact per-group median (lower median at even counts) of the event
+    value, composed from the engine's two window primitives — no
+    per-group collect, so a group larger than any block still medians
+    without one task holding it:
+
+      1. :func:`grouped_rank` assigns each row its rank within
+         (event_type) ordered by (cents, event_id);
+      2. a per-type count aggregate (|types| rows) broadcast in the task
+         closure selects rank == (n - 1) // 2 + 1.
+
+    SQL mirrors via window row_number + COUNT() OVER."""
+    from ner_pytorch_ray.stages.groupby_utils import grouped_rank, grouped_sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "cents": _cents(batch.column("value")),
+                "event_id": batch.column("event_id"),
+                "one": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    counts = {
+        r["event_type"]: r["one"]
+        for r in grouped_sum(
+            prepped, ["event_type"], sum_cols=["one"]
+        ).take_all()
+    }
+    target = {t: (n - 1) // 2 + 1 for t, n in counts.items()}
+
+    ranked = grouped_rank(
+        prepped,
+        part_keys=["event_type"],
+        order_keys=["cents", "event_id"],
+        descending=[False, False],
+    )
+
+    def pick(batch: pa.Table) -> pa.Table:
+        types = batch.column("event_type").to_pylist()
+        want = np.array([target[t] for t in types], dtype=np.int64)
+        got = batch.column("rank").to_numpy(zero_copy_only=False)
+        keep = batch.filter(pa.array(want == got))
+        return pa.table(
+            {
+                "event_type": keep.column("event_type"),
+                "median_cents": keep.column("cents"),
+                "n_events": pa.array(
+                    [counts[t] for t in keep.column("event_type").to_pylist()],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return ranked.map_batches(pick, batch_format="pyarrow").sort(
+        "event_type"
+    )

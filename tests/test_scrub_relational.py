@@ -513,3 +513,22 @@ class TestTableChecksum:
         mutc = table_checksum(str(tmp_path), "orders").take_all()[0]
         assert mutc["n_rows"] == base["n_rows"]
         assert mutc["xor_hash"] != base["xor_hash"]
+
+
+class TestGroupedMedian:
+    def test_matches_numpy_lower_median(self):
+        from ner_pytorch_ray.pipelines.relational import grouped_median_value
+
+        got = {
+            r["event_type"]: (r["median_cents"], r["n_events"])
+            for r in grouped_median_value(SF).take_all()
+        }
+        ev = pq.read_table(
+            f"{SF}/events.parquet", columns=["event_type", "value"]
+        ).to_pandas()
+        ev["cents"] = (
+            np.sign(ev.value) * np.floor(np.abs(ev.value) * 100 + 0.5)
+        ).astype(np.int64)
+        for t, grp in ev.groupby("event_type"):
+            v = np.sort(grp.cents.values)
+            assert got[t] == (v[(len(v) - 1) // 2], len(v)), t
