@@ -932,6 +932,12 @@ def _q_pivot_events(sf_dir: str):
     return pivot_events(sf_dir)
 
 
+def _q_profile_orders(sf_dir: str):
+    from ner_pytorch_ray.pipelines.analysis import profile_table
+
+    return profile_table(sf_dir, table="orders")
+
+
 def _q_grouped_median_value(sf_dir: str):
     from ner_pytorch_ray.pipelines.relational import grouped_median_value
 
@@ -1119,6 +1125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_crawl_diff": _q_kg_crawl_diff,
         "pca_components": _q_pca_components,
         "table_checksum": _q_table_checksum,
+        "profile_orders": _q_profile_orders,
         # round-2/3 families the r3 verdict asked to see driver-green
         # (asof/sessions/range-join + the ANN baselines):
         "asof_attribution": _q_asof_attribution,
@@ -3136,6 +3143,30 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
        ) & 9223372036854775807 AS BIGINT)) AS xor_hash
 FROM orders
 """
+
+    # column-profile sweep (analysis.py profile_table): per column
+    # (sorted) the null count, exact distinct count, lexicographic
+    # min/max of the canonical string form (ts -> epoch micros, floats
+    # -> cents — the table_checksum convention)
+    _prof_canon = {
+        "o_custkey": "CAST(o_custkey AS VARCHAR)",
+        "o_orderdate": "CAST(epoch_us(o_orderdate) AS VARCHAR)",
+        "o_orderkey": "CAST(o_orderkey AS VARCHAR)",
+        "o_orderpriority": "CAST(o_orderpriority AS VARCHAR)",
+        "o_orderstatus": "CAST(o_orderstatus AS VARCHAR)",
+        "o_totalprice": (
+            "CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)"
+        ),
+    }
+    out["profile_orders"] = "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS "column",
+       CAST(COUNT(DISTINCT {e}) AS BIGINT) AS n_distinct,
+       CAST(SUM(CASE WHEN {e} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_nulls,
+       MIN({e}) AS min_value, MAX({e}) AS max_value
+FROM orders"""
+        for c, e in sorted(_prof_canon.items())
+    ) + '\nORDER BY "column"'
 
     # exact per-group median (relational.py grouped_median_value): lower
     # median selected by distributed window rank — no per-group collect

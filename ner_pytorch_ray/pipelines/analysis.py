@@ -543,3 +543,126 @@ def value_histogram(sf_dir: str, n_bins: int = 16) -> ray.data.Dataset:
         )
 
     return filled.map_batches(edges, batch_format="pyarrow").sort("bin")
+
+
+def profile_table(sf_dir: str, table: str = "orders") -> ray.data.Dataset:
+    """Column-profile sweep — the data-quality / optimizer-stats report
+    (n_nulls, exact n_distinct, lexicographic min/max of the canonical
+    string form) for EVERY column of a table in two exchanges:
+
+    1. per block, per column: null count + the block's DISTINCT canonical
+       values as (column, value) rows — the only thing that shuffles is
+       the per-block distinct reduction, never the rows;
+    2. one grouped distinct over (column, value) -> per-column counts +
+       min/max by a second tiny aggregate over |columns| x |distinct|
+       keys.
+
+    Canonical string form: timestamps as epoch micros, floats as exact
+    cents (the table_checksum convention), so the SQL oracle compares
+    identically."""
+    import pyarrow.compute as pc
+
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet")
+
+    def canon(col):
+        t = col.type
+        if pa.types.is_timestamp(t):
+            col = pc.cast(col, pa.int64())
+        elif pa.types.is_floating(t):
+            col = pc.cast(
+                pc.round(
+                    pc.multiply(col, pa.scalar(100.0)),
+                    round_mode="half_towards_infinity",
+                ),
+                pa.int64(),
+            )
+        return pc.cast(col, pa.string())
+
+    ds = ds.materialize()
+
+    def value_partial(batch: pa.Table) -> pa.Table:
+        cols, vals = [], []
+        for c in sorted(batch.column_names):
+            uniq = pc.drop_null(canon(batch.column(c)).combine_chunks().unique())
+            cols.extend([c] * len(uniq))
+            vals.extend(uniq.to_pylist())
+        return pa.table(
+            {
+                "column": pa.array(cols, pa.string()),
+                "value": pa.array(vals, pa.string()),
+                "one": pa.array(np.ones(len(cols), np.int64)),
+            }
+        )
+
+    def null_partial(batch: pa.Table) -> pa.Table:
+        cols = sorted(batch.column_names)
+        return pa.table(
+            {
+                "column": pa.array(cols, pa.string()),
+                "n_nulls": pa.array(
+                    [
+                        int(
+                            pc.sum(
+                                pc.is_null(batch.column(c)).cast(pa.int8())
+                            ).as_py()
+                            or 0
+                        )
+                        for c in cols
+                    ],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    # exchange 1: the per-block DISTINCT reduction per column
+    per_value = grouped_sum(
+        ds.map_batches(value_partial, batch_format="pyarrow"),
+        ["column", "value"],
+        sum_cols=["one"],
+    )
+    # exchange 2 (tiny): per-column null totals, |columns| x #blocks rows
+    nulls = {
+        r["column"]: r["n_nulls"]
+        for r in grouped_sum(
+            ds.map_batches(null_partial, batch_format="pyarrow"),
+            ["column"],
+            sum_cols=["n_nulls"],
+        ).take_all()
+    }
+
+    def col_partial(batch: pa.Table) -> pa.Table:
+        out = batch.group_by(["column"]).aggregate(
+            [("value", "min"), ("value", "max"), ([], "count_all")]
+        )
+        return out.rename_columns(
+            ["column", "min_value", "max_value", "n_distinct"]
+        )
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    final = (
+        per_value.map_batches(col_partial, batch_format="pyarrow")
+        .groupby("column")
+        .aggregate(Sum("n_distinct"), Min("min_value"), Max("max_value"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        t = batch.rename_columns(
+            ["column", "n_distinct", "min_value", "max_value"]
+        )
+        cols = t.column("column").to_pylist()
+        return pa.table(
+            {
+                "column": t.column("column"),
+                "n_distinct": t.column("n_distinct").cast(pa.int64()),
+                "n_nulls": pa.array(
+                    [nulls[c] for c in cols], pa.int64()
+                ),
+                "min_value": t.column("min_value"),
+                "max_value": t.column("max_value"),
+            }
+        )
+
+    return final.map_batches(finish, batch_format="pyarrow").sort("column")

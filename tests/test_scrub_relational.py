@@ -532,3 +532,24 @@ class TestGroupedMedian:
         for t, grp in ev.groupby("event_type"):
             v = np.sort(grp.cents.values)
             assert got[t] == (v[(len(v) - 1) // 2], len(v)), t
+
+
+class TestProfileTable:
+    def test_matches_pandas_profile_with_nulls(self, tmp_path):
+        from ner_pytorch_ray.pipelines.analysis import profile_table
+
+        t = pa.table(
+            {
+                "a": pa.array([1, 2, 2, None, 5], type=pa.int64()),
+                "b": pa.array(["x", None, None, "y", "x"], pa.string()),
+            }
+        )
+        pq.write_table(t, tmp_path / "orders.parquet", row_group_size=2)
+        got = {
+            r["column"]: (
+                r["n_distinct"], r["n_nulls"], r["min_value"], r["max_value"]
+            )
+            for r in profile_table(str(tmp_path), "orders").take_all()
+        }
+        assert got["a"] == (3, 1, "1", "5")
+        assert got["b"] == (2, 2, "x", "y")
