@@ -330,6 +330,24 @@ def run_extras(sf_dir: str) -> dict:
         lambda: bloom_semijoin_orders(sf_dir).count(),
     )
     timed("pivot_events", lambda: pivot_events(sf_dir).count())
+
+    # round-4 continuation 5: CDC upsert, KG crawl diff, distributed PCA,
+    # table checksum, profiling, grouped median
+    from ner_pytorch_ray.pipelines.analysis import profile_table
+    from ner_pytorch_ray.pipelines.kg import kg_crawl_diff
+    from ner_pytorch_ray.pipelines.relational import grouped_median_value
+    from ner_pytorch_ray.pipelines.similarity import pca_components
+    from ner_pytorch_ray.pipelines.sketches import table_checksum
+    from ner_pytorch_ray.sources.bucketed import cdc_latest_events
+
+    timed("cdc_latest_events", lambda: cdc_latest_events(sf_dir).count())
+    timed("kg_crawl_diff", lambda: kg_crawl_diff(sf_dir).count())
+    timed("pca_components", lambda: pca_components(sf_dir).count())
+    timed("table_checksum", lambda: table_checksum(sf_dir).count())
+    timed("profile_orders", lambda: profile_table(sf_dir).count())
+    timed(
+        "grouped_median_value", lambda: grouped_median_value(sf_dir).count()
+    )
     return extras
 
 
