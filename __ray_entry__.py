@@ -2904,7 +2904,7 @@ FROM reach GROUP BY node ORDER BY p_partkey
 WITH v AS (
   SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents
 ),
-vv AS (SELECT w FROM v WHERE length(w) >= 1)
+vv AS (SELECT w FROM v WHERE length(w) >= 1 AND length(w) <= 64)
 SELECT a.w AS surf_a, b.w AS surf_b,
        CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
 FROM vv a JOIN vv b
@@ -2926,6 +2926,7 @@ p AS (
   SELECT a.w AS wa, b.w AS wb
   FROM v a JOIN v b
     ON a.w < b.w AND abs(length(a.w) - length(b.w)) <= 2
+       AND length(a.w) <= 64 AND length(b.w) <= 64
        AND levenshtein(a.w, b.w) <= 2
 ),
 e AS (SELECT wa AS a, wb AS b FROM p UNION ALL SELECT wb, wa FROM p),

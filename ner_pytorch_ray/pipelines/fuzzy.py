@@ -100,12 +100,20 @@ def fuzzy_surface_pairs(
     surface_col: str = "surface",
     max_dist: int = 2,
     min_len: int = 1,
+    max_len: int = 64,
     max_bucket: int = 10_000,
 ) -> ray.data.Dataset:
     """(surf_a, surf_b, dist) for every DISTINCT surface pair with
-    ``levenshtein(surf_a, surf_b) <= max_dist`` and both lengths >=
-    ``min_len``; surf_a < surf_b, sorted. See module docstring for the
-    blocking scheme and its exact-recall argument."""
+    ``levenshtein(surf_a, surf_b) <= max_dist`` and both lengths in
+    ``[min_len, max_len]``; surf_a < surf_b, sorted. See module
+    docstring for the blocking scheme and its exact-recall argument.
+
+    ``max_len`` is part of the operator SPEC, not a silent cap: the
+    deletion neighborhood is O(L^k) per surface, so a pathological
+    1000-char token would emit ~1e6 variant rows; surfaces longer than
+    ``max_len`` are excluded by definition (the SQL oracle applies the
+    identical bound), mirroring how alias canonicalization treats
+    over-long garbage tokens."""
     from ner_pytorch_ray.stages.groupby_utils import (
         collect_tuples,
         flat_map_groups,
@@ -114,8 +122,12 @@ def fuzzy_surface_pairs(
 
     def distinct_rows(batch: pa.Table) -> pa.Table:
         col = batch.column(surface_col)
+        ln = pc.utf8_length(col)
         col = col.filter(
-            pc.greater_equal(pc.utf8_length(col), pa.scalar(min_len))
+            pc.and_(
+                pc.greater_equal(ln, pa.scalar(min_len)),
+                pc.less_equal(ln, pa.scalar(max_len)),
+            )
         )
         uniq = col.unique()
         return pa.table(

@@ -155,3 +155,23 @@ class TestPipeline:
         rows = fuzzy_surface_pairs(ds, max_dist=2).take_all()
         got = [(r["surf_a"], r["surf_b"], r["dist"]) for r in rows]
         assert got == self._expect(VOCAB)
+
+
+class TestMaxLen:
+    def test_overlong_surfaces_excluded_by_spec(self):
+        from ner_pytorch_ray.pipelines.fuzzy import fuzzy_surface_pairs
+
+        long_a = "x" * 100
+        long_b = "x" * 99  # within dist 1 of long_a, but over max_len
+        ds = ray.data.from_arrow(
+            pa.table(
+                {"surface": pa.array(VOCAB + [long_a, long_b], pa.string())}
+            )
+        )
+        rows = fuzzy_surface_pairs(ds, max_dist=2).take_all()
+        surfs = {r["surf_a"] for r in rows} | {r["surf_b"] for r in rows}
+        assert long_a not in surfs and long_b not in surfs
+        # the rest of the vocabulary is unaffected
+        got = sorted((r["surf_a"], r["surf_b"], r["dist"]) for r in rows)
+        exp = TestPipeline()._expect(VOCAB)
+        assert got == exp
