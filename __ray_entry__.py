@@ -932,6 +932,14 @@ def _q_pivot_events(sf_dir: str):
     return pivot_events(sf_dir)
 
 
+def _q_pca_incremental(sf_dir: str):
+    from ner_pytorch_ray.pipelines.incremental import (
+        pca_incremental_from_embeddings,
+    )
+
+    return pca_incremental_from_embeddings(sf_dir, n_deltas=3, k=2)
+
+
 def _q_profile_orders(sf_dir: str):
     from ner_pytorch_ray.pipelines.analysis import profile_table
 
@@ -1126,6 +1134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_components": _q_pca_components,
         "table_checksum": _q_table_checksum,
         "profile_orders": _q_profile_orders,
+        "pca_incremental": _q_pca_incremental,
         # round-2/3 families the r3 verdict asked to see driver-green
         # (asof/sessions/range-join + the ANN baselines):
         "asof_attribution": _q_asof_attribution,
@@ -3144,6 +3153,11 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
        ) & 9223372036854775807 AS BIGINT)) AS xor_hash
 FROM orders
 """
+
+    # incremental PCA (incremental.py ingest_pca_delta): the uncentered
+    # integer moments are plain sums, so 3 interleaved deltas finalize to
+    # the batch components bit-for-bit — same frozen oracle
+    out["pca_incremental"] = out["pca_components"]
 
     # column-profile sweep (analysis.py profile_table): per column
     # (sorted) the null count, exact distinct count, lexicographic

@@ -1310,3 +1310,140 @@ def er_incremental_from_parts(
         out = out.materialize()
         shutil.rmtree(state_dir, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------- incremental PCA state
+import hashlib as _hashlib
+
+import pyarrow.parquet as pq
+
+_PCA_STATE_SCHEMA = pa.schema(
+    [("n", pa.int64()), ("s", pa.binary()), ("m", pa.binary())]
+)
+
+
+def ingest_pca_delta(
+    vectors: ray.data.Dataset,
+    state_dir: str,
+    delta_id: str,
+    fingerprint: str | None = None,
+    col: str = "embedding",
+) -> int:
+    """Fold one delta of embedding rows into persisted PCA-moment state:
+    (n, Σ round(x·1e9), Σ per-row round(x xᵀ·1e6)) — the uncentered
+    integer moments :func:`similarity.pca_moments` computes. All three
+    are plain sums, so any delta arrival order reproduces the batch
+    covariance (and therefore the batch components) BIT-FOR-BIT; each
+    new crawl's embeddings cost O(delta), never a recompute over
+    history. Same durability contract as every other ingest here
+    (versioned immutable dirs, atomic STATE.json swap, exactly-once per
+    delta, kind guard)."""
+    import numpy as np
+
+    from ner_pytorch_ray.pipelines.similarity import pca_moments
+
+    os.makedirs(state_dir, exist_ok=True)
+    state = read_state(state_dir)
+    _check_kind(state, "pca", state_dir)
+    fingerprint = fingerprint or delta_id
+    if _check_delta(state, delta_id, fingerprint):
+        return state["version"]
+
+    n, s, m = pca_moments(vectors, col=col)
+
+    ver = state["version"]
+    if ver:
+        prior = pq.read_table(
+            os.path.join(state_dir, f"v{ver}", "pca", "state.parquet")
+        )
+        n += int(prior.column("n")[0].as_py())
+        s = s + np.frombuffer(prior.column("s")[0].as_py(), dtype=np.int64)
+        m = m + np.frombuffer(prior.column("m")[0].as_py(), dtype=np.int64)
+    new = ver + 1
+    out_dir = os.path.join(state_dir, f"v{new}", "pca")
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "n": pa.array([int(n)], pa.int64()),
+                "s": pa.array([s.tobytes()], pa.binary()),
+                "m": pa.array([m.tobytes()], pa.binary()),
+            },
+            schema=_PCA_STATE_SCHEMA,
+        ),
+        os.path.join(out_dir, "state.parquet"),
+    )
+    state["version"] = new
+    state["deltas"][delta_id] = {
+        "fingerprint": fingerprint,
+        "n_vectors_total": int(n),
+        "version": new,
+    }
+    _write_state(state_dir, state)
+    _retire_versions(state_dir, new)
+    return new
+
+
+def final_pca_components(state_dir: str, k: int = 2) -> ray.data.Dataset:
+    """Finalize the accumulated moments into the component table —
+    identical output to the batch :func:`similarity.pca_components`."""
+    import numpy as np
+
+    from ner_pytorch_ray.pipelines.similarity import (
+        pca_cov_from_moments,
+        pca_table_from_cov,
+    )
+
+    ver = _current_version(state_dir)
+    t = pq.read_table(
+        os.path.join(state_dir, f"v{ver}", "pca", "state.parquet")
+    )
+    cov = pca_cov_from_moments(
+        int(t.column("n")[0].as_py()),
+        np.frombuffer(t.column("s")[0].as_py(), dtype=np.int64),
+        np.frombuffer(t.column("m")[0].as_py(), dtype=np.int64),
+    )
+    return pca_table_from_cov(cov, k)
+
+
+def pca_incremental_from_embeddings(
+    sf_dir: str,
+    n_deltas: int = 3,
+    k: int = 2,
+    state_dir: str | None = None,
+) -> ray.data.Dataset:
+    """Ingest ``sf_dir``'s embeddings as ``n_deltas`` deltas
+    (vec_id % n_deltas, deliberately interleaved rather than contiguous)
+    and finalize — shares the frozen pca_components oracle (incremental
+    == batch)."""
+    owns_state = state_dir is None
+    if owns_state:
+        import tempfile
+
+        state_dir = tempfile.mkdtemp(prefix="pca_incremental_", dir="/tmp")
+    try:
+        for d in range(n_deltas):
+            h = _hashlib.blake2b(digest_size=16)
+            st = os.stat(f"{sf_dir}/embeddings.parquet")
+            h.update(
+                f"pca:{n_deltas}:{d}:{st.st_size}:{st.st_mtime_ns}".encode()
+            )
+            vecs = ray.data.read_parquet(
+                f"{sf_dir}/embeddings.parquet",
+                columns=["vec_id", "embedding"],
+            )
+
+            def keep(b: pa.Table, _d=d) -> pa.Table:
+                mask = (b.column("vec_id").to_numpy() % n_deltas) == _d
+                return b.filter(pa.array(mask))
+
+            ingest_pca_delta(
+                vecs.map_batches(keep, batch_format="pyarrow"),
+                state_dir,
+                delta_id=f"delta={d}/{n_deltas}",
+                fingerprint=h.hexdigest(),
+            )
+        return final_pca_components(state_dir, k=k)
+    finally:
+        if owns_state:
+            shutil.rmtree(state_dir, ignore_errors=True)

@@ -718,60 +718,64 @@ _PCA_COV_SCALE = 1_000_000  # per-row outer products in millionths
 _PCA_OUT_SCALE = 10_000  # reported coords/eigvals in tenth-millis
 
 
-def _pca_covariance(sf_dir: str) -> tuple[np.ndarray, int]:
-    """Distributed covariance of the embedding rows with the repo's
-    integer-partial determinism contract: pass 1 accumulates per-dim sums
-    in int64 billionths (mean), pass 2 accumulates PER-ROW-quantized
-    centered outer products in int64 millionths — both order-free
-    integer sums, so the folded matrix is bit-identical under any
-    partitioning. d x d at d=64 is 32 KB per block partial; the driver
-    fold is O(#blocks) (tree-fold past ~1e4 blocks, the bloom/sequence
-    -pack precedent)."""
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
-    )
+def pca_moments(
+    vectors: ray.data.Dataset, col: str = "embedding"
+) -> tuple[int, np.ndarray, np.ndarray]:
+    """Distributed UNCENTERED moments (n, Σ round(x·1e9), Σ per-row
+    round(x xᵀ·1e6)) with the repo's integer-partial determinism
+    contract: both sums are order-free integer folds, so the result is
+    bit-identical under any partitioning — AND mergeable across deltas
+    by plain addition, which is what makes PCA state incrementally
+    maintainable (pipelines/incremental.ingest_pca_delta). d x d at
+    d=64 is 32 KB per block partial; the driver fold is O(#blocks)
+    (tree-fold past ~1e4 blocks, the bloom/sequence-pack precedent)."""
 
-    def sum_partial(batch: pa.Table) -> pa.Table:
+    def partial(batch: pa.Table) -> pa.Table:
         m = np.stack(
-            batch.column("embedding").to_numpy(zero_copy_only=False)
+            batch.column(col).to_numpy(zero_copy_only=False)
         ).astype(np.float64)
         s = np.rint(m * _PCA_SUM_SCALE).astype(np.int64).sum(axis=0)
+        o = np.rint(
+            np.einsum("ni,nj->nij", m, m) * _PCA_COV_SCALE
+        ).astype(np.int64).sum(axis=0)
         return pa.table(
             {
                 "n": pa.array([len(m)], pa.int64()),
                 "s": pa.array([s.tobytes()], pa.binary()),
+                "m": pa.array([o.tobytes()], pa.binary()),
             }
         )
 
-    n = 0
-    s = None
-    for row in ds.map_batches(
-        sum_partial, batch_format="pyarrow"
+    n, s, m = 0, None, None
+    for row in vectors.map_batches(
+        partial, batch_format="pyarrow", batch_size=1024
     ).take_all():
-        v = np.frombuffer(row["s"], dtype=np.int64)
-        s = v.copy() if s is None else s + v
+        sv = np.frombuffer(row["s"], dtype=np.int64)
+        mv = np.frombuffer(row["m"], dtype=np.int64)
+        s = sv.copy() if s is None else s + sv
+        m = mv.copy() if m is None else m + mv
         n += row["n"]
+    return n, s, m
+
+
+def pca_cov_from_moments(
+    n: int, s: np.ndarray, m: np.ndarray
+) -> np.ndarray:
+    """Finalize: C = M/1e6/n − μμᵀ with μ = S/1e9/n — one deterministic
+    driver-side float expression over the folded integers."""
+    d = len(s)
     mu = s.astype(np.float64) / _PCA_SUM_SCALE / n
+    return m.reshape(d, d).astype(np.float64) / _PCA_COV_SCALE / n - np.outer(
+        mu, mu
+    )
 
-    def cov_partial(batch: pa.Table) -> pa.Table:
-        m = np.stack(
-            batch.column("embedding").to_numpy(zero_copy_only=False)
-        ).astype(np.float64)
-        y = m - mu
-        o = np.rint(
-            np.einsum("ni,nj->nij", y, y) * _PCA_COV_SCALE
-        ).astype(np.int64).sum(axis=0)
-        return pa.table({"c": pa.array([o.tobytes()], pa.binary())})
 
-    c = None
-    for row in ds.map_batches(
-        cov_partial, batch_format="pyarrow", batch_size=1024
-    ).take_all():
-        v = np.frombuffer(row["c"], dtype=np.int64)
-        c = v.copy() if c is None else c + v
-    d = len(mu)
-    cov = c.reshape(d, d).astype(np.float64) / _PCA_COV_SCALE / n
-    return cov, n
+def _pca_covariance(sf_dir: str) -> tuple[np.ndarray, int]:
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+    n, s, m = pca_moments(ds)
+    return pca_cov_from_moments(n, s, m), n
 
 
 def pca_sign_fix(v: np.ndarray) -> np.ndarray:
@@ -796,6 +800,11 @@ def pca_components(sf_dir: str, k: int = 2) -> ray.data.Dataset:
     coarse enough to absorb cross-host LAPACK last-bit drift, the
     neural_epoch_loss host-portability lesson."""
     cov, _n = _pca_covariance(sf_dir)
+    return pca_table_from_cov(cov, k)
+
+
+def pca_table_from_cov(cov: np.ndarray, k: int) -> ray.data.Dataset:
+    """eigh + deterministic sign/rounding -> the component table."""
     w, v = np.linalg.eigh(cov)
     order = np.argsort(w)[::-1][:k]
     comps, dims, vals, eigs = [], [], [], []

@@ -657,3 +657,69 @@ class TestIncrementalEntityResolution:
                 name_col="name",
                 attr_cols=[],  # different blocking params than the state
             )
+
+
+class TestPcaIncremental:
+    SF = "/root/testdata/sf0.001"
+
+    def _batch(self):
+        from ner_pytorch_ray.pipelines.similarity import pca_components
+
+        return [
+            (r["component"], r["dim_idx"], r["value_tm"], r["eigval_tm"])
+            for r in pca_components(self.SF, k=2).take_all()
+        ]
+
+    def _rows(self, ds):
+        return [
+            (r["component"], r["dim_idx"], r["value_tm"], r["eigval_tm"])
+            for r in ds.take_all()
+        ]
+
+    def test_incremental_equals_batch_any_delta_order(self, tmp_path):
+        import ray
+
+        from ner_pytorch_ray.pipelines.incremental import (
+            final_pca_components,
+            ingest_pca_delta,
+        )
+
+        batch = self._batch()
+        vecs = ray.data.read_parquet(
+            f"{self.SF}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ).materialize()
+        for name, order in (("fwd", (0, 1, 2)), ("rev", (2, 1, 0))):
+            sd = str(tmp_path / name)
+            for d in order:
+
+                def keep(b, _d=d):
+                    import numpy as np
+                    import pyarrow as pa
+
+                    mask = (b.column("vec_id").to_numpy() % 3) == _d
+                    return b.filter(pa.array(mask))
+
+                ingest_pca_delta(
+                    vecs.map_batches(keep, batch_format="pyarrow"),
+                    sd,
+                    delta_id=f"d{d}",
+                )
+            assert self._rows(final_pca_components(sd, k=2)) == batch, name
+
+    def test_reingesting_same_delta_is_noop(self, tmp_path):
+        import ray
+
+        from ner_pytorch_ray.pipelines.incremental import (
+            final_pca_components,
+            ingest_pca_delta,
+        )
+
+        vecs = ray.data.read_parquet(
+            f"{self.SF}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ).materialize()
+        sd = str(tmp_path / "s")
+        v1 = ingest_pca_delta(vecs, sd, delta_id="all")
+        before = self._rows(final_pca_components(sd, k=2))
+        v2 = ingest_pca_delta(vecs, sd, delta_id="all")
+        assert v2 == v1  # exactly-once: same delta id + fingerprint
+        assert self._rows(final_pca_components(sd, k=2)) == before

@@ -1484,8 +1484,9 @@ if __name__ == "__main__":
 def pca_expected(sf_dir: str, k: int = 2) -> pa.Table:
     """Sequential PCA recompute: one plain row-at-a-time pass over the
     vec_id-sorted embedding table with the engine's published
-    quantization spec (per-dim sums in int64 billionths; per-row centered
-    outer products in int64 millionths), then numpy eigh + the same
+    quantization spec (per-dim sums in int64 billionths; per-row UNCENTERED
+    outer products in int64 millionths; C = M/1e6/n - mu mu^T), then
+    numpy eigh + the same
     sign/rounding rules. No ray.data, no engine imports."""
     t = pq.read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
@@ -1496,14 +1497,12 @@ def pca_expected(sf_dir: str, k: int = 2) -> pa.Table:
     ]
     n, d = len(rows), len(rows[0])
     s = np.zeros(d, dtype=np.int64)
+    m = np.zeros((d, d), dtype=np.int64)
     for r in rows:
         s += np.rint(r * 1_000_000_000).astype(np.int64)
+        m += np.rint(np.outer(r, r) * 1_000_000).astype(np.int64)
     mu = s.astype(np.float64) / 1_000_000_000 / n
-    c = np.zeros((d, d), dtype=np.int64)
-    for r in rows:
-        y = r - mu
-        c += np.rint(np.outer(y, y) * 1_000_000).astype(np.int64)
-    cov = c.astype(np.float64) / 1_000_000 / n
+    cov = m.astype(np.float64) / 1_000_000 / n - np.outer(mu, mu)
     w, v = np.linalg.eigh(cov)
     order = np.argsort(w)[::-1][:k]
     comps, dims, vals, eigs = [], [], [], []
