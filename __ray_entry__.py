@@ -932,6 +932,12 @@ def _q_pivot_events(sf_dir: str):
     return pivot_events(sf_dir)
 
 
+def _q_kg_subj_lookup(sf_dir: str):
+    from ner_pytorch_ray.sources.bucketed import kg_subj_lookup
+
+    return kg_subj_lookup(sf_dir, subjects=("loc:stream", "org:spark"))
+
+
 def _q_pca_incremental(sf_dir: str):
     from ner_pytorch_ray.pipelines.incremental import (
         pca_incremental_from_embeddings,
@@ -1135,6 +1141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_checksum": _q_table_checksum,
         "profile_orders": _q_profile_orders,
         "pca_incremental": _q_pca_incremental,
+        "kg_subj_lookup": _q_kg_subj_lookup,
         # round-2/3 families the r3 verdict asked to see driver-green
         # (asof/sessions/range-join + the ANN baselines):
         "asof_attribution": _q_asof_attribution,
@@ -3153,6 +3160,26 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
        ) & 9223372036854775807 AS BIGINT)) AS xor_hash
 FROM orders
 """
+
+    # KG store point lookup (sources/bucketed.py kg_subj_lookup): the
+    # edge table lands in a subject-bucketed store; per-entity
+    # neighborhoods read only their buckets — equals the filtered edges
+    out["kg_subj_lookup"] = (
+        _KG_MENTIONS_CTE
+        + """
+, pairs AS (
+  SELECT DISTINCT m1.doc_id, m1.sent, m1.ent AS a, m2.ent AS b
+  FROM men m1
+  JOIN men m2 ON m1.doc_id = m2.doc_id AND m1.sent = m2.sent
+  WHERE m1.ent < m2.ent
+)
+SELECT a AS subj, 'co_occurs_with' AS pred, b AS obj, COUNT(*) AS weight
+FROM pairs
+WHERE a IN ('loc:stream', 'org:spark')
+GROUP BY 1, 2, 3
+ORDER BY subj, pred, obj
+"""
+    )
 
     # incremental PCA (incremental.py ingest_pca_delta): the uncentered
     # integer moments are plain sums, so 3 interleaved deltas finalize to

@@ -64,8 +64,23 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
     return z ^ (z >> np.uint64(31))
 
 
+def _md5_u63(s: str) -> int:
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.md5(s.encode()).digest()[:8], "little"
+    ) & 0x7FFFFFFFFFFFFFFF
+
+
 def bucket_ids(keys: pa.ChunkedArray | pa.Array, n_buckets: int) -> np.ndarray:
-    """Bucket id per row for an int64-castable key column."""
+    """Bucket id per row. Int keys hash through splitmix64 (vectorized);
+    string keys through md5 (the repo's string-hash convention — per-row
+    hashlib, the doc_fingerprint precedent; runs once at write time)."""
+    if pa.types.is_string(keys.type) or pa.types.is_large_string(keys.type):
+        vals = np.array(
+            [_md5_u63(v) for v in keys.to_pylist()], dtype=np.uint64
+        )
+        return (vals % np.uint64(n_buckets)).astype(np.int64)
     arr = pc.cast(keys, pa.int64())
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
@@ -73,6 +88,15 @@ def bucket_ids(keys: pa.ChunkedArray | pa.Array, n_buckets: int) -> np.ndarray:
     return (splitmix64(vals.view(np.uint64)) % np.uint64(n_buckets)).astype(
         np.int64
     )
+
+
+def key_bucket(key, n_buckets: int) -> int:
+    """The bucket a single key value lands in — the point-lookup side of
+    :func:`bucket_ids` (read ONE bucket instead of scanning the layout)."""
+    if isinstance(key, str):
+        return int(_md5_u63(key) % n_buckets)
+    v = np.array([key], dtype=np.int64)
+    return int(splitmix64(v.view(np.uint64))[0] % np.uint64(n_buckets))
 
 
 class BucketedParquetDatasink(Datasink):
@@ -620,6 +644,61 @@ def bucketed_join_orders(sf_dir: str, n_buckets: int = 16) -> pa.Table:
             )
             .sort(["c_custkey", "o_orderkey"])
             .materialize()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def bucketed_lookup(
+    path: str, keys: list, columns: list[str] | None = None
+) -> pa.Table:
+    """Point lookups against a bucketed layout: each requested key reads
+    ONLY its own bucket's parts (computed driver-side from the manifest's
+    hash spec), then an exact vectorized filter — the serving-side payoff
+    of the layout: O(|keys| x bucket) I/O, never a layout scan."""
+    manifest = load_manifest(path)
+    n = manifest["n_buckets"]
+    key_col = manifest["key"]
+    by_bucket: dict[int, list] = {}
+    for k in keys:
+        by_bucket.setdefault(key_bucket(k, n), []).append(k)
+    outs = []
+    for b, ks in sorted(by_bucket.items()):
+        t = _bucket_table(path, manifest, b)
+        t = t.filter(pc.is_in(t.column(key_col), value_set=pa.array(ks)))
+        outs.append(t.select(columns) if columns else t)
+    if not outs:
+        schema = pa.ipc.read_schema(
+            pa.BufferReader(bytes.fromhex(manifest["schema"]))
+        )
+        t = schema.empty_table()
+        return t.select(columns) if columns else t
+    return pa.concat_tables(outs, promote_options="default")
+
+
+def kg_subj_lookup(
+    sf_dir: str, subjects: tuple = ("loc:stream", "org:spark")
+) -> pa.Table:
+    """Registered-query entry point: materialize the constructed KG's
+    edge table as a bucketed STORE keyed by subject (string-key
+    bucketing), then answer per-entity neighborhood lookups by reading
+    only the subjects' buckets — the serving shape of the north-star's
+    'graph materializes as deduplicated, sorted tables'."""
+    import shutil
+    import tempfile
+
+    from ner_pytorch_ray.pipelines.kg import kg_from_documents
+
+    tmp = tempfile.mkdtemp(prefix="kg_store_")
+    try:
+        edges, _nodes = kg_from_documents(sf_dir)
+        bucketed_write(edges, "subj", 8, f"{tmp}/edges")
+        t = bucketed_lookup(
+            f"{tmp}/edges", list(subjects),
+            columns=["subj", "pred", "obj", "weight"],
+        )
+        return (
+            ray.data.from_arrow(t).sort(["subj", "pred", "obj"]).materialize()
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -236,6 +236,36 @@ class TestUpsert:
         assert len(rows) == 1 and rows[0]["payload"] == "b"
 
 
+class TestLookup:
+    def test_string_keys_and_point_lookup(self, tmp_path):
+        from ner_pytorch_ray.sources.bucketed import (
+            bucketed_lookup,
+            key_bucket,
+        )
+
+        t = pa.table(
+            {
+                "name": pa.array([f"ent:{i}" for i in range(300)]),
+                "w": pa.array(np.arange(300, dtype=np.int64)),
+            }
+        )
+        path = str(tmp_path / "l")
+        bucketed_write(ray.data.from_arrow(t).repartition(5), "name", 8, path)
+        got = bucketed_lookup(path, ["ent:7", "ent:200", "ent:absent"])
+        rows = sorted(
+            zip(got.column("name").to_pylist(), got.column("w").to_pylist())
+        )
+        assert rows == [("ent:200", 200), ("ent:7", 7)]
+        # key_bucket agrees with the write-side assignment
+        man = load_manifest(path)
+        for p in man["parts"]:
+            part = pq.read_table(
+                str(tmp_path / "l" / f"bucket={p['bucket']}" / p["file"])
+            )
+            for name in part.column("name").to_pylist():
+                assert key_bucket(name, 8) == p["bucket"]
+
+
 class TestZoneMaps:
     def _layout(self, tmp_path, shuffled=False):
         n = 4000
