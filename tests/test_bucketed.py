@@ -385,3 +385,36 @@ class TestJoin:
         assert sorted(r["k"] for r in rows) == [0, 1]
         # shared non-key column name arrives suffixed, values preserved
         assert all(r["v"] == r["v_r"] == f"row{r['k']}" for r in rows)
+
+
+class TestStoreCli:
+    def test_write_lookup_range_upsert_via_cli(self, tmp_path):
+        from ner_pytorch_ray.store_cli import main
+
+        src = tmp_path / "src.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array(np.arange(100, dtype=np.int64)),
+                    "ver": pa.array(np.arange(100, dtype=np.int64)),
+                }
+            ),
+            src,
+        )
+        assert main([
+            "write", "--input", str(src), "--key", "k",
+            "--buckets", "4", "--out", str(tmp_path / "l"),
+            "--stats", "ver",
+        ]) == 0
+        assert main([
+            "lookup", "--path", str(tmp_path / "l"), "--keys", "7,42",
+        ]) == 0
+        assert main([
+            "range", "--path", str(tmp_path / "l"), "--col", "ver",
+            "--lo", "10", "--hi", "20",
+        ]) == 0
+        assert main([
+            "upsert", "--delta", str(tmp_path / "l"),
+            "--out", str(tmp_path / "v1"), "--order", "ver",
+        ]) == 0
+        assert load_manifest(str(tmp_path / "v1"))["n_rows"] == 100
