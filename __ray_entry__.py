@@ -932,6 +932,12 @@ def _q_pivot_events(sf_dir: str):
     return pivot_events(sf_dir)
 
 
+def _q_ivfpq_topk(sf_dir: str):
+    from ner_pytorch_ray.pipelines.similarity import ivfpq_topk
+
+    return ivfpq_topk(sf_dir, n_queries=10, k=5)
+
+
 def _q_kg_subj_lookup(sf_dir: str):
     from ner_pytorch_ray.sources.bucketed import kg_subj_lookup
 
@@ -1142,6 +1148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_orders": _q_profile_orders,
         "pca_incremental": _q_pca_incremental,
         "kg_subj_lookup": _q_kg_subj_lookup,
+        "ivfpq_topk": _q_ivfpq_topk,
         # round-2/3 families the r3 verdict asked to see driver-green
         # (asof/sessions/range-join + the ANN baselines):
         "asof_attribution": _q_asof_attribution,
@@ -1332,6 +1339,9 @@ def _expected_oracles() -> dict[str, str]:
         # distributed PCA: frozen by the row-at-a-time sequential
         # covariance recompute + eigh (make_expected.pca_expected)
         "pca_components",
+        # IVF-PQ composite ANN: frozen by the sequential fixed-order ADC
+        # recompute over probed lists (make_expected.ivfpq_topk_expected)
+        "ivfpq_topk",
     ]
     return {
         n: f"SELECT * FROM read_parquet('{_EXPECTED}/{n}.parquet')"

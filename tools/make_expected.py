@@ -1526,3 +1526,65 @@ def pca_expected(sf_dir: str, k: int = 2) -> pa.Table:
             "eigval_tm": pa.array(eigs, type=pa.int64()),
         }
     )
+
+
+def ivfpq_topk_expected(
+    sf_dir: str,
+    n_queries=10,
+    k=5,
+    n_centroids=16,
+    n_probe=4,
+    n_subq=4,
+    n_codes=16,
+    sample=4096,
+) -> pa.Table:
+    """Sequential recompute of the IVF-PQ contract: same seeded fits,
+    full-corpus coarse assignment + residual codes, and per query the
+    fixed-order ADC score (coarse term first, then subspace terms in
+    ascending s) over the probed lists only."""
+    from ner_pytorch_ray.pipelines.similarity import (
+        _fit_centroids,
+        _fit_pq_codebooks,
+        pq_encode,
+    )
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(t.column("vec_id").to_numpy())
+    M = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    ids, M = ids[order], M[order]
+    C = _fit_centroids(M[:sample], n_centroids)
+    assign_s = np.argmax(M[:sample] @ C.T, axis=1)
+    books = _fit_pq_codebooks(M[:sample] - C[assign_s], n_subq, n_codes)
+    assign = np.argmax(M @ C.T, axis=1)
+    codes = pq_encode(M - C[assign], books)
+    n_sq, n_c, d = books.shape
+    rows = []
+    for qpos in np.nonzero(ids < n_queries)[0]:
+        q = M[qpos]
+        lut = np.einsum("sd,scd->sc", q.reshape(n_sq, d), books)
+        lut_c = q @ C.T
+        probe = set(
+            np.argsort(-(q @ C.T), kind="stable")[:n_probe].tolist()
+        )
+        cand = np.nonzero(
+            np.isin(assign, list(probe)) & (ids != ids[qpos])
+        )[0]
+        if not len(cand):
+            continue
+        s = lut_c[assign[cand]].copy()
+        for sub in range(n_sq):
+            s += lut[sub, codes[cand, sub]]
+        sel = np.lexsort((ids[cand], -s))[:k]
+        for r, i in enumerate(sel, start=1):
+            rows.append((int(ids[qpos]), int(ids[cand][i]), r))
+    return pa.Table.from_pydict(
+        {
+            "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "neighbor_id": pa.array([r[1] for r in rows], type=pa.int64()),
+            "rank": pa.array([r[2] for r in rows], type=pa.int64()),
+        }
+    )
