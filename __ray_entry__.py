@@ -1154,9 +1154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_attribution": _q_asof_attribution,
         "user_sessions": _q_user_sessions,
         "range_join_events": _q_range_join_events,
-        "knn_topk": _q_knn_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
-        "term_postings": _q_term_postings,
         "search_conjunctive": _q_search_conjunctive,
         "nation_balance_rank": _q_nation_balance_rank,
         "customer_running_revenue": _q_customer_running_revenue,
@@ -1179,8 +1177,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window_incremental": _q_tumbling_window_incremental,
         "sliding_window": _q_sliding_window,
         "sliding_window_incremental": _q_sliding_window_incremental,
-        # simpler single-scan relational ops (locally exact-verified,
-        # outside the 50-slot driver window):
+        # same-family duplicates + simpler single-scan ops (locally
+        # exact-verified, outside the 50-slot driver window):
+        "knn_topk": _q_knn_topk,
+        "term_postings": _q_term_postings,
         "value_histogram": _q_value_histogram,
         "order_star_flat": _q_order_star_flat,
         "unpivot_events": _q_unpivot_events,
