@@ -988,6 +988,12 @@ def _q_pca_components(sf_dir: str):
     return pca_components(sf_dir, k=2)
 
 
+def _q_equidepth_histogram(sf_dir: str):
+    from ner_pytorch_ray.pipelines.analysis import equidepth_histogram
+
+    return equidepth_histogram(sf_dir, n_bins=8)
+
+
 def _q_value_histogram(sf_dir: str):
     from ner_pytorch_ray.pipelines.analysis import value_histogram
 
@@ -1149,6 +1155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_incremental": _q_pca_incremental,
         "kg_subj_lookup": _q_kg_subj_lookup,
         "ivfpq_topk": _q_ivfpq_topk,
+        "equidepth_histogram": _q_equidepth_histogram,
         # round-2/3 families the r3 verdict asked to see driver-green
         # (asof/sessions/range-join + the ANN baselines):
         "asof_attribution": _q_asof_attribution,
@@ -3219,6 +3226,26 @@ ORDER BY subj, pred, obj
 FROM orders"""
         for c, e in sorted(_prof_canon.items())
     ) + '\nORDER BY "column"'
+
+    # equi-DEPTH histogram (analysis.py equidepth_histogram): bin of a
+    # row = (0-based rank * B) // n over the (cents, event_id) order —
+    # identical integer arithmetic on both sides
+    out["equidepth_histogram"] = """
+WITH c AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents, event_id
+  FROM events
+),
+r AS (
+  SELECT cents,
+         (row_number() OVER (ORDER BY cents, event_id) - 1) AS rk,
+         COUNT(*) OVER () AS n
+  FROM c
+)
+SELECT (rk * 8) // n AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(cents) AS lo_cents, MAX(cents) AS hi_cents
+FROM r GROUP BY 1 ORDER BY bin
+"""
 
     # exact per-group median (relational.py grouped_median_value): lower
     # median selected by distributed window rank — no per-group collect

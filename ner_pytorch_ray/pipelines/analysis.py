@@ -666,3 +666,91 @@ def profile_table(sf_dir: str, table: str = "orders") -> ray.data.Dataset:
         )
 
     return final.map_batches(finish, batch_format="pyarrow").sort("column")
+
+
+def equidepth_histogram(sf_dir: str, n_bins: int = 8) -> ray.data.Dataset:
+    """Equi-DEPTH histogram of the event value — the complement of
+    :func:`value_histogram`: bins hold (near-)equal ROW counts instead of
+    equal value ranges, which is what selectivity estimators want on
+    skewed columns.
+
+    Exact integer spec shared with the SQL oracle: rows sort globally by
+    (cents, event_id), each row's bin is ``(global_rank * n_bins) // n``
+    (rank 0-based), then one grouped aggregate per bin emits count and
+    the bin's min/max cents. The distributed rank comes from
+    ``add_global_index`` (per-block offset prefix over metadata — no
+    driver materialization), so the only full exchange is the sort."""
+    from ner_pytorch_ray.pipelines.relational import _cents
+    from ner_pytorch_ray.stages.groupby_utils import (
+        add_global_index,
+        grouped_sum,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cents": _cents(batch.column("value")),
+                "event_id": batch.column("event_id"),
+            }
+        )
+
+    ordered = add_global_index(
+        ds.map_batches(prep, batch_format="pyarrow").sort(
+            ["cents", "event_id"]
+        ),
+        col="r",
+    )
+    n = ordered.count()
+
+    def binned(batch: pa.Table) -> pa.Table:
+        r = batch.column("r").to_numpy(zero_copy_only=False)
+        c = batch.column("cents").to_numpy(zero_copy_only=False)
+        b = (r * n_bins) // n
+        t = pa.table(
+            {
+                "bin": pa.array(b.astype(np.int64)),
+                "n_events": pa.array(np.ones(len(b), np.int64)),
+                "lo_cents": pa.array(c),
+                "hi_cents": pa.array(c),
+            }
+        )
+        g = t.group_by(["bin"]).aggregate(
+            [("n_events", "sum"), ("lo_cents", "min"), ("hi_cents", "max")]
+        )
+        return g.rename_columns(["bin", "n_events", "lo_cents", "hi_cents"])
+
+    merged = grouped_sum(
+        ordered.map_batches(binned, batch_format="pyarrow"),
+        ["bin"],
+        sum_cols=["n_events"],
+        min_cols=["lo_cents"],
+    )
+    # max needs its own tiny pass over the per-block partials
+    from ray.data.aggregate import Max
+
+    mx = {
+        r["bin"]: r["max(hi_cents)"]
+        for r in ordered.map_batches(binned, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Max("hi_cents"))
+        .take_all()
+    }
+
+    def attach(batch: pa.Table) -> pa.Table:
+        bins = batch.column("bin").to_pylist()
+        return pa.table(
+            {
+                "bin": batch.column("bin"),
+                "n_events": batch.column("n_events"),
+                "lo_cents": batch.column("lo_cents"),
+                "hi_cents": pa.array(
+                    [mx[b] for b in bins], pa.int64()
+                ),
+            }
+        )
+
+    return merged.map_batches(attach, batch_format="pyarrow").sort("bin")

@@ -553,3 +553,32 @@ class TestProfileTable:
         }
         assert got["a"] == (3, 1, "1", "5")
         assert got["b"] == (2, 2, "x", "y")
+
+
+class TestEquidepthHistogram:
+    def test_matches_numpy_rank_binning(self):
+        from ner_pytorch_ray.pipelines.analysis import equidepth_histogram
+
+        got = equidepth_histogram(SF, n_bins=8).to_pandas()
+        ev = pq.read_table(
+            f"{SF}/events.parquet", columns=["event_id", "value"]
+        ).to_pandas()
+        ev["cents"] = (
+            np.sign(ev.value) * np.floor(np.abs(ev.value) * 100 + 0.5)
+        ).astype(np.int64)
+        ev = ev.sort_values(["cents", "event_id"]).reset_index(drop=True)
+        n = len(ev)
+        ev["bin"] = (np.arange(n) * 8) // n
+        exp = (
+            ev.groupby("bin")
+            .agg(
+                n_events=("cents", "size"),
+                lo_cents=("cents", "min"),
+                hi_cents=("cents", "max"),
+            )
+            .reset_index()
+        )
+        cols = ["bin", "n_events", "lo_cents", "hi_cents"]
+        assert got[cols].values.tolist() == exp[cols].values.tolist()
+        # depth balance: bins differ by at most 1 row
+        assert got.n_events.max() - got.n_events.min() <= 1
