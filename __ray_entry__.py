@@ -988,6 +988,12 @@ def _q_pca_components(sf_dir: str):
     return pca_components(sf_dir, k=2)
 
 
+def _q_substring_search(sf_dir: str):
+    from ner_pytorch_ray.pipelines.search import substring_search_indexed
+
+    return substring_search_indexed(sf_dir, pattern="hash join")
+
+
 def _q_equidepth_histogram(sf_dir: str):
     from ner_pytorch_ray.pipelines.analysis import equidepth_histogram
 
@@ -1156,6 +1162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_subj_lookup": _q_kg_subj_lookup,
         "ivfpq_topk": _q_ivfpq_topk,
         "equidepth_histogram": _q_equidepth_histogram,
+        "substring_search": _q_substring_search,
         # round-2/3 families the r3 verdict asked to see driver-green
         # (asof/sessions/range-join + the ANN baselines):
         "asof_attribution": _q_asof_attribution,
@@ -3226,6 +3233,18 @@ ORDER BY subj, pred, obj
 FROM orders"""
         for c, e in sorted(_prof_canon.items())
     ) + '\nORDER BY "column"'
+
+    # trigram-indexed exact substring search (search.py
+    # substring_search_indexed): postings conjunction proposes, contains
+    # verifies — equals the full-scan contains, which is the oracle
+    out["substring_search"] = """
+SELECT doc_id,
+       CAST((length(text) - length(replace(text, 'hash join', '')))
+            // length('hash join') AS BIGINT) AS n_hits
+FROM documents
+WHERE contains(text, 'hash join')
+ORDER BY doc_id
+"""
 
     # equi-DEPTH histogram (analysis.py equidepth_histogram): bin of a
     # row = (0-based rank * B) // n over the (cents, event_id) order —

@@ -91,3 +91,40 @@ class TestConjunctiveSearch:
 
         with pytest.raises(ValueError):
             conjunctive_search(SF, [])
+
+
+class TestSubstringSearchIndexed:
+    def test_matches_full_scan_and_index_reuse(self, tmp_path):
+        from ner_pytorch_ray.pipelines.search import (
+            build_trigram_index,
+            substring_search_indexed,
+        )
+
+        t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        texts = dict(
+            zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+        )
+
+        def exact(pat):
+            return sorted(
+                (d, txt.count(pat)) for d, txt in texts.items() if pat in txt
+            )
+
+        # one persisted index serves multiple patterns
+        build_trigram_index(SF, str(tmp_path / "idx"))
+        for pat in ("hash join", "spark", "zz-absent-zz"):
+            got = sorted(
+                (r["doc_id"], r["n_hits"])
+                for r in substring_search_indexed(
+                    SF, pat, index_path=str(tmp_path / "idx")
+                ).take_all()
+            )
+            assert got == exact(pat), pat
+
+    def test_short_pattern_rejected(self):
+        import pytest
+
+        from ner_pytorch_ray.pipelines.search import substring_search_indexed
+
+        with pytest.raises(ValueError, match="len\\(pattern\\)"):
+            substring_search_indexed(SF, "ab")
