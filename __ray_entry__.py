@@ -988,6 +988,12 @@ def _q_pca_components(sf_dir: str):
     return pca_components(sf_dir, k=2)
 
 
+def _q_pca_project(sf_dir: str):
+    from ner_pytorch_ray.pipelines.similarity import pca_project
+
+    return pca_project(sf_dir, k=2)
+
+
 def _q_substring_search(sf_dir: str):
     from ner_pytorch_ray.pipelines.search import substring_search_indexed
 
@@ -1163,6 +1169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivfpq_topk": _q_ivfpq_topk,
         "equidepth_histogram": _q_equidepth_histogram,
         "substring_search": _q_substring_search,
+        "pca_project": _q_pca_project,
         # round-2/3 families the r3 verdict asked to see driver-green
         # (asof/sessions/range-join + the ANN baselines):
         "asof_attribution": _q_asof_attribution,
@@ -1357,6 +1364,9 @@ def _expected_oracles() -> dict[str, str]:
         # IVF-PQ composite ANN: frozen by the sequential fixed-order ADC
         # recompute over probed lists (make_expected.ivfpq_topk_expected)
         "ivfpq_topk",
+        # integer PCA projection: frozen by the row-at-a-time integer dot
+        # recompute (make_expected.pca_project_expected)
+        "pca_project",
     ]
     return {
         n: f"SELECT * FROM read_parquet('{_EXPECTED}/{n}.parquet')"

@@ -957,3 +957,37 @@ def ivfpq_topk(
         )
 
     return local.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def pca_project(sf_dir: str, k: int = 2) -> ray.data.Dataset:
+    """Project every embedding row onto the top-k principal components —
+    the dimensionality-reduction output PCA exists for (64 floats -> k
+    coordinates per row ahead of ANN / clustering / dedup).
+
+    Exact-integer contract: rows quantize to int64 billionths and the
+    component vectors to int64 tenth-millis (their reported precision),
+    so each projection is an INTEGER dot product — identical under any
+    batching, GEMM shape, or host BLAS, and the frozen sequential oracle
+    reproduces it exactly. Output: (vec_id, p0_i, ..., p{k-1}_i) with
+    p_i in 1e-13 units (1e-9 x 1e-4)."""
+    comp = pca_components(sf_dir, k=k).take_all()
+    V = np.zeros((max(r["dim_idx"] for r in comp) + 1, k), dtype=np.int64)
+    for r in comp:
+        V[r["dim_idx"], r["component"]] = r["value_tm"]
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        M = np.stack(
+            batch.column("embedding").to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+        X = np.rint(M * _PCA_SUM_SCALE).astype(np.int64)
+        P = X @ V  # integer matmul — exact, order-free
+        cols = {"vec_id": batch.column("vec_id")}
+        for j in range(k):
+            cols[f"p{j}_i"] = pa.array(P[:, j])
+        return pa.table(cols)
+
+    return ds.map_batches(project, batch_format="pyarrow").sort("vec_id")

@@ -439,3 +439,21 @@ class TestIvfPq:
             for r in ivfpq_topk(self.SF, n_queries=5, k=5).take_all()
         }
         assert got == again
+
+
+class TestPcaProject:
+    def test_projection_variance_order_and_partition_invariance(self):
+        import pyarrow.parquet as pq
+
+        from ner_pytorch_ray.pipelines.similarity import pca_project
+
+        sf = "/root/testdata/sf0.001"
+        got = pca_project(sf, k=2).to_pandas()
+        assert len(got) == pq.read_metadata(
+            f"{sf}/embeddings.parquet"
+        ).num_rows
+        # component 0 captures more variance than component 1
+        assert got.p0_i.astype(float).var() > got.p1_i.astype(float).var()
+        # deterministic under re-execution
+        again = pca_project(sf, k=2).to_pandas()
+        assert got.values.tolist() == again.values.tolist()

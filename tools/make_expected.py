@@ -1588,3 +1588,33 @@ def ivfpq_topk_expected(
             "rank": pa.array([r[2] for r in rows], type=pa.int64()),
         }
     )
+
+
+def pca_project_expected(sf_dir: str, k: int = 2) -> pa.Table:
+    """Sequential recompute of the integer PCA projection: the same
+    component table as pca_expected, row-at-a-time integer dot
+    products."""
+    comp = pca_expected(sf_dir, k=k)
+    d = max(comp.column("dim_idx").to_pylist()) + 1
+    V = np.zeros((d, k), dtype=np.int64)
+    for c, j, v in zip(
+        comp.column("component").to_pylist(),
+        comp.column("dim_idx").to_pylist(),
+        comp.column("value_tm").to_pylist(),
+    ):
+        V[j, c] = v
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).sort_by("vec_id")
+    ids = t.column("vec_id").to_pylist()
+    cols = {f"p{j}_i": [] for j in range(k)}
+    for e in t.column("embedding").to_pylist():
+        x = np.rint(np.asarray(e, np.float64) * 1_000_000_000).astype(
+            np.int64
+        )
+        for j in range(k):
+            cols[f"p{j}_i"].append(int(x @ V[:, j]))
+    out = {"vec_id": pa.array(ids, pa.int64())}
+    for j in range(k):
+        out[f"p{j}_i"] = pa.array(cols[f"p{j}_i"], pa.int64())
+    return pa.Table.from_pydict(out)
