@@ -348,6 +348,12 @@ def run_extras(sf_dir: str) -> dict:
     timed(
         "grouped_median_value", lambda: grouped_median_value(sf_dir).count()
     )
+
+    from ner_pytorch_ray.pipelines.similarity import ivfpq_topk
+
+    timed(
+        "ivfpq_topk", lambda: ivfpq_topk(sf_dir, n_queries=10, k=5).count()
+    )
     return extras
 
 
