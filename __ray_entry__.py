@@ -994,6 +994,18 @@ def _q_pca_project(sf_dir: str):
     return pca_project(sf_dir, k=2)
 
 
+def _q_bpe_merges(sf_dir: str):
+    from ner_pytorch_ray.pipelines.bpe import bpe_train
+
+    return bpe_train(sf_dir, n_merges=20)
+
+
+def _q_bpe_piece_stats(sf_dir: str):
+    from ner_pytorch_ray.pipelines.bpe import bpe_piece_stats
+
+    return bpe_piece_stats(sf_dir, n_merges=20)
+
+
 def _q_substring_search(sf_dir: str):
     from ner_pytorch_ray.pipelines.search import substring_search_indexed
 
@@ -1162,8 +1174,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_latest_events": _q_cdc_latest_events,
         "kg_crawl_diff": _q_kg_crawl_diff,
         "pca_components": _q_pca_components,
-        "table_checksum": _q_table_checksum,
-        "profile_orders": _q_profile_orders,
+        # distributed BPE merge training (round-4, new): iterative
+        # pair-count shuffle + associative top-1 — the least SQL-shaped
+        # kernel in the registry, so it takes priority window slots over
+        # the single-scan table_checksum / profile_orders demos (their
+        # exact local oracles still run in tools/check_oracles.py)
+        "bpe_merges": _q_bpe_merges,
+        "bpe_piece_stats": _q_bpe_piece_stats,
         "pca_incremental": _q_pca_incremental,
         "kg_subj_lookup": _q_kg_subj_lookup,
         "ivfpq_topk": _q_ivfpq_topk,
@@ -1198,6 +1215,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # same-family duplicates + simpler single-scan ops (locally
         # exact-verified, outside the 50-slot driver window):
         "knn_topk": _q_knn_topk,
+        "table_checksum": _q_table_checksum,
+        "profile_orders": _q_profile_orders,
         "term_postings": _q_term_postings,
         "equidepth_histogram": _q_equidepth_histogram,
         "pca_project": _q_pca_project,
@@ -1367,6 +1386,10 @@ def _expected_oracles() -> dict[str, str]:
         # integer PCA projection: frozen by the row-at-a-time integer dot
         # recompute (make_expected.pca_project_expected)
         "pca_project",
+        # distributed BPE merge training: frozen by the sequential
+        # Counter-loop recompute (make_expected.bpe_expected)
+        "bpe_merges",
+        "bpe_piece_stats",
     ]
     return {
         n: f"SELECT * FROM read_parquet('{_EXPECTED}/{n}.parquet')"

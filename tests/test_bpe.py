@@ -1,0 +1,72 @@
+"""Distributed BPE merge training (pipelines/bpe.py) vs the sequential
+Counter-loop oracle, plus partitioning-invariance and the greedy-merge
+unit semantics."""
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.001"
+
+
+def _seq_expected(sf):
+    from tools.make_expected import bpe_expected
+
+    return bpe_expected(sf, n_merges=12)
+
+
+def test_merge_word_greedy_runs():
+    from ner_pytorch_ray.pipelines.bpe import _merge_word
+
+    # identical-symbol runs merge greedily left-to-right
+    assert _merge_word(["a"] * 5, "a", "a") == ["aa", "aa", "a"]
+    assert _merge_word(["a"] * 4, "a", "a") == ["aa", "aa"]
+    assert _merge_word(["b", "a", "a", "a"], "a", "a") == ["b", "aa", "a"]
+    # distinct pair
+    assert _merge_word(["x", "y", "x", "y"], "y", "x") == ["x", "yx", "y"]
+    # no occurrence
+    assert _merge_word(["x", "y"], "a", "b") == ["x", "y"]
+
+
+def test_bpe_train_matches_sequential(ray_session):
+    from ner_pytorch_ray.pipelines.bpe import bpe_train
+
+    got = bpe_train(SF, n_merges=12).to_pandas()
+    exp = _seq_expected(SF)[0].to_pandas()
+    assert got.reset_index(drop=True).equals(exp.reset_index(drop=True))
+
+
+def test_bpe_piece_stats_matches_sequential(ray_session):
+    from ner_pytorch_ray.pipelines.bpe import bpe_piece_stats
+
+    got = bpe_piece_stats(SF, n_merges=12).to_pandas()
+    exp = _seq_expected(SF)[1].to_pandas()
+    assert got.reset_index(drop=True).equals(exp.reset_index(drop=True))
+
+
+@pytest.mark.parametrize("blocks", [1, 7])
+def test_bpe_partitioning_invariance(ray_session, blocks):
+    """The merge list is bit-identical under any partitioning of the word
+    table (exact int counts + associative total-order top-1)."""
+    from ner_pytorch_ray.pipelines.bpe import symbolized_words, train_merges
+
+    state = symbolized_words(SF).repartition(blocks)
+    merges, _ = train_merges(state, n_merges=8, min_count=2)
+    exp = [
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in _seq_expected(SF)[0].to_pylist()[:8]
+    ]
+    assert merges == exp
+
+
+def test_bpe_word_filter_spec(ray_session):
+    """Words over 32 chars / empty / newline-embedded never enter the
+    vocabulary (both sides of the oracle apply the same cap)."""
+    from ner_pytorch_ray.pipelines.bpe import WORD_MAX_CHARS, word_counts
+
+    words = word_counts(SF).to_pandas()["word"]
+    assert (words.str.len() > 0).all()
+    assert (words.str.len() <= WORD_MAX_CHARS).all()
+    assert not words.str.contains("\n").any()

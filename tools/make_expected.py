@@ -1618,3 +1618,70 @@ def pca_project_expected(sf_dir: str, k: int = 2) -> pa.Table:
     for j in range(k):
         out[f"p{j}_i"] = pa.array(cols[f"p{j}_i"], pa.int64())
     return pa.Table.from_pydict(out)
+
+
+def bpe_expected(
+    sf_dir: str, n_merges: int = 20, min_count: int = 2
+) -> tuple[pa.Table, pa.Table]:
+    """Sequential BPE recompute (Sennrich et al. 2016 greedy merges) with
+    the engine's exact spec: whitespace words of 1..32 chars without
+    embedded newlines, symbols = chars + '</w>', best pair per round under
+    the total order (-count, left, right), classic greedy left-to-right
+    merge application. Plain Counter loops — no ray.data, no engine
+    imports. Returns (merge table, piece-stats table)."""
+    import collections
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    wc: collections.Counter = collections.Counter()
+    for txt in t.column("text").to_pylist():
+        for w in (txt.split(" ") if txt else []):
+            if 0 < len(w) <= 32 and "\n" not in w and "\r" not in w:
+                wc[w] += 1
+    syms = {w: list(w) + ["</w>"] for w in wc}
+    merges = []
+    for rank in range(n_merges):
+        pcnt: collections.Counter = collections.Counter()
+        for w, f in wc.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pcnt[(s[i], s[i + 1])] += f
+        if not pcnt:
+            break
+        (left, right), c = min(
+            pcnt.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if c < min_count:
+            break
+        merges.append((rank, left, right, c))
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    merge_t = pa.Table.from_pydict(
+        {
+            "rank": pa.array([m[0] for m in merges], pa.int64()),
+            "left": pa.array([m[1] for m in merges], pa.string()),
+            "right": pa.array([m[2] for m in merges], pa.string()),
+            "pair_count": pa.array([m[3] for m in merges], pa.int64()),
+        }
+    )
+    stats: dict[int, list[int]] = {}
+    for w, s in syms.items():
+        e = stats.setdefault(len(s), [0, 0])
+        e[0] += 1
+        e[1] += wc[w]
+    ks = sorted(stats)
+    stats_t = pa.Table.from_pydict(
+        {
+            "n_pieces": pa.array(ks, pa.int64()),
+            "n_words": pa.array([stats[k][0] for k in ks], pa.int64()),
+            "total_freq": pa.array([stats[k][1] for k in ks], pa.int64()),
+        }
+    )
+    return merge_t, stats_t
