@@ -994,6 +994,12 @@ def _q_pca_project(sf_dir: str):
     return pca_project(sf_dir, k=2)
 
 
+def _q_semdedup(sf_dir: str):
+    from ner_pytorch_ray.pipelines.semdedup import semdedup
+
+    return semdedup(sf_dir, n_centroids=8)
+
+
 def _q_bpe_merges(sf_dir: str):
     from ner_pytorch_ray.pipelines.bpe import bpe_train
 
@@ -1152,7 +1158,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_communities": _q_kg_communities,
         "kg_ppr": _q_kg_ppr,
         "kg_random_walks": _q_kg_random_walks,
-        "kg_skipgram_pairs": _q_kg_skipgram_pairs,
+        # (kg_skipgram_pairs moved past the window: its walk kernel is the
+        # driver-checked kg_random_walks; the skip-gram expansion is a
+        # single vectorized window pass with an exact local oracle)
+        "semdedup": _q_semdedup,
         "kg_ntriples_roundtrip": _q_kg_ntriples_roundtrip,
         "kg_validated_triples": _q_kg_validated_triples,
         "kg_sparsified_edges": _q_kg_sparsified_edges,
@@ -1215,6 +1224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # same-family duplicates + simpler single-scan ops (locally
         # exact-verified, outside the 50-slot driver window):
         "knn_topk": _q_knn_topk,
+        "kg_skipgram_pairs": _q_kg_skipgram_pairs,
         "table_checksum": _q_table_checksum,
         "profile_orders": _q_profile_orders,
         "term_postings": _q_term_postings,
@@ -1390,6 +1400,9 @@ def _expected_oracles() -> dict[str, str]:
         # Counter-loop recompute (make_expected.bpe_expected)
         "bpe_merges",
         "bpe_piece_stats",
+        # SemDeDup: frozen by the sequential row-at-a-time integer recompute
+        # (make_expected.semdedup_expected)
+        "semdedup",
     ]
     return {
         n: f"SELECT * FROM read_parquet('{_EXPECTED}/{n}.parquet')"

@@ -1685,3 +1685,87 @@ def bpe_expected(
         }
     )
     return merge_t, stats_t
+
+
+def semdedup_expected(
+    sf_dir: str,
+    n_centroids: int = 8,
+    tau_int: int = 450_000_000_000,
+    sample: int = 4096,
+) -> pa.Table:
+    """Sequential SemDeDup recompute: the engine's published spec
+    (spherical k-means on the vec_id<sample rows, seeded init; embeddings
+    quantized to int64 millionths; integer argmax assignment with
+    lowest-index ties; within-cluster union-find over integer-dot pairs
+    >= tau_int; keep = min (centroid-dot, vec_id) per component), with
+    row-at-a-time integer dot products. No ray.data, no engine imports —
+    only the fit reuses the same numpy calls (sum/argmax) the spec
+    defines."""
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).sort_by("vec_id")
+    ids = t.column("vec_id").to_pylist()
+    M = np.array(
+        [np.asarray(e, np.float64) for e in t.column("embedding").to_pylist()]
+    )
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    fit_rows = np.array([i for i, v in enumerate(ids) if v < sample])
+    Mf = M[fit_rows]
+    rng = np.random.RandomState(23)
+    idx = rng.choice(len(Mf), size=min(len(Mf), n_centroids), replace=False)
+    C = Mf[np.sort(idx)].copy()
+    for _ in range(5):
+        assign = np.argmax(Mf @ C.T, axis=1)
+        for c in range(len(C)):
+            members = Mf[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    C[c] = v / n
+    Ci = np.rint(C * 1_000_000).astype(np.int64)
+    X = np.rint(M * 1_000_000).astype(np.int64)
+
+    # row-at-a-time integer assignment, strict > keeps the lowest index
+    clusters, cdots = [], []
+    for x in X:
+        best_c, best_d = 0, None
+        for c in range(len(Ci)):
+            d = int(sum(int(a) * int(b) for a, b in zip(x, Ci[c])))
+            if best_d is None or d > best_d:
+                best_c, best_d = c, d
+        clusters.append(best_c)
+        cdots.append(best_d)
+
+    keep = [False] * len(ids)
+    for c in sorted(set(clusters)):
+        rows = [i for i in range(len(ids)) if clusters[i] == c]
+        parent = {i: i for i in rows}
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for ai in range(len(rows)):
+            for bi in range(ai + 1, len(rows)):
+                i, j = rows[ai], rows[bi]
+                d = int(sum(int(a) * int(b) for a, b in zip(X[i], X[j])))
+                if d >= tau_int:
+                    ra, rb = find(i), find(j)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        comps: dict[int, list[int]] = {}
+        for i in rows:
+            comps.setdefault(find(i), []).append(i)
+        for members in comps.values():
+            w = min(members, key=lambda i: (cdots[i], ids[i]))
+            keep[w] = True
+    return pa.Table.from_pydict(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "cluster": pa.array([int(c) for c in clusters], pa.int64()),
+            "keep": pa.array(keep, pa.bool_()),
+        }
+    )
