@@ -96,11 +96,18 @@ def _propagate_min(
 ) -> ray.data.Dataset:
     """One hash-min round: each node's label flows to its out-neighbors;
     every node keeps the min of its own label and all incoming ones.
+    The ``labels`` input may carry DUPLICATE node rows (e.g. one
+    self-label per out-edge at init) — the group-min collapses them, so
+    callers never need a canonicalizing exchange before the first round.
 
     The label->edges co-location uses the repo's keyed-collect union idiom
     (one row kind carries the label, the other the out-edges; a group is
     one node's state + fan-out), which measured faster than Dataset.join
-    for small-row exchanges (see windows.py as-of join notes)."""
+    for small-row exchanges (see windows.py as-of join notes). The
+    trailing grouped-min pipelines into the same execution as the collect
+    (a native Arrow groupby, measured ~free) — a deferred-merge variant
+    that skipped it traded that for a per-round fingerprint job and
+    measured slower."""
     from ner_pytorch_ray.stages.groupby_utils import (
         collect_tuples,
         flat_map_groups,
@@ -234,22 +241,21 @@ def components_over_edges(
             )
         )
 
-    def init_labels(batch: pa.Table) -> pa.Table:
+    def init_rows(batch: pa.Table) -> pa.Table:
         a = batch.column("a").cast(node_type)
         return pa.Table.from_pydict({"node": a, "label": a})
 
-    labels = grouped_sum(
-        adj.map_batches(init_labels, batch_format="pyarrow"),
-        keys=["node"],
-        sum_cols=[],
-        min_cols=["label"],
-    ).materialize()
+    # duplicate init labels (one self-label per out-edge) feed straight
+    # into round 1, whose group-min collapses them — no up-front
+    # canonicalizing exchange
+    labels = adj.map_batches(init_rows, batch_format="pyarrow")
 
-    prev = _labels_fingerprint(labels, node_type)
+    unset = object()
+    prev: object = unset
     for _ in range(max_iters):
         labels = _propagate_min(labels, adj, node_type).materialize()
         cur = _labels_fingerprint(labels, node_type)
-        if cur == prev:  # unchanged labels == fixpoint
+        if prev is not unset and cur == prev:  # unchanged == fixpoint
             break
         prev = cur
 
