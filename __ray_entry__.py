@@ -782,6 +782,12 @@ def _q_customer_running_revenue(sf_dir: str):
     return customer_running_revenue(sf_dir)
 
 
+def _q_event_lead_lag(sf_dir: str):
+    from ner_pytorch_ray.pipelines.relational import event_lead_lag
+
+    return event_lead_lag(sf_dir)
+
+
 def _q_orders_rollup(sf_dir: str):
     from ner_pytorch_ray.pipelines.relational import orders_rollup
 
@@ -1221,6 +1227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window_incremental": _q_tumbling_window_incremental,
         "sliding_window": _q_sliding_window,
         "sliding_window_incremental": _q_sliding_window_incremental,
+        "event_lead_lag": _q_event_lead_lag,
         # same-family duplicates + simpler single-scan ops (locally
         # exact-verified, outside the 50-slot driver window):
         "knn_topk": _q_knn_topk,
@@ -3342,6 +3349,17 @@ SELECT o_custkey, o_orderkey,
             PARTITION BY o_custkey
             ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS running_cents
 FROM orders
+"""
+
+    # distributed offset windows (event_lead_lag /
+    # groupby_utils.grouped_shift): per-user LAG/LEAD over event time
+    out["event_lead_lag"] = """
+SELECT event_id, user_id, ts,
+       LAG(ts)  OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_ts,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_ts
+FROM events
 """
 
     # inverted-index head (pipelines/search.py term_postings): per term,

@@ -748,3 +748,34 @@ def grouped_median_value(sf_dir: str) -> ray.data.Dataset:
     return ranked.map_batches(pick, batch_format="pyarrow").sort(
         "event_type"
     )
+
+
+def event_lead_lag(sf_dir: str) -> ray.data.Dataset:
+    """Per-user previous/next event timestamps — the offset windows
+    ``LAG(ts)`` / ``LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts,
+    event_id)`` run distributed via
+    :func:`~ner_pytorch_ray.stages.groupby_utils.grouped_shift` (global
+    sort + O(#blocks) boundary summaries + per-block vectorized shift;
+    no per-user collect, so a hot user with 10^9 events never lands in
+    one task)."""
+    from ner_pytorch_ray.stages.groupby_utils import grouped_shift
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    out = grouped_shift(
+        ds,
+        part_keys=["user_id"],
+        order_keys=["ts", "event_id"],
+        descending=[False, False],
+        value_cols=["ts"],
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.select(
+            ["event_id", "user_id", "ts", "ts_lag", "ts_lead"]
+        ).rename_columns(["event_id", "user_id", "ts", "prev_ts", "next_ts"])
+
+    return out.map_batches(rename, batch_format="pyarrow").sort(
+        ["user_id", "ts", "event_id"]
+    )

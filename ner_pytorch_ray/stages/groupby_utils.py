@@ -466,3 +466,114 @@ def grouped_running_sum(
 
     new_refs = [_cumsum.remote(r, c) for r, c in zip(refs, carries)]
     return ray.data.from_arrow_refs(new_refs)
+
+
+def grouped_shift(
+    ds: ray.data.Dataset,
+    part_keys: list[str],
+    order_keys: list[str],
+    descending: list[bool],
+    value_cols: list[str],
+    lag_suffix: str = "_lag",
+    lead_suffix: str = "_lead",
+) -> ray.data.Dataset:
+    """Distributed ``LAG(v, 1)`` / ``LEAD(v, 1) OVER (PARTITION BY
+    part_keys ORDER BY order_keys)`` — the offset-window sibling of
+    :func:`grouped_rank`, same three phases: global sort, O(#blocks)
+    boundary summaries (here each block's first/last partition key and
+    first/last values), then a per-block vectorized one-row shift whose
+    block-edge cells are patched from the NEAREST NON-EMPTY neighbor
+    block's summary. NULL outside the partition (the SQL default frame).
+
+    Appends ``<col><lag_suffix>`` and ``<col><lead_suffix>`` for each of
+    ``value_cols``, preserving the column's Arrow type (timestamps stay
+    timestamps). order_keys must end with a unique tiebreaker; part keys
+    must be non-null."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    import ray
+
+    m = ds.sort(
+        part_keys + order_keys,
+        descending=[False] * len(part_keys) + list(descending),
+    ).materialize()
+    refs = [
+        ref
+        for bundle in m.iter_internal_ref_bundles()
+        for ref, _meta in bundle.blocks
+    ]
+
+    @ray.remote
+    def _summary(block):
+        if not isinstance(block, pa.Table):
+            block = pa.Table.from_pandas(block)
+        n = block.num_rows
+        if n == 0:
+            return None
+        first = tuple(block.column(k)[0].as_py() for k in part_keys)
+        last = tuple(block.column(k)[n - 1].as_py() for k in part_keys)
+        fv = tuple(block.column(c)[0].as_py() for c in value_cols)
+        lv = tuple(block.column(c)[n - 1].as_py() for c in value_cols)
+        return (first, last, fv, lv)
+
+    infos = ray.get([_summary.remote(r) for r in refs])
+    # each block's lag source = nearest non-empty block BEFORE it; lead
+    # source = nearest non-empty block AFTER it
+    prevs: list = []
+    cur = None
+    for info in infos:
+        prevs.append(cur)
+        if info is not None:
+            cur = (info[1], info[3])
+    nexts: list = [None] * len(infos)
+    cur = None
+    for i in range(len(infos) - 1, -1, -1):
+        nexts[i] = cur
+        if infos[i] is not None:
+            cur = (infos[i][0], infos[i][2])
+
+    @ray.remote
+    def _shift(block, prev, nxt):
+        if not isinstance(block, pa.Table):
+            block = pa.Table.from_pandas(block)
+        n = block.num_rows
+        if n == 0:
+            return block
+        new_run = _run_boundaries(block, part_keys)
+        first = tuple(block.column(k)[0].as_py() for k in part_keys)
+        last = tuple(block.column(k)[n - 1].as_py() for k in part_keys)
+        lag_cont = prev is not None and prev[0] == first
+        lead_cont = nxt is not None and nxt[0] == last
+        lag_null = new_run.copy()
+        if lag_cont:
+            lag_null[0] = False
+        lead_null = np.concatenate((new_run[1:], [not lead_cont]))
+        out = block
+        for j, c in enumerate(value_cols):
+            col = block.column(c).combine_chunks()
+            arr = col.chunk(0) if isinstance(col, pa.ChunkedArray) else col
+            lag_head = pa.array(
+                [prev[1][j] if lag_cont else None], type=arr.type
+            )
+            lag_arr = pc.if_else(
+                pa.array(lag_null),
+                pa.nulls(n, arr.type),
+                pa.concat_arrays([lag_head, arr.slice(0, n - 1)]),
+            )
+            lead_tail = pa.array(
+                [nxt[1][j] if lead_cont else None], type=arr.type
+            )
+            lead_arr = pc.if_else(
+                pa.array(lead_null),
+                pa.nulls(n, arr.type),
+                pa.concat_arrays([arr.slice(1, n - 1), lead_tail]),
+            )
+            out = out.append_column(c + lag_suffix, lag_arr)
+            out = out.append_column(c + lead_suffix, lead_arr)
+        return out
+
+    new_refs = [
+        _shift.remote(r, p, x) for r, p, x in zip(refs, prevs, nexts)
+    ]
+    return ray.data.from_arrow_refs(new_refs)
