@@ -1066,6 +1066,12 @@ def _q_bloom_semijoin_orders(sf_dir: str):
     return bloom_semijoin_orders(sf_dir, segment="BUILDING")
 
 
+def _q_bloom_antijoin_customers(sf_dir: str):
+    from ner_pytorch_ray.pipelines.sketches import bloom_antijoin_customers
+
+    return bloom_antijoin_customers(sf_dir, priority="1-URGENT")
+
+
 def _q_part_er_incremental(sf_dir: str):
     from ner_pytorch_ray.pipelines.incremental import er_incremental_from_parts
 
@@ -1228,6 +1234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window": _q_sliding_window,
         "sliding_window_incremental": _q_sliding_window_incremental,
         "event_lead_lag": _q_event_lead_lag,
+        "bloom_antijoin_customers": _q_bloom_antijoin_customers,
         # same-family duplicates + simpler single-scan ops (locally
         # exact-verified, outside the 50-slot driver window):
         "knn_topk": _q_knn_topk,
@@ -3083,6 +3090,21 @@ WHERE o.o_custkey IN (
   SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
 )
 ORDER BY o.o_custkey, o.o_orderkey
+"""
+
+    # Bloom-filter ANTI-join (pipelines/sketches.py
+    # bloom_antijoin_customers): bloom misses pass with zero exchange (no
+    # false negatives), bloom hits get the exact co-group verify == a
+    # plain SQL NOT EXISTS
+    out["bloom_antijoin_customers"] = """
+SELECT c_custkey, c_nationkey,
+       CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+ORDER BY c_custkey
 """
 
     # zone-map data skipping (sources/bucketed.py zonemap_time_range):

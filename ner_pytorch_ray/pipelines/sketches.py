@@ -631,3 +631,137 @@ def table_checksum(sf_dir: str, table: str = "orders") -> ray.data.Dataset:
             }
         )
     )
+
+
+def bloom_antijoin_customers(
+    sf_dir: str,
+    priority: str = "1-URGENT",
+    m_bits: int = 1 << 20,
+    k: int = 7,
+) -> ray.data.Dataset:
+    """Customers with NO ``priority`` order — the ANTI-join dual of
+    :func:`bloom_semijoin_orders`, with the Bloom filter's one-sided
+    error pointing the other way:
+
+    1. **Bloom prune (no exchange on misses)** — build the filter over
+       the fact side's join keys (block-local distinct inside the
+       partial, so the build ships bitmaps, not keys), ``ray.put`` it
+       once. A probe row whose key MISSES the bloom is DEFINITELY
+       unmatched (no false negatives) and passes straight through with
+       zero exchange.
+    2. **Exact verify (exchange on HITS only)** — bloom hits are only
+       *maybe* matched; they co-group with the fact side's block-local
+       distinct keys, and groups holding no fact marker emit their probe
+       rows. False positives die here, so the result is exact while the
+       all-to-all carries only matched-or-fp probe rows plus
+       O(#blocks)-bounded fact markers per key.
+    """
+    import pyarrow.compute as pc
+
+    from ner_pytorch_ray.pipelines.relational import _cents
+    from ner_pytorch_ray.stages.groupby_utils import (
+        collect_tuples,
+        flat_map_groups,
+    )
+
+    fact_keys = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderpriority"],
+        )
+        .filter(expr=f"o_orderpriority == '{priority}'")
+        .select_columns(["o_custkey"])
+    )
+    bf = bloom_from_dataset(fact_keys, "o_custkey", m_bits, k)
+    bf_ref = ray.put(bf)
+
+    probe = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    )
+
+    class SplitOnBloom:
+        """(key, nation, cents, src=0) rows; ``hit`` marks maybe-matched."""
+
+        def __init__(self, ref):
+            self._bf = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+            mask = bloom_contains(self._bf, keys, m_bits, k)
+            return pa.table(
+                {
+                    "key": batch.column("c_custkey"),
+                    "c_nationkey": batch.column("c_nationkey"),
+                    "acctbal_cents": _cents(batch.column("c_acctbal")),
+                    "src": pa.array(np.zeros(len(batch), dtype=np.int64)),
+                    "hit": pa.array(mask),
+                }
+            )
+
+    tagged_probe = probe.map_batches(
+        SplitOnBloom,
+        fn_constructor_args=(bf_ref,),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    ).materialize()
+
+    misses = tagged_probe.map_batches(
+        lambda t: t.filter(pc.invert(t.column("hit"))).select(
+            ["key", "c_nationkey", "acctbal_cents"]
+        ),
+        batch_format="pyarrow",
+    )
+    hits = tagged_probe.map_batches(
+        lambda t: t.filter(t.column("hit")).drop_columns(["hit"]),
+        batch_format="pyarrow",
+    )
+
+    def fact_marker_rows(batch: pa.Table) -> pa.Table:
+        uniq = pc.unique(batch.column("o_custkey"))
+        n = len(uniq)
+        return pa.table(
+            {
+                "key": uniq,
+                "c_nationkey": pa.array(np.zeros(n, dtype=np.int64)),
+                "acctbal_cents": pa.array(np.zeros(n, dtype=np.int64)),
+                "src": pa.array(np.ones(n, dtype=np.int64)),
+            }
+        )
+
+    tagged = hits.union(
+        fact_keys.map_batches(fact_marker_rows, batch_format="pyarrow")
+    )
+    groups = collect_tuples(
+        tagged, ["key"], ["src", "c_nationkey", "acctbal_cents"]
+    )
+    schema = pa.schema(
+        [
+            ("key", pa.int64()),
+            ("c_nationkey", pa.int64()),
+            ("acctbal_cents", pa.int64()),
+        ]
+    )
+
+    def verify(key_tuple, items) -> pa.Table:
+        if items is None or any(src == 1 for (src, _, _) in items):
+            return schema.empty_table()
+        (key,) = key_tuple
+        return pa.table(
+            {
+                "key": pa.array(
+                    [key] * len(items), type=pa.int64()
+                ),
+                "c_nationkey": pa.array([n for (_, n, _) in items]),
+                "acctbal_cents": pa.array([c for (_, _, c) in items]),
+            }
+        )
+
+    survivors = flat_map_groups(groups, verify, ["key"])
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["c_custkey", "c_nationkey", "acctbal_cents"])
+
+    return misses.union(survivors).map_batches(
+        rename, batch_format="pyarrow"
+    ).sort("c_custkey")

@@ -381,6 +381,38 @@ class TestBloomSemijoin:
             exp[["o_custkey", "o_orderkey", "o_cents"]].values.tolist()
         )
 
+    def test_antijoin_exact_even_with_forced_false_positives(self):
+        from ner_pytorch_ray.pipelines.sketches import (
+            bloom_antijoin_customers,
+        )
+
+        # a saturated 64-bit filter marks ~every probe row "maybe
+        # matched": the zero-exchange miss path goes empty and the
+        # verify stage alone must reproduce the exact NOT EXISTS
+        got = bloom_antijoin_customers(
+            SF, priority="1-URGENT", m_bits=64, k=2
+        ).to_pandas()
+        cust = pq.read_table(
+            f"{SF}/customer.parquet",
+            columns=["c_custkey", "c_nationkey", "c_acctbal"],
+        ).to_pandas()
+        orders = pq.read_table(
+            f"{SF}/orders.parquet",
+            columns=["o_custkey", "o_orderpriority"],
+        ).to_pandas()
+        have = set(
+            orders[orders.o_orderpriority == "1-URGENT"].o_custkey
+        )
+        exp = cust[~cust.c_custkey.isin(have)].copy()
+        exp["acctbal_cents"] = (
+            np.sign(exp.c_acctbal)
+            * np.floor(np.abs(exp.c_acctbal) * 100 + 0.5)
+        ).astype(np.int64)
+        exp = exp.sort_values("c_custkey").reset_index(drop=True)
+        assert len(got) > 0
+        cols = ["c_custkey", "c_nationkey", "acctbal_cents"]
+        assert got[cols].values.tolist() == exp[cols].values.tolist()
+
 
 class TestBottomkQuantiles:
     def test_partition_invariant_and_rank_error(self):
