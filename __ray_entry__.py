@@ -1098,6 +1098,12 @@ def _q_search_conjunctive(sf_dir: str):
     return conjunctive_search(sf_dir, ["dup", "scan", "merge"], k=10)
 
 
+def _q_search_bm25(sf_dir: str):
+    from ner_pytorch_ray.pipelines.search import bm25_search
+
+    return bm25_search(sf_dir, ["dup", "scan", "merge"], k=10)
+
+
 def _q_kg_evidence(sf_dir: str):
     from ner_pytorch_ray.pipelines.kg_analytics import kg_evidence
 
@@ -1245,6 +1251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "equidepth_histogram": _q_equidepth_histogram,
         "pca_project": _q_pca_project,
         "search_conjunctive": _q_search_conjunctive,
+        "search_bm25": _q_search_bm25,
         "nation_balance_rank": _q_nation_balance_rank,
         "value_histogram": _q_value_histogram,
         "order_star_flat": _q_order_star_flat,
@@ -3425,6 +3432,39 @@ hits AS (
 SELECT doc_id, CAST(tf_total AS BIGINT) AS tf_total,
        CAST(score_i AS BIGINT) AS score_i
 FROM hits
+ORDER BY score_i DESC, doc_id
+LIMIT 10
+"""
+
+    # BM25 ranked retrieval (pipelines/search.py bm25_search): classic
+    # Robertson BM25 (k1=1.2, b=0.75) with every float replaced by an
+    # explicit fixed-point integer, so the SQL recompute is bit-identical
+    out["search_bm25"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+tot AS (SELECT SUM(dl) AS total_dl FROM dl),
+n AS (SELECT COUNT(*) AS n FROM documents),
+tf AS (
+  SELECT doc_id, w, COUNT(*) AS tf FROM tok
+  WHERE w IN ('dup', 'scan', 'merge') GROUP BY 1, 2
+),
+df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+scored AS (
+  SELECT tf.doc_id, tf.tf,
+    ((((1000000 * n.n) // df.df) * tf.tf * 2200) // 1000) * 1000000
+      // (tf.tf * 1000000 +
+          (1200 * (250000 + (750000 * dl.dl * n.n) // tot.total_dl))
+            // 1000)
+      AS contrib
+  FROM tf
+  JOIN df ON tf.w = df.w
+  JOIN dl ON tf.doc_id = dl.doc_id, n, tot
+)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS tf_total,
+       CAST(SUM(contrib) AS BIGINT) AS score_i
+FROM scored GROUP BY doc_id
 ORDER BY score_i DESC, doc_id
 LIMIT 10
 """

@@ -323,3 +323,129 @@ def substring_search_indexed(
     finally:
         if owns:
             shutil.rmtree(index_path, ignore_errors=True)
+
+
+# ------------------------------------------------------------- BM25
+BM25_K1_MILLI = 1200  # k1 = 1.2 in thousandths
+BM25_B_MICRO = 750_000  # b = 0.75 in millionths
+NORM_SCALE = 1_000_000
+
+
+def bm25_search(
+    sf_dir: str, terms: list[str], k: int = 10
+) -> ray.data.Dataset:
+    """Disjunctive (OR) BM25 retrieval with EXACT-INTEGER scoring — the
+    ranked-retrieval sibling of :func:`conjunctive_search` (Robertson &
+    Spärck Jones BM25, k1=1.2, b=0.75; public formula).
+
+    Every float in the classic formula is replaced by a fixed-point
+    integer with an explicit scale, so scores are bit-identical across
+    engines and partitionings (the repo-wide exactness contract):
+
+    - ``idf_i = (IDF_SCALE * N) // df`` (the tf-idf surrogate the other
+      text operators use; at N beyond ~1e12 shrink IDF_SCALE to keep the
+      product in int64),
+    - length norm ``norm_i = (1-b) + b * dl/avgdl`` in millionths:
+      ``250_000 + (750_000 * dl * N) // total_dl``,
+    - per-term contribution
+      ``(idf_i * tf * 2200 // 1000) * NORM_SCALE // (tf * NORM_SCALE +
+      1200 * norm_i // 1000)``.
+
+    One corpus scan emits candidate (doc, term, tf, dl) rows for the
+    query terms only; a |terms|-row df aggregate prices each term; the
+    shuffled payload is the candidate set, never the corpus. Returns
+    top-k (doc_id, tf_total, score_i) by (score desc, doc_id asc)."""
+    if not terms:
+        raise ValueError("bm25_search needs at least one query term")
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    n_docs = docs.count()
+
+    def len_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        return pa.table(
+            {
+                "dl": pa.array(
+                    [int(pc.sum(pc.list_value_length(toks)).as_py() or 0)],
+                    type=pa.int64(),
+                )
+            }
+        )
+
+    total_dl = int(
+        docs.map_batches(len_partial, batch_format="pyarrow").sum("dl")
+    )
+
+    def cand_rows(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        dl = pc.list_value_length(toks).cast(pa.int64())
+        tf_t = _doc_term_tf(batch, list(terms))
+        dl_by_doc = pa.table(
+            {"doc_id": batch.column("doc_id"), "dl": dl}
+        )
+        # docs are row-atomic per block: attach dl block-locally
+        dl_map = {
+            d: v
+            for d, v in zip(
+                dl_by_doc.column("doc_id").to_pylist(),
+                dl_by_doc.column("dl").to_pylist(),
+            )
+        }
+        return tf_t.append_column(
+            "dl",
+            pa.array(
+                [dl_map[d] for d in tf_t.column("doc_id").to_pylist()],
+                type=pa.int64(),
+            ),
+        )
+
+    cand = docs.map_batches(cand_rows, batch_format="pyarrow").materialize()
+    df_rows = grouped_sum(
+        cand.map_batches(
+            lambda t: pa.table(
+                {
+                    "w": t.column("w"),
+                    "df": pa.array([1] * len(t), type=pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["w"],
+        sum_cols=["df"],
+    ).take_all()
+    idf = {r["w"]: (IDF_SCALE * n_docs) // r["df"] for r in df_rows}
+
+    def score(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        w = batch.column("w").to_pylist()
+        tf = np.asarray(
+            batch.column("tf").to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        dl = np.asarray(
+            batch.column("dl").to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        idf_i = np.array([idf[x] for x in w], dtype=np.int64)
+        # (1-b) + b*dl/avgdl in millionths, with dl/avgdl = dl*N/total_dl
+        norm_i = (NORM_SCALE - BM25_B_MICRO) + (
+            BM25_B_MICRO * dl * n_docs
+        ) // total_dl
+        # idf * tf * (k1+1), k1+1 = 2.2 carried in thousandths
+        numer = idf_i * tf * (1000 + BM25_K1_MILLI) // 1000
+        denom = tf * NORM_SCALE + BM25_K1_MILLI * norm_i // 1000
+        contrib = numer * NORM_SCALE // denom
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "tf_total": batch.column("tf"),
+                "score_i": pa.array(contrib, type=pa.int64()),
+            }
+        )
+
+    hits = grouped_sum(
+        cand.map_batches(score, batch_format="pyarrow"),
+        ["doc_id"],
+        sum_cols=["tf_total", "score_i"],
+    )
+    return hits.sort(["score_i", "doc_id"], descending=[True, False]).limit(k)

@@ -128,3 +128,84 @@ class TestSubstringSearchIndexed:
 
         with pytest.raises(ValueError, match="len\\(pattern\\)"):
             substring_search_indexed(SF, "ab")
+
+
+class TestBm25Search:
+    TERMS = ["dup", "scan", "merge"]
+
+    def test_matches_sequential_recompute(self):
+        from ner_pytorch_ray.pipelines.search import bm25_search
+
+        got = [
+            (r["doc_id"], r["tf_total"], r["score_i"])
+            for r in bm25_search(SF, self.TERMS, k=10).take_all()
+        ]
+        t = pq.read_table(
+            f"{SF}/documents.parquet", columns=["doc_id", "text"]
+        )
+        n_docs = t.num_rows
+        dl = {
+            doc: len(text.split(" "))
+            for doc, text in zip(
+                t.column("doc_id").to_pylist(),
+                t.column("text").to_pylist(),
+            )
+        }
+        total_dl = sum(dl.values())
+        tf = _tf_table()
+        df = collections.Counter(
+            w for (_, w) in tf if w in self.TERMS
+        )
+        idf = {w: (IDF_SCALE * n_docs) // df[w] for w in self.TERMS}
+        scores: dict = {}
+        for (doc, w), c in tf.items():
+            if w not in self.TERMS:
+                continue
+            norm_i = 250_000 + (750_000 * dl[doc] * n_docs) // total_dl
+            numer = idf[w] * c * 2200 // 1000
+            contrib = numer * 1_000_000 // (
+                c * 1_000_000 + 1200 * norm_i // 1000
+            )
+            tt, sc = scores.get(doc, (0, 0))
+            scores[doc] = (tt + c, sc + contrib)
+        hits = [(doc, tt, sc) for doc, (tt, sc) in scores.items()]
+        hits.sort(key=lambda x: (-x[2], x[0]))
+        assert got == hits[:10]
+        assert got
+
+    def test_length_norm_orders_equal_tf(self):
+        # two docs with the same tf must rank shorter-doc-first (the
+        # whole point of the b-term); verify the property holds on the
+        # fixture whenever it fires
+        from ner_pytorch_ray.pipelines.search import bm25_search
+
+        rows = bm25_search(SF, ["scan"], k=50).take_all()
+        t = pq.read_table(
+            f"{SF}/documents.parquet", columns=["doc_id", "text"]
+        )
+        dl = {
+            doc: len(text.split(" "))
+            for doc, text in zip(
+                t.column("doc_id").to_pylist(),
+                t.column("text").to_pylist(),
+            )
+        }
+        by_tf: dict = {}
+        for r in rows:
+            by_tf.setdefault(r["tf_total"], []).append(r)
+        checked = 0
+        for tf_v, grp in by_tf.items():
+            for a in grp:
+                for b in grp:
+                    if dl[a["doc_id"]] < dl[b["doc_id"]]:
+                        assert a["score_i"] >= b["score_i"]
+                        checked += 1
+        assert checked > 0
+
+    def test_empty_terms_raises(self):
+        import pytest
+
+        from ner_pytorch_ray.pipelines.search import bm25_search
+
+        with pytest.raises(ValueError):
+            bm25_search(SF, [])
