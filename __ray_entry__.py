@@ -1018,6 +1018,12 @@ def _q_bpe_piece_stats(sf_dir: str):
     return bpe_piece_stats(sf_dir, n_merges=20)
 
 
+def _q_bpe_encoded_lengths(sf_dir: str):
+    from ner_pytorch_ray.pipelines.bpe import bpe_encoded_lengths
+
+    return bpe_encoded_lengths(sf_dir, n_merges=20)
+
+
 def _q_substring_search(sf_dir: str):
     from ner_pytorch_ray.pipelines.search import substring_search_indexed
 
@@ -1208,6 +1214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact local oracles still run in tools/check_oracles.py)
         "bpe_merges": _q_bpe_merges,
         "bpe_piece_stats": _q_bpe_piece_stats,
+        "bpe_encoded_lengths": _q_bpe_encoded_lengths,
         "pca_incremental": _q_pca_incremental,
         "kg_subj_lookup": _q_kg_subj_lookup,
         "ivfpq_topk": _q_ivfpq_topk,
@@ -1421,6 +1428,9 @@ def _expected_oracles() -> dict[str, str]:
         # Counter-loop recompute (make_expected.bpe_expected)
         "bpe_merges",
         "bpe_piece_stats",
+        # corpus tokenize-apply: frozen by the sequential rank-order
+        # encode recompute (make_expected.bpe_encode_expected)
+        "bpe_encoded_lengths",
         # SemDeDup: frozen by the sequential row-at-a-time integer recompute
         # (make_expected.semdedup_expected)
         "semdedup",

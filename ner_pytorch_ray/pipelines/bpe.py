@@ -310,3 +310,91 @@ def bpe_piece_stats(
         keys=["n_pieces"],
         sum_cols=["n_words", "total_freq"],
     ).sort("n_pieces")
+
+
+# ------------------------------------------------------------ encode apply
+def _encode_word(word: str, ranks: dict) -> list[str]:
+    """Deterministic BPE encode of one word with a trained merge table:
+    start from chars + ``</w>``; repeatedly apply the LOWEST-rank merge
+    present (greedy left-to-right within a rank), until no trained pair
+    remains — the standard inference-time algorithm (Sennrich et al.
+    2016), identical piece output to applying the merges in rank order."""
+    syms = list(word) + [END_OF_WORD]
+    while len(syms) > 1:
+        best_rank, best_pair = None, None
+        for a, b in zip(syms, syms[1:]):
+            r = ranks.get((a, b))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, (a, b)
+        if best_pair is None:
+            break
+        syms = _merge_word(syms, best_pair[0], best_pair[1])
+    return syms
+
+
+class BpeEncoder:
+    """Actor-pool tokenizer: the merge table builds ONCE per actor in
+    ``__init__`` (rank dict + a distinct-word piece cache that persists
+    across batches — the classic tokenizer memoization, impossible in a
+    per-batch closure), then each ``__call__`` encodes a batch of
+    documents and emits per-doc token accounting."""
+
+    def __init__(self, merges_ref):
+        import ray
+
+        rows = ray.get(merges_ref)
+        self._ranks = {
+            (left, right): rank for rank, left, right in rows
+        }
+        self._cache: dict = {}
+
+    def _pieces(self, word: str) -> int:
+        n = self._cache.get(word)
+        if n is None:
+            n = len(_encode_word(word, self._ranks))
+            self._cache[word] = n
+        return n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        n_words = pc.list_value_length(toks).cast(pa.int64())
+        pieces = [
+            sum(self._pieces(w) for w in words)
+            for words in toks.to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_words": n_words,
+                "n_pieces": pa.array(pieces, type=pa.int64()),
+            }
+        )
+
+
+def bpe_encoded_lengths(
+    sf_dir: str,
+    n_merges: int = 20,
+    min_count: int = 2,
+    concurrency: int | tuple[int, int] = (1, 8),
+    batch_size: int = 256,
+) -> ray.data.Dataset:
+    """Tokenize the corpus with its OWN learned BPE vocabulary: train the
+    merge table (distinct-word-table loop), broadcast it once with
+    ``ray.put``, then one streaming actor-pool pass over ``documents``
+    emits exact per-doc (doc_id, n_words, n_pieces). The encode state
+    (rank dict + word→pieces memo) lives in actor ``__init__``; the
+    corpus never shuffles."""
+    import ray
+
+    merges, _ = train_merges(symbolized_words(sf_dir), n_merges, min_count)
+    merges_ref = ray.put([(m[0], m[1], m[2]) for m in merges])
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return docs.map_batches(
+        BpeEncoder,
+        fn_constructor_args=(merges_ref,),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    ).sort("doc_id")

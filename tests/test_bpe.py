@@ -70,3 +70,30 @@ def test_bpe_word_filter_spec(ray_session):
     assert (words.str.len() > 0).all()
     assert (words.str.len() <= WORD_MAX_CHARS).all()
     assert not words.str.contains("\n").any()
+
+
+def test_encode_word_equals_rank_order_application():
+    from ner_pytorch_ray.pipelines.bpe import _encode_word, _merge_word
+
+    # lowest-rank-first must equal sequential rank-order application
+    # (any trained pair involving a token has higher rank than the
+    # merges that built the token, so the orders agree)
+    merges = [("l", "l"), ("e", "ll"), ("ell", "o"), ("h", "ello")]
+    ranks = {p: i for i, p in enumerate(merges)}
+    got = _encode_word("hello", ranks)
+    seq = list("hello") + ["</w>"]
+    for left, right in merges:
+        seq = _merge_word(seq, left, right)
+    assert got == seq == ["hello", "</w>"]
+    # out-of-vocab word falls back to chars
+    assert _encode_word("zq", ranks) == ["z", "q", "</w>"]
+
+
+def test_bpe_encoded_lengths_matches_sequential(ray_session):
+    from tools.make_expected import bpe_encode_expected
+
+    from ner_pytorch_ray.pipelines.bpe import bpe_encoded_lengths
+
+    got = bpe_encoded_lengths(SF, n_merges=12).to_pandas()
+    exp = bpe_encode_expected(SF, n_merges=12).to_pandas()
+    assert got.reset_index(drop=True).equals(exp.reset_index(drop=True))

@@ -1769,3 +1769,93 @@ def semdedup_expected(
             "keep": pa.array(keep, pa.bool_()),
         }
     )
+
+
+def bpe_encode_expected(
+    sf_dir: str, n_merges: int = 20, min_count: int = 2
+) -> pa.Table:
+    """Sequential corpus-encode recompute: train the merge table with the
+    same Counter loop as ``bpe_expected``, then tokenize EVERY document
+    word (no length/newline filter at encode time — the engine's spec)
+    by applying the merges in rank order, greedy left-to-right per rank.
+    Plain dict/list loops — no ray.data, no engine imports. Returns
+    (doc_id, n_words, n_pieces) sorted by doc_id."""
+    import collections
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    wc: collections.Counter = collections.Counter()
+    for txt in t.column("text").to_pylist():
+        for w in (txt.split(" ") if txt else []):
+            if 0 < len(w) <= 32 and "\n" not in w and "\r" not in w:
+                wc[w] += 1
+    syms = {w: list(w) + ["</w>"] for w in wc}
+    merges = []
+    for _rank in range(n_merges):
+        pcnt: collections.Counter = collections.Counter()
+        for w, f in wc.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pcnt[(s[i], s[i + 1])] += f
+        if not pcnt:
+            break
+        (left, right), c = min(
+            pcnt.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if c < min_count:
+            break
+        merges.append((left, right))
+
+        def _apply(s, left=left, right=right):
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            return out
+
+        for w in syms:
+            syms[w] = _apply(syms[w])
+
+    cache: dict = {}
+
+    def n_pieces(word: str) -> int:
+        n = cache.get(word)
+        if n is None:
+            s = list(word) + ["</w>"]
+            for left, right in merges:
+                out, i = [], 0
+                while i < len(s):
+                    if (
+                        i + 1 < len(s)
+                        and s[i] == left
+                        and s[i + 1] == right
+                    ):
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                s = out
+            n = len(s)
+            cache[word] = n
+        return n
+
+    rows = []
+    for doc, txt in zip(
+        t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+    ):
+        words = txt.split(" ")
+        rows.append((doc, len(words), sum(n_pieces(w) for w in words)))
+    rows.sort()
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "n_words": pa.array([r[1] for r in rows], pa.int64()),
+            "n_pieces": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
