@@ -1000,6 +1000,12 @@ def _q_pca_project(sf_dir: str):
     return pca_project(sf_dir, k=2)
 
 
+def _q_dsir_selected(sf_dir: str):
+    from ner_pytorch_ray.pipelines.dsir import dsir_select
+
+    return dsir_select(sf_dir, target_lang="en", k=100)
+
+
 def _q_semdedup(sf_dir: str):
     from ner_pytorch_ray.pipelines.semdedup import semdedup
 
@@ -1214,7 +1220,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact local oracles still run in tools/check_oracles.py)
         "bpe_merges": _q_bpe_merges,
         "bpe_piece_stats": _q_bpe_piece_stats,
-        "bpe_encoded_lengths": _q_bpe_encoded_lengths,
         "pca_incremental": _q_pca_incremental,
         "kg_subj_lookup": _q_kg_subj_lookup,
         "ivfpq_topk": _q_ivfpq_topk,
@@ -1246,8 +1251,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window_incremental": _q_tumbling_window_incremental,
         "sliding_window": _q_sliding_window,
         "sliding_window_incremental": _q_sliding_window_incremental,
+        # new round-4 additions past the driver window (locally
+        # exact-verified via tools/check_oracles.py):
         "event_lead_lag": _q_event_lead_lag,
         "bloom_antijoin_customers": _q_bloom_antijoin_customers,
+        "dsir_selected": _q_dsir_selected,
+        "bpe_encoded_lengths": _q_bpe_encoded_lengths,
         # same-family duplicates + simpler single-scan ops (locally
         # exact-verified, outside the 50-slot driver window):
         "knn_topk": _q_knn_topk,
@@ -1434,6 +1443,9 @@ def _expected_oracles() -> dict[str, str]:
         # SemDeDup: frozen by the sequential row-at-a-time integer recompute
         # (make_expected.semdedup_expected)
         "semdedup",
+        # DSIR importance resampling: frozen by the sequential
+        # hashed-bigram recompute (make_expected.dsir_expected)
+        "dsir_selected",
     ]
     return {
         n: f"SELECT * FROM read_parquet('{_EXPECTED}/{n}.parquet')"

@@ -1859,3 +1859,79 @@ def bpe_encode_expected(
             "n_pieces": pa.array([r[2] for r in rows], pa.int64()),
         }
     )
+
+
+def dsir_expected(
+    sf_dir: str,
+    target_lang: str = "en",
+    k: int = 100,
+    n_buckets: int = 4096,
+) -> pa.Table:
+    """Sequential DSIR recompute (Xie et al. 2023 hashed-bigram
+    importance weights): row-at-a-time blake2b token hashes, uint64
+    bigram mix, add-one-smoothed integer-millionth log-ratio weights
+    (the only float step — the same driver-side numpy expression the
+    spec defines), per-doc integer sums, top-k by (weight desc,
+    doc_id). No ray.data, no engine imports."""
+    import hashlib
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang"],
+    )
+    hcache: dict = {}
+
+    def th(tok: str) -> int:
+        v = hcache.get(tok)
+        if v is None:
+            v = int.from_bytes(
+                hashlib.blake2b(tok.encode(), digest_size=8).digest(),
+                "little",
+            )
+            hcache[tok] = v
+        return v
+
+    def buckets(text: str) -> list[int]:
+        toks = text.split(" ")
+        out = []
+        for a, b in zip(toks, toks[1:]):
+            mix = ((th(a) * 1_000_003) ^ th(b)) % (1 << 64)
+            out.append(mix % n_buckets)
+        return out
+
+    t_cnt = np.zeros(n_buckets, dtype=np.int64)
+    r_cnt = np.zeros(n_buckets, dtype=np.int64)
+    docs = list(
+        zip(
+            t.column("doc_id").to_pylist(),
+            t.column("text").to_pylist(),
+            t.column("lang").to_pylist(),
+        )
+    )
+    for _doc, text, lang in docs:
+        for b in buckets(text):
+            r_cnt[b] += 1
+            if lang == target_lang:
+                t_cnt[b] += 1
+    T, R = int(t_cnt.sum()), int(r_cnt.sum())
+    lam = np.rint(
+        1_000_000
+        * (
+            np.log((t_cnt + 1) / (T + n_buckets))
+            - np.log((r_cnt + 1) / (R + n_buckets))
+        )
+    ).astype(np.int64)
+    rows = []
+    for doc, text, _lang in docs:
+        w = 0
+        for b in buckets(text):
+            w += int(lam[b])
+        rows.append((doc, w))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    rows = rows[:k]
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "weight_i": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
