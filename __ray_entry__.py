@@ -552,6 +552,12 @@ def _q_graph_link_scores(sf_dir: str):
     return dup_link_prediction(sf_dir, min_common=1)
 
 
+def _q_kg_link_ra(sf_dir: str):
+    from ner_pytorch_ray.pipelines.graph_ops import kg_link_ra
+
+    return kg_link_ra(sf_dir)
+
+
 def _q_kg_triangles(sf_dir: str):
     from ner_pytorch_ray.pipelines.graph_ops import kg_triangles
 
@@ -1257,6 +1263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_antijoin_customers": _q_bloom_antijoin_customers,
         "dsir_selected": _q_dsir_selected,
         "bpe_encoded_lengths": _q_bpe_encoded_lengths,
+        "kg_link_ra": _q_kg_link_ra,
         # same-family duplicates + simpler single-scan ops (locally
         # exact-verified, outside the 50-slot driver window):
         "knn_topk": _q_knn_topk,
@@ -2630,6 +2637,37 @@ LEFT JOIN tcnt t ON t.node = b.node
     )
     # per-entity triangle counts over the KG's ascending pair edges
     # (x<y<z enumeration == the engine's id-ascending wedge orientation)
+    # Resource-Allocation link prediction (graph_ops.kg_link_ra): wedge
+    # enumeration with the middle node's degree known in-place; the RA
+    # weight is a scaled-integer floor division, so SQL reproduces it
+    # exactly
+    out["kg_link_ra"] = (
+        _KG_MENTIONS_CTE
+        + """
+, pairs AS (
+  SELECT DISTINCT m1.doc_id, m1.sent, m1.ent AS a, m2.ent AS b
+  FROM men m1
+  JOIN men m2 ON m1.doc_id = m2.doc_id AND m1.sent = m2.sent
+  WHERE m1.ent < m2.ent
+),
+ed AS (SELECT DISTINCT a, b FROM pairs),
+sym AS (SELECT a, b FROM ed UNION ALL SELECT b, a FROM ed),
+deg AS (SELECT a AS node, COUNT(*) AS deg FROM sym GROUP BY a),
+wedge AS (
+  SELECT s1.b AS y, s2.b AS z, d.deg
+  FROM sym s1 JOIN sym s2 ON s1.a = s2.a AND s1.b < s2.b
+  JOIN deg d ON d.node = s1.a
+)
+SELECT w.y AS node_a, w.z AS node_b,
+       CAST(COUNT(*) AS BIGINT) AS n_common,
+       CAST(SUM(1000000000 // w.deg) AS BIGINT) AS ra_score_i,
+       CAST(MAX(CASE WHEN ed.a IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS is_edge
+FROM wedge w LEFT JOIN ed ON ed.a = w.y AND ed.b = w.z
+GROUP BY w.y, w.z
+ORDER BY node_a, node_b
+"""
+    )
     out["kg_triangles"] = (
         _KG_MENTIONS_CTE
         + """

@@ -1514,3 +1514,136 @@ def graph_coreness(
     return coreness_over_edges(
         dup_edges(sf_dir, m, max_bucket), max_iters=max_iters
     )
+
+
+def ra_link_prediction_over_edges(
+    edges: ray.data.Dataset,
+    node_type: pa.DataType = pa.int64(),
+    max_degree: int = 100_000,
+    min_common: int = 1,
+    ra_scale: int = 1_000_000_000,
+) -> ray.data.Dataset:
+    """Resource-Allocation link prediction (Zhou, Lü & Zhang 2009,
+    "Predicting missing links via local information"): score every pair
+    sharing >= ``min_common`` neighbors by
+    ``sum over common neighbors z of 1/deg(z)`` — the degree-discounted
+    refinement of plain common-neighbor counting (a stop-word-like hub
+    contributes almost nothing; a rare shared neighbor is strong
+    evidence). RA is a sum of RATIONALS, so unlike Adamic-Adar's
+    ``1/ln(deg)`` it stays exact in scaled integers:
+    ``ra_score_i = sum of ra_scale // deg(z)`` (int64, bit-identical
+    under any partitioning, floor-division-reproducible in SQL).
+
+    Same two-exchange shape as :func:`link_prediction_over_edges`, with
+    one structural bonus: the wedge group IS the middle node's full
+    adjacency, so ``deg(z)`` is known in-place and the per-wedge weight
+    ships with the candidate row — no separate degree join. Input is the
+    unique ascending edge table (a < b); output
+    (node_a, node_b, n_common, ra_score_i, is_edge) with node_a < node_b.
+    """
+    from ner_pytorch_ray.stages.groupby_utils import (
+        collect_tuples,
+        flat_map_groups,
+    )
+
+    def sym_rows(batch: pa.Table) -> pa.Table:
+        fwd = pa.table({"a": batch.column("a"), "b": batch.column("b")})
+        rev = pa.table({"a": batch.column("b"), "b": batch.column("a")})
+        return pa.concat_tables([fwd, rev])
+
+    edges = edges.materialize()  # consumed by wedge and marker branches
+    sym = edges.map_batches(sym_rows, batch_format="pyarrow")
+    adj = collect_tuples(sym, ["a"], ["b"], shuffle_blocks="auto")
+    cand_schema = pa.schema(
+        [("y", node_type), ("z", node_type), ("w", pa.int64())]
+    )
+
+    def wedges(key, items) -> pa.Table:
+        if items is None:
+            return cand_schema.empty_table()
+        peers = sorted({b for b, in items})
+        if len(peers) > max_degree:
+            raise ValueError(
+                f"node {key[0]!r} degree {len(peers)} exceeds "
+                f"max_degree={max_degree}; raise the guard deliberately"
+            )
+        w = ra_scale // len(peers)
+        ys, zs = [], []
+        for i, y in enumerate(peers):
+            for z in peers[i + 1 :]:
+                ys.append(y)
+                zs.append(z)
+        return pa.Table.from_pydict(
+            {
+                "y": pa.array(ys, type=node_type),
+                "z": pa.array(zs, type=node_type),
+                "w": pa.array([w] * len(ys), type=pa.int64()),
+            }
+        )
+
+    def marker_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.Table.from_pydict(
+            {
+                "y": batch.column("a").cast(node_type),
+                "z": batch.column("b").cast(node_type),
+                "w": pa.array([None] * n, type=pa.int64()),
+            }
+        )
+
+    cands = flat_map_groups(adj, wedges, ["a"])
+    unioned = cands.union(
+        edges.map_batches(marker_rows, batch_format="pyarrow")
+    )
+    verified = collect_tuples(
+        unioned, ["y", "z"], ["w"], shuffle_blocks="auto"
+    )
+    out_schema = pa.schema(
+        [
+            ("node_a", node_type),
+            ("node_b", node_type),
+            ("n_common", pa.int64()),
+            ("ra_score_i", pa.int64()),
+            ("is_edge", pa.int64()),
+        ]
+    )
+
+    def predict(key, items) -> pa.Table:
+        if items is None:
+            return out_schema.empty_table()
+        ws = [w for (w,) in items if w is not None]
+        is_edge = len(ws) != len(items)
+        if len(ws) < min_common:
+            return out_schema.empty_table()
+        y, z = key
+        return pa.Table.from_pydict(
+            {
+                "node_a": pa.array([y], type=node_type),
+                "node_b": pa.array([z], type=node_type),
+                "n_common": pa.array([len(ws)], type=pa.int64()),
+                "ra_score_i": pa.array([sum(ws)], type=pa.int64()),
+                "is_edge": pa.array([int(is_edge)], type=pa.int64()),
+            }
+        )
+
+    return flat_map_groups(verified, predict, ["y", "z"])
+
+
+def kg_link_ra(sf_dir: str) -> ray.data.Dataset:
+    """Resource-Allocation link scores over the constructed KG's
+    co-occurrence graph (kg_edges' ascending pairs), sorted by
+    (node_a, node_b)."""
+    from ner_pytorch_ray.pipelines.kg import linked_mentions_cached
+    from ner_pytorch_ray.stages.graph import edge_partials_merged
+
+    ew = edge_partials_merged(linked_mentions_cached(sf_dir))
+
+    def ascending(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"a": batch.column("subj"), "b": batch.column("obj")}
+        )
+
+    return ra_link_prediction_over_edges(
+        ew.map_batches(ascending, batch_format="pyarrow"),
+        node_type=pa.string(),
+    ).sort(["node_a", "node_b"])

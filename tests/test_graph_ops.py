@@ -489,3 +489,105 @@ def test_small_graph_routing_matches_distributed(ray_session):
         dist = rows(fn(ray.data.from_arrow(t)))
         local = rows(fn(ray.data.from_arrow(t), small_graph=10**6))
         assert dist == local, fn.__name__
+
+
+def test_ra_link_prediction_hub_discount(ray_session):
+    """Two-path graph a-m1-b / a-m2-b plus the direct edge (a, b), where
+    hub m2 also serves 4 extras: RA must weight the rare middle m1
+    (1e9//2) far above the hub m2 (1e9//6), and flag (a, b) as an
+    existing edge while predicting (m1, m2)."""
+    import ray
+
+    from ner_pytorch_ray.pipelines.graph_ops import (
+        ra_link_prediction_over_edges,
+    )
+
+    # nodes: a=0, b=1, m1=2, m2=3, extras 4..7; (0,1) is a real edge
+    edges = [
+        (0, 1),
+        (0, 2),
+        (1, 2),
+        (0, 3),
+        (1, 3),
+        (3, 4),
+        (3, 5),
+        (3, 6),
+        (3, 7),
+    ]
+    asc = pa.table(
+        {
+            "a": pa.array([min(e) for e in edges], type=pa.int64()),
+            "b": pa.array([max(e) for e in edges], type=pa.int64()),
+        }
+    )
+    rows = ra_link_prediction_over_edges(
+        ray.data.from_arrow(asc).repartition(3)
+    ).take_all()
+    scored = {
+        (r["node_a"], r["node_b"]): (
+            r["n_common"],
+            r["ra_score_i"],
+            r["is_edge"],
+        )
+        for r in rows
+    }
+    # (0,1): common {m1 deg 2, m2 deg 6} -> 1e9//2 + 1e9//6; is an edge
+    assert scored[(0, 1)] == (2, 10**9 // 2 + 10**9 // 6, 1)
+    # (m1, m2): common {a deg 3, b deg 3} -> predicted missing link
+    assert scored[(2, 3)] == (2, 2 * (10**9 // 3), 0)
+    # extras pair via the hub only: weight 1e9//6 each
+    assert scored[(4, 5)] == (1, 10**9 // 6, 0)
+
+
+def test_ra_matches_brute_force_random(ray_session):
+    import itertools
+    import random
+
+    import ray
+
+    from ner_pytorch_ray.pipelines.graph_ops import (
+        ra_link_prediction_over_edges,
+    )
+
+    rng = random.Random(11)
+    n = 14
+    edges = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.randrange(n), rng.randrange(n)) for _ in range(30)
+            )
+            if a != b
+        }
+    )
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    exp = {}
+    for y, z in itertools.combinations(sorted(adj), 2):
+        common = adj[y] & adj[z]
+        if common:
+            exp[(y, z)] = (
+                len(common),
+                sum(10**9 // len(adj[x]) for x in common),
+                int(z in adj[y]),
+            )
+    asc = pa.table(
+        {
+            "a": pa.array([e[0] for e in edges], type=pa.int64()),
+            "b": pa.array([e[1] for e in edges], type=pa.int64()),
+        }
+    )
+    rows = ra_link_prediction_over_edges(
+        ray.data.from_arrow(asc).repartition(5)
+    ).take_all()
+    got = {
+        (r["node_a"], r["node_b"]): (
+            r["n_common"],
+            r["ra_score_i"],
+            r["is_edge"],
+        )
+        for r in rows
+    }
+    assert got == exp
