@@ -552,6 +552,12 @@ def _q_graph_link_scores(sf_dir: str):
     return dup_link_prediction(sf_dir, min_common=1)
 
 
+def _q_crawl_url_dedup(sf_dir: str):
+    from ner_pytorch_ray.pipelines.crawl import crawl_url_dedup
+
+    return crawl_url_dedup(sf_dir)
+
+
 def _q_kg_link_ra(sf_dir: str):
     from ner_pytorch_ray.pipelines.graph_ops import kg_link_ra
 
@@ -1264,6 +1270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_selected": _q_dsir_selected,
         "bpe_encoded_lengths": _q_bpe_encoded_lengths,
         "kg_link_ra": _q_kg_link_ra,
+        "crawl_url_dedup": _q_crawl_url_dedup,
         # same-family duplicates + simpler single-scan ops (locally
         # exact-verified, outside the 50-slot driver window):
         "knn_topk": _q_knn_topk,
@@ -2637,6 +2644,49 @@ LEFT JOIN tcnt t ON t.node = b.node
     )
     # per-entity triangle counts over the KG's ascending pair edges
     # (x<y<z enumeration == the engine's id-ascending wedge orientation)
+    # URL canonicalization + crawl-revisit dedup (pipelines/crawl.py):
+    # same RE2 engine on both sides, so the canonical forms agree
+    # byte-for-byte
+    out["crawl_url_dedup"] = """
+WITH recs AS (
+  SELECT doc_id,
+         'https://doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+           || '.example.test/page' AS base,
+         CAST(k AS BIGINT) AS k
+  FROM documents,
+       UNNEST(range(CAST(1 + doc_id % 3 AS BIGINT))) AS t(k)
+),
+raw AS (
+  SELECT CASE CAST((doc_id + k) % 3 AS INTEGER)
+           WHEN 0 THEN base
+           WHEN 1 THEN base || '?utm_source=feed&ref=rss'
+           ELSE upper(substr(base, 1, length(base) - 5)) || '/page/'
+         END AS raw_url,
+         1577836800000000 + doc_id + k * 86400000000 AS ts_us
+  FROM recs
+),
+canon AS (
+  SELECT regexp_replace(
+           lower(regexp_extract(c4, '^([^/]*//[^/]*)(.*)$', 1))
+             || regexp_extract(c4, '^([^/]*//[^/]*)(.*)$', 2),
+           '(//[^/]*/.+)/$', '\\1', 'g') AS canonical_url,
+         ts_us
+  FROM (
+    SELECT regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(raw_url, '#.*$', '', 'g'),
+                 '[?&](utm_[a-z]+|ref)=[^&#]*', '?', 'g'),
+               '\\?[?&]+', '?', 'g'),
+             '[?&]+$', '', 'g') AS c4, ts_us
+    FROM raw
+  )
+)
+SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_crawls,
+       CAST(MAX(ts_us) AS BIGINT) AS latest_ts_us
+FROM canon GROUP BY canonical_url ORDER BY canonical_url
+"""
+
     # Resource-Allocation link prediction (graph_ops.kg_link_ra): wedge
     # enumeration with the middle node's degree known in-place; the RA
     # weight is a scaled-integer floor division, so SQL reproduces it

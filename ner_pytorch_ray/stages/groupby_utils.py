@@ -36,10 +36,12 @@ def grouped_sum(
     keys: list[str],
     sum_cols: list[str],
     min_cols: list[str] | None = None,
+    max_cols: list[str] | None = None,
     shuffle_blocks: int | str | None = "auto",
 ) -> ray.data.Dataset:
-    """groupby(keys).sum(sum_cols)[.min(min_cols)] with original column names
-    restored (ray emits 'sum(col)' / 'min(col)').
+    """groupby(keys).sum(sum_cols)[.min(min_cols)][.max(max_cols)] with
+    original column names restored (ray emits 'sum(col)' / 'min(col)' /
+    'max(col)').
 
     ``shuffle_blocks``: coalesce the (pre-aggregated, hence small) input to
     this many blocks before the shuffle; "auto" = ~cluster CPUs; None =
@@ -49,10 +51,15 @@ def grouped_sum(
         shuffle_blocks = _auto_shuffle_blocks()
     if shuffle_blocks:
         ds = ds.repartition(shuffle_blocks)
-    aggs = [Sum(c) for c in sum_cols] + [Min(c) for c in (min_cols or [])]
+    aggs = (
+        [Sum(c) for c in sum_cols]
+        + [Min(c) for c in (min_cols or [])]
+        + [Max(c) for c in (max_cols or [])]
+    )
     out = ds.groupby(keys).aggregate(*aggs)
     renames = {f"sum({c})": c for c in sum_cols}
     renames.update({f"min({c})": c for c in (min_cols or [])})
+    renames.update({f"max({c})": c for c in (max_cols or [])})
 
     def rename(t: pa.Table) -> pa.Table:
         return t.rename_columns([renames.get(n, n) for n in t.column_names])
