@@ -976,6 +976,12 @@ def _q_profile_orders(sf_dir: str):
     return profile_table(sf_dir, table="orders")
 
 
+def _q_grouped_quartiles(sf_dir: str):
+    from ner_pytorch_ray.pipelines.relational import grouped_quartiles
+
+    return grouped_quartiles(sf_dir)
+
+
 def _q_grouped_median_value(sf_dir: str):
     from ner_pytorch_ray.pipelines.relational import grouped_median_value
 
@@ -1271,6 +1277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_encoded_lengths": _q_bpe_encoded_lengths,
         "kg_link_ra": _q_kg_link_ra,
         "crawl_url_dedup": _q_crawl_url_dedup,
+        "grouped_quartiles": _q_grouped_quartiles,
         # same-family duplicates + simpler single-scan ops (locally
         # exact-verified, outside the 50-slot driver window):
         "knn_topk": _q_knn_topk,
@@ -3461,6 +3468,42 @@ FROM r GROUP BY 1 ORDER BY bin
 
     # exact per-group median (relational.py grouped_median_value): lower
     # median selected by distributed window rank — no per-group collect
+    # exact interpolated quartiles (relational.grouped_quartiles):
+    # percentile_cont at 25/50/75 as a distributive weighted sum in
+    # hundredths of a cent over the two straddling order statistics
+    out["grouped_quartiles"] = """
+WITH e AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+ranked AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cents, event_id) AS rk
+  FROM e
+),
+cnt AS (SELECT event_type, COUNT(*) AS n FROM e GROUP BY event_type),
+p(pct) AS (VALUES (25), (50), (75)),
+pos AS (
+  SELECT c.event_type, CAST(p.pct AS BIGINT) AS pct,
+         ((c.n - 1) * p.pct) // 100 + 1 AS lo,
+         CASE WHEN ((c.n - 1) * p.pct) % 100 > 0
+              THEN ((c.n - 1) * p.pct) // 100 + 2
+              ELSE ((c.n - 1) * p.pct) // 100 + 1 END AS hi,
+         ((c.n - 1) * p.pct) % 100 AS rem, c.n
+  FROM cnt c, p
+)
+SELECT pos.event_type AS event_type, pos.pct AS pct,
+       CAST(la.cents * 100 + (lb.cents - la.cents) * pos.rem AS BIGINT)
+         AS q_cc,
+       CAST(pos.n AS BIGINT) AS n_events
+FROM pos
+JOIN ranked la ON la.event_type = pos.event_type AND la.rk = pos.lo
+JOIN ranked lb ON lb.event_type = pos.event_type AND lb.rk = pos.hi
+ORDER BY pos.event_type, pos.pct
+"""
+
     out["grouped_median_value"] = """
 WITH c AS (
   SELECT event_type, event_id,

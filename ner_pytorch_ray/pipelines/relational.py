@@ -779,3 +779,99 @@ def event_lead_lag(sf_dir: str) -> ray.data.Dataset:
     return out.map_batches(rename, batch_format="pyarrow").sort(
         ["user_id", "ts", "event_id"]
     )
+
+
+def grouped_quartiles(sf_dir: str) -> ray.data.Dataset:
+    """Exact interpolated per-group quartiles (`percentile_cont`-style at
+    p = 0.25/0.50/0.75) of the event value, with NO per-group collect and
+    NO floats: for position (n-1)*p the answer is
+    ``a + (b-a) * rem/100`` over the two straddling order statistics, so
+    emitting the LOW row with weight (100-rem) and the HIGH row with
+    weight rem makes the interpolation a distributive grouped SUM in
+    hundredths of a cent (q_cc).
+
+    Same scaffold as :func:`grouped_median_value`: grouped_rank for the
+    order statistics + a |types|-row count broadcast picking the
+    straddle ranks; output (event_type, pct, q_cc, n_events) sorted by
+    (event_type, pct)."""
+    from ner_pytorch_ray.stages.groupby_utils import grouped_rank, grouped_sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "cents": _cents(batch.column("value")),
+                "event_id": batch.column("event_id"),
+                "one": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    counts = {
+        r["event_type"]: r["one"]
+        for r in grouped_sum(
+            prepped, ["event_type"], sum_cols=["one"]
+        ).take_all()
+    }
+    # per (type, pct): the straddle ranks and their interpolation weights
+    pcts = (25, 50, 75)
+    picks: dict = {}  # type -> rank -> list[(pct, weight)]
+    for t, n in counts.items():
+        for p in pcts:
+            pos = (n - 1) * p
+            lo, rem = pos // 100 + 1, pos % 100
+            by_rank = picks.setdefault(t, {})
+            if rem:
+                by_rank.setdefault(lo, []).append((p, 100 - rem))
+                by_rank.setdefault(lo + 1, []).append((p, rem))
+            else:
+                by_rank.setdefault(lo, []).append((p, 100))
+
+    ranked = grouped_rank(
+        prepped,
+        part_keys=["event_type"],
+        order_keys=["cents", "event_id"],
+        descending=[False, False],
+    )
+
+    def contribs(batch: pa.Table) -> pa.Table:
+        types = batch.column("event_type").to_pylist()
+        rk = batch.column("rank").to_numpy(zero_copy_only=False)
+        cents = batch.column("cents").to_numpy(zero_copy_only=False)
+        o_t, o_p, o_q = [], [], []
+        for t, r, c in zip(types, rk, cents):
+            for p, w in picks.get(t, {}).get(int(r), ()):
+                o_t.append(t)
+                o_p.append(p)
+                o_q.append(int(c) * w)
+        return pa.table(
+            {
+                "event_type": pa.array(o_t, type=pa.string()),
+                "pct": pa.array(o_p, type=pa.int64()),
+                "q_cc": pa.array(o_q, type=pa.int64()),
+            }
+        )
+
+    out = grouped_sum(
+        ranked.map_batches(contribs, batch_format="pyarrow"),
+        keys=["event_type", "pct"],
+        sum_cols=["q_cc"],
+    )
+
+    def add_n(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "n_events",
+            pa.array(
+                [counts[t] for t in batch.column("event_type").to_pylist()],
+                type=pa.int64(),
+            ),
+        )
+
+    return out.map_batches(add_n, batch_format="pyarrow").sort(
+        ["event_type", "pct"]
+    )

@@ -614,3 +614,34 @@ class TestEquidepthHistogram:
         assert got[cols].values.tolist() == exp[cols].values.tolist()
         # depth balance: bins differ by at most 1 row
         assert got.n_events.max() - got.n_events.min() <= 1
+
+
+class TestGroupedQuartiles:
+    def test_matches_numpy_linear_interpolation(self):
+        from ner_pytorch_ray.pipelines.relational import grouped_quartiles
+
+        got = {
+            (r["event_type"], r["pct"]): (r["q_cc"], r["n_events"])
+            for r in grouped_quartiles(SF).take_all()
+        }
+        ev = pq.read_table(
+            f"{SF}/events.parquet", columns=["event_type", "value"]
+        ).to_pandas()
+        ev["cents"] = (
+            np.sign(ev.value) * np.floor(np.abs(ev.value) * 100 + 0.5)
+        ).astype(np.int64)
+        assert got
+        for t, grp in ev.groupby("event_type"):
+            v = np.sort(grp.cents.to_numpy())
+            for p in (25, 50, 75):
+                pos = (len(v) - 1) * p
+                lo, rem = pos // 100, pos % 100
+                exp_cc = int(v[lo]) * 100 + (
+                    (int(v[lo + 1]) - int(v[lo])) * rem if rem else 0
+                )
+                assert got[(t, p)] == (exp_cc, len(v))
+                # and it equals numpy's percentile_cont up to the cc grid
+                np_val = np.percentile(
+                    v.astype(np.float64), p, method="linear"
+                )
+                assert abs(exp_cc / 100.0 - np_val) < 1e-6
