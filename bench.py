@@ -354,6 +354,39 @@ def run_extras(sf_dir: str) -> dict:
     timed(
         "ivfpq_topk", lambda: ivfpq_topk(sf_dir, n_queries=10, k=5).count()
     )
+
+    # late round-4 operators
+    from ner_pytorch_ray.pipelines.bpe import bpe_encoded_lengths
+    from ner_pytorch_ray.pipelines.crawl import crawl_url_dedup
+    from ner_pytorch_ray.pipelines.dsir import dsir_select
+    from ner_pytorch_ray.pipelines.graph_ops import kg_link_ra
+    from ner_pytorch_ray.pipelines.relational import (
+        event_lead_lag,
+        grouped_quartiles,
+    )
+    from ner_pytorch_ray.pipelines.search import bm25_search
+    from ner_pytorch_ray.pipelines.semdedup import semdedup
+    from ner_pytorch_ray.pipelines.sketches import bloom_antijoin_customers
+
+    timed("semdedup", lambda: semdedup(sf_dir, n_centroids=8).count())
+    timed("dsir_selected", lambda: dsir_select(sf_dir).count())
+    timed(
+        "bpe_encoded_lengths", lambda: bpe_encoded_lengths(sf_dir).count()
+    )
+    timed("crawl_url_dedup", lambda: crawl_url_dedup(sf_dir).count())
+    timed(
+        "search_bm25",
+        lambda: bm25_search(sf_dir, ["dup", "scan", "merge"], k=10).count(),
+    )
+    timed("event_lead_lag", lambda: event_lead_lag(sf_dir).count())
+    timed(
+        "bloom_antijoin",
+        lambda: bloom_antijoin_customers(sf_dir).count(),
+    )
+    timed("kg_link_ra", lambda: kg_link_ra(sf_dir).count())
+    timed(
+        "grouped_quartiles", lambda: grouped_quartiles(sf_dir).count()
+    )
     return extras
 
 
