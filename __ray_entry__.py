@@ -558,6 +558,12 @@ def _q_crawl_url_dedup(sf_dir: str):
     return crawl_url_dedup(sf_dir)
 
 
+def _q_kg_hits(sf_dir: str):
+    from ner_pytorch_ray.pipelines.graph_ops import kg_hits
+
+    return kg_hits(sf_dir, iters=2)
+
+
 def _q_kg_link_ra(sf_dir: str):
     from ner_pytorch_ray.pipelines.graph_ops import kg_link_ra
 
@@ -1278,6 +1284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_link_ra": _q_kg_link_ra,
         "crawl_url_dedup": _q_crawl_url_dedup,
         "grouped_quartiles": _q_grouped_quartiles,
+        "kg_hits": _q_kg_hits,
         # same-family duplicates + simpler single-scan ops (locally
         # exact-verified, outside the 50-slot driver window):
         "knn_topk": _q_knn_topk,
@@ -2693,6 +2700,64 @@ SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_crawls,
        CAST(MAX(ts_us) AS BIGINT) AS latest_ts_us
 FROM canon GROUP BY canonical_url ORDER BY canonical_url
 """
+
+    # HITS hubs & authorities (graph_ops.kg_hits): exact scaled-integer
+    # half-iterations with HUGEINT L1 normalization — the Python-side
+    # big-int normalize mirrors SQL's int128 floor division
+    out["kg_hits"] = (
+        _KG_MENTIONS_CTE
+        + """
+, pairs AS (
+  SELECT DISTINCT m1.doc_id, m1.sent, m1.ent AS a, m2.ent AS b
+  FROM men m1
+  JOIN men m2 ON m1.doc_id = m2.doc_id AND m1.sent = m2.sent
+  WHERE m1.ent < m2.ent
+),
+ed AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS w FROM pairs GROUP BY 1, 2),
+nodes AS (SELECT a AS node FROM ed UNION SELECT b FROM ed),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+h0 AS (SELECT node, CAST(1000000000 // nn.n AS BIGINT) AS s FROM nodes, nn),
+ar1 AS (
+  SELECT n.node, COALESCE(SUM(h.s * e.w), 0) AS raw
+  FROM nodes n
+  LEFT JOIN ed e ON e.b = n.node
+  LEFT JOIN h0 h ON h.node = e.a
+  GROUP BY n.node
+),
+a1 AS (SELECT node, CAST(CAST(raw AS HUGEINT) * 1000000000
+         // (SELECT SUM(raw) FROM ar1) AS BIGINT) AS s FROM ar1),
+hr1 AS (
+  SELECT n.node, COALESCE(SUM(a.s * e.w), 0) AS raw
+  FROM nodes n
+  LEFT JOIN ed e ON e.a = n.node
+  LEFT JOIN a1 a ON a.node = e.b
+  GROUP BY n.node
+),
+h1 AS (SELECT node, CAST(CAST(raw AS HUGEINT) * 1000000000
+         // (SELECT SUM(raw) FROM hr1) AS BIGINT) AS s FROM hr1),
+ar2 AS (
+  SELECT n.node, COALESCE(SUM(h.s * e.w), 0) AS raw
+  FROM nodes n
+  LEFT JOIN ed e ON e.b = n.node
+  LEFT JOIN h1 h ON h.node = e.a
+  GROUP BY n.node
+),
+a2 AS (SELECT node, CAST(CAST(raw AS HUGEINT) * 1000000000
+         // (SELECT SUM(raw) FROM ar2) AS BIGINT) AS s FROM ar2),
+hr2 AS (
+  SELECT n.node, COALESCE(SUM(a.s * e.w), 0) AS raw
+  FROM nodes n
+  LEFT JOIN ed e ON e.a = n.node
+  LEFT JOIN a2 a ON a.node = e.b
+  GROUP BY n.node
+),
+h2 AS (SELECT node, CAST(CAST(raw AS HUGEINT) * 1000000000
+         // (SELECT SUM(raw) FROM hr2) AS BIGINT) AS s FROM hr2)
+SELECT h2.node AS entity, h2.s AS hub_i, a2.s AS auth_i
+FROM h2 JOIN a2 ON a2.node = h2.node
+ORDER BY entity
+"""
+    )
 
     # Resource-Allocation link prediction (graph_ops.kg_link_ra): wedge
     # enumeration with the middle node's degree known in-place; the RA

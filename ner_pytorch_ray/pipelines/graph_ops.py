@@ -1647,3 +1647,230 @@ def kg_link_ra(sf_dir: str) -> ray.data.Dataset:
         ew.map_batches(ascending, batch_format="pyarrow"),
         node_type=pa.string(),
     ).sort(["node_a", "node_b"])
+
+
+def hits_over_edges(
+    edges: ray.data.Dataset,
+    iters: int = 2,
+    scale: int = 10**9,
+    node_type: pa.DataType = pa.int64(),
+    weight_col: str | None = None,
+) -> ray.data.Dataset:
+    """HITS hubs & authorities (Kleinberg 1999) over a DIRECTED weighted
+    edge table (a, b[, weight]) in exact scaled integers: per iteration
+
+        a_raw(v) = sum over in-edges  (u, v) of h(u) * w(u, v)
+        a(v)     = a_raw(v) * scale // sum(a_raw)      (L1 normalize)
+        h_raw(u) = sum over out-edges (u, v) of a(v) * w(u, v)
+        h(u)     = h_raw(u) * scale // sum(h_raw)
+
+    The raw sums stay in int64 (bounded by scale * total_weight — shrink
+    ``scale`` if total edge weight nears 1e9); the normalization product
+    ``raw * scale`` can exceed int64, so it runs in arbitrary-precision
+    Python per node row (O(V) map, no shuffle) — the SQL oracle mirrors
+    it with HUGEINT floor division. Every sum is integer, so the result
+    is bit-identical under any partitioning.
+
+    Per half-iteration: one keyed collect co-locates a node's score row
+    with its out-edges (fwd for the authority step, reversed for the hub
+    step), one native groupby-sum folds contributions, one O(V) aggregate
+    reads the L1 mass. Returns (node, hub_i, auth_i) for every node."""
+    from ner_pytorch_ray.stages.groupby_utils import (
+        collect_tuples,
+        flat_map_groups,
+        grouped_sum,
+    )
+
+    def dir_rows(src: str, dst: str):
+        def rows(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            w = (
+                batch.column(weight_col).cast(pa.int64())
+                if weight_col
+                else pa.array([1] * n, type=pa.int64())
+            )
+            return pa.Table.from_pydict(
+                {
+                    "node": batch.column(src).cast(node_type),
+                    "peer": batch.column(dst).cast(node_type),
+                    "w": w,
+                    "score": pa.array([None] * n, type=pa.int64()),
+                }
+            )
+
+        return rows
+
+    fwd = edges.map_batches(
+        dir_rows("a", "b"), batch_format="pyarrow"
+    ).materialize()
+    rev = edges.map_batches(
+        dir_rows("b", "a"), batch_format="pyarrow"
+    ).materialize()
+
+    def node_rows(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "node": pa.chunked_array(
+                    [
+                        *batch.column("node").chunks,
+                        *batch.column("peer").chunks,
+                    ]
+                ),
+                "one": pa.array([1] * (2 * len(batch)), type=pa.int64()),
+            }
+        )
+
+    nodes = (
+        grouped_sum(
+            fwd.map_batches(node_rows, batch_format="pyarrow"),
+            keys=["node"],
+            sum_cols=["one"],
+        )
+        .select_columns(["node"])
+        .materialize()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return ray.data.from_arrow(
+            pa.schema(
+                [
+                    ("node", node_type),
+                    ("hub_i", pa.int64()),
+                    ("auth_i", pa.int64()),
+                ]
+            ).empty_table()
+        )
+    h0 = scale // n_nodes
+
+    def init_scores(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "node": batch.column("node"),
+                "score": pa.array([h0] * len(batch), type=pa.int64()),
+            }
+        )
+
+    msg_schema = pa.schema([("node", node_type), ("raw", pa.int64())])
+
+    def score_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.Table.from_pydict(
+            {
+                "node": batch.column("node"),
+                "peer": pa.array([None] * n, type=node_type),
+                "w": pa.array([0] * n, type=pa.int64()),
+                "score": batch.column("score"),
+            }
+        )
+
+    def emit(key, items) -> pa.Table:
+        if items is None:
+            return msg_schema.empty_table()
+        # a node may have a score row but no out-edges in this direction
+        s = next((sc for p, _, sc in items if p is None), 0) or 0
+        out_n, out_r = [key[0]], [0]  # keep every node present
+        for p, w, _ in items:
+            if p is not None:
+                out_n.append(p)
+                out_r.append(s * w)
+        return pa.Table.from_pydict(
+            {
+                "node": pa.array(out_n, type=node_type),
+                "raw": pa.array(out_r, type=pa.int64()),
+            }
+        )
+
+    def half_step(scores: ray.data.Dataset, adj) -> ray.data.Dataset:
+        unioned = scores.map_batches(
+            score_rows, batch_format="pyarrow"
+        ).union(adj)
+        collected = collect_tuples(
+            unioned, ["node"], ["peer", "w", "score"], shuffle_blocks="auto"
+        )
+        raw = grouped_sum(
+            flat_map_groups(collected, emit, ["node"]),
+            keys=["node"],
+            sum_cols=["raw"],
+        ).materialize()
+        mass = int(raw.sum("raw") or 0)
+
+        def normalize(batch: pa.Table) -> pa.Table:
+            vals = [
+                (int(r) * scale) // mass if mass else 0
+                for r in batch.column("raw").to_pylist()
+            ]
+            return pa.Table.from_pydict(
+                {
+                    "node": batch.column("node"),
+                    "score": pa.array(vals, type=pa.int64()),
+                }
+            )
+
+        return raw.map_batches(normalize, batch_format="pyarrow")
+
+    h = nodes.map_batches(init_scores, batch_format="pyarrow").materialize()
+    a = None
+    for _ in range(iters):
+        a = half_step(h, fwd).materialize()  # authorities from hubs
+        h = half_step(a, rev).materialize()  # hubs from authorities
+
+    def h_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.Table.from_pydict(
+            {
+                "node": batch.column("node"),
+                "hub_i": batch.column("score"),
+                "auth_i": pa.array([0] * n, type=pa.int64()),
+            }
+        )
+
+    def a_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.Table.from_pydict(
+            {
+                "node": batch.column("node"),
+                "hub_i": pa.array([0] * n, type=pa.int64()),
+                "auth_i": batch.column("score"),
+            }
+        )
+
+    merged = h.map_batches(h_rows, batch_format="pyarrow").union(
+        a.map_batches(a_rows, batch_format="pyarrow")
+    )
+    return grouped_sum(
+        merged, keys=["node"], sum_cols=["hub_i", "auth_i"]
+    )
+
+
+def kg_hits(sf_dir: str, iters: int = 2) -> ray.data.Dataset:
+    """HITS over the constructed KG's directed co-occurrence edges
+    (kg_edges' ascending (subj, obj) pairs, weights summed across
+    predicates): (entity, hub_i, auth_i) sorted by entity."""
+    from ner_pytorch_ray.pipelines.kg import linked_mentions_cached
+    from ner_pytorch_ray.stages.graph import edge_partials_merged
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
+
+    ew = edge_partials_merged(linked_mentions_cached(sf_dir))
+
+    def ab(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": batch.column("subj"),
+                "b": batch.column("obj"),
+                "weight": batch.column("weight"),
+            }
+        )
+
+    ed = grouped_sum(
+        ew.map_batches(ab, batch_format="pyarrow"),
+        keys=["a", "b"],
+        sum_cols=["weight"],
+    )
+    out = hits_over_edges(
+        ed, iters=iters, node_type=pa.string(), weight_col="weight"
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["entity", "hub_i", "auth_i"])
+
+    return out.map_batches(rename, batch_format="pyarrow").sort("entity")

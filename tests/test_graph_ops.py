@@ -591,3 +591,53 @@ def test_ra_matches_brute_force_random(ray_session):
         for r in rows
     }
     assert got == exp
+
+
+def test_hits_matches_sequential_recompute(ray_session):
+    """Crafted directed weighted graph vs a plain-Python recompute of the
+    exact integer spec, at two partitionings."""
+    import ray
+
+    from ner_pytorch_ray.pipelines.graph_ops import hits_over_edges
+
+    edges = [(0, 1, 3), (0, 2, 1), (1, 2, 2), (3, 1, 1), (2, 3, 5)]
+    scale = 10**9
+
+    def seq(iters):
+        nodes = sorted({a for a, _, _ in edges} | {b for _, b, _ in edges})
+        h = {v: scale // len(nodes) for v in nodes}
+        a = {v: 0 for v in nodes}
+        for _ in range(iters):
+            raw = {v: 0 for v in nodes}
+            for u, v, w in edges:
+                raw[v] += h[u] * w
+            m = sum(raw.values())
+            a = {v: (raw[v] * scale) // m for v in nodes}
+            raw = {v: 0 for v in nodes}
+            for u, v, w in edges:
+                raw[u] += a[v] * w
+            m = sum(raw.values())
+            h = {v: (raw[v] * scale) // m for v in nodes}
+        return {v: (h[v], a[v]) for v in nodes}
+
+    t = pa.table(
+        {
+            "a": pa.array([e[0] for e in edges], type=pa.int64()),
+            "b": pa.array([e[1] for e in edges], type=pa.int64()),
+            "weight": pa.array([e[2] for e in edges], type=pa.int64()),
+        }
+    )
+    exp = seq(2)
+    for blocks in (1, 3):
+        got = {
+            r["node"]: (r["hub_i"], r["auth_i"])
+            for r in hits_over_edges(
+                ray.data.from_arrow(t).repartition(blocks),
+                iters=2,
+                weight_col="weight",
+            ).take_all()
+        }
+        assert got == exp
+    # sink node 3 has an out-edge? (3,1): yes — but node with no
+    # out-edges in a direction must still appear: check node 1's shape
+    assert set(exp) == {0, 1, 2, 3}
