@@ -558,6 +558,12 @@ def _q_crawl_url_dedup(sf_dir: str):
     return crawl_url_dedup(sf_dir)
 
 
+def _q_window_anomalies(sf_dir: str):
+    from ner_pytorch_ray.pipelines.windows import window_anomalies
+
+    return window_anomalies(sf_dir, window_minutes=60, k_sigma=2)
+
+
 def _q_kg_hits(sf_dir: str):
     from ner_pytorch_ray.pipelines.graph_ops import kg_hits
 
@@ -1285,6 +1291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_url_dedup": _q_crawl_url_dedup,
         "grouped_quartiles": _q_grouped_quartiles,
         "kg_hits": _q_kg_hits,
+        "window_anomalies": _q_window_anomalies,
         # same-family duplicates + simpler single-scan ops (locally
         # exact-verified, outside the 50-slot driver window):
         "knn_topk": _q_knn_topk,
@@ -2699,6 +2706,31 @@ canon AS (
 SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_crawls,
        CAST(MAX(ts_us) AS BIGINT) AS latest_ts_us
 FROM canon GROUP BY canonical_url ORDER BY canonical_url
+"""
+
+    # windowed volume anomaly flags (windows.window_anomalies): the
+    # k-sigma test as a cross-multiplied integer inequality — no float
+    # mean/stddev ever exists
+    out["window_anomalies"] = """
+WITH c AS (
+  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+         event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, COUNT(*) AS w, SUM(n_events) AS s,
+         SUM(CAST(n_events AS HUGEINT) * n_events) AS q
+  FROM c GROUP BY event_type
+)
+SELECT c.window_start_us, c.event_type, c.n_events,
+       CAST(CASE WHEN
+           CAST(c.n_events * m.w - m.s AS HUGEINT)
+             * CAST(c.n_events * m.w - m.s AS HUGEINT)
+           > 4 * (m.q * m.w - CAST(m.s AS HUGEINT) * m.s)
+         THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+FROM c JOIN m ON m.event_type = c.event_type
+ORDER BY c.window_start_us, c.event_type
 """
 
     # HITS hubs & authorities (graph_ops.kg_hits): exact scaled-integer

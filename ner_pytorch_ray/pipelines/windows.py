@@ -945,3 +945,73 @@ def events_lag_gaps(sf_dir: str, chunk_minutes: int = 24 * 60) -> ray.data.Datas
         )
 
     return flat_map_groups(per_user, finalize, ["user_id"], items_col="chunks")
+
+
+def window_anomalies(
+    sf_dir: str, window_minutes: int = 60, k_sigma: int = 2
+) -> ray.data.Dataset:
+    """Per-type windowed volume anomaly flags — the classic streaming
+    monitor ("did this event type spike this hour?") computed EXACTLY in
+    integers: a window is anomalous when its count deviates from the
+    type's mean by more than ``k_sigma`` standard deviations, tested via
+    the cross-multiplied inequality
+
+        (c*W - S)^2 > k^2 * (Q*W - S^2)
+
+    (with W = #windows of the type, S = sum of counts, Q = sum of
+    squared counts — both sides are exact integers, so no float
+    mean/stddev ever exists and the SQL oracle matches bit-for-bit;
+    Python's arbitrary precision covers the squares, the SQL side uses
+    HUGEINT).
+
+    Shape: one tumbling-count shuffle (the only corpus-scale exchange),
+    then a |types|-row moment aggregate broadcast in the task closure,
+    then a block-local flag map. Output (window_start_us, event_type,
+    n_events, is_anomaly) sorted."""
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
+
+    counts = tumbling_window_counts(
+        sf_dir, window_minutes=window_minutes
+    ).materialize()
+
+    def moment_rows(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_events")
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "w": pa.array([1] * len(batch), type=pa.int64()),
+                "s": n,
+                "q": pc.multiply_checked(n, n),
+            }
+        )
+
+    moments = {
+        r["event_type"]: (r["w"], r["s"], r["q"])
+        for r in grouped_sum(
+            counts.map_batches(moment_rows, batch_format="pyarrow"),
+            ["event_type"],
+            sum_cols=["w", "s", "q"],
+        ).take_all()  # |types| rows — bounded driver state
+    }
+
+    def flag(batch: pa.Table) -> pa.Table:
+        types = batch.column("event_type").to_pylist()
+        cs = batch.column("n_events").to_pylist()
+        out = []
+        for t, c in zip(types, cs):
+            w, s, q = moments[t]
+            lhs = (int(c) * w - s) ** 2
+            rhs = k_sigma * k_sigma * (q * w - s * s)
+            out.append(int(lhs > rhs))
+        return pa.table(
+            {
+                "window_start_us": batch.column("window_start_us"),
+                "event_type": batch.column("event_type"),
+                "n_events": batch.column("n_events"),
+                "is_anomaly": pa.array(out, type=pa.int64()),
+            }
+        )
+
+    return counts.map_batches(flag, batch_format="pyarrow").sort(
+        ["window_start_us", "event_type"]
+    )

@@ -145,3 +145,42 @@ def test_range_join_vs_duckdb(ray_session):
     ).df()
     assert len(t) > 0
     _cmp(t, o)
+
+
+def test_window_anomalies_integer_k_sigma(ray_session, tmp_path):
+    """Crafted spike: 9 quiet windows of ~2 events and one 40-event
+    burst — only the burst is flagged, and the flag math matches the
+    float z-score on non-boundary data."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows_ts, rows_ty = [], []
+    hour = 3_600_000_000
+    for wdx in range(10):
+        n = 40 if wdx == 7 else 2 + (wdx % 2)
+        for i in range(n):
+            rows_ts.append(wdx * hour + i * 1_000_000)
+            rows_ty.append("spikey")
+    t = pa.table(
+        {
+            "ts": pa.array(rows_ts, type=pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "event_type": pa.array(rows_ty),
+            "value": pa.array([1.0] * len(rows_ts)),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    from ner_pytorch_ray.pipelines.windows import window_anomalies
+
+    out = window_anomalies(str(tmp_path), k_sigma=2).to_pandas()
+    assert len(out) == 10
+    flagged = out[out.is_anomaly == 1]
+    assert flagged.window_start_us.tolist() == [7 * hour]
+    assert flagged.n_events.tolist() == [40]
+    # float cross-check away from the boundary
+    import numpy as np
+
+    c = out.n_events.to_numpy(dtype=np.float64)
+    z_flag = np.abs(c - c.mean()) > 2 * c.std()
+    assert (out.is_anomaly.to_numpy() == z_flag.astype(np.int64)).all()
