@@ -558,6 +558,17 @@ def _q_crawl_url_dedup(sf_dir: str):
     return crawl_url_dedup(sf_dir)
 
 
+def _q_crawl_dedup_incremental(sf_dir: str):
+    """3-snapshot incremental canonical-url state; distributive count +
+    max folds make it hash-match the one-shot batch build — the oracle
+    is crawl_url_dedup's SQL."""
+    from ner_pytorch_ray.pipelines.incremental import (
+        crawl_incremental_from_documents,
+    )
+
+    return crawl_incremental_from_documents(sf_dir, n_deltas=3)
+
+
 def _q_window_anomalies(sf_dir: str):
     from ner_pytorch_ray.pipelines.windows import window_anomalies
 
@@ -1292,6 +1303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quartiles": _q_grouped_quartiles,
         "kg_hits": _q_kg_hits,
         "window_anomalies": _q_window_anomalies,
+        "crawl_dedup_incremental": _q_crawl_dedup_incremental,
         # same-family duplicates + simpler single-scan ops (locally
         # exact-verified, outside the 50-slot driver window):
         "knn_topk": _q_knn_topk,
@@ -2707,6 +2719,9 @@ SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_crawls,
        CAST(MAX(ts_us) AS BIGINT) AS latest_ts_us
 FROM canon GROUP BY canonical_url ORDER BY canonical_url
 """
+
+    # same oracle as crawl_url_dedup (distributive count+max merge proof)
+    out["crawl_dedup_incremental"] = out["crawl_url_dedup"]
 
     # windowed volume anomaly flags (windows.window_anomalies): the
     # k-sigma test as a cross-multiplied integer inequality — no float

@@ -40,6 +40,33 @@ DAY_US = 86_400_000_000
 _VARIANT_SUFFIX = ["", "?utm_source=feed&ref=rss", "#section-2"]
 
 
+def _records_batch(batch: pa.Table) -> pa.Table:
+    """One block of the deterministic synthetic crawl log (see
+    :func:`crawl_records`)."""
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    urls: list[str] = []
+    ts: list[int] = []
+    for d in ids:
+        d = int(d)
+        base = doc_url(d)
+        for k in range(1 + d % 3):
+            v = (d + k) % 3
+            if v == 2:
+                head, _, path = base.partition("//")
+                host, slash, rest = path.partition("/")
+                raw = f"{head.upper()}//{host.upper()}/{rest}/"
+            else:
+                raw = base + _VARIANT_SUFFIX[v]
+            urls.append(raw)
+            ts.append(EPOCH_US + d + k * DAY_US)
+    return pa.table(
+        {
+            "raw_url": pa.array(urls, type=pa.string()),
+            "ts_us": pa.array(ts, type=pa.int64()),
+        }
+    )
+
+
 def crawl_records(sf_dir: str) -> ray.data.Dataset:
     """Deterministic synthetic crawl log: (raw_url, ts_us) — one row per
     (doc, recrawl k in 0..doc_id%3); raw spelling cycles variants by
@@ -48,32 +75,7 @@ def crawl_records(sf_dir: str) -> ray.data.Dataset:
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
     )
-
-    def records(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        urls: list[str] = []
-        ts: list[int] = []
-        for d in ids:
-            d = int(d)
-            base = doc_url(d)
-            for k in range(1 + d % 3):
-                v = (d + k) % 3
-                if v == 2:
-                    head, _, path = base.partition("//")
-                    host, slash, rest = path.partition("/")
-                    raw = f"{head.upper()}//{host.upper()}/{rest}/"
-                else:
-                    raw = base + _VARIANT_SUFFIX[v]
-                urls.append(raw)
-                ts.append(EPOCH_US + d + k * DAY_US)
-        return pa.table(
-            {
-                "raw_url": pa.array(urls, type=pa.string()),
-                "ts_us": pa.array(ts, type=pa.int64()),
-            }
-        )
-
-    return docs.map_batches(records, batch_format="pyarrow")
+    return docs.map_batches(_records_batch, batch_format="pyarrow")
 
 
 def canonical_url(urls: pa.ChunkedArray | pa.Array) -> pa.Array:

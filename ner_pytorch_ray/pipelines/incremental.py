@@ -1447,3 +1447,162 @@ def pca_incremental_from_embeddings(
     finally:
         if owns_state:
             shutil.rmtree(state_dir, ignore_errors=True)
+
+
+# --------------------------------------------------- incremental crawl dedup
+_CRAWL_SCHEMA = pa.schema(
+    [
+        ("canonical_url", pa.string()),
+        ("n_crawls", pa.int64()),
+        ("neg_latest_ts_us", pa.int64()),
+    ]
+)
+
+
+def ingest_crawl_delta(
+    records: ray.data.Dataset,
+    state_dir: str,
+    delta_id: str,
+    fingerprint: str | None = None,
+) -> int:
+    """Fold one delta of raw crawl records (raw_url, ts_us) into persisted
+    CANONICAL-URL state: per canonical url the crawl count and the latest
+    capture timestamp. Count is a sum and latest-ts is a max — both
+    distributive — so any arrival order of crawl snapshots reproduces the
+    batch ``crawl_url_dedup`` answer bit-for-bit; the max rides the
+    shared min-merge machinery as a NEGATED min. Same durability contract
+    as the other ingests (versioned immutable dirs, atomic STATE.json
+    swap, kind guard, exactly-once per delta)."""
+    from ner_pytorch_ray.pipelines.crawl import canonical_url
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
+
+    os.makedirs(state_dir, exist_ok=True)
+    state = read_state(state_dir)
+    _check_kind(state, "crawl", state_dir)
+    fingerprint = fingerprint or delta_id
+    if _check_delta(state, delta_id, fingerprint):
+        return state["version"]
+
+    def partials(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "canonical_url": canonical_url(batch.column("raw_url")),
+                "n_crawls": pa.array(
+                    np.ones(len(batch), dtype=np.int64)
+                ),
+                "neg_latest_ts_us": pc.negate_checked(
+                    batch.column("ts_us").cast(pa.int64())
+                ),
+            }
+        )
+
+    delta = grouped_sum(
+        records.map_batches(partials, batch_format="pyarrow"),
+        ["canonical_url"],
+        sum_cols=["n_crawls"],
+        min_cols=["neg_latest_ts_us"],
+    ).materialize()
+    n_records = int(delta.sum("n_crawls") or 0)
+
+    ver = state["version"]
+    new = ver + 1
+    prior = os.path.join(state_dir, f"v{ver}", "crawl") if ver else None
+    out = os.path.join(state_dir, f"v{new}", "crawl")
+    _merge_and_write(
+        prior,
+        delta,
+        ["canonical_url"],
+        ["n_crawls"],
+        ["neg_latest_ts_us"],
+        _CRAWL_SCHEMA,
+        out,
+    )
+
+    import pyarrow.dataset as pads
+
+    state["version"] = new
+    state["deltas"][delta_id] = {
+        "fingerprint": fingerprint,
+        "n_records": n_records,
+        "state_distinct_urls": pads.dataset(
+            out, format="parquet"
+        ).count_rows(),
+        "version": new,
+    }
+    _write_state(state_dir, state)
+    _retire_versions(state_dir, new)
+    return new
+
+
+def final_crawl(state_dir: str) -> ray.data.Dataset:
+    """The accumulated canonical-url table as the BATCH shape:
+    (canonical_url, n_crawls, latest_ts_us)."""
+    ver = _current_version(state_dir)
+    ds = ray.data.read_parquet(os.path.join(state_dir, f"v{ver}", "crawl"))
+
+    def unneg(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "canonical_url": batch.column("canonical_url"),
+                "n_crawls": batch.column("n_crawls"),
+                "latest_ts_us": pc.negate_checked(
+                    batch.column("neg_latest_ts_us")
+                ),
+            }
+        )
+
+    return ds.map_batches(unneg, batch_format="pyarrow")
+
+
+def crawl_incremental_from_documents(
+    sf_dir: str,
+    n_deltas: int = 3,
+    state_dir: str | None = None,
+) -> ray.data.Dataset:
+    """Ingest the synthetic crawl log as ``n_deltas`` doc-sharded crawl
+    snapshots and return the accumulated canonical-url table —
+    bit-identical to the batch ``crawl_url_dedup`` (it shares its SQL
+    oracle)."""
+    from ner_pytorch_ray.pipelines.crawl import crawl_records
+
+    owns_state = state_dir is None
+    if owns_state:
+        import tempfile
+
+        state_dir = tempfile.mkdtemp(prefix="crawl_incremental_", dir="/tmp")
+    try:
+        for d in range(n_deltas):
+            fp = mf.chained_fingerprint(
+                mf.input_fingerprint(sf_dir, "crawl_incremental", n_deltas, d)
+            )
+            docs = ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["doc_id"]
+            )
+            shard_records = crawl_records_from(
+                mf.filter_shard(docs, n_deltas, d)
+            )
+            ingest_crawl_delta(
+                shard_records,
+                state_dir,
+                delta_id=f"delta={d}/{n_deltas}",
+                fingerprint=fp,
+            )
+        out = final_crawl(state_dir).sort("canonical_url")
+        if owns_state:
+            out = out.materialize()
+        return out
+    finally:
+        if owns_state:
+            shutil.rmtree(state_dir, ignore_errors=True)
+
+
+def crawl_records_from(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """The ``crawl.crawl_records`` expansion over an arbitrary doc-id
+    dataset (the shard path of the incremental ingest)."""
+    from ner_pytorch_ray.pipelines.crawl import _records_batch
+
+    return docs.map_batches(_records_batch, batch_format="pyarrow")

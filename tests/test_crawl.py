@@ -46,3 +46,41 @@ def test_crawl_url_dedup_counts_and_latest(ray_session):
     for d in ids[:50]:
         n = 1 + d % 3
         assert rows[doc_url(d)] == (n, EPOCH_US + d + (n - 1) * day)
+
+
+def test_crawl_incremental_equals_batch_and_is_exactly_once(
+    ray_session, tmp_path
+):
+    import pyarrow.parquet as pq
+
+    from ner_pytorch_ray.pipelines.crawl import crawl_url_dedup
+    from ner_pytorch_ray.pipelines.incremental import (
+        crawl_incremental_from_documents,
+        final_crawl,
+        ingest_crawl_delta,
+        read_state,
+    )
+    from ner_pytorch_ray.pipelines.incremental import (
+        crawl_records_from,
+    )
+    import ray.data
+
+    got = crawl_incremental_from_documents(SF, n_deltas=3).to_pandas()
+    exp = crawl_url_dedup(SF).to_pandas()
+    assert got.reset_index(drop=True).equals(exp.reset_index(drop=True))
+
+    # exactly-once: re-ingesting the same delta id+fingerprint is a no-op
+    state_dir = str(tmp_path / "state")
+    docs = ray.data.from_arrow(
+        pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"]).slice(
+            0, 10
+        )
+    )
+    recs = crawl_records_from(docs)
+    v1 = ingest_crawl_delta(recs, state_dir, "d0", fingerprint="fp0")
+    v2 = ingest_crawl_delta(recs, state_dir, "d0", fingerprint="fp0")
+    assert v1 == v2 == 1
+    st = read_state(state_dir)
+    assert st["version"] == 1
+    n = final_crawl(state_dir).count()
+    assert n == 10
