@@ -793,6 +793,12 @@ def _q_pii_scrub(sf_dir: str):
     return pii_scrub(sf_dir)
 
 
+def _q_corpus_mixture(sf_dir: str):
+    from ner_pytorch_ray.pipelines.scrub import corpus_mixture
+
+    return corpus_mixture(sf_dir, budget_tokens=10_000)
+
+
 def _q_stratified_sample(sf_dir: str):
     from ner_pytorch_ray.pipelines.scrub import stratified_sample
 
@@ -1304,6 +1310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_hits": _q_kg_hits,
         "window_anomalies": _q_window_anomalies,
         "crawl_dedup_incremental": _q_crawl_dedup_incremental,
+        "corpus_mixture": _q_corpus_mixture,
         # same-family duplicates + simpler single-scan ops (locally
         # exact-verified, outside the 50-slot driver window):
         "knn_topk": _q_knn_topk,
@@ -2722,6 +2729,38 @@ FROM canon GROUP BY canonical_url ORDER BY canonical_url
 
     # same oracle as crawl_url_dedup (distributive count+max merge proof)
     out["crawl_dedup_incremental"] = out["crawl_url_dedup"]
+
+    # token-budget corpus mixture (scrub.corpus_mixture): per-source
+    # prefix under the md5 shuffle order until the source's integer
+    # token budget is crossed
+    out["corpus_mixture"] = """
+WITH m AS (
+  SELECT source, md5(CAST(doc_id AS VARCHAR)) AS hk, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+srcs AS (
+  SELECT source, row_number() OVER (ORDER BY source) - 1 AS i,
+         COUNT(*) OVER () AS k
+  FROM (SELECT DISTINCT source FROM m)
+),
+budg AS (
+  SELECT source,
+         CAST(10000 * (100 // k + CASE WHEN i < 100 % k THEN 1 ELSE 0 END)
+              // 100 AS BIGINT) AS budget
+  FROM srcs
+),
+runs AS (
+  SELECT m.*, SUM(n_tokens) OVER (PARTITION BY source
+                                  ORDER BY hk, doc_id) AS cum_tokens
+  FROM m
+)
+SELECT r.doc_id, r.source, r.n_tokens,
+       CAST(r.cum_tokens AS BIGINT) AS cum_tokens
+FROM runs r JOIN budg b ON b.source = r.source
+WHERE r.cum_tokens - r.n_tokens < b.budget
+ORDER BY r.source, r.doc_id
+"""
 
     # windowed volume anomaly flags (windows.window_anomalies): the
     # k-sigma test as a cross-multiplied integer inequality — no float

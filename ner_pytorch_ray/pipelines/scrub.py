@@ -287,3 +287,102 @@ def stratified_sample(
         )
 
     return flat_map_groups(collected, pick, [stratum_col], items_col="cand")
+
+
+def corpus_mixture(
+    sf_dir: str,
+    budget_tokens: int = 50_000,
+    weights: dict[str, int] | None = None,
+) -> ray.data.Dataset:
+    """Token-budget corpus MIXTURE sampling — the data-mixing step of an
+    LM training pipeline ("X% of the token budget from each source"):
+    per source, documents are taken in deterministic-shuffle order
+    (ascending ``md5(doc_id)``, the engine's sampling key) until the
+    source's token budget is exhausted; the straddling document that
+    crosses the budget is the last one kept, so every source's selection
+    is a prefix under the hash order and reproducible anywhere.
+
+    ``weights`` maps source -> integer percent (default: uniform over
+    observed sources via integer division, remainder to the
+    lexicographically first sources — fully deterministic). Budgets are
+    ``budget_tokens * pct // 100``.
+
+    Distributed shape: one metadata scan emits (source, doc_id, hash,
+    n_tokens) rows — 40-byte rows, never text; the per-source running
+    token sum is :func:`~ner_pytorch_ray.stages.groupby_utils.
+    grouped_running_sum` (global sort + O(#blocks) carry chain — a hot
+    source never lands in one task); the keep filter is block-local.
+    Output (doc_id, source, n_tokens, cum_tokens) sorted by
+    (source, doc_id)."""
+    from ner_pytorch_ray.stages.groupby_utils import grouped_running_sum, grouped_sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+
+    def meta_rows(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        toks = pc.split_pattern(batch.column("text"), " ")
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "hk": pa.array(_md5_hex(doc), type=pa.string()),
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pc.list_value_length(toks).cast(pa.int64()),
+            }
+        )
+
+    meta = ds.map_batches(meta_rows, batch_format="pyarrow").materialize()
+
+    if weights is None:
+        srcs = sorted(
+            r["source"]
+            for r in grouped_sum(
+                meta.map_batches(
+                    lambda t: pa.table(
+                        {
+                            "source": t.column("source"),
+                            "one": pa.array([1] * len(t), type=pa.int64()),
+                        }
+                    ),
+                    batch_format="pyarrow",
+                ),
+                ["source"],
+                sum_cols=["one"],
+            ).take_all()  # |sources| rows — bounded
+        )
+        base, rem = 100 // len(srcs), 100 % len(srcs)
+        weights = {
+            s: base + (1 if i < rem else 0) for i, s in enumerate(srcs)
+        }
+    budgets = {s: budget_tokens * p // 100 for s, p in weights.items()}
+
+    summed = grouped_running_sum(
+        meta,
+        part_keys=["source"],
+        order_keys=["hk", "doc_id"],
+        descending=[False, False],
+        value_col="n_tokens",
+        out_col="cum_tokens",
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        srcs_col = batch.column("source").to_pylist()
+        cum = batch.column("cum_tokens").to_numpy(zero_copy_only=False)
+        n = batch.column("n_tokens").to_numpy(zero_copy_only=False)
+        # keep while the PREVIOUS cumulative (cum - n) is under budget:
+        # the straddling doc is included, everything after is not
+        mask = np.array(
+            [
+                (int(c) - int(k)) < budgets.get(s, 0)
+                for s, c, k in zip(srcs_col, cum, n)
+            ]
+        )
+        t = batch.filter(pa.array(mask))
+        return t.select(["doc_id", "source", "n_tokens", "cum_tokens"])
+
+    return summed.map_batches(keep, batch_format="pyarrow").sort(
+        ["source", "doc_id"]
+    )

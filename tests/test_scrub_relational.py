@@ -645,3 +645,42 @@ class TestGroupedQuartiles:
                     v.astype(np.float64), p, method="linear"
                 )
                 assert abs(exp_cc / 100.0 - np_val) < 1e-6
+
+
+class TestCorpusMixture:
+    def test_prefix_property_and_budget(self):
+        from ner_pytorch_ray.pipelines.scrub import corpus_mixture
+
+        budget = 3_000
+        out = corpus_mixture(SF, budget_tokens=budget).to_pandas()
+        assert len(out) > 0
+        docs = pq.read_table(
+            f"{SF}/documents.parquet", columns=["doc_id", "text", "source"]
+        ).to_pandas()
+        docs["n_tokens"] = docs.text.str.split(" ").str.len()
+        docs["hk"] = [
+            hashlib.md5(str(d).encode()).hexdigest() for d in docs.doc_id
+        ]
+        srcs = sorted(docs.source.unique())
+        base, rem = 100 // len(srcs), 100 % len(srcs)
+        for i, s in enumerate(srcs):
+            b = budget * (base + (1 if i < rem else 0)) // 100
+            ordered = docs[docs.source == s].sort_values(["hk", "doc_id"])
+            cum = ordered.n_tokens.cumsum()
+            exp_ids = ordered.doc_id[(cum - ordered.n_tokens) < b]
+            got_ids = out[out.source == s].doc_id
+            assert sorted(got_ids) == sorted(exp_ids)
+            # selection is a prefix of the hash order: at most the
+            # straddling doc exceeds the budget
+            kept_cum = cum[(cum - ordered.n_tokens) < b]
+            if len(kept_cum):
+                assert kept_cum.iloc[:-1].le(b).all() or len(kept_cum) == 1
+
+    def test_explicit_weights(self):
+        from ner_pytorch_ray.pipelines.scrub import corpus_mixture
+
+        out = corpus_mixture(
+            SF, budget_tokens=2_000, weights={"src1": 100}
+        ).to_pandas()
+        assert set(out.source) <= {"src1"}
+        assert out.n_tokens.sum() >= 1  # src1 exists in the fixture
