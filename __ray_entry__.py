@@ -793,6 +793,12 @@ def _q_pii_scrub(sf_dir: str):
     return pii_scrub(sf_dir)
 
 
+def _q_orders_cube(sf_dir: str):
+    from ner_pytorch_ray.pipelines.relational import orders_cube
+
+    return orders_cube(sf_dir)
+
+
 def _q_corpus_mixture(sf_dir: str):
     from ner_pytorch_ray.pipelines.scrub import corpus_mixture
 
@@ -1311,6 +1317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_anomalies": _q_window_anomalies,
         "crawl_dedup_incremental": _q_crawl_dedup_incremental,
         "corpus_mixture": _q_corpus_mixture,
+        "orders_cube": _q_orders_cube,
         # same-family duplicates + simpler single-scan ops (locally
         # exact-verified, outside the 50-slot driver window):
         "knn_topk": _q_knn_topk,
@@ -2729,6 +2736,20 @@ FROM canon GROUP BY canonical_url ORDER BY canonical_url
 
     # same oracle as crawl_url_dedup (distributive count+max merge proof)
     out["crawl_dedup_incremental"] = out["crawl_url_dedup"]
+
+    # GROUP BY CUBE (relational.orders_cube): all four grouping sets from
+    # one shuffle via 4-way expansion of the finest pre-aggregated
+    # partials; -1/'ALL' placeholders (NULL has no stable hash)
+    out["orders_cube"] = """
+SELECT COALESCE(CAST(year(o_orderdate) AS BIGINT), -1) AS o_year,
+       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders
+GROUP BY CUBE (year(o_orderdate), o_orderpriority)
+ORDER BY o_year, o_orderpriority
+"""
 
     # token-budget corpus mixture (scrub.corpus_mixture): per-source
     # prefix under the md5 shuffle order until the source's integer

@@ -875,3 +875,63 @@ def grouped_quartiles(sf_dir: str) -> ray.data.Dataset:
     return out.map_batches(add_n, batch_format="pyarrow").sort(
         ["event_type", "pct"]
     )
+
+
+def orders_cube(sf_dir: str) -> ray.data.Dataset:
+    """GROUP BY CUBE (year, priority) over order revenue — all four
+    grouping sets from ONE shuffle: the finest grain pre-aggregates
+    per block (combiner), each finest partial row then EXPANDS to its
+    four cube coordinates ((y,p), (y,ALL), (ALL,p), (ALL,ALL)) and a
+    single grouped sum folds every level at once. The fact table is
+    read exactly once and the exchange carries 4x the finest-partial
+    rows (grouping-key-bounded), never 4x the facts. Placeholders use
+    -1 / 'ALL' (SQL NULL has no stable cross-engine hash).
+
+    Output: (o_year, o_orderpriority, n_orders, revenue_cents) sorted.
+    """
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderdate", "o_orderpriority", "o_totalprice"],
+    )
+
+    def expand(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "o_year": pc.year(batch.column("o_orderdate")).cast(
+                    pa.int64()
+                ),
+                "o_orderpriority": batch.column("o_orderpriority"),
+                "revenue_cents": _cents(batch.column("o_totalprice")),
+            }
+        )
+        g = t.group_by(["o_year", "o_orderpriority"]).aggregate(
+            [("revenue_cents", "sum"), ([], "count_all")]
+        )
+        def arr(col) -> pa.Array:
+            c = col.combine_chunks()
+            return c.chunk(0) if isinstance(c, pa.ChunkedArray) else c
+
+        y = arr(g.column("o_year"))
+        p = arr(g.column("o_orderpriority"))
+        n = arr(g.column("count_all").cast(pa.int64()))
+        r = arr(g.column("revenue_cents_sum").cast(pa.int64()))
+        k = g.num_rows
+        all_y = pa.array([-1] * k, type=pa.int64())
+        all_p = pa.array(["ALL"] * k, type=pa.string())
+        return pa.table(
+            {
+                "o_year": pa.concat_arrays([y, y, all_y, all_y]),
+                "o_orderpriority": pa.concat_arrays([p, all_p, p, all_p]),
+                "n_orders": pa.concat_arrays([n] * 4),
+                "revenue_cents": pa.concat_arrays([r] * 4),
+            }
+        )
+
+    cube = grouped_sum(
+        ds.map_batches(expand, batch_format="pyarrow"),
+        ["o_year", "o_orderpriority"],
+        sum_cols=["n_orders", "revenue_cents"],
+    )
+    return cube.sort(["o_year", "o_orderpriority"])

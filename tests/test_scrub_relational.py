@@ -684,3 +684,24 @@ class TestCorpusMixture:
         ).to_pandas()
         assert set(out.source) <= {"src1"}
         assert out.n_tokens.sum() >= 1  # src1 exists in the fixture
+
+
+def test_orders_cube_levels(ray_session):
+    """Every cube level is an exact re-sum of the finest level."""
+    from ner_pytorch_ray.pipelines.relational import orders_cube
+
+    out = orders_cube(SF).to_pandas()
+    finest = out[(out.o_year != -1) & (out.o_orderpriority != "ALL")]
+    years = out[(out.o_year != -1) & (out.o_orderpriority == "ALL")]
+    prios = out[(out.o_year == -1) & (out.o_orderpriority != "ALL")]
+    total = out[(out.o_year == -1) & (out.o_orderpriority == "ALL")]
+    for _, row in years.iterrows():
+        grp = finest[finest.o_year == row.o_year]
+        assert row.n_orders == grp.n_orders.sum()
+        assert row.revenue_cents == grp.revenue_cents.sum()
+    for _, row in prios.iterrows():
+        grp = finest[finest.o_orderpriority == row.o_orderpriority]
+        assert row.n_orders == grp.n_orders.sum()
+        assert row.revenue_cents == grp.revenue_cents.sum()
+    assert len(total) == 1
+    assert total.n_orders.iloc[0] == finest.n_orders.sum()
