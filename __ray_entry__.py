@@ -793,6 +793,12 @@ def _q_pii_scrub(sf_dir: str):
     return pii_scrub(sf_dir)
 
 
+def _q_span_corruption_stats(sf_dir: str):
+    from ner_pytorch_ray.pipelines.scrub import span_corruption_stats
+
+    return span_corruption_stats(sf_dir)
+
+
 def _q_orders_cube(sf_dir: str):
     from ner_pytorch_ray.pipelines.relational import orders_cube
 
@@ -1318,6 +1324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_dedup_incremental": _q_crawl_dedup_incremental,
         "corpus_mixture": _q_corpus_mixture,
         "orders_cube": _q_orders_cube,
+        "span_corruption_stats": _q_span_corruption_stats,
         # same-family duplicates + simpler single-scan ops (locally
         # exact-verified, outside the 50-slot driver window):
         "knn_topk": _q_knn_topk,
@@ -2736,6 +2743,42 @@ FROM canon GROUP BY canonical_url ORDER BY canonical_url
 
     # same oracle as crawl_url_dedup (distributive count+max merge proof)
     out["crawl_dedup_incremental"] = out["crawl_url_dedup"]
+
+    # T5 span-corruption accounting (scrub.span_corruption_stats): the
+    # mask is a pure integer-hash function of (doc_id, pos) — mod-2^32
+    # distributes over the multiply, so HUGEINT reproduces the uint64 mix
+    out["span_corruption_stats"] = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+tok AS (
+  SELECT doc_id, CAST(generate_subscripts(t, 1) - 1 AS BIGINT) AS pos
+  FROM toks
+),
+h AS (
+  SELECT doc_id, pos,
+         CAST(CAST((doc_id * 1000003 + pos) % 4294967296 AS HUGEINT)
+              * 2654435761 % 4294967296 AS BIGINT) AS hv
+  FROM tok
+),
+s AS (
+  SELECT doc_id, pos,
+         CASE WHEN hv < 214748364 THEN 1 ELSE 0 END AS st
+  FROM h
+),
+m AS (
+  SELECT doc_id, st,
+         CASE WHEN st = 1
+                OR lag(st, 1, 0) OVER w = 1
+                OR lag(st, 2, 0) OVER w = 1
+           THEN 1 ELSE 0 END AS mk
+  FROM s WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(st) AS BIGINT) AS n_starts,
+       CAST(SUM(mk) AS BIGINT) AS n_masked
+FROM m GROUP BY doc_id ORDER BY doc_id
+"""
 
     # GROUP BY CUBE (relational.orders_cube): all four grouping sets from
     # one shuffle via 4-way expansion of the finest pre-aggregated

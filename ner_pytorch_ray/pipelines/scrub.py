@@ -386,3 +386,72 @@ def corpus_mixture(
     return summed.map_batches(keep, batch_format="pyarrow").sort(
         ["source", "doc_id"]
     )
+
+
+SPAN_HASH_MOD = 1 << 32
+SPAN_HASH_MIX = 2654435761  # Knuth multiplicative constant
+SPAN_START_T = 214_748_364  # floor(0.05 * 2^32): 5% span starts
+SPAN_LEN = 3
+
+
+def span_corruption_stats(sf_dir: str) -> ray.data.Dataset:
+    """T5-style span-corruption accounting (Raffel et al. 2020): decide
+    deterministically which token positions start a corruption span
+    (pseudo-rand ``((doc_id*1000003 + pos) % 2^32) * 2654435761 % 2^32 <
+    0.05*2^32``; spans cover 3 tokens, overlaps merge) and report per
+    document (doc_id, n_tokens, n_starts, n_masked) — the mask itself is
+    a pure function of (doc_id, pos), so the downstream input/target
+    split needs no stored state and any engine reproduces it exactly
+    (mod-2^32 distributes over the multiply, so the mix stays in
+    uint64/HUGEINT).
+
+    One streaming scan; everything vectorized numpy (position arrays via
+    repeat/arange over the token-list offsets, the 2-shift OR for span
+    coverage guarded at document boundaries); per-doc sums via bincount.
+    """
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def stats(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        lens = lens.astype(np.int64)
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        parent = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        # position within each document
+        starts_of_doc = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts_of_doc[1:])
+        pos = np.arange(len(parent), dtype=np.int64) - starts_of_doc[parent]
+        m = (
+            doc_ids[parent].astype(np.uint64) * np.uint64(1_000_003)
+            + pos.astype(np.uint64)
+        ) % np.uint64(SPAN_HASH_MOD)
+        h = (m * np.uint64(SPAN_HASH_MIX)) % np.uint64(SPAN_HASH_MOD)
+        st = h < np.uint64(SPAN_START_T)
+        masked = st.copy()
+        for k in range(1, SPAN_LEN):
+            shifted = np.zeros_like(st)
+            shifted[k:] = st[:-k]
+            # a start only covers positions in the SAME document
+            same = np.zeros_like(st)
+            same[k:] = parent[k:] == parent[:-k]
+            masked |= shifted & same
+        n_starts = np.bincount(
+            parent, weights=st.astype(np.int64), minlength=len(lens)
+        ).astype(np.int64)
+        n_masked = np.bincount(
+            parent, weights=masked.astype(np.int64), minlength=len(lens)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(lens),
+                "n_starts": pa.array(n_starts),
+                "n_masked": pa.array(n_masked),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow").sort("doc_id")

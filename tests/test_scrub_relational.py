@@ -705,3 +705,35 @@ def test_orders_cube_levels(ray_session):
         assert row.revenue_cents == grp.revenue_cents.sum()
     assert len(total) == 1
     assert total.n_orders.iloc[0] == finest.n_orders.sum()
+
+
+def test_span_corruption_stats_sequential(ray_session):
+    """Row-at-a-time recompute of the integer-hash mask; masked fraction
+    lands near 3x the 5% start rate."""
+    from ner_pytorch_ray.pipelines.scrub import span_corruption_stats
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_starts"], r["n_masked"])
+        for r in span_corruption_stats(SF).take_all()
+    }
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    )
+    tot_tok = tot_mask = 0
+    for d, t in zip(
+        docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()
+    ):
+        n = len(t.split(" "))
+        st = [
+            ((d * 1_000_003 + p) % (1 << 32)) * 2654435761 % (1 << 32)
+            < 214_748_364
+            for p in range(n)
+        ]
+        mk = [
+            st[p] or (p >= 1 and st[p - 1]) or (p >= 2 and st[p - 2])
+            for p in range(n)
+        ]
+        assert got[d] == (n, sum(st), sum(mk))
+        tot_tok += n
+        tot_mask += sum(mk)
+    assert 0.10 < tot_mask / tot_tok < 0.20
