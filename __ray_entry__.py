@@ -793,6 +793,14 @@ def _q_pii_scrub(sf_dir: str):
     return pii_scrub(sf_dir)
 
 
+def _q_regional_supplier_revenue(sf_dir: str):
+    from ner_pytorch_ray.pipelines.relational import (
+        regional_supplier_revenue,
+    )
+
+    return regional_supplier_revenue(sf_dir, region="ASIA", year=1996)
+
+
 def _q_span_corruption_stats(sf_dir: str):
     from ner_pytorch_ray.pipelines.scrub import span_corruption_stats
 
@@ -1325,6 +1333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_mixture": _q_corpus_mixture,
         "orders_cube": _q_orders_cube,
         "span_corruption_stats": _q_span_corruption_stats,
+        "regional_supplier_revenue": _q_regional_supplier_revenue,
         # same-family duplicates + simpler single-scan ops (locally
         # exact-verified, outside the 50-slot driver window):
         "knn_topk": _q_knn_topk,
@@ -2743,6 +2752,29 @@ FROM canon GROUP BY canonical_url ORDER BY canonical_url
 
     # same oracle as crawl_url_dedup (distributive count+max merge proof)
     out["crawl_dedup_incremental"] = out["crawl_url_dedup"]
+
+    # TPC-H Q5 shape (relational.regional_supplier_revenue): two
+    # partitioned fact joins + broadcast dims + exact integer
+    # cent-percent revenue
+    out["regional_supplier_revenue"] = """
+SELECT n.n_name AS n_name,
+       CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_c2,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND c.c_nationkey = s.s_nationkey
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+ORDER BY revenue_c2 DESC, n_name
+"""
 
     # T5 span-corruption accounting (scrub.span_corruption_stats): the
     # mask is a pure integer-hash function of (doc_id, pos) — mod-2^32

@@ -935,3 +935,206 @@ def orders_cube(sf_dir: str) -> ray.data.Dataset:
         sum_cols=["n_orders", "revenue_cents"],
     )
     return cube.sort(["o_year", "o_orderpriority"])
+
+
+def regional_supplier_revenue(
+    sf_dir: str, region: str = "ASIA", year: int = 1996
+) -> ray.data.Dataset:
+    """TPC-H Q5 shape — "revenue from local suppliers per nation of a
+    region, one year": customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation
+    ⋈ region with the local-supplier constraint
+    ``c_nationkey = s_nationkey``, composed the way a 100 TB plan
+    should be:
+
+    - **fact ⋈ fact partitioned**: lineitem ⋈ orders (order key) and
+      then ⋈ customer (cust key) run through Ray Data's partitioned
+      hash join — both sides stream, nothing is collected
+      (``order_revenue_join`` precedent; partitions sized from parquet
+      row metadata).
+    - **dims broadcast**: supplier→nation (|suppliers| ≪ facts by the
+      TPC-H 1:6000 row ratio), nation names and the region's nation set
+      ride once via ``ray.put`` and resolve inside ``map_batches`` —
+      no shuffle for any dimension.
+    - **prune at the read**: the date window filters orders before the
+      first join; lineitem carries only (orderkey, suppkey, integer
+      revenue) into the exchange.
+    - revenue is EXACT integer cent-percent:
+      ``round(price*100) * (100 - round(disc*100))``.
+
+    Output: (n_name, revenue_c2, n_items) by (revenue desc, name)."""
+    import pyarrow.parquet as pq_meta
+
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
+
+    n_rows = pq_meta.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+    n_parts = int(min(64, max(2, n_rows // 250_000)))
+
+    # --- broadcast side: region -> nations, supplier -> nationkey
+    nation_t = pq_meta.read_table(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    region_t = pq_meta.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    rkeys = {
+        rk
+        for rk, rn in zip(
+            region_t.column("r_regionkey").to_pylist(),
+            region_t.column("r_name").to_pylist(),
+        )
+        if rn == region
+    }
+    nation_name = {}
+    region_nations = set()
+    for nk, nn, rg in zip(
+        nation_t.column("n_nationkey").to_pylist(),
+        nation_t.column("n_name").to_pylist(),
+        nation_t.column("n_regionkey").to_pylist(),
+    ):
+        nation_name[nk] = nn
+        if rg in rkeys:
+            region_nations.add(nk)
+    supp_t = pq_meta.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    supp_nat = dict(
+        zip(
+            supp_t.column("s_suppkey").to_pylist(),
+            supp_t.column("s_nationkey").to_pylist(),
+        )
+    )
+    supp_ref = ray.put((supp_nat, frozenset(region_nations)))
+
+    # --- fact sides
+    t0 = np.datetime64(f"{year}-01-01", "us").astype(np.int64)
+    t1 = np.datetime64(f"{year + 1}-01-01", "us").astype(np.int64)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def in_window(batch: pa.Table) -> pa.Table:
+        ts = batch.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        keep = (ts >= t0) & (ts < t1)
+        return batch.filter(pa.array(keep)).select(
+            ["o_orderkey", "o_custkey"]
+        )
+
+    orders = orders.map_batches(in_window, batch_format="pyarrow")
+
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    class AttachSupplierNation:
+        def __init__(self, ref):
+            self._supp, self._region = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            price = batch.column("l_extendedprice").to_numpy()
+            disc = batch.column("l_discount").to_numpy()
+            rev = np.rint(price * 100).astype(np.int64) * (
+                100 - np.rint(disc * 100).astype(np.int64)
+            )
+            s_nat = np.array(
+                [
+                    self._supp[s]
+                    for s in batch.column("l_suppkey").to_pylist()
+                ],
+                dtype=np.int64,
+            )
+            keep = np.array([n in self._region for n in s_nat])
+            t = pa.table(
+                {
+                    "l_orderkey": batch.column("l_orderkey"),
+                    "s_nationkey": pa.array(s_nat),
+                    "rev_c2": pa.array(rev),
+                }
+            ).filter(pa.array(keep))
+            return t
+
+    items = lineitem.map_batches(
+        AttachSupplierNation,
+        fn_constructor_args=(supp_ref,),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    oc = orders.join(
+        customer,
+        join_type="inner",
+        num_partitions=n_parts,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    joined = items.join(
+        oc,
+        join_type="inner",
+        num_partitions=n_parts,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def local_partial(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(
+            batch.column("s_nationkey"), batch.column("c_nationkey")
+        )
+        t = batch.filter(keep)
+        g = (
+            pa.table(
+                {
+                    "n_nationkey": t.column("s_nationkey").combine_chunks(),
+                    "rev_c2": t.column("rev_c2").combine_chunks(),
+                }
+            )
+            .group_by("n_nationkey")
+            .aggregate([("rev_c2", "sum"), ([], "count_all")])
+        )
+        return pa.table(
+            {
+                "n_nationkey": g.column("n_nationkey"),
+                "revenue_c2": g.column("rev_c2_sum").cast(pa.int64()),
+                "n_items": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    merged = grouped_sum(
+        joined.map_batches(local_partial, batch_format="pyarrow"),
+        ["n_nationkey"],
+        sum_cols=["revenue_c2", "n_items"],
+    )
+    names_ref = ray.put(nation_name)
+
+    class AddName:
+        def __init__(self, ref):
+            self._names = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "n_name": pa.array(
+                        [
+                            self._names[k]
+                            for k in batch.column(
+                                "n_nationkey"
+                            ).to_pylist()
+                        ],
+                        type=pa.string(),
+                    ),
+                    "revenue_c2": batch.column("revenue_c2"),
+                    "n_items": batch.column("n_items"),
+                }
+            )
+
+    return merged.map_batches(
+        AddName, fn_constructor_args=(names_ref,), batch_format="pyarrow",
+        concurrency=(1, 4),
+    ).sort(["revenue_c2", "n_name"], descending=[True, False])

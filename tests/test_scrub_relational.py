@@ -737,3 +737,87 @@ def test_span_corruption_stats_sequential(ray_session):
         tot_tok += n
         tot_mask += sum(mk)
     assert 0.10 < tot_mask / tot_tok < 0.20
+
+
+def test_regional_supplier_revenue_crafted(ray_session, tmp_path):
+    """Hand-built micro warehouse: one local-supplier item counts, the
+    non-local and out-of-window items do not."""
+    from ner_pytorch_ray.pipelines.relational import (
+        regional_supplier_revenue,
+    )
+
+    def ts(s):
+        import numpy as np
+
+        return np.datetime64(s, "us")
+
+    pq.write_table(
+        pa.table({"r_regionkey": pa.array([0, 1], type=pa.int64()),
+                  "r_name": pa.array(["ASIA", "EUROPE"])}),
+        tmp_path / "region.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([10, 11, 20], type=pa.int64()),
+                "n_name": pa.array(["JAPAN", "INDIA", "FRANCE"]),
+                "n_regionkey": pa.array([0, 0, 1], type=pa.int64()),
+            }
+        ),
+        tmp_path / "nation.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([1, 2], type=pa.int64()),
+                "s_name": pa.array(["s1", "s2"]),
+                "s_nationkey": pa.array([10, 20], type=pa.int64()),
+                "s_acctbal": pa.array([0.0, 0.0]),
+            }
+        ),
+        tmp_path / "supplier.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([100, 101], type=pa.int64()),
+                "c_nationkey": pa.array([10, 11], type=pa.int64()),
+                "c_acctbal": pa.array([0.0, 0.0]),
+            }
+        ),
+        tmp_path / "customer.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1000, 1001, 1002], type=pa.int64()),
+                "o_custkey": pa.array([100, 100, 101], type=pa.int64()),
+                "o_orderdate": pa.array(
+                    [ts("1996-06-01"), ts("1997-06-01"), ts("1996-03-01")],
+                    type=pa.timestamp("us"),
+                ),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                # item A: JAPAN cust x JAPAN supp, in window -> counts
+                # item B: same order, EUROPE supp -> region-filtered
+                # item C: order 1001 out of window -> dropped
+                # item D: INDIA cust x JAPAN supp -> not local
+                "l_orderkey": pa.array(
+                    [1000, 1000, 1001, 1002], type=pa.int64()
+                ),
+                "l_suppkey": pa.array([1, 2, 1, 1], type=pa.int64()),
+                "l_extendedprice": pa.array([10.0, 99.0, 50.0, 7.0]),
+                "l_discount": pa.array([0.10, 0.0, 0.0, 0.0]),
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+    out = regional_supplier_revenue(
+        str(tmp_path), region="ASIA", year=1996
+    ).to_pandas()
+    assert out.values.tolist() == [["JAPAN", 1000 * 90, 1]]
