@@ -793,6 +793,12 @@ def _q_pii_scrub(sf_dir: str):
     return pii_scrub(sf_dir)
 
 
+def _q_funnel_conversion(sf_dir: str):
+    from ner_pytorch_ray.pipelines.windows import funnel_conversion
+
+    return funnel_conversion(sf_dir, step_a="signup", step_b="purchase")
+
+
 def _q_regional_supplier_revenue(sf_dir: str):
     from ner_pytorch_ray.pipelines.relational import (
         regional_supplier_revenue,
@@ -1334,6 +1340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cube": _q_orders_cube,
         "span_corruption_stats": _q_span_corruption_stats,
         "regional_supplier_revenue": _q_regional_supplier_revenue,
+        "funnel_conversion": _q_funnel_conversion,
         # same-family duplicates + simpler single-scan ops (locally
         # exact-verified, outside the 50-slot driver window):
         "knn_topk": _q_knn_topk,
@@ -2752,6 +2759,27 @@ FROM canon GROUP BY canonical_url ORDER BY canonical_url
 
     # same oracle as crawl_url_dedup (distributive count+max merge proof)
     out["crawl_dedup_incremental"] = out["crawl_url_dedup"]
+
+    # two-step funnel (windows.funnel_conversion): first-A grouped min,
+    # B-after-A via partitioned join + second grouped min, LEFT-extend
+    # through the union-tag fold
+    out["funnel_conversion"] = """
+WITH a AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS a_ts_us
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+b AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS b_ts_us
+  FROM events e
+  JOIN a ON a.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= a.a_ts_us
+  GROUP BY e.user_id
+)
+SELECT a.user_id, a.a_ts_us, b.b_ts_us,
+       b.b_ts_us - a.a_ts_us AS delay_us
+FROM a LEFT JOIN b ON b.user_id = a.user_id
+ORDER BY a.user_id
+"""
 
     # TPC-H Q5 shape (relational.regional_supplier_revenue): two
     # partitioned fact joins + broadcast dims + exact integer

@@ -1015,3 +1015,135 @@ def window_anomalies(
     return counts.map_batches(flag, batch_format="pyarrow").sort(
         ["window_start_us", "event_type"]
     )
+
+
+def funnel_conversion(
+    sf_dir: str, step_a: str = "signup", step_b: str = "purchase"
+) -> ray.data.Dataset:
+    """Two-step funnel: for every user whose first ``step_a`` event is
+    followed (>=, ties count) by a ``step_b`` event, the conversion
+    delay — (user_id, a_ts_us, b_ts_us, delay_us), plus non-converting
+    ``step_a`` users with NULL b/delay. Skew-safe with NO per-user
+    event collect:
+
+      1. first-A per user = one grouped MIN over A events (combiner
+         pre-folds, a hot user ships one row per block);
+      2. B events join first-A on user via Ray Data's partitioned hash
+         join (both sides stream), the ``ts >= a_ts`` filter runs
+         block-local, and a second grouped MIN picks the earliest
+         qualifying B;
+      3. the converted table LEFT-extends first-A through the
+         union-tag pattern (native join is inner-only).
+
+    Every timestamp is epoch-micros int64, so the SQL window recompute
+    hashes identically."""
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
+
+    ev = read_events(sf_dir, ["user_id", "ts", "event_type"])
+
+    def typed(name: str, out_col: str):
+        def rows(batch: pa.Table) -> pa.Table:
+            keep = pc.equal(batch.column("event_type"), pa.scalar(name))
+            t = batch.filter(keep)
+            return pa.table(
+                {
+                    "user_id": t.column("user_id"),
+                    out_col: t.column("ts").cast(pa.int64()),
+                }
+            )
+
+        return rows
+
+    first_a = grouped_sum(
+        ev.map_batches(typed(step_a, "a_ts_us"), batch_format="pyarrow"),
+        ["user_id"],
+        sum_cols=[],
+        min_cols=["a_ts_us"],
+    ).materialize()
+
+    a_schema = pa.schema([("user_id", pa.int64()), ("a_ts_us", pa.int64())])
+
+    def ensure_a(batch: pa.Table) -> pa.Table:
+        # an empty aggregate partition can surface as a ZERO-COLUMN block;
+        # the hash join needs every block to carry the key schema
+        if batch.num_columns == 0:
+            return a_schema.empty_table()
+        return batch.select(["user_id", "a_ts_us"]).cast(a_schema)
+
+    # partitions sized from input metadata (order_revenue_join precedent):
+    # an 8-way join over a 4-user fixture would leave EMPTY hash
+    # partitions, which surface schema-less blocks inside the join
+    import pyarrow.parquet as pq_meta
+
+    n_rows = pq_meta.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    n_parts = int(min(64, max(2, n_rows // 250_000)))
+
+    b_rows = ev.map_batches(typed(step_b, "b_ts_us"), batch_format="pyarrow")
+    joined = b_rows.join(
+        first_a.map_batches(ensure_a, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=n_parts,
+        on=("user_id",),
+    )
+
+    def after_a(batch: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(
+            batch.column("b_ts_us"), batch.column("a_ts_us")
+        )
+        t = batch.filter(keep)
+        return pa.table(
+            {"user_id": t.column("user_id"), "b_ts_us": t.column("b_ts_us")}
+        )
+
+    first_b = grouped_sum(
+        joined.map_batches(after_a, batch_format="pyarrow"),
+        ["user_id"],
+        sum_cols=[],
+        min_cols=["b_ts_us"],
+    )
+
+    # LEFT-extend: union tagged rows, one grouped fold (b absent -> NULL)
+    def a_side(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "a_ts_us": batch.column("a_ts_us"),
+                "b_or_inf": pa.array([None] * n, type=pa.int64()),
+            }
+        )
+
+    def b_side(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "a_ts_us": pa.array(
+                    [None] * n, type=pa.int64()
+                ),
+                "b_or_inf": batch.column("b_ts_us"),
+            }
+        )
+
+    folded = grouped_sum(
+        first_a.map_batches(a_side, batch_format="pyarrow").union(
+            first_b.map_batches(b_side, batch_format="pyarrow")
+        ),
+        ["user_id"],
+        sum_cols=[],
+        min_cols=["a_ts_us", "b_or_inf"],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        b = batch.column("b_or_inf")
+        delay = pc.subtract(b, batch.column("a_ts_us"))
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "a_ts_us": batch.column("a_ts_us"),
+                "b_ts_us": b,
+                "delay_us": delay,
+            }
+        )
+
+    return folded.map_batches(finish, batch_format="pyarrow").sort("user_id")

@@ -184,3 +184,52 @@ def test_window_anomalies_integer_k_sigma(ray_session, tmp_path):
     c = out.n_events.to_numpy(dtype=np.float64)
     z_flag = np.abs(c - c.mean()) > 2 * c.std()
     assert (out.is_anomaly.to_numpy() == z_flag.astype(np.int64)).all()
+
+
+def test_funnel_conversion_crafted(ray_session, tmp_path):
+    """Hand-built funnel: converter (B after A), pre-A-B-only user (B
+    before A -> no conversion), non-converting A user, B-only user
+    (excluded), tie at equal timestamps counts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [
+        # user 1: A@100, B@50 (before, ignored), B@300 -> converts, 200
+        (1, 100, "signup"),
+        (1, 50, "purchase"),
+        (1, 300, "purchase"),
+        # user 2: A@100, B@40 only -> no conversion (NULL)
+        (2, 100, "signup"),
+        (2, 40, "purchase"),
+        # user 3: A@70, B@70 tie -> converts with delay 0
+        (3, 70, "signup"),
+        (3, 70, "purchase"),
+        # user 4: B only -> not in the funnel at all
+        (4, 10, "purchase"),
+        # user 5: two A's -> first one (A@20) anchors
+        (5, 90, "signup"),
+        (5, 20, "signup"),
+        (5, 60, "purchase"),
+    ]
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows], type=pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "event_type": pa.array([r[2] for r in rows]),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    from ner_pytorch_ray.pipelines.windows import funnel_conversion
+
+    got = {
+        r["user_id"]: (r["a_ts_us"], r["b_ts_us"], r["delay_us"])
+        for r in funnel_conversion(str(tmp_path)).take_all()
+    }
+    assert got == {
+        1: (100, 300, 200),
+        2: (100, None, None),
+        3: (70, 70, 0),
+        5: (20, 60, 40),
+    }
