@@ -793,6 +793,12 @@ def _q_pii_scrub(sf_dir: str):
     return pii_scrub(sf_dir)
 
 
+def _q_retention_cohorts(sf_dir: str):
+    from ner_pytorch_ray.pipelines.windows import retention_cohorts
+
+    return retention_cohorts(sf_dir)
+
+
 def _q_funnel_conversion(sf_dir: str):
     from ner_pytorch_ray.pipelines.windows import funnel_conversion
 
@@ -1341,6 +1347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_corruption_stats": _q_span_corruption_stats,
         "regional_supplier_revenue": _q_regional_supplier_revenue,
         "funnel_conversion": _q_funnel_conversion,
+        "retention_cohorts": _q_retention_cohorts,
         # same-family duplicates + simpler single-scan ops (locally
         # exact-verified, outside the 50-slot driver window):
         "knn_topk": _q_knn_topk,
@@ -2759,6 +2766,21 @@ FROM canon GROUP BY canonical_url ORDER BY canonical_url
 
     # same oracle as crawl_url_dedup (distributive count+max merge proof)
     out["crawl_dedup_incremental"] = out["crawl_url_dedup"]
+
+    # cohort retention matrix (windows.retention_cohorts): one keyed
+    # collect whose group payload is a user's DISTINCT WEEKS (bounded by
+    # the calendar, never event count)
+    out["retention_cohorts"] = """
+WITH uw AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+  FROM events
+),
+c AS (SELECT user_id, MIN(week) AS cohort FROM uw GROUP BY user_id)
+SELECT c.cohort AS cohort_week, uw.week AS week,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM uw JOIN c ON c.user_id = uw.user_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
 
     # two-step funnel (windows.funnel_conversion): first-A grouped min,
     # B-after-A via partitioned join + second grouped min, LEFT-extend

@@ -1147,3 +1147,77 @@ def funnel_conversion(
         )
 
     return folded.map_batches(finish, batch_format="pyarrow").sort("user_id")
+
+
+WEEK_US = 7 * 86_400_000_000
+
+
+def retention_cohorts(sf_dir: str) -> ray.data.Dataset:
+    """Cohort retention matrix: users grouped by their FIRST active week
+    (the cohort), counted in every week they return —
+    (cohort_week, week, n_users). The classic product-analytics
+    triangle, shaped for scale:
+
+    - one scan emits block-locally DEDUPED (user, week) rows (a hot
+      user collapses to <= #weeks rows per block before any exchange);
+    - ONE keyed collect per user gathers his distinct weeks — group
+      payload bounded by the CALENDAR (weeks), never by event count —
+      and emits (cohort = min week, week) pairs;
+    - a grouped count folds the matrix (|cohorts| x |weeks| rows).
+    """
+    from ner_pytorch_ray.stages.groupby_utils import (
+        collect_tuples,
+        flat_map_groups,
+        grouped_sum,
+    )
+
+    ev = read_events(sf_dir, ["user_id", "ts"])
+
+    def user_weeks(batch: pa.Table) -> pa.Table:
+        # numpy floor division (timestamps are non-negative epoch micros)
+        weeks = (
+            batch.column("ts").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            // WEEK_US
+        )
+        t = pa.table(
+            {
+                "user_id": batch.column("user_id").combine_chunks(),
+                "week": pa.array(weeks, type=pa.int64()),
+            }
+        )
+        return t.group_by(["user_id", "week"]).aggregate([])
+
+    rows = ev.map_batches(user_weeks, batch_format="pyarrow")
+    collected = collect_tuples(rows, ["user_id"], ["week"])
+    pair_schema = pa.schema(
+        [("cohort_week", pa.int64()), ("week", pa.int64())]
+    )
+
+    def emit(key, items) -> pa.Table:
+        if items is None:
+            return pair_schema.empty_table()
+        weeks = sorted({w for (w,) in items})
+        return pa.Table.from_pydict(
+            {
+                "cohort_week": pa.array(
+                    [weeks[0]] * len(weeks), type=pa.int64()
+                ),
+                "week": pa.array(weeks, type=pa.int64()),
+            }
+        )
+
+    pairs = flat_map_groups(collected, emit, ["user_id"])
+
+    def one(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "n_users",
+            pa.array(np.ones(len(batch), dtype=np.int64)),
+        )
+
+    return grouped_sum(
+        pairs.map_batches(one, batch_format="pyarrow"),
+        ["cohort_week", "week"],
+        sum_cols=["n_users"],
+    ).sort(["cohort_week", "week"])

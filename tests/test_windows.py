@@ -233,3 +233,36 @@ def test_funnel_conversion_crafted(ray_session, tmp_path):
         3: (70, 70, 0),
         5: (20, 60, 40),
     }
+
+
+def test_retention_cohorts_crafted(ray_session, tmp_path):
+    """Hand-built cohorts: week-0 cohort of 2 users (one retained in
+    week 1), week-1 cohort of 1 user; a hot user's repeat events in one
+    week count once."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    week = 604_800_000_000
+    rows = [
+        (1, 0),
+        (1, 10),            # user 1: week 0 twice (dedup)
+        (1, week + 5),      # ... returns week 1
+        (2, 100),           # user 2: week 0 only
+        (3, week + 50),     # user 3: cohort week 1
+    ]
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows], type=pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    from ner_pytorch_ray.pipelines.windows import retention_cohorts
+
+    got = {
+        (r["cohort_week"], r["week"]): r["n_users"]
+        for r in retention_cohorts(str(tmp_path)).take_all()
+    }
+    assert got == {(0, 0): 2, (0, 1): 1, (1, 1): 1}
