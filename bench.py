@@ -387,6 +387,47 @@ def run_extras(sf_dir: str) -> dict:
     timed(
         "grouped_quartiles", lambda: grouped_quartiles(sf_dir).count()
     )
+
+    from ner_pytorch_ray.pipelines.graph_ops import kg_hits
+    from ner_pytorch_ray.pipelines.incremental import (
+        crawl_incremental_from_documents,
+    )
+    from ner_pytorch_ray.pipelines.relational import (
+        orders_cube,
+        regional_supplier_revenue,
+    )
+    from ner_pytorch_ray.pipelines.scrub import (
+        corpus_mixture,
+        span_corruption_stats,
+    )
+    from ner_pytorch_ray.pipelines.windows import (
+        funnel_conversion,
+        retention_cohorts,
+        window_anomalies,
+    )
+
+    timed("kg_hits", lambda: kg_hits(sf_dir).count())
+    timed("window_anomalies", lambda: window_anomalies(sf_dir).count())
+    timed(
+        "crawl_dedup_incremental",
+        lambda: crawl_incremental_from_documents(sf_dir).count(),
+    )
+    timed("corpus_mixture", lambda: corpus_mixture(sf_dir).count())
+    timed("orders_cube", lambda: orders_cube(sf_dir).count())
+    timed(
+        "span_corruption_stats",
+        lambda: span_corruption_stats(sf_dir).count(),
+    )
+    timed(
+        "regional_supplier_revenue",
+        lambda: regional_supplier_revenue(sf_dir).count(),
+    )
+    timed(
+        "funnel_conversion", lambda: funnel_conversion(sf_dir).count()
+    )
+    timed(
+        "retention_cohorts", lambda: retention_cohorts(sf_dir).count()
+    )
     return extras
 
 
