@@ -396,18 +396,16 @@ def bloom_semijoin_orders(
        over the dim keys distributively, ``ray.put`` it once, and drop
        ~all non-matching fact rows inside ``map_batches``. No false
        negatives, so nothing is lost; survivors = matches + ~fp-rate.
-    2. **Exact verify (exchange on SURVIVORS only)** — the survivors and
-       the dim keys co-group by key; groups holding a dim marker emit
-       their fact rows. False positives die here, so the result is
-       exact while the all-to-all only ever carries the pruned rows.
+    2. **Exact verify (exchange on SURVIVORS only)** — the survivors
+       LEFT-SEMI join the dim keys through Ray Data's native hash join
+       (both sides stream, the Arrow-native build replaces a Python
+       co-group verify that measured ~2.5x slower at sf0.1). False
+       positives die here, so the result is exact while the all-to-all
+       only ever carries the pruned rows.
     """
-    import pyarrow.compute as pc
+    import pyarrow.parquet as pq_meta
 
     from ner_pytorch_ray.pipelines.relational import _cents
-    from ner_pytorch_ray.stages.groupby_utils import (
-        collect_tuples,
-        flat_map_groups,
-    )
 
     dim = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
@@ -427,12 +425,9 @@ def bloom_semijoin_orders(
             t = batch.filter(pa.array(mask))
             return pa.table(
                 {
-                    "key": t.column("o_custkey"),
+                    "o_custkey": t.column("o_custkey"),
                     "o_orderkey": t.column("o_orderkey"),
                     "o_cents": _cents(t.column("o_totalprice")),
-                    "src": pa.array(
-                        np.ones(len(t), dtype=np.int64)
-                    ),
                 }
             )
 
@@ -446,49 +441,19 @@ def bloom_semijoin_orders(
         concurrency=(1, 8),
     )
 
-    def dim_rows(batch: pa.Table) -> pa.Table:
-        n = len(batch)
-        return pa.table(
-            {
-                "key": batch.column("c_custkey"),
-                "o_orderkey": pa.array(np.full(n, -1, dtype=np.int64)),
-                "o_cents": pa.array(np.zeros(n, dtype=np.int64)),
-                "src": pa.array(np.zeros(n, dtype=np.int64)),
-            }
-        )
+    def dim_keys(batch: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": batch.column("c_custkey")})
 
-    tagged = facts.union(dim.map_batches(dim_rows, batch_format="pyarrow"))
-    groups = collect_tuples(
-        tagged, ["key"], ["src", "o_orderkey", "o_cents"]
+    n_rows = pq_meta.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    n_parts = int(min(64, max(2, n_rows // 250_000)))
+    verified = facts.join(
+        dim.map_batches(dim_keys, batch_format="pyarrow"),
+        join_type="left_semi",
+        num_partitions=n_parts,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
     )
-
-    def verify(key_tuple, items) -> pa.Table:
-        schema = pa.schema(
-            [
-                ("o_custkey", pa.int64()),
-                ("o_orderkey", pa.int64()),
-                ("o_cents", pa.int64()),
-            ]
-        )
-        if items is None or not any(src == 0 for (src, _, _) in items):
-            return schema.empty_table()
-        rows = [(ok, cents) for (src, ok, cents) in items if src == 1]
-        if not rows:
-            return schema.empty_table()
-        (key,) = key_tuple
-        return pa.table(
-            {
-                "o_custkey": pa.array(
-                    np.full(len(rows), key, dtype=np.int64)
-                ),
-                "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
-                "o_cents": pa.array([r[1] for r in rows], pa.int64()),
-            }
-        )
-
-    return flat_map_groups(groups, verify, ["key"]).sort(
-        ["o_custkey", "o_orderkey"]
-    )
+    return verified.sort(["o_custkey", "o_orderkey"])
 
 
 # ---------------------------------------------------------------------------
@@ -650,19 +615,17 @@ def bloom_antijoin_customers(
        unmatched (no false negatives) and passes straight through with
        zero exchange.
     2. **Exact verify (exchange on HITS only)** — bloom hits are only
-       *maybe* matched; they co-group with the fact side's block-local
-       distinct keys, and groups holding no fact marker emit their probe
-       rows. False positives die here, so the result is exact while the
-       all-to-all carries only matched-or-fp probe rows plus
-       O(#blocks)-bounded fact markers per key.
+       *maybe* matched; they LEFT-ANTI join the fact side's block-local
+       distinct keys through Ray Data's native hash join (the
+       Arrow-native build replaces a Python co-group verify, same
+       trade as :func:`bloom_semijoin_orders`). False positives die
+       here, so the result is exact while the all-to-all carries only
+       matched-or-fp probe rows plus O(#blocks)-bounded fact keys.
     """
     import pyarrow.compute as pc
+    import pyarrow.parquet as pq_meta
 
     from ner_pytorch_ray.pipelines.relational import _cents
-    from ner_pytorch_ray.stages.groupby_utils import (
-        collect_tuples,
-        flat_map_groups,
-    )
 
     fact_keys = (
         ray.data.read_parquet(
@@ -691,10 +654,9 @@ def bloom_antijoin_customers(
             mask = bloom_contains(self._bf, keys, m_bits, k)
             return pa.table(
                 {
-                    "key": batch.column("c_custkey"),
+                    "c_custkey": batch.column("c_custkey"),
                     "c_nationkey": batch.column("c_nationkey"),
                     "acctbal_cents": _cents(batch.column("c_acctbal")),
-                    "src": pa.array(np.zeros(len(batch), dtype=np.int64)),
                     "hit": pa.array(mask),
                 }
             )
@@ -706,62 +668,27 @@ def bloom_antijoin_customers(
         concurrency=(1, 8),
     ).materialize()
 
+    out_cols = ["c_custkey", "c_nationkey", "acctbal_cents"]
     misses = tagged_probe.map_batches(
-        lambda t: t.filter(pc.invert(t.column("hit"))).select(
-            ["key", "c_nationkey", "acctbal_cents"]
-        ),
+        lambda t: t.filter(pc.invert(t.column("hit"))).select(out_cols),
         batch_format="pyarrow",
     )
     hits = tagged_probe.map_batches(
-        lambda t: t.filter(t.column("hit")).drop_columns(["hit"]),
+        lambda t: t.filter(t.column("hit")).select(out_cols),
         batch_format="pyarrow",
     )
 
-    def fact_marker_rows(batch: pa.Table) -> pa.Table:
-        uniq = pc.unique(batch.column("o_custkey"))
-        n = len(uniq)
-        return pa.table(
-            {
-                "key": uniq,
-                "c_nationkey": pa.array(np.zeros(n, dtype=np.int64)),
-                "acctbal_cents": pa.array(np.zeros(n, dtype=np.int64)),
-                "src": pa.array(np.ones(n, dtype=np.int64)),
-            }
-        )
+    def fact_distinct(batch: pa.Table) -> pa.Table:
+        # block-local distinct: a combiner for the join's shuffle input
+        return pa.table({"o_custkey": pc.unique(batch.column("o_custkey"))})
 
-    tagged = hits.union(
-        fact_keys.map_batches(fact_marker_rows, batch_format="pyarrow")
+    n_rows = pq_meta.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    n_parts = int(min(64, max(2, n_rows // 250_000)))
+    survivors = hits.join(
+        fact_keys.map_batches(fact_distinct, batch_format="pyarrow"),
+        join_type="left_anti",
+        num_partitions=n_parts,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
     )
-    groups = collect_tuples(
-        tagged, ["key"], ["src", "c_nationkey", "acctbal_cents"]
-    )
-    schema = pa.schema(
-        [
-            ("key", pa.int64()),
-            ("c_nationkey", pa.int64()),
-            ("acctbal_cents", pa.int64()),
-        ]
-    )
-
-    def verify(key_tuple, items) -> pa.Table:
-        if items is None or any(src == 1 for (src, _, _) in items):
-            return schema.empty_table()
-        (key,) = key_tuple
-        return pa.table(
-            {
-                "key": pa.array(
-                    [key] * len(items), type=pa.int64()
-                ),
-                "c_nationkey": pa.array([n for (_, n, _) in items]),
-                "acctbal_cents": pa.array([c for (_, _, c) in items]),
-            }
-        )
-
-    survivors = flat_map_groups(groups, verify, ["key"])
-
-    def rename(t: pa.Table) -> pa.Table:
-        return t.rename_columns(["c_custkey", "c_nationkey", "acctbal_cents"])
-
-    return misses.union(survivors).map_batches(
-        rename, batch_format="pyarrow"
-    ).sort("c_custkey")
+    return misses.union(survivors).sort("c_custkey")
