@@ -793,6 +793,18 @@ def _q_pii_scrub(sf_dir: str):
     return pii_scrub(sf_dir)
 
 
+def _q_ann_recall(sf_dir: str):
+    from ner_pytorch_ray.pipelines.similarity import ann_recall
+
+    return ann_recall(sf_dir, n_queries=10, k=5)
+
+
+def _q_kg_sssp(sf_dir: str):
+    from ner_pytorch_ray.pipelines.graph_ops import kg_sssp
+
+    return kg_sssp(sf_dir)
+
+
 def _q_retention_cohorts(sf_dir: str):
     from ner_pytorch_ray.pipelines.windows import retention_cohorts
 
@@ -1348,6 +1360,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regional_supplier_revenue": _q_regional_supplier_revenue,
         "funnel_conversion": _q_funnel_conversion,
         "retention_cohorts": _q_retention_cohorts,
+        "ann_recall": _q_ann_recall,
+        "kg_sssp": _q_kg_sssp,
         # same-family duplicates + simpler single-scan ops (locally
         # exact-verified, outside the 50-slot driver window):
         "knn_topk": _q_knn_topk,
@@ -2653,6 +2667,38 @@ bfs(node, dist) AS (
 SELECT node, MIN(dist) AS dist FROM bfs GROUP BY node ORDER BY node
 """
     )
+    # weighted SSSP (graph_ops.kg_sssp): co-occurrence count discounts the
+    # hop cost (cost = 4 - LEAST(weight, 3) ∈ {1,2,3}); recursive
+    # (node, dist) expansion bounded by dist <= 100 — far above the true
+    # maximum (<= 3 * the BFS eccentricity, which converges well under 16
+    # hops on this graph), so MIN(dist) == the exact Bellman-Ford fixpoint
+    out["kg_sssp"] = (
+        _KG_MENTIONS_CTE.replace("WITH toks", "WITH RECURSIVE toks")
+        + """
+, pairs AS (
+  SELECT DISTINCT m1.doc_id, m1.sent, m1.ent AS a, m2.ent AS b
+  FROM men m1
+  JOIN men m2 ON m1.doc_id = m2.doc_id AND m1.sent = m2.sent
+  WHERE m1.ent < m2.ent
+),
+wedges AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS w FROM pairs GROUP BY a, b
+),
+edges AS (
+  SELECT a, b, 4 - LEAST(w, 3) AS cost FROM wedges
+  UNION ALL
+  SELECT b AS a, a AS b, 4 - LEAST(w, 3) FROM wedges
+),
+seeds AS (SELECT DISTINCT a AS node FROM edges WHERE a LIKE 'org:%'),
+sp(node, dist) AS (
+  SELECT node, CAST(0 AS BIGINT) FROM seeds
+  UNION
+  SELECT e.b, f.dist + e.cost FROM sp f JOIN edges e ON e.a = f.node
+  WHERE f.dist + e.cost <= 100
+)
+SELECT node, MIN(dist) AS dist FROM sp GROUP BY node ORDER BY node
+"""
+    )
     # entity dashboard: mention stats LEFT-JOIN components, 3-iteration
     # weighted PageRank and triangle counts (the same validated CTE
     # fragments composed; defaults: own-component / rank 0 / 0 triangles)
@@ -2766,6 +2812,48 @@ FROM canon GROUP BY canonical_url ORDER BY canonical_url
 
     # same oracle as crawl_url_dedup (distributive count+max merge proof)
     out["crawl_dedup_incremental"] = out["crawl_url_dedup"]
+
+    # ANN quality evaluation (similarity.ann_recall): recall@5 of every
+    # approximate index vs the exact brute-force SQL baseline; the
+    # approximate sides read the SAME frozen expected parquets their own
+    # oracles are gated on
+    out["ann_recall"] = f"""
+WITH sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.embedding, c.embedding) AS s
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10
+),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY s DESC, neighbor_id ASC) AS rank
+    FROM sims
+  ) WHERE rank <= 5
+),
+m AS (
+  SELECT 'ann_lsh' AS method, query_id, neighbor_id
+  FROM read_parquet('{_EXPECTED}/ann_lsh_topk.parquet')
+  UNION ALL
+  SELECT 'ivf', query_id, neighbor_id
+  FROM read_parquet('{_EXPECTED}/ivf_topk.parquet')
+  UNION ALL
+  SELECT 'pq', query_id, neighbor_id
+  FROM read_parquet('{_EXPECTED}/pq_topk.parquet')
+  UNION ALL
+  SELECT 'ivfpq', query_id, neighbor_id
+  FROM read_parquet('{_EXPECTED}/ivfpq_topk.parquet')
+)
+SELECT m.method,
+       CAST(COUNT(t.query_id) AS BIGINT) AS n_hits,
+       CAST(1000000 * COUNT(t.query_id) // 50 AS BIGINT) AS recall_ppm
+FROM m
+LEFT JOIN truth t
+  ON t.query_id = m.query_id AND t.neighbor_id = m.neighbor_id
+GROUP BY m.method
+ORDER BY m.method
+"""
 
     # cohort retention matrix (windows.retention_cohorts): one keyed
     # collect whose group payload is a user's DISTINCT WEEKS (bounded by

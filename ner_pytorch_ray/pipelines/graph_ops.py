@@ -1874,3 +1874,192 @@ def kg_hits(sf_dir: str, iters: int = 2) -> ray.data.Dataset:
         return batch.rename_columns(["entity", "hub_i", "auth_i"])
 
     return out.map_batches(rename, batch_format="pyarrow").sort("entity")
+
+
+def _propagate_dists(
+    dists: ray.data.Dataset,
+    adj: ray.data.Dataset,
+    node_type: pa.DataType = pa.string(),
+) -> ray.data.Dataset:
+    """One Bellman-Ford relaxation round: every node that already has a
+    tentative distance sends dist+cost along each out-edge; each node
+    keeps the min of its own distance and all incoming offers. Same
+    keyed-collect union idiom as ``_propagate_hops`` but the edge rows
+    carry a per-edge integer ``cost`` instead of the implicit +1."""
+    from ner_pytorch_ray.stages.groupby_utils import (
+        collect_tuples,
+        flat_map_groups,
+        grouped_sum,
+    )
+
+    schema = pa.schema([("node", node_type), ("label", pa.int64())])
+
+    def label_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.Table.from_pydict(
+            {
+                "node": batch.column("node"),
+                "peer": pa.array([None] * n, type=node_type),
+                "cost": pa.array([None] * n, type=pa.int64()),
+                "label": batch.column("label"),
+            }
+        )
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.Table.from_pydict(
+            {
+                "node": batch.column("a").cast(node_type),
+                "peer": batch.column("b").cast(node_type),
+                "cost": batch.column("cost").cast(pa.int64()),
+                "label": pa.array([None] * n, type=pa.int64()),
+            }
+        )
+
+    unioned = dists.map_batches(label_rows, batch_format="pyarrow").union(
+        adj.map_batches(edge_rows, batch_format="pyarrow")
+    )
+    collected = collect_tuples(
+        unioned, ["node"], ["peer", "cost", "label"], shuffle_blocks="auto"
+    )
+
+    def emit(key, items) -> pa.Table:
+        if items is None:
+            return schema.empty_table()
+        labs = [l for _, _, l in items if l is not None]
+        if not labs:  # node not reached yet: nothing to relax
+            return schema.empty_table()
+        d = min(labs)
+        nodes = [p for p, _, _ in items if p is not None]
+        out_d = [d + c for p, c, _ in items if p is not None]
+        nodes.append(key[0])
+        out_d.append(d)
+        return pa.Table.from_pydict(
+            {
+                "node": pa.array(nodes, type=node_type),
+                "label": pa.array(out_d, type=pa.int64()),
+            }
+        )
+
+    msgs = flat_map_groups(collected, emit, ["node"])
+    return grouped_sum(msgs, keys=["node"], sum_cols=[], min_cols=["label"])
+
+
+def sssp_over_edges(
+    edges: ray.data.Dataset,
+    seeds: ray.data.Dataset,
+    node_type: pa.DataType = pa.string(),
+    max_iters: int = 64,
+) -> ray.data.Dataset:
+    """Multi-source weighted single-source-shortest-paths over a SYMMETRIC
+    edge table (a, b, cost) with POSITIVE integer costs: (node, dist) for
+    every node reachable from any seed (column ``node``), dist = min total
+    cost. Distributed Bellman-Ford: one keyed-collect relaxation round per
+    iteration; only the small (node, dist) state materializes between
+    rounds, message volume = reached-degree sum.
+
+    Convergence: with positive costs a node's tentative distance only
+    decreases and the reached set only grows, so the (count, sum)
+    fingerprint is monotone and equality across a round proves the exact
+    fixpoint — the early stop returns TRUE shortest distances, not a
+    truncation. ``max_iters`` bounds the optimal path's HOP length
+    (Bellman-Ford needs one round per hop of the longest optimal path).
+
+    Scale note: group size per node = degree + 1 (same contract as
+    ``bfs_hops_over_edges``); cap hub degree upstream if the graph has
+    super-nodes. Rounds move only (node, dist) rows — the corpus never
+    enters the loop."""
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
+
+    adj = edges.materialize()
+
+    def init_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.Table.from_pydict(
+            {
+                "node": batch.column("node").cast(node_type),
+                "label": pa.array([0] * n, type=pa.int64()),
+            }
+        )
+
+    dists = grouped_sum(
+        seeds.map_batches(init_rows, batch_format="pyarrow"),
+        keys=["node"],
+        sum_cols=[],
+        min_cols=["label"],
+    ).materialize()
+
+    def fingerprint(d: ray.data.Dataset) -> tuple:
+        return (d.count(), d.sum("label") or 0)
+
+    prev = fingerprint(dists)
+    for _ in range(max_iters):
+        dists = _propagate_dists(dists, adj, node_type).materialize()
+        cur = fingerprint(dists)
+        if cur == prev:
+            break
+        prev = cur
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["node", "dist"])
+
+    return dists.map_batches(rename, batch_format="pyarrow").sort("node")
+
+
+def kg_sssp(
+    sf_dir: str, seed_prefix: str = "org:", max_iters: int = 64
+) -> ray.data.Dataset:
+    """Weighted shortest path from the ORG entities over the constructed
+    KG's co-occurrence graph: co-occurrence count discounts the hop cost
+    (``cost = 4 - min(weight, 3)`` ∈ {1,2,3} — frequently co-mentioned
+    entities are "close"), so the metric differs from plain BFS hops
+    wherever a 2-hop strong path beats a 1-hop rare edge. Returns
+    (node:string, dist:int64), reachable nodes only, sorted by node.
+
+    Reference tie-in: the KG assembly this walks is the distributed
+    re-expression of the reference's mention extraction
+    (``word_rep.py:118-141`` span semantics feed ``stages/mentions.py``);
+    the shortest-path layer itself is new engine surface (SURVEY §2
+    graph-analytics family)."""
+    import pyarrow.compute as pc
+
+    from ner_pytorch_ray.pipelines.kg import linked_mentions_cached
+    from ner_pytorch_ray.stages.graph import edge_partials_merged
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
+
+    ew = edge_partials_merged(linked_mentions_cached(sf_dir))
+
+    def sym_cost(batch: pa.Table) -> pa.Table:
+        w = batch.column("weight").cast(pa.int64())
+        cost = pc.subtract(
+            pa.scalar(4, type=pa.int64()),
+            pc.min_element_wise(w, pa.scalar(3, type=pa.int64())),
+        )
+        fwd = pa.table(
+            {"a": batch.column("subj"), "b": batch.column("obj"), "cost": cost}
+        )
+        rev = pa.table(
+            {"a": batch.column("obj"), "b": batch.column("subj"), "cost": cost}
+        )
+        return pa.concat_tables([fwd, rev])
+
+    sym = ew.map_batches(sym_cost, batch_format="pyarrow")
+
+    def seed_rows(batch: pa.Table) -> pa.Table:
+        a = batch.column("a")
+        kept = a.filter(pc.starts_with(a, seed_prefix))
+        return pa.table(
+            {
+                "node": kept,
+                "one": pa.array([1] * len(kept), type=pa.int64()),
+            }
+        )
+
+    seeds = grouped_sum(
+        sym.map_batches(seed_rows, batch_format="pyarrow"),
+        keys=["node"],
+        sum_cols=["one"],
+    ).select_columns(["node"])
+    return sssp_over_edges(
+        sym, seeds, node_type=pa.string(), max_iters=max_iters
+    )

@@ -991,3 +991,111 @@ def pca_project(sf_dir: str, k: int = 2) -> ray.data.Dataset:
         return pa.table(cols)
 
     return ds.map_batches(project, batch_format="pyarrow").sort("vec_id")
+
+
+def ann_recall(
+    sf_dir: str, n_queries: int = 10, k: int = 5
+) -> ray.data.Dataset:
+    """Quality evaluation of every approximate-NN variant against the
+    exact brute-force baseline — recall@k, the number the ANN literature
+    reports and the check that keeps "fast" honest: (method, n_hits,
+    recall_ppm) with ``recall_ppm = 1e6 * |approx ∩ exact| // (q*k)``.
+
+    All five top-k pipelines run as-is; their (query, neighbor) pairs
+    are tiny (q*k rows per method) but the comparison still runs
+    distributed: pairs tag with their method, union with the
+    truth-tagged exact pairs, ONE keyed collect per (query, neighbor)
+    (group size <= #methods+1) emits a hit row per method present
+    alongside the truth, and a grouped sum folds per-method totals.
+    Exact integers end to end."""
+    from ner_pytorch_ray.stages.groupby_utils import (
+        collect_tuples,
+        flat_map_groups,
+        grouped_sum,
+    )
+
+    # run the five index jobs ONE AT A TIME (each output is q*k rows, so
+    # materializing is free) — unioning them lazily would execute five
+    # actor-pool pipelines under one streaming plan, whose summed minimum
+    # pool reservations can exceed a small node's CPUs and deadlock
+    methods = {
+        "ann_lsh": ann_lsh_topk(
+            sf_dir, n_queries=n_queries, k=k
+        ).materialize(),
+        "ivf": ivf_topk(sf_dir, n_queries=n_queries, k=k).materialize(),
+        "pq": pq_topk(sf_dir, n_queries=n_queries, k=k).materialize(),
+        "ivfpq": ivfpq_topk(sf_dir, n_queries=n_queries, k=k).materialize(),
+    }
+    truth = knn_topk(sf_dir, n_queries=n_queries, k=k).materialize()
+
+    def tag(name: str):
+        def rows(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "query_id": batch.column("query_id"),
+                    "neighbor_id": batch.column("neighbor_id"),
+                    "method": pa.array(
+                        [name] * len(batch), type=pa.string()
+                    ),
+                }
+            )
+
+        return rows
+
+    unioned = truth.map_batches(tag("truth"), batch_format="pyarrow")
+    for name, ds in methods.items():
+        unioned = unioned.union(
+            ds.map_batches(tag(name), batch_format="pyarrow")
+        )
+    groups = collect_tuples(
+        unioned, ["query_id", "neighbor_id"], ["method"]
+    )
+    hit_schema = pa.schema([("method", pa.string()), ("n_hits", pa.int64())])
+
+    def emit(key, items) -> pa.Table:
+        if items is None:
+            return hit_schema.empty_table()
+        names = {m for (m,) in items}
+        if "truth" not in names:
+            return hit_schema.empty_table()
+        names.discard("truth")
+        ms = sorted(names)
+        return pa.table(
+            {
+                "method": pa.array(ms, type=pa.string()),
+                "n_hits": pa.array([1] * len(ms), type=pa.int64()),
+            }
+        )
+
+    hits = grouped_sum(
+        flat_map_groups(groups, emit, ["query_id", "neighbor_id"]),
+        ["method"],
+        sum_cols=["n_hits"],
+    )
+    denom = n_queries * k
+    all_methods = sorted(methods)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        got = dict(
+            zip(
+                batch.column("method").to_pylist(),
+                batch.column("n_hits").to_pylist(),
+            )
+        )
+        ms = all_methods
+        n = [int(got.get(m, 0)) for m in ms]
+        return pa.table(
+            {
+                "method": pa.array(ms, type=pa.string()),
+                "n_hits": pa.array(n, type=pa.int64()),
+                "recall_ppm": pa.array(
+                    [1_000_000 * x // denom for x in n], type=pa.int64()
+                ),
+            }
+        )
+
+    # the per-method totals are |methods| rows: fold them in one block so
+    # zero-recall methods still appear
+    return hits.repartition(1).map_batches(
+        finish, batch_size=None, batch_format="pyarrow"
+    )

@@ -641,3 +641,98 @@ def test_hits_matches_sequential_recompute(ray_session):
     # sink node 3 has an out-edge? (3,1): yes — but node with no
     # out-edges in a direction must still appear: check node 1's shape
     assert set(exp) == {0, 1, 2, 3}
+
+
+def test_sssp_two_hop_strong_beats_one_hop_rare(ray_session):
+    """Weighted semantics differ from BFS hops: seed 0 with edges
+    0-1 cost 3 (rare) and 0-2 cost 1, 2-1 cost 1 (strong) must label
+    node 1 at dist 2, not 3; unreachable node 9 never appears."""
+    import ray
+    from ner_pytorch_ray.pipelines.graph_ops import sssp_over_edges
+
+    und = [(0, 1, 3), (0, 2, 1), (2, 1, 1), (8, 9, 1)]
+    sym = pa.table(
+        {
+            "a": pa.array(
+                [e[0] for e in und] + [e[1] for e in und], type=pa.int64()
+            ),
+            "b": pa.array(
+                [e[1] for e in und] + [e[0] for e in und], type=pa.int64()
+            ),
+            "cost": pa.array(
+                [e[2] for e in und] * 2, type=pa.int64()
+            ),
+        }
+    )
+    seeds = ray.data.from_arrow(
+        pa.table({"node": pa.array([0], type=pa.int64())})
+    )
+    got = {
+        r["node"]: r["dist"]
+        for r in sssp_over_edges(
+            ray.data.from_arrow(sym), seeds, node_type=pa.int64()
+        ).take_all()
+    }
+    assert got == {0: 0, 1: 2, 2: 1}
+
+
+def test_sssp_matches_dijkstra_random(ray_session):
+    """Distributed Bellman-Ford == heapq Dijkstra on seeded random
+    weighted graphs, multi-source, under different block counts."""
+    import heapq
+    import random
+
+    import ray
+    from ner_pytorch_ray.pipelines.graph_ops import sssp_over_edges
+
+    rng = random.Random(47)
+    n = 24
+    und = set()
+    while len(und) < 40:
+        a, b = rng.sample(range(n), 2)
+        und.add((min(a, b), max(a, b)))
+    edges = [(a, b, rng.randint(1, 5)) for a, b in sorted(und)]
+    seeds = [0, 7]
+
+    adj = {}
+    for a, b, c in edges:
+        adj.setdefault(a, []).append((b, c))
+        adj.setdefault(b, []).append((a, c))
+    dist = {s: 0 for s in seeds}
+    heap = [(0, s) for s in seeds]
+    while heap:
+        d, u = heapq.heappop(heap)
+        if d > dist.get(u, 1 << 60):
+            continue
+        for v, c in adj.get(u, []):
+            nd = d + c
+            if nd < dist.get(v, 1 << 60):
+                dist[v] = nd
+                heapq.heappush(heap, (nd, v))
+
+    sym = pa.table(
+        {
+            "a": pa.array(
+                [e[0] for e in edges] + [e[1] for e in edges],
+                type=pa.int64(),
+            ),
+            "b": pa.array(
+                [e[1] for e in edges] + [e[0] for e in edges],
+                type=pa.int64(),
+            ),
+            "cost": pa.array([e[2] for e in edges] * 2, type=pa.int64()),
+        }
+    )
+    seed_ds = ray.data.from_arrow(
+        pa.table({"node": pa.array(seeds, type=pa.int64())})
+    )
+    for blocks in (1, 4):
+        got = {
+            r["node"]: r["dist"]
+            for r in sssp_over_edges(
+                ray.data.from_arrow(sym).repartition(blocks),
+                seed_ds,
+                node_type=pa.int64(),
+            ).take_all()
+        }
+        assert got == dist

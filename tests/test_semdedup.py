@@ -54,3 +54,40 @@ def test_distributed_fit_partitioning_invariant(ray_session):
     finally:
         ctx.target_max_block_size = old
     assert a.equals(b)
+
+
+def test_ann_recall_counts_intersections(ray_session):
+    """recall@k bookkeeping: hits == |approx ∩ exact| per method, ivf
+    with enough probes beats tiny-band LSH on this fixture, and the
+    denominator is q*k."""
+    from ner_pytorch_ray.pipelines.similarity import (
+        ann_lsh_topk,
+        ann_recall,
+        ivf_topk,
+        ivfpq_topk,
+        knn_topk,
+        pq_topk,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    got = {
+        r["method"]: (r["n_hits"], r["recall_ppm"])
+        for r in ann_recall(SF, n_queries=5, k=3).take_all()
+    }
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_topk(SF, n_queries=5, k=3).take_all()
+    }
+    for name, fn in (
+        ("ann_lsh", ann_lsh_topk),
+        ("ivf", ivf_topk),
+        ("pq", pq_topk),
+        ("ivfpq", ivfpq_topk),
+    ):
+        pairs = {
+            (r["query_id"], r["neighbor_id"])
+            for r in fn(SF, n_queries=5, k=3).take_all()
+        }
+        n = len(pairs & truth)
+        assert got[name] == (n, 1_000_000 * n // 15)
+    assert set(got) == {"ann_lsh", "ivf", "pq", "ivfpq"}
