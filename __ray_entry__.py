@@ -805,6 +805,12 @@ def _q_kg_sssp(sf_dir: str):
     return kg_sssp(sf_dir)
 
 
+def _q_kg_node_jaccard(sf_dir: str):
+    from ner_pytorch_ray.pipelines.graph_ops import kg_node_jaccard
+
+    return kg_node_jaccard(sf_dir)
+
+
 def _q_retention_cohorts(sf_dir: str):
     from ner_pytorch_ray.pipelines.windows import retention_cohorts
 
@@ -1362,6 +1368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": _q_retention_cohorts,
         "ann_recall": _q_ann_recall,
         "kg_sssp": _q_kg_sssp,
+        "kg_node_jaccard": _q_kg_node_jaccard,
         # same-family duplicates + simpler single-scan ops (locally
         # exact-verified, outside the 50-slot driver window):
         "knn_topk": _q_knn_topk,
@@ -2697,6 +2704,41 @@ sp(node, dist) AS (
   WHERE f.dist + e.cost <= 100
 )
 SELECT node, MIN(dist) AS dist FROM sp GROUP BY node ORDER BY node
+"""
+    )
+    # neighborhood-Jaccard node similarity (graph_ops.kg_node_jaccard):
+    # wedge-counted intersections + degree joins; jaccard_ppm floor
+    # division mirrors the engine's integer kernel exactly
+    out["kg_node_jaccard"] = (
+        _KG_MENTIONS_CTE
+        + """
+, pairs AS (
+  SELECT DISTINCT m1.doc_id, m1.sent, m1.ent AS a, m2.ent AS b
+  FROM men m1
+  JOIN men m2 ON m1.doc_id = m2.doc_id AND m1.sent = m2.sent
+  WHERE m1.ent < m2.ent
+),
+ed AS (SELECT DISTINCT a, b FROM pairs),
+sym AS (SELECT a, b FROM ed UNION ALL SELECT b, a FROM ed),
+deg AS (SELECT a AS node, COUNT(*) AS deg FROM sym GROUP BY a),
+wedge AS (
+  SELECT s1.b AS y, s2.b AS z
+  FROM sym s1 JOIN sym s2 ON s1.a = s2.a AND s1.b < s2.b
+),
+cand AS (
+  SELECT y, z, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM wedge GROUP BY y, z
+)
+SELECT c.y AS node_a, c.z AS node_b, c.n_common,
+       CAST(da.deg AS BIGINT) AS deg_a, CAST(db.deg AS BIGINT) AS deg_b,
+       CAST(1000000 * c.n_common // (da.deg + db.deg - c.n_common)
+            AS BIGINT) AS jaccard_ppm,
+       CAST(CASE WHEN ed.a IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_edge
+FROM cand c
+JOIN deg da ON da.node = c.y
+JOIN deg db ON db.node = c.z
+LEFT JOIN ed ON ed.a = c.y AND ed.b = c.z
+ORDER BY node_a, node_b
 """
     )
     # entity dashboard: mention stats LEFT-JOIN components, 3-iteration

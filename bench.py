@@ -429,10 +429,11 @@ def run_extras(sf_dir: str) -> dict:
         "retention_cohorts", lambda: retention_cohorts(sf_dir).count()
     )
 
-    from ner_pytorch_ray.pipelines.graph_ops import kg_sssp
+    from ner_pytorch_ray.pipelines.graph_ops import kg_node_jaccard, kg_sssp
     from ner_pytorch_ray.pipelines.similarity import ann_recall
 
     timed("kg_sssp", lambda: kg_sssp(sf_dir).count())
+    timed("kg_node_jaccard", lambda: kg_node_jaccard(sf_dir).count())
     timed(
         "ann_recall",
         lambda: ann_recall(sf_dir, n_queries=10, k=5).count(),

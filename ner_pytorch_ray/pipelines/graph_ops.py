@@ -2063,3 +2063,190 @@ def kg_sssp(
     return sssp_over_edges(
         sym, seeds, node_type=pa.string(), max_iters=max_iters
     )
+
+
+def jaccard_link_scores_over_edges(
+    edges: ray.data.Dataset,
+    node_type: pa.DataType = pa.int64(),
+    max_degree: int = 100_000,
+    min_common: int = 1,
+) -> ray.data.Dataset:
+    """Neighborhood-Jaccard node similarity (the set-overlap cousin of
+    common-neighbor / RA link prediction): for every pair sharing
+    >= ``min_common`` neighbors, ``|N(y) ∩ N(z)| / |N(y) ∪ N(z)|`` in
+    exact integer ppm — ``jaccard_ppm = 1e6 * n_common //
+    (deg_y + deg_z - n_common)``. Output (node_a, node_b, n_common,
+    deg_a, deg_b, jaccard_ppm, is_edge), node_a < node_b.
+
+    Shape: the candidate pairs come from
+    :func:`link_prediction_over_edges` (two keyed exchanges, wedge
+    volume = sum C(deg, 2), hub guard raises); the endpoint degrees then
+    attach via TWO annotate exchanges — candidate rows re-key by one
+    endpoint at a time and union with the tiny (node, deg) table, one
+    keyed collect each (group size = candidates incident to that node
+    + 1 degree row, bounded by the same wedge volume). No driver-side
+    joins, no broadcast of the degree table — it can be vocabulary-sized
+    on a web-scale graph."""
+    from ner_pytorch_ray.stages.groupby_utils import (
+        collect_tuples,
+        flat_map_groups,
+        grouped_sum,
+    )
+
+    edges = edges.materialize()
+    cands = link_prediction_over_edges(
+        edges,
+        node_type=node_type,
+        max_degree=max_degree,
+        min_common=min_common,
+    )
+
+    def sym_ones(batch: pa.Table) -> pa.Table:
+        ab = pa.concat_tables(
+            [
+                pa.table({"node": batch.column("a").cast(node_type)}),
+                pa.table({"node": batch.column("b").cast(node_type)}),
+            ]
+        )
+        return ab.append_column(
+            "deg", pa.array([1] * len(ab), type=pa.int64())
+        )
+
+    degrees = grouped_sum(
+        edges.map_batches(sym_ones, batch_format="pyarrow"),
+        keys=["node"],
+        sum_cols=["deg"],
+    ).materialize()
+
+    def _annotate(cand_rows: ray.data.Dataset, key_col: str, out_deg: str,
+                  carry: list[tuple[str, pa.DataType]]) -> ray.data.Dataset:
+        """Union-tag fold: cand rows keyed by ``key_col`` + degree rows,
+        one keyed collect; each cand row re-emits with ``out_deg``
+        filled from the group's single degree row."""
+        carry_names = [c for c, _ in carry]
+
+        def cand_tagged(batch: pa.Table) -> pa.Table:
+            cols = {"node": batch.column(key_col).cast(node_type)}
+            for c, t in carry:
+                cols[c] = batch.column(c).cast(t)
+            cols["deg"] = pa.array([None] * len(batch), type=pa.int64())
+            return pa.Table.from_pydict(cols)
+
+        def deg_tagged(batch: pa.Table) -> pa.Table:
+            cols = {"node": batch.column("node")}
+            for c, t in carry:
+                cols[c] = pa.array([None] * len(batch), type=t)
+            cols["deg"] = batch.column("deg")
+            return pa.Table.from_pydict(cols)
+
+        unioned = cand_rows.map_batches(
+            cand_tagged, batch_format="pyarrow"
+        ).union(degrees.map_batches(deg_tagged, batch_format="pyarrow"))
+        grouped = collect_tuples(
+            unioned, ["node"], carry_names + ["deg"],
+            shuffle_blocks="auto",
+        )
+        out_fields = (
+            [("node", node_type)]
+            + carry
+            + [(out_deg, pa.int64())]
+        )
+        out_schema = pa.schema(out_fields)
+
+        def emit(key, items) -> pa.Table:
+            if items is None:
+                return out_schema.empty_table()
+            deg = max(
+                (it[-1] for it in items if it[-1] is not None), default=None
+            )
+            rows = [it for it in items if it[-1] is None]
+            if deg is None or not rows:
+                return out_schema.empty_table()
+            cols = {"node": pa.array([key[0]] * len(rows), type=node_type)}
+            for j, (c, t) in enumerate(carry):
+                cols[c] = pa.array([r[j] for r in rows], type=t)
+            cols[out_deg] = pa.array([deg] * len(rows), type=pa.int64())
+            return pa.Table.from_pydict(cols)
+
+        return flat_map_groups(grouped, emit, ["node"])
+
+    # pass 1: key by node_a, fill deg_a
+    step1 = _annotate(
+        cands,
+        "node_a",
+        "deg_a",
+        [
+            ("node_b", node_type),
+            ("n_common", pa.int64()),
+            ("is_edge", pa.int64()),
+        ],
+    )
+
+    def rekey(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node_b": batch.column("node_b"),
+                "node_a": batch.column("node"),
+                "n_common": batch.column("n_common"),
+                "is_edge": batch.column("is_edge"),
+                "deg_a": batch.column("deg_a"),
+            }
+        )
+
+    step2 = _annotate(
+        step1.map_batches(rekey, batch_format="pyarrow"),
+        "node_b",
+        "deg_b",
+        [
+            ("node_a", node_type),
+            ("n_common", pa.int64()),
+            ("is_edge", pa.int64()),
+            ("deg_a", pa.int64()),
+        ],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        nc = batch.column("n_common")
+        da = batch.column("deg_a")
+        db = batch.column("deg_b")
+        union = pc.subtract(pc.add(da, db), nc)
+        jac = pc.divide(
+            pc.multiply(pa.scalar(1_000_000, type=pa.int64()), nc), union
+        )
+        return pa.table(
+            {
+                "node_a": batch.column("node_a"),
+                "node_b": batch.column("node"),
+                "n_common": nc,
+                "deg_a": da,
+                "deg_b": db,
+                "jaccard_ppm": jac,
+                "is_edge": batch.column("is_edge"),
+            }
+        )
+
+    return step2.map_batches(finish, batch_format="pyarrow")
+
+
+def kg_node_jaccard(sf_dir: str) -> ray.data.Dataset:
+    """Neighborhood-Jaccard similarity over the constructed KG's
+    co-occurrence graph (kg_edges' ascending pairs), sorted by
+    (node_a, node_b) — the entity-similarity signal the ER/linking
+    family consumes (two entities whose co-mention neighborhoods overlap
+    heavily are candidate aliases)."""
+    from ner_pytorch_ray.pipelines.kg import linked_mentions_cached
+    from ner_pytorch_ray.stages.graph import edge_partials_merged
+
+    ew = edge_partials_merged(linked_mentions_cached(sf_dir))
+
+    def ascending(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"a": batch.column("subj"), "b": batch.column("obj")}
+        )
+
+    return jaccard_link_scores_over_edges(
+        ew.map_batches(ascending, batch_format="pyarrow"),
+        node_type=pa.string(),
+    ).sort(["node_a", "node_b"])

@@ -736,3 +736,60 @@ def test_sssp_matches_dijkstra_random(ray_session):
             ).take_all()
         }
         assert got == dist
+
+
+def test_jaccard_matches_brute_force_random(ray_session):
+    """jaccard_ppm == floor(1e6*|∩|/|∪|) on seeded random graphs,
+    degrees exact, is_edge flags correct, under different block counts."""
+    import itertools
+    import random
+
+    import ray
+    from ner_pytorch_ray.pipelines.graph_ops import (
+        jaccard_link_scores_over_edges,
+    )
+
+    rng = random.Random(53)
+    n = 16
+    und = {
+        (min(a, b), max(a, b))
+        for a, b in (rng.sample(range(n), 2) for _ in range(36))
+    }
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    exp = {}
+    for y, z in itertools.combinations(sorted(adj), 2):
+        inter = len(adj[y] & adj[z])
+        if inter < 1:
+            continue
+        union = len(adj[y]) + len(adj[z]) - inter
+        exp[(y, z)] = (
+            inter,
+            len(adj[y]),
+            len(adj[z]),
+            1_000_000 * inter // union,
+            int((y, z) in und),
+        )
+
+    t = pa.table(
+        {
+            "a": pa.array([e[0] for e in sorted(und)], type=pa.int64()),
+            "b": pa.array([e[1] for e in sorted(und)], type=pa.int64()),
+        }
+    )
+    for blocks in (1, 4):
+        got = {
+            (r["node_a"], r["node_b"]): (
+                r["n_common"],
+                r["deg_a"],
+                r["deg_b"],
+                r["jaccard_ppm"],
+                r["is_edge"],
+            )
+            for r in jaccard_link_scores_over_edges(
+                ray.data.from_arrow(t).repartition(blocks)
+            ).take_all()
+        }
+        assert got == exp
