@@ -811,6 +811,12 @@ def _q_kg_node_jaccard(sf_dir: str):
     return kg_node_jaccard(sf_dir)
 
 
+def _q_collocations(sf_dir: str):
+    from ner_pytorch_ray.pipelines.analysis import collocations
+
+    return collocations(sf_dir)
+
+
 def _q_retention_cohorts(sf_dir: str):
     from ner_pytorch_ray.pipelines.windows import retention_cohorts
 
@@ -1369,6 +1375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_recall": _q_ann_recall,
         "kg_sssp": _q_kg_sssp,
         "kg_node_jaccard": _q_kg_node_jaccard,
+        "collocations": _q_collocations,
         # same-family duplicates + simpler single-scan ops (locally
         # exact-verified, outside the 50-slot driver window):
         "knn_topk": _q_knn_topk,
@@ -2741,6 +2748,32 @@ LEFT JOIN ed ON ed.a = c.y AND ed.b = c.z
 ORDER BY node_a, node_b
 """
     )
+    # PMI-style bigram collocations (analysis.collocations): lift_ppm is
+    # the exact integer monotone transform of PMI; HUGEINT intermediates
+    # mirror the engine's big-int overflow path
+    out["collocations"] = """
+WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
+uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest(t) AS w FROM t) GROUP BY w
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM uni),
+big AS (
+  SELECT t.t[s.s + 1] AS w1, t.t[s.s + 2] AS w2,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM t, (SELECT unnest(range(4000)) AS s) s
+  WHERE s.s + 2 <= len(t.t)
+  GROUP BY w1, w2
+  HAVING COUNT(*) >= 3
+)
+SELECT b.w1, b.w2, b.n_ab, u1.n AS n_w1, u2.n AS n_w2,
+       CAST(CAST(1000000 AS HUGEINT) * b.n_ab * (SELECT total FROM tot)
+            // (CAST(u1.n AS HUGEINT) * u2.n) AS BIGINT) AS lift_ppm
+FROM big b
+JOIN uni u1 ON u1.w = b.w1
+JOIN uni u2 ON u2.w = b.w2
+ORDER BY w1, w2
+"""
     # entity dashboard: mention stats LEFT-JOIN components, 3-iteration
     # weighted PageRank and triangle counts (the same validated CTE
     # fragments composed; defaults: own-component / rank 0 / 0 triangles)

@@ -434,6 +434,10 @@ def run_extras(sf_dir: str) -> dict:
 
     timed("kg_sssp", lambda: kg_sssp(sf_dir).count())
     timed("kg_node_jaccard", lambda: kg_node_jaccard(sf_dir).count())
+
+    from ner_pytorch_ray.pipelines.analysis import collocations
+
+    timed("collocations", lambda: collocations(sf_dir).count())
     timed(
         "ann_recall",
         lambda: ann_recall(sf_dir, n_queries=10, k=5).count(),

@@ -754,3 +754,160 @@ def equidepth_histogram(sf_dir: str, n_bins: int = 8) -> ray.data.Dataset:
         )
 
     return merged.map_batches(attach, batch_format="pyarrow").sort("bin")
+
+
+def collocations(sf_dir: str, min_count: int = 3) -> ray.data.Dataset:
+    """PMI-style bigram collocation mining (the classic "which word pairs
+    stick together" corpus statistic — Manning & Schütze ch. 5): every
+    adjacent whitespace bigram occurring >= ``min_count`` times, with its
+    lift score ``lift_ppm = 1e6 * n_ab * N // (n_w1 * n_w2)`` (N = corpus
+    token count) — the exact integer monotone transform of pointwise
+    mutual information (PMI = log of lift/1e6), so ranking by it IS
+    ranking by PMI while staying bit-reproducible.
+
+    Distributed shape: ONE corpus scan emits kind-tagged (unigram,
+    bigram) count partials — bigrams built from the flattened token
+    buffer with doc-boundary masking, counted via Arrow's native hash
+    group_by per block — then one grouped sum over the tagged keyspace.
+    Unigram counts attach to the surviving bigrams through Ray Data's
+    partitioned hash join (twice, once per endpoint): a hot word like
+    "the" pairs with vocabulary-many partners, so the union-tag keyed
+    collect the graph annotates with would build an unbounded group here;
+    the streaming hash join has no per-group state. The lift arithmetic
+    is size-routed: int64 numpy when the block's max product fits, exact
+    Python big-ints otherwise (counts at 100 TB overflow
+    1e6 * n_ab * N)."""
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        offs = offs - offs[0]  # absolute offsets of a sliced array
+        uni = flat.value_counts()
+        n_uni = len(uni)
+        n_flat = len(flat)
+        tables = [
+            pa.Table.from_pydict(
+                {
+                    "kind": pa.array([0] * n_uni, type=pa.int64()),
+                    "w1": uni.field("values").cast(pa.string()),
+                    "w2": pa.array([""] * n_uni, type=pa.string()),
+                    "n": uni.field("counts").cast(pa.int64()),
+                }
+            )
+        ]
+        if n_flat >= 2:
+            # adjacent pairs in the flat buffer, masking doc boundaries
+            keep = np.ones(n_flat - 1, dtype=bool)
+            ends = offs[1:-1] - 1  # last token of each doc but the last
+            keep[ends[(ends >= 0) & (ends < n_flat - 1)]] = False
+            idx = np.flatnonzero(keep)
+            pairs = pa.table(
+                {
+                    "w1": flat.take(pa.array(idx, type=pa.int64())),
+                    "w2": flat.take(pa.array(idx + 1, type=pa.int64())),
+                }
+            )
+            g = pairs.group_by(["w1", "w2"]).aggregate([([], "count_all")])
+            nb = len(g)
+            tables.append(
+                pa.Table.from_pydict(
+                    {
+                        "kind": pa.array([1] * nb, type=pa.int64()),
+                        "w1": g.column("w1").cast(pa.string()),
+                        "w2": g.column("w2").cast(pa.string()),
+                        "n": g.column("count_all").cast(pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(tables)
+
+    counts = grouped_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["kind", "w1", "w2"],
+        sum_cols=["n"],
+    ).materialize()
+
+    uni = counts.filter(expr="kind == 0").select_columns(["w1", "n"])
+
+    def uni_named(name: str):
+        def rows(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {"w": batch.column("w1"), name: batch.column("n")}
+            )
+
+        return rows
+
+    big = counts.filter(expr=f"kind == 1 and n >= {int(min_count)}")
+
+    def big_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "w1": batch.column("w1"),
+                "w2": batch.column("w2"),
+                "n_ab": batch.column("n"),
+            }
+        )
+
+    total = uni.sum("n") or 0
+    # floor of ONE partition: a near-empty vocabulary (tiny fixtures) can
+    # hash every key into one bucket and Ray's hash join chokes on the
+    # empty sibling partition; web-scale count tables size the fan-out
+    n_parts = int(min(64, max(1, (counts.count()) // 250_000)))
+    j1 = big.map_batches(big_rows, batch_format="pyarrow").join(
+        uni.map_batches(uni_named("n_w1"), batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=n_parts,
+        on=("w1",),
+        right_on=("w",),
+    )
+
+    # Ray's hash join folds the right key column into the left one —
+    # j1 comes back as (w1, w2, n_ab, n_w1) directly
+    j2 = j1.join(
+        uni.map_batches(uni_named("n_w2"), batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=n_parts,
+        on=("w2",),
+        right_on=("w",),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n_ab = batch.column("n_ab").to_numpy(zero_copy_only=False)
+        n1 = batch.column("n_w1").to_numpy(zero_copy_only=False)
+        n2 = batch.column("n_w2").to_numpy(zero_copy_only=False)
+        fits = (
+            len(n_ab)
+            and int(n_ab.max()) * total <= (2**63 - 1) // 1_000_000
+            and int(n1.max()) * int(n2.max()) <= 2**63 - 1
+        )
+        if fits:
+            lift = 1_000_000 * n_ab * total // (n1 * n2)
+            lift = lift.astype(np.int64)
+        else:  # exact big-int path for web-scale counts
+            lift = np.array(
+                [
+                    1_000_000 * int(a) * total // (int(b) * int(c))
+                    for a, b, c in zip(n_ab, n1, n2)
+                ],
+                dtype=np.int64,
+            )
+        return pa.table(
+            {
+                "w1": batch.column("w1"),
+                "w2": batch.column("w2"),
+                "n_ab": batch.column("n_ab"),
+                "n_w1": batch.column("n_w1"),
+                "n_w2": batch.column("n_w2"),
+                "lift_ppm": pa.array(lift, type=pa.int64()),
+            }
+        )
+
+    return j2.map_batches(finish, batch_format="pyarrow").sort(["w1", "w2"])

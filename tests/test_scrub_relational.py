@@ -821,3 +821,40 @@ def test_regional_supplier_revenue_crafted(ray_session, tmp_path):
         str(tmp_path), region="ASIA", year=1996
     ).to_pandas()
     assert out.values.tolist() == [["JAPAN", 1000 * 90, 1]]
+
+
+def test_collocations_boundary_and_lift(ray_session, tmp_path):
+    """Bigrams never cross document boundaries; lift_ppm equals the
+    exact integer formula; min_count drops rare pairs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ner_pytorch_ray.pipelines.analysis import collocations
+
+    docs = [
+        "x y x y x y",   # (x,y) * 3, (y,x) * 2
+        "y x",           # (y,x) * 1 -> (y,x) total 3
+        "x",             # no bigram; "x y" must NOT pick up doc 2's "y"
+        "y",
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+            "text": pa.array(docs, type=pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    got = {
+        (r["w1"], r["w2"]): (
+            r["n_ab"],
+            r["n_w1"],
+            r["n_w2"],
+            r["lift_ppm"],
+        )
+        for r in collocations(str(tmp_path), min_count=3).take_all()
+    }
+    # N = 10 tokens; n_x = 5, n_y = 5
+    assert got == {
+        ("x", "y"): (3, 5, 5, 1_000_000 * 3 * 10 // 25),
+        ("y", "x"): (3, 5, 5, 1_000_000 * 3 * 10 // 25),
+    }
