@@ -817,6 +817,12 @@ def _q_collocations(sf_dir: str):
     return collocations(sf_dir)
 
 
+def _q_doc_cosine_pairs(sf_dir: str):
+    from ner_pytorch_ray.pipelines.dedup import doc_cosine_pairs
+
+    return doc_cosine_pairs(sf_dir)
+
+
 def _q_retention_cohorts(sf_dir: str):
     from ner_pytorch_ray.pipelines.windows import retention_cohorts
 
@@ -1376,6 +1382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sssp": _q_kg_sssp,
         "kg_node_jaccard": _q_kg_node_jaccard,
         "collocations": _q_collocations,
+        "doc_cosine_pairs": _q_doc_cosine_pairs,
         # same-family duplicates + simpler single-scan ops (locally
         # exact-verified, outside the 50-slot driver window):
         "knn_topk": _q_knn_topk,
@@ -2773,6 +2780,41 @@ FROM big b
 JOIN uni u1 ON u1.w = b.w1
 JOIN uni u2 ON u2.w = b.w2
 ORDER BY w1, w2
+"""
+    # sparse cosine all-pairs (dedup.doc_cosine_pairs): integer cos²
+    # thresholding avoids square roots exactly; the df <= 1000 filter
+    # mirrors the engine's max_group posting-list guard
+    out["doc_cosine_pairs"] = """
+WITH tf AS (
+  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents)
+  GROUP BY doc_id, w
+),
+norm AS (
+  SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS norm2
+  FROM tf GROUP BY doc_id
+),
+df AS (SELECT w, COUNT(*) AS c FROM tf GROUP BY w),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+  FROM tf a
+  JOIN tf b ON a.w = b.w AND a.doc_id < b.doc_id
+  JOIN df ON df.w = a.w AND df.c <= 1000
+  GROUP BY doc_a, doc_b
+),
+sc AS (
+  SELECT d.doc_a, d.doc_b, d.dot,
+         na.norm2 AS norm2_a, nb.norm2 AS norm2_b,
+         CAST(CAST(1000000 AS HUGEINT) * d.dot * d.dot
+              // (CAST(na.norm2 AS HUGEINT) * nb.norm2)
+              AS BIGINT) AS cos2_ppm
+  FROM dots d
+  JOIN norm na ON na.doc_id = d.doc_a
+  JOIN norm nb ON nb.doc_id = d.doc_b
+)
+SELECT * FROM sc WHERE cos2_ppm >= 810000 ORDER BY doc_a, doc_b
 """
     # entity dashboard: mention stats LEFT-JOIN components, 3-iteration
     # weighted PageRank and triangle counts (the same validated CTE

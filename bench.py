@@ -438,6 +438,12 @@ def run_extras(sf_dir: str) -> dict:
     from ner_pytorch_ray.pipelines.analysis import collocations
 
     timed("collocations", lambda: collocations(sf_dir).count())
+
+    from ner_pytorch_ray.pipelines.dedup import doc_cosine_pairs
+
+    timed(
+        "doc_cosine_pairs", lambda: doc_cosine_pairs(sf_dir).count()
+    )
     timed(
         "ann_recall",
         lambda: ann_recall(sf_dir, n_queries=10, k=5).count(),

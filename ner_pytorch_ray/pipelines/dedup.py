@@ -849,3 +849,148 @@ def substring_containment(
         verify,
         ["key"],
     )
+
+
+_COS_PAIR_SCHEMA = pa.schema(
+    [
+        ("doc_a", pa.int64()),
+        ("doc_b", pa.int64()),
+        ("norm2_a", pa.int64()),
+        ("norm2_b", pa.int64()),
+        ("dot", pa.int64()),
+    ]
+)
+
+
+def doc_cosine_pairs(
+    sf_dir: str, tau2_ppm: int = 810_000, max_group: int = 1000
+) -> ray.data.Dataset:
+    """Exact sparse cosine all-pairs over whole-document TERM-FREQUENCY
+    vectors (the inverted-index all-pairs design of Bayardo, Ma &
+    Srikant 2007, WWW — "Scaling Up All Pairs Similarity Search"):
+    pairs with cos²(a, b) >= tau2_ppm / 1e6, scored in exact integers —
+    ``cos2_ppm = 1e6 * dot² // (norm2_a * norm2_b)`` avoids the
+    irrational square roots, and thresholding cos² IS thresholding cos
+    for non-negative tf vectors.
+
+    Shape mirrors :func:`ngram_jaccard_pairs`: tf posting rows
+    (token, doc, tf, norm2) -> ONE keyed collect per token (the posting
+    list) -> vectorized triangular pair generation carrying the
+    endpoint norms IN the grouping key -> one grouped sum folds the
+    per-token dot contributions -> vectorized threshold filter. Tokens
+    whose posting list exceeds ``max_group`` are dropped before pairing
+    (a stop word pairs quadratically; its dot contribution is the
+    least discriminative — same guard contract as the jaccard/minhash
+    family, mirrored by the SQL oracle's df filter). The final square
+    is size-routed: int64 numpy when dot² * 1e6 fits, exact Python
+    big-ints for web-scale norms."""
+    from ner_pytorch_ray.stages.groupby_utils import (
+        collect_tuples,
+        flat_map_groups,
+        grouped_sum,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def postings(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        offs = offs - offs[0]
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        rep = np.diff(offs)
+        did = np.repeat(doc_ids, rep)
+        t = pa.table(
+            {
+                "doc_id": pa.array(did, type=pa.int64()),
+                "token": flat,
+            }
+        )
+        g = t.group_by(["doc_id", "token"]).aggregate([([], "count_all")])
+        tf = g.column("count_all").to_numpy(zero_copy_only=False)
+        gd = g.column("doc_id").to_numpy(zero_copy_only=False)
+        # per-doc norm2 = sum tf^2 (docs are block-local: one parquet row
+        # never splits across batches)
+        order = np.argsort(gd, kind="stable")
+        gd_s = gd[order]
+        tf_s = tf[order]
+        uniq, starts = np.unique(gd_s, return_index=True)
+        n2 = np.add.reduceat(tf_s * tf_s, starts)
+        n2_by_doc = dict(zip(uniq.tolist(), n2.tolist()))
+        norm2 = np.array([n2_by_doc[d] for d in gd], dtype=np.int64)
+        return pa.table(
+            {
+                "token": g.column("token"),
+                "doc_id": pa.array(gd, type=pa.int64()),
+                "tf": pa.array(tf.astype(np.int64)),
+                "norm2": pa.array(norm2),
+            }
+        )
+
+    posts = ds.map_batches(postings, batch_format="pyarrow")
+    collected = collect_tuples(posts, ["token"], ["doc_id", "tf", "norm2"])
+
+    def gen_pairs(key, items) -> pa.Table:
+        if items is None or len(items) < 2 or len(items) > max_group:
+            return _COS_PAIR_SCHEMA.empty_table()
+        items = sorted(items)
+        ids = np.array([d for d, _, _ in items], dtype=np.int64)
+        tfs = np.array([t for _, t, _ in items], dtype=np.int64)
+        n2s = np.array([n for _, _, n in items], dtype=np.int64)
+        ai, bi = np.triu_indices(len(ids), k=1)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids[ai]),
+                pa.array(ids[bi]),
+                pa.array(n2s[ai]),
+                pa.array(n2s[bi]),
+                pa.array(tfs[ai] * tfs[bi]),
+            ],
+            schema=_COS_PAIR_SCHEMA,
+        )
+
+    pair_partials = flat_map_groups(collected, gen_pairs, ["token"])
+    merged = grouped_sum(
+        pair_partials,
+        ["doc_a", "doc_b", "norm2_a", "norm2_b"],
+        sum_cols=["dot"],
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        dot = batch.column("dot").to_numpy(zero_copy_only=False)
+        na = batch.column("norm2_a").to_numpy(zero_copy_only=False)
+        nb = batch.column("norm2_b").to_numpy(zero_copy_only=False)
+        if len(dot) == 0:
+            cos2 = np.zeros(0, dtype=np.int64)
+        elif (
+            int(dot.max()) ** 2 <= (2**63 - 1) // 1_000_000
+            and int(na.max()) * int(nb.max()) <= 2**63 - 1
+        ):
+            cos2 = 1_000_000 * dot * dot // (na * nb)
+        else:  # exact big-int path for web-scale norms
+            cos2 = np.array(
+                [
+                    1_000_000 * int(d) * int(d) // (int(x) * int(y))
+                    for d, x, y in zip(dot, na, nb)
+                ],
+                dtype=np.int64,
+            )
+        t = pa.table(
+            {
+                "doc_a": batch.column("doc_a"),
+                "doc_b": batch.column("doc_b"),
+                "dot": batch.column("dot"),
+                "norm2_a": batch.column("norm2_a"),
+                "norm2_b": batch.column("norm2_b"),
+                "cos2_ppm": pa.array(cos2.astype(np.int64)),
+            }
+        )
+        return t.filter(pa.array(cos2 >= tau2_ppm))
+
+    return merged.map_batches(score, batch_format="pyarrow").sort(
+        ["doc_a", "doc_b"]
+    )

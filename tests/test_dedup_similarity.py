@@ -457,3 +457,45 @@ class TestPcaProject:
         # deterministic under re-execution
         again = pca_project(sf, k=2).to_pandas()
         assert got.values.tolist() == again.values.tolist()
+
+
+def test_doc_cosine_pairs_exact_and_guard(ray_session, tmp_path):
+    """cos2_ppm matches the hand-computed integer formula; identical
+    docs score 1e6; a stop token shared by every doc is dropped by
+    max_group so it cannot pair unrelated docs by itself."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ner_pytorch_ray.pipelines.dedup import doc_cosine_pairs
+
+    docs = [
+        "alpha alpha beta stop",   # tf {alpha:2, beta:1, stop:1} n2=6
+        "alpha alpha beta stop",   # identical -> cos2 = 1e6
+        "gamma gamma gamma stop",  # shares only "stop" with 0/1
+        "delta stop",              # shares only "stop"
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+            "text": pa.array(docs, type=pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    # max_group=3 drops "stop" (df=4); tau2=0 keeps every surviving pair
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["dot"], r["cos2_ppm"])
+        for r in doc_cosine_pairs(
+            str(tmp_path), tau2_ppm=0, max_group=3
+        ).take_all()
+    }
+    # without "stop": docs 0,1 share alpha(2*2) + beta(1*1) = dot 5;
+    # norms still include stop: n2 = 4+1+1 = 6 each -> cos2 = 25/36
+    assert got == {(0, 1): (5, 1_000_000 * 25 // 36)}
+    # with the guard off, identical docs 0,1 hit exactly 1e6
+    full = {
+        (r["doc_a"], r["doc_b"]): r["cos2_ppm"]
+        for r in doc_cosine_pairs(
+            str(tmp_path), tau2_ppm=1_000_000
+        ).take_all()
+    }
+    assert full == {(0, 1): 1_000_000}
