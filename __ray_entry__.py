@@ -823,6 +823,12 @@ def _q_doc_cosine_pairs(sf_dir: str):
     return doc_cosine_pairs(sf_dir)
 
 
+def _q_kg_katz(sf_dir: str):
+    from ner_pytorch_ray.pipelines.graph_ops import kg_katz
+
+    return kg_katz(sf_dir)
+
+
 def _q_retention_cohorts(sf_dir: str):
     from ner_pytorch_ray.pipelines.windows import retention_cohorts
 
@@ -1383,6 +1389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_node_jaccard": _q_kg_node_jaccard,
         "collocations": _q_collocations,
         "doc_cosine_pairs": _q_doc_cosine_pairs,
+        "kg_katz": _q_kg_katz,
         # same-family duplicates + simpler single-scan ops (locally
         # exact-verified, outside the 50-slot driver window):
         "knn_topk": _q_knn_topk,
@@ -2816,6 +2823,49 @@ sc AS (
 )
 SELECT * FROM sc WHERE cos2_ppm >= 810000 ORDER BY doc_a, doc_b
 """
+    # Katz centrality (graph_ops.kg_katz): 3 unrolled rounds, the β=1/4
+    # attenuation applied as the SAME per-edge floor division the engine
+    # uses, so the truncated walk sum matches bit-for-bit
+    out["kg_katz"] = (
+        _KG_MENTIONS_CTE
+        + """
+, pairs AS (
+  SELECT DISTINCT m1.doc_id, m1.sent, m1.ent AS a, m2.ent AS b
+  FROM men m1
+  JOIN men m2 ON m1.doc_id = m2.doc_id AND m1.sent = m2.sent
+  WHERE m1.ent < m2.ent
+),
+ed AS (SELECT DISTINCT a, b FROM pairs),
+sym AS (SELECT a, b FROM ed UNION ALL SELECT b, a FROM ed),
+nodes AS (SELECT DISTINCT a AS node FROM sym),
+c0 AS (SELECT node, CAST(1000000 AS BIGINT) AS c FROM nodes),
+c1 AS (
+  SELECT n.node, COALESCE(SUM(cu.c // 4), 0) AS c
+  FROM nodes n
+  LEFT JOIN sym e ON e.b = n.node
+  LEFT JOIN c0 cu ON cu.node = e.a
+  GROUP BY n.node
+),
+c2 AS (
+  SELECT n.node, COALESCE(SUM(cu.c // 4), 0) AS c
+  FROM nodes n
+  LEFT JOIN sym e ON e.b = n.node
+  LEFT JOIN c1 cu ON cu.node = e.a
+  GROUP BY n.node
+),
+c3 AS (
+  SELECT n.node, COALESCE(SUM(cu.c // 4), 0) AS c
+  FROM nodes n
+  LEFT JOIN sym e ON e.b = n.node
+  LEFT JOIN c2 cu ON cu.node = e.a
+  GROUP BY n.node
+)
+SELECT c1.node AS entity,
+       CAST(c1.c + c2.c + c3.c AS BIGINT) AS katz_i
+FROM c1 JOIN c2 ON c2.node = c1.node JOIN c3 ON c3.node = c1.node
+ORDER BY entity
+"""
+    )
     # entity dashboard: mention stats LEFT-JOIN components, 3-iteration
     # weighted PageRank and triangle counts (the same validated CTE
     # fragments composed; defaults: own-component / rank 0 / 0 triangles)

@@ -429,11 +429,16 @@ def run_extras(sf_dir: str) -> dict:
         "retention_cohorts", lambda: retention_cohorts(sf_dir).count()
     )
 
-    from ner_pytorch_ray.pipelines.graph_ops import kg_node_jaccard, kg_sssp
+    from ner_pytorch_ray.pipelines.graph_ops import (
+        kg_katz,
+        kg_node_jaccard,
+        kg_sssp,
+    )
     from ner_pytorch_ray.pipelines.similarity import ann_recall
 
     timed("kg_sssp", lambda: kg_sssp(sf_dir).count())
     timed("kg_node_jaccard", lambda: kg_node_jaccard(sf_dir).count())
+    timed("kg_katz", lambda: kg_katz(sf_dir).count())
 
     from ner_pytorch_ray.pipelines.analysis import collocations
 

@@ -2250,3 +2250,181 @@ def kg_node_jaccard(sf_dir: str) -> ray.data.Dataset:
         ew.map_batches(ascending, batch_format="pyarrow"),
         node_type=pa.string(),
     ).sort(["node_a", "node_b"])
+
+
+def katz_over_edges(
+    edges: ray.data.Dataset,
+    iters: int = 3,
+    beta_den: int = 4,
+    scale: int = 1_000_000,
+    node_type: pa.DataType = pa.int64(),
+) -> ray.data.Dataset:
+    """Katz centrality (Katz 1953) over a SYMMETRIC edge table (a, b),
+    truncated at ``iters`` hops, in exact integers: each node starts a
+    unit of mass (``scale``), each round every node forwards
+    ``cur // beta_den`` along each out-edge (the attenuation β = 1/beta_den
+    applied as a PER-EDGE floor — summation-order independent, hence
+    bit-identical under any partitioning), and katz_i(v) is the sum of
+    the mass arriving over all rounds:
+
+        c_0(u)  = scale
+        c_t(v)  = sum over in-edges (u, v) of  c_{t-1}(u) // beta_den
+        katz_i  = c_1 + ... + c_iters
+
+    Distributed shape = :func:`pagerank_over_edges`: per round ONE keyed
+    collect co-locates a node's (cur, acc) state row with its out-edges
+    (group size = degree + 1), one grouped sum folds contributions and
+    the carried accumulator; only (node, cur, acc) rows materialize
+    between rounds. Output (node, katz_i), every node present, sorted.
+
+    Scale note: mass grows by ~deg/beta_den per round — with the default
+    3 rounds and int64 state, hub degrees up to ~1e5 stay far from
+    overflow at scale=1e6; raise beta_den (stronger attenuation) before
+    raising iters on hubby graphs."""
+    from ner_pytorch_ray.stages.groupby_utils import (
+        collect_tuples,
+        flat_map_groups,
+        grouped_sum,
+    )
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.Table.from_pydict(
+            {
+                "node": batch.column("a").cast(node_type),
+                "peer": batch.column("b").cast(node_type),
+                "cur": pa.array([None] * n, type=pa.int64()),
+                "acc": pa.array([None] * n, type=pa.int64()),
+            }
+        )
+
+    adj = edges.map_batches(edge_rows, batch_format="pyarrow").materialize()
+
+    def node_rows(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "node": batch.column("node"),
+                "cur": pa.array([scale] * len(batch), type=pa.int64()),
+                "acc": pa.array([0] * len(batch), type=pa.int64()),
+            }
+        )
+
+    def dedup_nodes(batch: pa.Table) -> pa.Table:
+        t = pa.table({"node": batch.column("node")})
+        return t.group_by(["node"]).aggregate([([], "count_all")]).select(
+            ["node"]
+        )
+
+    state = grouped_sum(
+        adj.map_batches(dedup_nodes, batch_format="pyarrow").map_batches(
+            lambda b: b.append_column(
+                "one", pa.array([1] * len(b), type=pa.int64())
+            ),
+            batch_format="pyarrow",
+        ),
+        keys=["node"],
+        sum_cols=["one"],
+    ).map_batches(node_rows, batch_format="pyarrow").materialize()
+
+    msg_schema = pa.schema(
+        [("node", node_type), ("cur", pa.int64()), ("acc", pa.int64())]
+    )
+
+    def emit(key, items) -> pa.Table:
+        if items is None:
+            return msg_schema.empty_table()
+        st = [(c, a) for _, c, a in items if c is not None]
+        if not st:  # edges of a node outside the state (impossible by
+            return msg_schema.empty_table()  # construction) — drop
+        cur, acc = st[0]
+        peers = [p for p, c, _ in items if c is None]
+        contrib = cur // beta_den
+        nodes = peers + [key[0]]
+        curs = [contrib] * len(peers) + [0]
+        accs = [0] * len(peers) + [acc]
+        return pa.Table.from_pydict(
+            {
+                "node": pa.array(nodes, type=node_type),
+                "cur": pa.array(curs, type=pa.int64()),
+                "acc": pa.array(accs, type=pa.int64()),
+            }
+        )
+
+    def with_peer(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "node": batch.column("node"),
+                "peer": pa.array([None] * len(batch), type=node_type),
+                "cur": batch.column("cur"),
+                "acc": batch.column("acc"),
+            }
+        )
+
+    for _ in range(iters):
+        unioned = state.map_batches(
+            with_peer, batch_format="pyarrow"
+        ).union(adj)
+        collected = collect_tuples(
+            unioned, ["node"], ["peer", "cur", "acc"], shuffle_blocks="auto"
+        )
+        folded = grouped_sum(
+            flat_map_groups(collected, emit, ["node"]),
+            keys=["node"],
+            sum_cols=["cur", "acc"],
+        )
+
+        def roll(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return pa.table(
+                {
+                    "node": batch.column("node"),
+                    "cur": batch.column("cur"),
+                    "acc": pc.add(
+                        batch.column("acc"), batch.column("cur")
+                    ),
+                }
+            )
+
+        state = folded.map_batches(roll, batch_format="pyarrow").materialize()
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "katz_i": batch.column("acc"),
+            }
+        )
+
+    return state.map_batches(finish, batch_format="pyarrow").sort("node")
+
+
+def kg_katz(sf_dir: str, iters: int = 3) -> ray.data.Dataset:
+    """Katz centrality over the constructed KG's co-occurrence graph
+    (unweighted symmetric edges), the walk-counting complement of
+    kg_pagerank/kg_hits: a node is central if MANY short walks reach it,
+    not just high-degree neighbors. (entity, katz_i), sorted."""
+    from ner_pytorch_ray.pipelines.kg import linked_mentions_cached
+    from ner_pytorch_ray.stages.graph import edge_partials_merged
+
+    ew = edge_partials_merged(linked_mentions_cached(sf_dir))
+
+    def sym(batch: pa.Table) -> pa.Table:
+        fwd = pa.table(
+            {"a": batch.column("subj"), "b": batch.column("obj")}
+        )
+        rev = pa.table(
+            {"a": batch.column("obj"), "b": batch.column("subj")}
+        )
+        return pa.concat_tables([fwd, rev])
+
+    out = katz_over_edges(
+        ew.map_batches(sym, batch_format="pyarrow"),
+        iters=iters,
+        node_type=pa.string(),
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["entity", "katz_i"])
+
+    return out.map_batches(rename, batch_format="pyarrow").sort("entity")

@@ -793,3 +793,51 @@ def test_jaccard_matches_brute_force_random(ray_session):
             ).take_all()
         }
         assert got == exp
+
+
+def test_katz_matches_sequential_recompute(ray_session):
+    """Truncated Katz sum == sequential per-edge-floor recompute on a
+    seeded random digraph-from-symmetric-edges, any block count; every
+    node appears (isolated-from-inbound nodes score 0)."""
+    import random
+
+    import ray
+    from ner_pytorch_ray.pipelines.graph_ops import katz_over_edges
+
+    rng = random.Random(61)
+    n = 14
+    und = {
+        (min(a, b), max(a, b))
+        for a, b in (rng.sample(range(n), 2) for _ in range(24))
+    }
+    sym_pairs = sorted(und) + [(b, a) for a, b in sorted(und)]
+    adj = {}
+    for a, b in sym_pairs:
+        adj.setdefault(a, []).append(b)
+    scale, bd, iters = 1_000_000, 4, 3
+    cur = {v: scale for v in adj}
+    acc = {v: 0 for v in adj}
+    for _ in range(iters):
+        new = {v: 0 for v in adj}
+        for u, ps in adj.items():
+            c = cur[u] // bd
+            for p in ps:
+                new[p] += c
+        cur = new
+        for v in adj:
+            acc[v] += cur[v]
+
+    t = pa.table(
+        {
+            "a": pa.array([e[0] for e in sym_pairs], type=pa.int64()),
+            "b": pa.array([e[1] for e in sym_pairs], type=pa.int64()),
+        }
+    )
+    for blocks in (1, 4):
+        got = {
+            r["node"]: r["katz_i"]
+            for r in katz_over_edges(
+                ray.data.from_arrow(t).repartition(blocks), iters=iters
+            ).take_all()
+        }
+        assert got == acc
