@@ -829,6 +829,12 @@ def _q_kg_katz(sf_dir: str):
     return kg_katz(sf_dir)
 
 
+def _q_doc_keywords(sf_dir: str):
+    from ner_pytorch_ray.pipelines.analysis import doc_keywords
+
+    return doc_keywords(sf_dir)
+
+
 def _q_retention_cohorts(sf_dir: str):
     from ner_pytorch_ray.pipelines.windows import retention_cohorts
 
@@ -1390,6 +1396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collocations": _q_collocations,
         "doc_cosine_pairs": _q_doc_cosine_pairs,
         "kg_katz": _q_kg_katz,
+        "doc_keywords": _q_doc_keywords,
         # same-family duplicates + simpler single-scan ops (locally
         # exact-verified, outside the 50-slot driver window):
         "knn_topk": _q_knn_topk,
@@ -2866,6 +2873,32 @@ FROM c1 JOIN c2 ON c2.node = c1.node JOIN c3 ON c3.node = c1.node
 ORDER BY entity
 """
     )
+    # per-doc top-k tf-idf keywords (analysis.doc_keywords): integer idf
+    # surrogate 1e6*N//df, window rank with the same (score desc, token
+    # asc) tie-break
+    out["doc_keywords"] = """
+WITH tf AS (
+  SELECT doc_id, w AS token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents)
+  GROUP BY doc_id, w
+),
+df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+sc AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         tf.tf * (1000000 * (SELECT n FROM n) // df.df) AS score_i
+  FROM tf JOIN df ON df.token = tf.token
+),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY score_i DESC, token ASC) AS rank
+  FROM sc
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, tf, df,
+       CAST(score_i AS BIGINT) AS score_i
+FROM rk WHERE rank <= 3 ORDER BY doc_id, rank
+"""
     # entity dashboard: mention stats LEFT-JOIN components, 3-iteration
     # weighted PageRank and triangle counts (the same validated CTE
     # fragments composed; defaults: own-component / rank 0 / 0 triangles)

@@ -440,9 +440,13 @@ def run_extras(sf_dir: str) -> dict:
     timed("kg_node_jaccard", lambda: kg_node_jaccard(sf_dir).count())
     timed("kg_katz", lambda: kg_katz(sf_dir).count())
 
-    from ner_pytorch_ray.pipelines.analysis import collocations
+    from ner_pytorch_ray.pipelines.analysis import (
+        collocations,
+        doc_keywords,
+    )
 
     timed("collocations", lambda: collocations(sf_dir).count())
+    timed("doc_keywords", lambda: doc_keywords(sf_dir).count())
 
     from ner_pytorch_ray.pipelines.dedup import doc_cosine_pairs
 

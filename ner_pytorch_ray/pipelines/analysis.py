@@ -911,3 +911,125 @@ def collocations(sf_dir: str, min_count: int = 3) -> ray.data.Dataset:
         )
 
     return j2.map_batches(finish, batch_format="pyarrow").sort(["w1", "w2"])
+
+
+def doc_keywords(sf_dir: str, k: int = 3) -> ray.data.Dataset:
+    """Per-document top-k tf-idf keyword extraction (the "what is this
+    page about" primitive a retrieval/labeling pipeline runs corpus-wide):
+    (doc_id, rank, token, tf, df, score_i) with
+    ``score_i = tf * (1e6 * N // df)`` — the exact integer surrogate of
+    tf·idf (monotone in tf * N/df, so the top-k IS the tf-idf top-k up to
+    the documented floor), ties broken (score desc, token asc).
+
+    Distributed shape: tf partials per block (Arrow hash group_by), df
+    from ONE grouped sum over the (doc, token) rows (they are distinct by
+    construction), N from parquet METADATA (no extra pass), df attaches
+    via the partitioned hash join (vocabulary-sized — never broadcast),
+    and the per-doc top-k runs as one keyed collect whose group payload
+    is a document's distinct tokens (doc-length bounded)."""
+    import pyarrow.parquet as pq_meta
+
+    from ner_pytorch_ray.stages.groupby_utils import (
+        collect_tuples,
+        flat_map_groups,
+        grouped_sum,
+    )
+
+    n_docs = pq_meta.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        offs = offs - offs[0]
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        did = np.repeat(doc_ids, np.diff(offs))
+        t = pa.table(
+            {"doc_id": pa.array(did, type=pa.int64()), "token": flat}
+        )
+        g = t.group_by(["doc_id", "token"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "doc_id": g.column("doc_id"),
+                "token": g.column("token"),
+                "tf": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    tf = ds.map_batches(tf_rows, batch_format="pyarrow").materialize()
+
+    def df_ones(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "token": batch.column("token"),
+                "df": pa.array([1] * len(batch), type=pa.int64()),
+            }
+        )
+
+    df = grouped_sum(
+        tf.map_batches(df_ones, batch_format="pyarrow"),
+        keys=["token"],
+        sum_cols=["df"],
+    )
+    n_parts = int(min(64, max(1, n_docs // 25_000)))
+    joined = tf.join(
+        df,
+        join_type="inner",
+        num_partitions=n_parts,
+        on=("token",),
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        tfv = batch.column("tf").to_numpy(zero_copy_only=False)
+        dfv = batch.column("df").to_numpy(zero_copy_only=False)
+        idf = 1_000_000 * n_docs // dfv  # N fits int64 by construction
+        if len(tfv) and int(tfv.max()) * int(idf.max()) <= 2**63 - 1:
+            sc = (tfv * idf).astype(np.int64)
+        else:  # exact big-int path
+            sc = np.array(
+                [int(a) * int(b) for a, b in zip(tfv, idf)],
+                dtype=np.int64,
+            )
+        return batch.append_column("score_i", pa.array(sc))
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+    collected = collect_tuples(
+        scored, ["doc_id"], ["token", "tf", "df", "score_i"]
+    )
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("rank", pa.int64()),
+            ("token", pa.string()),
+            ("tf", pa.int64()),
+            ("df", pa.int64()),
+            ("score_i", pa.int64()),
+        ]
+    )
+
+    def pick(key, items) -> pa.Table:
+        if items is None:
+            return out_schema.empty_table()
+        top = sorted(items, key=lambda x: (-x[3], x[0]))[:k]
+        n = len(top)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array([key[0]] * n, type=pa.int64()),
+                "rank": pa.array(range(1, n + 1), type=pa.int64()),
+                "token": pa.array([t for t, _, _, _ in top]),
+                "tf": pa.array([t for _, t, _, _ in top], type=pa.int64()),
+                "df": pa.array([d for _, _, d, _ in top], type=pa.int64()),
+                "score_i": pa.array(
+                    [s for _, _, _, s in top], type=pa.int64()
+                ),
+            }
+        )
+
+    return flat_map_groups(collected, pick, ["doc_id"]).sort(
+        ["doc_id", "rank"]
+    )

@@ -858,3 +858,38 @@ def test_collocations_boundary_and_lift(ray_session, tmp_path):
         ("x", "y"): (3, 5, 5, 1_000_000 * 3 * 10 // 25),
         ("y", "x"): (3, 5, 5, 1_000_000 * 3 * 10 // 25),
     }
+
+
+def test_doc_keywords_ranking_and_ties(ray_session, tmp_path):
+    """Rarer tokens outrank frequent ones at equal tf; ties break on
+    token asc; k truncates per doc."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ner_pytorch_ray.pipelines.analysis import doc_keywords
+
+    docs = [
+        "rare common common",   # rare df=1, common df=3
+        "common zeta alpha",    # zeta/alpha df=1 tie -> alpha first
+        "common",
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+            "text": pa.array(docs, type=pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    got = [
+        (r["doc_id"], r["rank"], r["token"], r["score_i"])
+        for r in doc_keywords(str(tmp_path), k=2).take_all()
+    ]
+    idf1 = 1_000_000 * 3 // 1
+    idf3 = 1_000_000 * 3 // 3
+    assert got == [
+        (0, 1, "rare", idf1),
+        (0, 2, "common", 2 * idf3),
+        (1, 1, "alpha", idf1),
+        (1, 2, "zeta", idf1),
+        (2, 1, "common", idf3),
+    ]
