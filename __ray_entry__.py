@@ -835,6 +835,12 @@ def _q_doc_keywords(sf_dir: str):
     return doc_keywords(sf_dir)
 
 
+def _q_grouped_mad_outliers(sf_dir: str):
+    from ner_pytorch_ray.pipelines.relational import grouped_mad_outliers
+
+    return grouped_mad_outliers(sf_dir)
+
+
 def _q_retention_cohorts(sf_dir: str):
     from ner_pytorch_ray.pipelines.windows import retention_cohorts
 
@@ -1397,6 +1403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_cosine_pairs": _q_doc_cosine_pairs,
         "kg_katz": _q_kg_katz,
         "doc_keywords": _q_doc_keywords,
+        "grouped_mad_outliers": _q_grouped_mad_outliers,
         # same-family duplicates + simpler single-scan ops (locally
         # exact-verified, outside the 50-slot driver window):
         "knn_topk": _q_knn_topk,
@@ -2898,6 +2905,52 @@ rk AS (
 SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, tf, df,
        CAST(score_i AS BIGINT) AS score_i
 FROM rk WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+    # robust MAD outlier summary (relational.grouped_mad_outliers): two
+    # exact lower medians (value, then |value - med|) via window rank,
+    # outlier = residual > 3 * mad, all in integer cents
+    out["grouped_mad_outliers"] = """
+WITH c AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+r AS (
+  SELECT event_type, cents,
+         row_number() OVER (
+             PARTITION BY event_type ORDER BY cents, event_id
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM c
+),
+med AS (
+  SELECT event_type, cents AS med, n FROM r WHERE rn = (n - 1) // 2 + 1
+),
+res AS (
+  SELECT c.event_type, c.event_id, abs(c.cents - m.med) AS resid
+  FROM c JOIN med m ON m.event_type = c.event_type
+),
+rr AS (
+  SELECT event_type, resid,
+         row_number() OVER (
+             PARTITION BY event_type ORDER BY resid, event_id
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM res
+),
+mad AS (
+  SELECT event_type, resid AS mad FROM rr WHERE rn = (n - 1) // 2 + 1
+)
+SELECT m.event_type, CAST(m.med AS BIGINT) AS median_cents,
+       CAST(d.mad AS BIGINT) AS mad_cents,
+       CAST(SUM(CASE WHEN s.resid > 3 * d.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM res s
+JOIN med m ON m.event_type = s.event_type
+JOIN mad d ON d.event_type = s.event_type
+GROUP BY m.event_type, m.med, d.mad
+ORDER BY m.event_type
 """
     # entity dashboard: mention stats LEFT-JOIN components, 3-iteration
     # weighted PageRank and triangle counts (the same validated CTE

@@ -448,6 +448,13 @@ def run_extras(sf_dir: str) -> dict:
     timed("collocations", lambda: collocations(sf_dir).count())
     timed("doc_keywords", lambda: doc_keywords(sf_dir).count())
 
+    from ner_pytorch_ray.pipelines.relational import grouped_mad_outliers
+
+    timed(
+        "grouped_mad_outliers",
+        lambda: grouped_mad_outliers(sf_dir).count(),
+    )
+
     from ner_pytorch_ray.pipelines.dedup import doc_cosine_pairs
 
     timed(

@@ -1138,3 +1138,131 @@ def regional_supplier_revenue(
         AddName, fn_constructor_args=(names_ref,), batch_format="pyarrow",
         concurrency=(1, 4),
     ).sort(["revenue_c2", "n_name"], descending=[True, False])
+
+
+def grouped_mad_outliers(sf_dir: str, k: int = 3) -> ray.data.Dataset:
+    """Robust per-group outlier detection via the Median Absolute
+    Deviation (the k-sigma test's heavy-tail-proof cousin — Hampel 1974):
+    per event type, med = exact lower median of value cents, mad = exact
+    lower median of |cents - med|, outlier = row with
+    ``|cents - med| > k * mad``. Output per group:
+    (event_type, median_cents, mad_cents, n_outliers, n_events).
+
+    Both medians compose the SAME two window primitives as
+    :func:`grouped_median_value` — distributed rank + target-rank pick —
+    so no task ever holds a whole group; the per-type medians (|types|
+    rows, bounded by the event-type cardinality, NOT by data volume)
+    ride in task closures between the two passes. All comparisons are
+    exact integers: ``residual > k * mad`` in cents, no floats
+    anywhere."""
+    from ner_pytorch_ray.stages.groupby_utils import grouped_rank, grouped_sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "cents": _cents(batch.column("value")),
+                "event_id": batch.column("event_id"),
+                "one": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    counts = {
+        r["event_type"]: r["one"]
+        for r in grouped_sum(
+            prepped, ["event_type"], sum_cols=["one"]
+        ).take_all()
+    }
+    target = {t: (n - 1) // 2 + 1 for t, n in counts.items()}
+
+    def median_of(rows: ray.data.Dataset, col: str) -> dict:
+        ranked = grouped_rank(
+            rows,
+            part_keys=["event_type"],
+            order_keys=[col, "event_id"],
+            descending=[False, False],
+        )
+
+        def pick(batch: pa.Table) -> pa.Table:
+            types = batch.column("event_type").to_pylist()
+            want = np.array([target[t] for t in types], dtype=np.int64)
+            got = batch.column("rank").to_numpy(zero_copy_only=False)
+            keep = batch.filter(pa.array(want == got))
+            return pa.table(
+                {
+                    "event_type": keep.column("event_type"),
+                    "m": keep.column(col),
+                }
+            )
+
+        return {
+            r["event_type"]: r["m"]
+            for r in ranked.map_batches(
+                pick, batch_format="pyarrow"
+            ).take_all()
+        }
+
+    med = median_of(prepped, "cents")
+
+    def residuals(batch: pa.Table) -> pa.Table:
+        types = batch.column("event_type").to_pylist()
+        cents = batch.column("cents").to_numpy(zero_copy_only=False)
+        m = np.array([med[t] for t in types], dtype=np.int64)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "resid": pa.array(np.abs(cents - m)),
+                "event_id": batch.column("event_id"),
+            }
+        )
+
+    resid = prepped.map_batches(
+        residuals, batch_format="pyarrow"
+    ).materialize()
+    mad = median_of(resid, "resid")
+
+    def flag(batch: pa.Table) -> pa.Table:
+        types = batch.column("event_type").to_pylist()
+        r = batch.column("resid").to_numpy(zero_copy_only=False)
+        thr = np.array([k * mad[t] for t in types], dtype=np.int64)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "n_outliers": pa.array((r > thr).astype(np.int64)),
+                "n_events": pa.array(np.ones(len(r), dtype=np.int64)),
+            }
+        )
+
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum as gsum
+
+    summary = gsum(
+        resid.map_batches(flag, batch_format="pyarrow"),
+        keys=["event_type"],
+        sum_cols=["n_outliers", "n_events"],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        types = batch.column("event_type").to_pylist()
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "median_cents": pa.array(
+                    [med[t] for t in types], type=pa.int64()
+                ),
+                "mad_cents": pa.array(
+                    [mad[t] for t in types], type=pa.int64()
+                ),
+                "n_outliers": batch.column("n_outliers"),
+                "n_events": batch.column("n_events"),
+            }
+        )
+
+    return summary.map_batches(finish, batch_format="pyarrow").sort(
+        "event_type"
+    )

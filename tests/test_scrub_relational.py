@@ -893,3 +893,36 @@ def test_doc_keywords_ranking_and_ties(ray_session, tmp_path):
         (1, 2, "zeta", idf1),
         (2, 1, "common", idf3),
     ]
+
+
+def test_grouped_mad_outliers_crafted(ray_session, tmp_path):
+    """Median/MAD exact on a crafted group; the single far point is the
+    only outlier; a robust check the k-sigma test would miss is implied
+    by MAD ignoring the outlier's own magnitude."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ner_pytorch_ray.pipelines.relational import grouped_mad_outliers
+
+    # values: 1 2 3 4 1000 -> med=3 (lower median), resid 2 1 0 1 997,
+    # mad = lower median of (0 1 1 2 997) = 1; outliers: resid > 3 -> 997
+    vals = [0.01, 0.02, 0.03, 0.04, 10.00]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(5), type=pa.int64()),
+            "event_type": pa.array(["a"] * 5, type=pa.string()),
+            "value": pa.array(vals, type=pa.float64()),
+            "user_id": pa.array([1] * 5, type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    rows = grouped_mad_outliers(str(tmp_path)).take_all()
+    assert [dict(r) for r in rows] == [
+        {
+            "event_type": "a",
+            "median_cents": 3,
+            "mad_cents": 1,
+            "n_outliers": 1,
+            "n_events": 5,
+        }
+    ]
