@@ -841,6 +841,12 @@ def _q_grouped_mad_outliers(sf_dir: str):
     return grouped_mad_outliers(sf_dir)
 
 
+def _q_kg_eccentricity(sf_dir: str):
+    from ner_pytorch_ray.pipelines.graph_ops import kg_eccentricity
+
+    return kg_eccentricity(sf_dir)
+
+
 def _q_retention_cohorts(sf_dir: str):
     from ner_pytorch_ray.pipelines.windows import retention_cohorts
 
@@ -1404,6 +1410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_katz": _q_kg_katz,
         "doc_keywords": _q_doc_keywords,
         "grouped_mad_outliers": _q_grouped_mad_outliers,
+        "kg_eccentricity": _q_kg_eccentricity,
         # same-family duplicates + simpler single-scan ops (locally
         # exact-verified, outside the 50-slot driver window):
         "knn_topk": _q_knn_topk,
@@ -2952,6 +2959,41 @@ JOIN mad d ON d.event_type = s.event_type
 GROUP BY m.event_type, m.med, d.mad
 ORDER BY m.event_type
 """
+    # pivot eccentricities / diameter lower bound (graph_ops.
+    # kg_eccentricity): per-pivot recursive BFS carrying the pivot in
+    # the recursion state; LIMIT 4 mirrors the deterministic
+    # lexicographic pivot pick
+    out["kg_eccentricity"] = (
+        _KG_MENTIONS_CTE.replace("WITH toks", "WITH RECURSIVE toks")
+        + """
+, pairs AS (
+  SELECT DISTINCT m1.doc_id, m1.sent, m1.ent AS a, m2.ent AS b
+  FROM men m1
+  JOIN men m2 ON m1.doc_id = m2.doc_id AND m1.sent = m2.sent
+  WHERE m1.ent < m2.ent
+),
+ed AS (SELECT DISTINCT a, b FROM pairs),
+sym AS (SELECT a, b FROM ed UNION ALL SELECT b, a FROM ed),
+pivots AS (
+  SELECT node FROM (SELECT DISTINCT a AS node FROM sym)
+  ORDER BY node LIMIT 4
+),
+bfs(pivot_node, node, dist) AS (
+  SELECT node, node, CAST(0 AS BIGINT) FROM pivots
+  UNION
+  SELECT f.pivot_node, e.b, f.dist + 1
+  FROM bfs f JOIN sym e ON e.a = f.node
+  WHERE f.dist < 32
+),
+d AS (
+  SELECT pivot_node, node, MIN(dist) AS dist
+  FROM bfs GROUP BY pivot_node, node
+)
+SELECT pivot_node, CAST(MAX(dist) AS BIGINT) AS ecc,
+       CAST(COUNT(*) AS BIGINT) AS n_reached
+FROM d GROUP BY pivot_node ORDER BY pivot_node
+"""
+    )
     # entity dashboard: mention stats LEFT-JOIN components, 3-iteration
     # weighted PageRank and triangle counts (the same validated CTE
     # fragments composed; defaults: own-component / rank 0 / 0 triangles)

@@ -430,6 +430,7 @@ def run_extras(sf_dir: str) -> dict:
     )
 
     from ner_pytorch_ray.pipelines.graph_ops import (
+        kg_eccentricity,
         kg_katz,
         kg_node_jaccard,
         kg_sssp,
@@ -439,6 +440,7 @@ def run_extras(sf_dir: str) -> dict:
     timed("kg_sssp", lambda: kg_sssp(sf_dir).count())
     timed("kg_node_jaccard", lambda: kg_node_jaccard(sf_dir).count())
     timed("kg_katz", lambda: kg_katz(sf_dir).count())
+    timed("kg_eccentricity", lambda: kg_eccentricity(sf_dir).count())
 
     from ner_pytorch_ray.pipelines.analysis import (
         collocations,

@@ -2428,3 +2428,90 @@ def kg_katz(sf_dir: str, iters: int = 3) -> ray.data.Dataset:
         return batch.rename_columns(["entity", "katz_i"])
 
     return out.map_batches(rename, batch_format="pyarrow").sort("entity")
+
+
+def eccentricity_over_edges(
+    edges: ray.data.Dataset,
+    n_pivots: int = 4,
+    node_type: pa.DataType = pa.string(),
+    max_iters: int = 32,
+) -> ray.data.Dataset:
+    """Pivot eccentricities + diameter lower bound over a SYMMETRIC edge
+    table (a, b): for the ``n_pivots`` lexicographically-smallest nodes
+    (deterministic, no sampling seed to disagree about), run one
+    multi-round BFS each and report (pivot_node, ecc, n_reached); the max ecc
+    across pivots is the classic diameter LOWER bound (Magnien, Latapy &
+    Habib 2009 — exact diameter needs all-pairs, pivots bound it in
+    k * O(BFS)). Pivots are chosen by global sort + limit(k) (a k-row
+    driver materialization, bounded by the parameter, not the data);
+    each BFS loops only (node, dist) rows; ecc/n_reached are Dataset
+    aggregates, never collected."""
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
+
+    edges = edges.materialize()
+
+    def node_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("a").cast(node_type),
+                "one": pa.array([1] * len(batch), type=pa.int64()),
+            }
+        )
+
+    nodes = grouped_sum(
+        edges.map_batches(node_rows, batch_format="pyarrow"),
+        keys=["node"],
+        sum_cols=["one"],
+    )
+    pivots = [
+        r["node"] for r in nodes.sort("node").limit(n_pivots).take_all()
+    ]
+    out_rows = {"pivot_node": [], "ecc": [], "n_reached": []}
+    for p in pivots:
+        seed = ray.data.from_arrow(
+            pa.table({"node": pa.array([p], type=node_type)})
+        )
+        hops = bfs_hops_over_edges(
+            edges, seed, node_type=node_type, max_iters=max_iters
+        )
+        out_rows["pivot_node"].append(p)
+        out_rows["ecc"].append(int(hops.max("dist") or 0))
+        out_rows["n_reached"].append(int(hops.count()))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "pivot_node": pa.array(
+                    out_rows["pivot_node"], type=node_type
+                ),
+                "ecc": pa.array(out_rows["ecc"], type=pa.int64()),
+                "n_reached": pa.array(
+                    out_rows["n_reached"], type=pa.int64()
+                ),
+            }
+        )
+    )
+
+
+def kg_eccentricity(sf_dir: str, n_pivots: int = 4) -> ray.data.Dataset:
+    """Pivot eccentricities over the constructed KG's co-occurrence
+    graph — the "how far apart can two entities be" diagnostic; max(ecc)
+    lower-bounds the KG diameter. (pivot_node, ecc, n_reached), sorted."""
+    from ner_pytorch_ray.pipelines.kg import linked_mentions_cached
+    from ner_pytorch_ray.stages.graph import edge_partials_merged
+
+    ew = edge_partials_merged(linked_mentions_cached(sf_dir))
+
+    def sym(batch: pa.Table) -> pa.Table:
+        fwd = pa.table(
+            {"a": batch.column("subj"), "b": batch.column("obj")}
+        )
+        rev = pa.table(
+            {"a": batch.column("obj"), "b": batch.column("subj")}
+        )
+        return pa.concat_tables([fwd, rev])
+
+    return eccentricity_over_edges(
+        ew.map_batches(sym, batch_format="pyarrow"),
+        n_pivots=n_pivots,
+        node_type=pa.string(),
+    ).sort("pivot_node")

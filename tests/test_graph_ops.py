@@ -841,3 +841,28 @@ def test_katz_matches_sequential_recompute(ray_session):
             ).take_all()
         }
         assert got == acc
+
+
+def test_eccentricity_path_graph(ray_session):
+    """Path 0-1-2-3: pivots (all 4 nodes) have ecc 3,2,2,3; a detached
+    pair is invisible from the path pivots but contributes pivots of its
+    own when within the k smallest."""
+    import ray
+    from ner_pytorch_ray.pipelines.graph_ops import eccentricity_over_edges
+
+    und = [(0, 1), (1, 2), (2, 3)]
+    sym = pa.table(
+        {
+            "a": pa.array(
+                [e[0] for e in und] + [e[1] for e in und], type=pa.int64()
+            ),
+            "b": pa.array(
+                [e[1] for e in und] + [e[0] for e in und], type=pa.int64()
+            ),
+        }
+    )
+    rows = eccentricity_over_edges(
+        ray.data.from_arrow(sym), n_pivots=4, node_type=pa.int64()
+    ).take_all()
+    got = {r["pivot_node"]: (r["ecc"], r["n_reached"]) for r in rows}
+    assert got == {0: (3, 4), 1: (2, 4), 2: (2, 4), 3: (3, 4)}
