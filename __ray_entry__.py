@@ -847,6 +847,12 @@ def _q_kg_eccentricity(sf_dir: str):
     return kg_eccentricity(sf_dir)
 
 
+def _q_lang_top_tokens(sf_dir: str):
+    from ner_pytorch_ray.pipelines.analysis import lang_top_tokens
+
+    return lang_top_tokens(sf_dir)
+
+
 def _q_retention_cohorts(sf_dir: str):
     from ner_pytorch_ray.pipelines.windows import retention_cohorts
 
@@ -1411,6 +1417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_keywords": _q_doc_keywords,
         "grouped_mad_outliers": _q_grouped_mad_outliers,
         "kg_eccentricity": _q_kg_eccentricity,
+        "lang_top_tokens": _q_lang_top_tokens,
         # same-family duplicates + simpler single-scan ops (locally
         # exact-verified, outside the 50-slot driver window):
         "knn_topk": _q_knn_topk,
@@ -2994,6 +3001,25 @@ SELECT pivot_node, CAST(MAX(dist) AS BIGINT) AS ecc,
 FROM d GROUP BY pivot_node ORDER BY pivot_node
 """
     )
+    # exact per-language top-k tokens (analysis.lang_top_tokens): window
+    # rank over the (lang, token) count table, same (n desc, token asc)
+    # tie-break as the engine's grouped_rank
+    out["lang_top_tokens"] = """
+WITH tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+),
+cnt AS (
+  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n
+  FROM tok GROUP BY lang, token
+),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY lang ORDER BY n DESC, token ASC) AS rank
+  FROM cnt
+)
+SELECT lang, CAST(rank AS BIGINT) AS rank, token, n
+FROM rk WHERE rank <= 5 ORDER BY lang, rank
+"""
     # entity dashboard: mention stats LEFT-JOIN components, 3-iteration
     # weighted PageRank and triangle counts (the same validated CTE
     # fragments composed; defaults: own-component / rank 0 / 0 triangles)

@@ -445,10 +445,12 @@ def run_extras(sf_dir: str) -> dict:
     from ner_pytorch_ray.pipelines.analysis import (
         collocations,
         doc_keywords,
+        lang_top_tokens,
     )
 
     timed("collocations", lambda: collocations(sf_dir).count())
     timed("doc_keywords", lambda: doc_keywords(sf_dir).count())
+    timed("lang_top_tokens", lambda: lang_top_tokens(sf_dir).count())
 
     from ner_pytorch_ray.pipelines.relational import grouped_mad_outliers
 

@@ -1033,3 +1033,70 @@ def doc_keywords(sf_dir: str, k: int = 3) -> ray.data.Dataset:
     return flat_map_groups(collected, pick, ["doc_id"]).sort(
         ["doc_id", "rank"]
     )
+
+
+def lang_top_tokens(sf_dir: str, k: int = 5) -> ray.data.Dataset:
+    """EXACT per-language top-k tokens (the per-corpus-slice vocabulary
+    digest a multilingual curation run reports): (lang, rank, token, n)
+    with rank by (n desc, token asc).
+
+    A language's vocabulary is unbounded at web scale, so the per-group
+    collect idiom is the skew trap here; instead the (lang, token)
+    count table — ONE grouped sum over block partials — flows through
+    :func:`~ner_pytorch_ray.stages.groupby_utils.grouped_rank` (global
+    sort + O(#blocks) carry chain, no group ever ships to one task) and
+    a vectorized ``rank <= k`` filter."""
+    from ner_pytorch_ray.stages.groupby_utils import grouped_rank, grouped_sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        offs = offs - offs[0]
+        langs = batch.column("lang").to_pylist()
+        rep = np.diff(offs)
+        lang_flat = pa.array(np.repeat(np.array(langs, dtype=object), rep))
+        t = pa.table({"lang": lang_flat, "token": flat})
+        g = t.group_by(["lang", "token"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "lang": g.column("lang"),
+                "token": g.column("token"),
+                "n": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    counts = grouped_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["lang", "token"],
+        sum_cols=["n"],
+    )
+    ranked = grouped_rank(
+        counts,
+        part_keys=["lang"],
+        order_keys=["n", "token"],
+        descending=[True, False],
+    )
+
+    def pick(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(
+            pc.less_equal(batch.column("rank"), pa.scalar(k))
+        )
+        return pa.table(
+            {
+                "lang": keep.column("lang"),
+                "rank": keep.column("rank"),
+                "token": keep.column("token"),
+                "n": keep.column("n"),
+            }
+        )
+
+    return ranked.map_batches(pick, batch_format="pyarrow").sort(
+        ["lang", "rank"]
+    )

@@ -926,3 +926,34 @@ def test_grouped_mad_outliers_crafted(ray_session, tmp_path):
             "n_events": 5,
         }
     ]
+
+
+def test_lang_top_tokens_rank_and_ties(ray_session, tmp_path):
+    """Per-lang counts aggregate across docs; rank is (n desc, token
+    asc); k truncates per language independently."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ner_pytorch_ray.pipelines.analysis import lang_top_tokens
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(3), type=pa.int64()),
+            "lang": pa.array(["en", "en", "fr"], type=pa.string()),
+            "text": pa.array(
+                ["b a a", "b c", "z z y"], type=pa.string()
+            ),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    got = [
+        (r["lang"], r["rank"], r["token"], r["n"])
+        for r in lang_top_tokens(str(tmp_path), k=2).take_all()
+    ]
+    # en: a=2, b=2 tie -> a first; fr: z=2, y=1
+    assert got == [
+        ("en", 1, "a", 2),
+        ("en", 2, "b", 2),
+        ("fr", 1, "z", 2),
+        ("fr", 2, "y", 1),
+    ]
