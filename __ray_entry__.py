@@ -853,6 +853,12 @@ def _q_lang_top_tokens(sf_dir: str):
     return lang_top_tokens(sf_dir)
 
 
+def _q_fk_integrity_report(sf_dir: str):
+    from ner_pytorch_ray.pipelines.relational import fk_integrity_report
+
+    return fk_integrity_report(sf_dir)
+
+
 def _q_retention_cohorts(sf_dir: str):
     from ner_pytorch_ray.pipelines.windows import retention_cohorts
 
@@ -1418,6 +1424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_mad_outliers": _q_grouped_mad_outliers,
         "kg_eccentricity": _q_kg_eccentricity,
         "lang_top_tokens": _q_lang_top_tokens,
+        "fk_integrity_report": _q_fk_integrity_report,
         # same-family duplicates + simpler single-scan ops (locally
         # exact-verified, outside the 50-slot driver window):
         "knn_topk": _q_knn_topk,
@@ -3019,6 +3026,55 @@ rk AS (
 )
 SELECT lang, CAST(rank AS BIGINT) AS rank, token, n
 FROM rk WHERE rank <= 5 ORDER BY lang, rank
+"""
+    # referential-integrity audit (relational.fk_integrity_report): one
+    # LEFT-JOIN-to-distinct-parent summary per FK pair, unioned
+    out["fk_integrity_report"] = """
+SELECT 'orders.o_custkey->customer.c_custkey' AS fk,
+       CAST(COUNT(*) AS BIGINT) AS n_child_rows,
+       CAST(COUNT(DISTINCT c.o_custkey) AS BIGINT) AS n_child_keys,
+       CAST(COUNT(*) FILTER (p.c_custkey IS NULL) AS BIGINT) AS n_orphan_rows,
+       CAST(COUNT(DISTINCT c.o_custkey) FILTER (p.c_custkey IS NULL) AS BIGINT)
+         AS n_orphan_keys
+FROM orders c
+LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) p ON p.c_custkey = c.o_custkey
+UNION ALL
+SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS fk,
+       CAST(COUNT(*) AS BIGINT) AS n_child_rows,
+       CAST(COUNT(DISTINCT c.l_orderkey) AS BIGINT) AS n_child_keys,
+       CAST(COUNT(*) FILTER (p.o_orderkey IS NULL) AS BIGINT) AS n_orphan_rows,
+       CAST(COUNT(DISTINCT c.l_orderkey) FILTER (p.o_orderkey IS NULL) AS BIGINT)
+         AS n_orphan_keys
+FROM lineitem c
+LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) p ON p.o_orderkey = c.l_orderkey
+UNION ALL
+SELECT 'customer.c_nationkey->nation.n_nationkey' AS fk,
+       CAST(COUNT(*) AS BIGINT) AS n_child_rows,
+       CAST(COUNT(DISTINCT c.c_nationkey) AS BIGINT) AS n_child_keys,
+       CAST(COUNT(*) FILTER (p.n_nationkey IS NULL) AS BIGINT) AS n_orphan_rows,
+       CAST(COUNT(DISTINCT c.c_nationkey) FILTER (p.n_nationkey IS NULL) AS BIGINT)
+         AS n_orphan_keys
+FROM customer c
+LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) p ON p.n_nationkey = c.c_nationkey
+UNION ALL
+SELECT 'supplier.s_nationkey->nation.n_nationkey' AS fk,
+       CAST(COUNT(*) AS BIGINT) AS n_child_rows,
+       CAST(COUNT(DISTINCT c.s_nationkey) AS BIGINT) AS n_child_keys,
+       CAST(COUNT(*) FILTER (p.n_nationkey IS NULL) AS BIGINT) AS n_orphan_rows,
+       CAST(COUNT(DISTINCT c.s_nationkey) FILTER (p.n_nationkey IS NULL) AS BIGINT)
+         AS n_orphan_keys
+FROM supplier c
+LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) p ON p.n_nationkey = c.s_nationkey
+UNION ALL
+SELECT 'events.user_id->customer.c_custkey' AS fk,
+       CAST(COUNT(*) AS BIGINT) AS n_child_rows,
+       CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS n_child_keys,
+       CAST(COUNT(*) FILTER (p.c_custkey IS NULL) AS BIGINT) AS n_orphan_rows,
+       CAST(COUNT(DISTINCT c.user_id) FILTER (p.c_custkey IS NULL) AS BIGINT)
+         AS n_orphan_keys
+FROM events c
+LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) p ON p.c_custkey = c.user_id
+ORDER BY fk
 """
     # entity dashboard: mention stats LEFT-JOIN components, 3-iteration
     # weighted PageRank and triangle counts (the same validated CTE

@@ -452,11 +452,18 @@ def run_extras(sf_dir: str) -> dict:
     timed("doc_keywords", lambda: doc_keywords(sf_dir).count())
     timed("lang_top_tokens", lambda: lang_top_tokens(sf_dir).count())
 
-    from ner_pytorch_ray.pipelines.relational import grouped_mad_outliers
+    from ner_pytorch_ray.pipelines.relational import (
+        fk_integrity_report,
+        grouped_mad_outliers,
+    )
 
     timed(
         "grouped_mad_outliers",
         lambda: grouped_mad_outliers(sf_dir).count(),
+    )
+    timed(
+        "fk_integrity_report",
+        lambda: fk_integrity_report(sf_dir).count(),
     )
 
     from ner_pytorch_ray.pipelines.dedup import doc_cosine_pairs

@@ -1266,3 +1266,115 @@ def grouped_mad_outliers(sf_dir: str, k: int = 3) -> ray.data.Dataset:
     return summary.map_batches(finish, batch_format="pyarrow").sort(
         "event_type"
     )
+
+
+_FK_PAIRS = [
+    ("orders.o_custkey->customer.c_custkey",
+     "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.l_orderkey->orders.o_orderkey",
+     "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("customer.c_nationkey->nation.n_nationkey",
+     "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation.n_nationkey",
+     "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("events.user_id->customer.c_custkey",
+     "events", "user_id", "customer", "c_custkey"),
+]
+
+
+def fk_integrity_report(sf_dir: str) -> ray.data.Dataset:
+    """Referential-integrity audit across the star schema's FK edges —
+    the data-quality gate a warehouse load runs before anything consumes
+    a snapshot: per FK pair, child row/key totals and orphan row/key
+    counts (child keys with NO parent). One row per FK:
+    (fk, n_child_rows, n_child_keys, n_orphan_rows, n_orphan_keys).
+
+    Per pair the exchange is KEY-BOUNDED, never row-bounded: child
+    blocks pre-aggregate to (key, child_n) partials, parent blocks to
+    distinct-key markers, ONE grouped sum folds both sides (the
+    union-tag anti-join — no broadcast: the parent side is fact-sized
+    for lineitem->orders), and a second tiny fold over the per-key table
+    emits the one summary row. The five pairs read only their key
+    columns (columns= pruning)."""
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
+
+    out_parts = []
+    for fk, child, ck, parent, pk in _FK_PAIRS:
+        c_ds = ray.data.read_parquet(
+            f"{sf_dir}/{child}.parquet", columns=[ck]
+        )
+        p_ds = ray.data.read_parquet(
+            f"{sf_dir}/{parent}.parquet", columns=[pk]
+        )
+
+        def child_rows(batch: pa.Table, _ck=ck) -> pa.Table:
+            t = pa.table({"key": batch.column(_ck).cast(pa.int64())})
+            g = t.group_by(["key"]).aggregate([([], "count_all")])
+            n = len(g)
+            return pa.table(
+                {
+                    "key": g.column("key"),
+                    "child_n": g.column("count_all").cast(pa.int64()),
+                    "parent_n": pa.array([0] * n, type=pa.int64()),
+                }
+            )
+
+        def parent_rows(batch: pa.Table, _pk=pk) -> pa.Table:
+            t = pa.table({"key": batch.column(_pk).cast(pa.int64())})
+            g = t.group_by(["key"]).aggregate([([], "count_all")])
+            n = len(g)
+            return pa.table(
+                {
+                    "key": g.column("key"),
+                    "child_n": pa.array([0] * n, type=pa.int64()),
+                    "parent_n": pa.array([1] * n, type=pa.int64()),
+                }
+            )
+
+        folded = grouped_sum(
+            c_ds.map_batches(child_rows, batch_format="pyarrow").union(
+                p_ds.map_batches(parent_rows, batch_format="pyarrow")
+            ),
+            keys=["key"],
+            sum_cols=["child_n", "parent_n"],
+        )
+
+        def summarize(batch: pa.Table, _fk=fk) -> pa.Table:
+            cn = batch.column("child_n").to_numpy(zero_copy_only=False)
+            pn = batch.column("parent_n").to_numpy(zero_copy_only=False)
+            is_child = cn > 0
+            orphan = is_child & (pn == 0)
+            return pa.table(
+                {
+                    "fk": pa.array([_fk], type=pa.string()),
+                    "n_child_rows": pa.array(
+                        [int(cn.sum())], type=pa.int64()
+                    ),
+                    "n_child_keys": pa.array(
+                        [int(is_child.sum())], type=pa.int64()
+                    ),
+                    "n_orphan_rows": pa.array(
+                        [int(cn[orphan].sum())], type=pa.int64()
+                    ),
+                    "n_orphan_keys": pa.array(
+                        [int(orphan.sum())], type=pa.int64()
+                    ),
+                }
+            )
+
+        out_parts.append(
+            grouped_sum(
+                folded.map_batches(summarize, batch_format="pyarrow"),
+                keys=["fk"],
+                sum_cols=[
+                    "n_child_rows",
+                    "n_child_keys",
+                    "n_orphan_rows",
+                    "n_orphan_keys",
+                ],
+            )
+        )
+    out = out_parts[0]
+    for p in out_parts[1:]:
+        out = out.union(p)
+    return out.sort("fk")

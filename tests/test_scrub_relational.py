@@ -957,3 +957,58 @@ def test_lang_top_tokens_rank_and_ties(ray_session, tmp_path):
         ("fr", 1, "z", 2),
         ("fr", 2, "y", 1),
     ]
+
+
+def test_fk_integrity_detects_orphans(ray_session, tmp_path):
+    """Crafted orphans are counted at both row and key granularity."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ner_pytorch_ray.pipelines.relational import fk_integrity_report
+
+    # child orders: custkeys 1,1,2,9,9,9 — 9 has no parent (3 rows, 1 key)
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(6), type=pa.int64()),
+                "o_custkey": pa.array([1, 1, 2, 9, 9, 9], type=pa.int64()),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    pq.write_table(
+        pa.table({"c_custkey": pa.array([1, 2, 3], type=pa.int64()),
+                  "c_nationkey": pa.array([0, 0, 0], type=pa.int64())}),
+        tmp_path / "customer.parquet",
+    )
+    # the other tables, minimal and clean
+    pq.write_table(
+        pa.table({"l_orderkey": pa.array([0, 5], type=pa.int64())}),
+        tmp_path / "lineitem.parquet",
+    )
+    pq.write_table(
+        pa.table({"n_nationkey": pa.array([0], type=pa.int64())}),
+        tmp_path / "nation.parquet",
+    )
+    pq.write_table(
+        pa.table({"s_nationkey": pa.array([0], type=pa.int64())}),
+        tmp_path / "supplier.parquet",
+    )
+    pq.write_table(
+        pa.table({"user_id": pa.array([1, 7], type=pa.int64())}),
+        tmp_path / "events.parquet",
+    )
+    got = {
+        r["fk"]: (
+            r["n_child_rows"],
+            r["n_child_keys"],
+            r["n_orphan_rows"],
+            r["n_orphan_keys"],
+        )
+        for r in fk_integrity_report(str(tmp_path)).take_all()
+    }
+    assert got["orders.o_custkey->customer.c_custkey"] == (6, 3, 3, 1)
+    assert got["events.user_id->customer.c_custkey"] == (2, 2, 1, 1)
+    assert got["lineitem.l_orderkey->orders.o_orderkey"] == (2, 2, 0, 0)
+    assert got["customer.c_nationkey->nation.n_nationkey"] == (3, 1, 0, 0)
+    assert got["supplier.s_nationkey->nation.n_nationkey"] == (1, 1, 0, 0)
