@@ -859,6 +859,12 @@ def _q_fk_integrity_report(sf_dir: str):
     return fk_integrity_report(sf_dir)
 
 
+def _q_customer_skyline(sf_dir: str):
+    from ner_pytorch_ray.pipelines.relational import customer_skyline
+
+    return customer_skyline(sf_dir)
+
+
 def _q_retention_cohorts(sf_dir: str):
     from ner_pytorch_ray.pipelines.windows import retention_cohorts
 
@@ -1425,6 +1431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_eccentricity": _q_kg_eccentricity,
         "lang_top_tokens": _q_lang_top_tokens,
         "fk_integrity_report": _q_fk_integrity_report,
+        "customer_skyline": _q_customer_skyline,
         # same-family duplicates + simpler single-scan ops (locally
         # exact-verified, outside the 50-slot driver window):
         "knn_topk": _q_knn_topk,
@@ -3075,6 +3082,29 @@ SELECT 'events.user_id->customer.c_custkey' AS fk,
 FROM events c
 LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) p ON p.c_custkey = c.user_id
 ORDER BY fk
+"""
+    # 2-D skyline / Pareto frontier (relational.customer_skyline): the
+    # NOT EXISTS self-join is the quadratic brute-force proof of the
+    # engine's sorted-scan frontier
+    out["customer_skyline"] = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s
+  FROM orders GROUP BY o_custkey
+),
+pts AS (
+  SELECT c_custkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+         COALESCE(s.s, 0) AS spend_cents
+  FROM customer LEFT JOIN spend s ON s.o_custkey = c_custkey
+)
+SELECT c_custkey, bal_cents, spend_cents FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.bal_cents >= p.bal_cents AND q.spend_cents >= p.spend_cents
+    AND (q.bal_cents > p.bal_cents OR q.spend_cents > p.spend_cents)
+)
+ORDER BY c_custkey
 """
     # entity dashboard: mention stats LEFT-JOIN components, 3-iteration
     # weighted PageRank and triangle counts (the same validated CTE

@@ -453,6 +453,7 @@ def run_extras(sf_dir: str) -> dict:
     timed("lang_top_tokens", lambda: lang_top_tokens(sf_dir).count())
 
     from ner_pytorch_ray.pipelines.relational import (
+        customer_skyline,
         fk_integrity_report,
         grouped_mad_outliers,
     )
@@ -465,6 +466,7 @@ def run_extras(sf_dir: str) -> dict:
         "fk_integrity_report",
         lambda: fk_integrity_report(sf_dir).count(),
     )
+    timed("customer_skyline", lambda: customer_skyline(sf_dir).count())
 
     from ner_pytorch_ray.pipelines.dedup import doc_cosine_pairs
 

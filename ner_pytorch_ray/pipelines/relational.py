@@ -1378,3 +1378,129 @@ def fk_integrity_report(sf_dir: str) -> ray.data.Dataset:
     for p in out_parts[1:]:
         out = out.union(p)
     return out.sort("fk")
+
+
+def customer_skyline(sf_dir: str) -> ray.data.Dataset:
+    """Distributed 2-D skyline / Pareto frontier (Börzsönyi, Kossmann &
+    Stocker 2001, "The Skyline Operator"): customers not dominated on
+    (account balance, lifetime order spend) — q dominates p iff q >= p
+    on both axes and > on at least one. Output
+    (c_custkey, bal_cents, spend_cents), frontier only, sorted by key.
+
+    The classic sorted-scan, distributed: fold points to per-x groups
+    (x, ymax) with ONE grouped sum/max; global sort x-descending; the
+    EXCLUSIVE prefix max of ymax (``add_exclusive_prefix_max`` —
+    O(#blocks) driver carries, blocks never move) is exactly "best y at
+    strictly greater x", so a group survives iff ``ymax > prefix``;
+    surviving (x, ymax) coordinates then pull their point rows back via
+    one keyed collect per (x, y) (group = duplicate-coordinate points +
+    one flag row). Equal-(x, y) duplicates all survive — neither
+    dominates the other. No quadratic comparisons anywhere; the oracle's
+    NOT EXISTS self-join is the brute-force proof."""
+    from ner_pytorch_ray.stages.groupby_utils import (
+        add_exclusive_prefix_max,
+        collect_tuples,
+        flat_map_groups,
+        grouped_sum,
+    )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def bal_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": batch.column("c_custkey").cast(pa.int64()),
+                "bal": _cents(batch.column("c_acctbal")),
+                "spend": pa.array(
+                    np.zeros(len(batch), dtype=np.int64)
+                ),
+            }
+        )
+
+    def spend_rows(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "key": batch.column("o_custkey").cast(pa.int64()),
+                "spend": _cents(batch.column("o_totalprice")),
+            }
+        )
+        g = t.group_by(["key"]).aggregate([("spend", "sum")])
+        n = len(g)
+        return pa.table(
+            {
+                "key": g.column("key"),
+                "bal": pa.array(np.zeros(n, dtype=np.int64)),
+                "spend": g.column("spend_sum").cast(pa.int64()),
+            }
+        )
+
+    pts = grouped_sum(
+        cust.map_batches(bal_rows, batch_format="pyarrow").union(
+            orders.map_batches(spend_rows, batch_format="pyarrow")
+        ),
+        keys=["key"],
+        sum_cols=["bal", "spend"],
+    ).materialize()
+
+    xg = grouped_sum(
+        pts, keys=["bal"], sum_cols=[], max_cols=["spend"]
+    ).sort("bal", descending=True)
+    scanned = add_exclusive_prefix_max(xg, "spend", "best_above")
+
+    def survivors(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(
+            pc.greater(batch.column("spend"), batch.column("best_above"))
+        )
+        n = len(keep)
+        return pa.table(
+            {
+                "bal": keep.column("bal"),
+                "spend": keep.column("spend"),
+                "key": pa.array([None] * n, type=pa.int64()),
+            }
+        )
+
+    def pt_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bal": batch.column("bal"),
+                "spend": batch.column("spend"),
+                "key": batch.column("key"),
+            }
+        )
+
+    unioned = scanned.map_batches(
+        survivors, batch_format="pyarrow"
+    ).union(pts.map_batches(pt_rows, batch_format="pyarrow"))
+    groups = collect_tuples(unioned, ["bal", "spend"], ["key"])
+    out_schema = pa.schema(
+        [
+            ("c_custkey", pa.int64()),
+            ("bal_cents", pa.int64()),
+            ("spend_cents", pa.int64()),
+        ]
+    )
+
+    def emit(key, items) -> pa.Table:
+        if items is None:
+            return out_schema.empty_table()
+        keys = [k for (k,) in items if k is not None]
+        if len(keys) == len(items):  # no survivor flag: dominated
+            return out_schema.empty_table()
+        bal, spend = key
+        return pa.table(
+            {
+                "c_custkey": pa.array(sorted(keys), type=pa.int64()),
+                "bal_cents": pa.array([bal] * len(keys), type=pa.int64()),
+                "spend_cents": pa.array(
+                    [spend] * len(keys), type=pa.int64()
+                ),
+            }
+        )
+
+    return flat_map_groups(groups, emit, ["bal", "spend"]).sort("c_custkey")

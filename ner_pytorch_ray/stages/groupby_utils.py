@@ -584,3 +584,75 @@ def grouped_shift(
         _shift.remote(r, p, x) for r, p, x in zip(refs, prevs, nexts)
     ]
     return ray.data.from_arrow_refs(new_refs)
+
+
+def add_exclusive_prefix_max(
+    ds: ray.data.Dataset,
+    value_col: str,
+    out_col: str,
+    start: int = -(2**62),
+) -> ray.data.Dataset:
+    """Append the EXCLUSIVE prefix MAX of ``value_col`` to an
+    ALREADY-ORDERED dataset — :func:`add_exclusive_prefix`'s sibling for
+    running-maximum scans (skylines, watermark checks). Same two-phase
+    shape: one tiny task per block reports its max (driver holds
+    O(#blocks) integers), per-block tasks prepend the inherited carry to
+    a local ``np.maximum.accumulate``; blocks never leave the object
+    store, no per-row driver state."""
+    import numpy as np
+
+    import ray
+
+    m = ds.materialize()
+    refs = [
+        ref
+        for bundle in m.iter_internal_ref_bundles()
+        for ref, _meta in bundle.blocks
+    ]
+
+    @ray.remote
+    def _bmax(block) -> tuple:
+        if not isinstance(block, pa.Table):
+            block = pa.Table.from_pandas(block)
+        # a sort can emit EMPTY schema-less blocks on tiny inputs —
+        # report them so the append phase drops them outright
+        if block.num_rows == 0 or value_col not in block.column_names:
+            return (0, -(2**62))
+        import pyarrow.compute as pc
+
+        s = pc.max(block.column(value_col)).as_py()
+        return (
+            block.num_rows,
+            int(s) if s is not None else -(2**62),
+        )
+
+    summaries = ray.get([_bmax.remote(r) for r in refs])
+    carries = [start] * len(refs)
+    acc = start
+    for i, (_, t) in enumerate(summaries):
+        carries[i] = acc
+        acc = max(acc, t)
+
+    @ray.remote
+    def _append(block, carry: int):
+        if not isinstance(block, pa.Table):
+            block = pa.Table.from_pandas(block)
+        v = np.asarray(
+            block.column(value_col).to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        run = np.maximum.accumulate(np.concatenate(([carry], v[:-1])))
+        return block.append_column(out_col, pa.array(run, type=pa.int64()))
+
+    new_refs = [
+        _append.remote(r, c)
+        for r, c, (n, _) in zip(refs, carries, summaries)
+        if n > 0
+    ]
+    if not new_refs:
+        schema = m.schema()
+        fields = list(zip(schema.names, schema.types)) + [
+            (out_col, pa.int64())
+        ]
+        return ray.data.from_arrow(pa.schema(fields).empty_table())
+    return ray.data.from_arrow_refs(new_refs)

@@ -1012,3 +1012,57 @@ def test_fk_integrity_detects_orphans(ray_session, tmp_path):
     assert got["lineitem.l_orderkey->orders.o_orderkey"] == (2, 2, 0, 0)
     assert got["customer.c_nationkey->nation.n_nationkey"] == (3, 1, 0, 0)
     assert got["supplier.s_nationkey->nation.n_nationkey"] == (1, 1, 0, 0)
+
+
+def test_skyline_prefix_max_and_duplicates(ray_session, tmp_path):
+    """Frontier matches brute force on a crafted set including
+    equal-coordinate duplicates (both survive) and a same-x dominated
+    point; block count must not matter."""
+    import itertools
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ner_pytorch_ray.pipelines.relational import customer_skyline
+
+    # (key, bal, spend): 1&2 duplicate frontier points; 3 dominated by
+    # them on same bal; 4 frontier (higher bal, lower spend); 5 dominated
+    bal = {1: 5.00, 2: 5.00, 3: 5.00, 4: 9.00, 5: 1.00}
+    spend = {1: 7.00, 2: 7.00, 3: 6.00, 4: 2.00, 5: 1.00}
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(sorted(bal), type=pa.int64()),
+                "c_acctbal": pa.array(
+                    [bal[k] for k in sorted(bal)], type=pa.float64()
+                ),
+            }
+        ),
+        tmp_path / "customer.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_custkey": pa.array(sorted(spend), type=pa.int64()),
+                "o_totalprice": pa.array(
+                    [spend[k] for k in sorted(spend)], type=pa.float64()
+                ),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    pts = {k: (int(bal[k] * 100), int(spend[k] * 100)) for k in bal}
+    exp = sorted(
+        (k, x, y)
+        for k, (x, y) in pts.items()
+        if not any(
+            qx >= x and qy >= y and (qx > x or qy > y)
+            for qk, (qx, qy) in pts.items()
+            if qk != k
+        )
+    )
+    got = [
+        (r["c_custkey"], r["bal_cents"], r["spend_cents"])
+        for r in customer_skyline(str(tmp_path)).take_all()
+    ]
+    assert got == exp == [(1, 500, 700), (2, 500, 700), (4, 900, 200)]
