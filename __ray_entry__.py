@@ -865,6 +865,12 @@ def _q_customer_skyline(sf_dir: str):
     return customer_skyline(sf_dir)
 
 
+def _q_event_transitions(sf_dir: str):
+    from ner_pytorch_ray.pipelines.windows import event_transitions
+
+    return event_transitions(sf_dir)
+
+
 def _q_retention_cohorts(sf_dir: str):
     from ner_pytorch_ray.pipelines.windows import retention_cohorts
 
@@ -1432,6 +1438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_top_tokens": _q_lang_top_tokens,
         "fk_integrity_report": _q_fk_integrity_report,
         "customer_skyline": _q_customer_skyline,
+        "event_transitions": _q_event_transitions,
         # same-family duplicates + simpler single-scan ops (locally
         # exact-verified, outside the 50-slot driver window):
         "knn_topk": _q_knn_topk,
@@ -3105,6 +3112,20 @@ WHERE NOT EXISTS (
     AND (q.bal_cents > p.bal_cents OR q.spend_cents > p.spend_cents)
 )
 ORDER BY c_custkey
+"""
+    # per-user Markov transition counts (windows.event_transitions):
+    # LAG window + pair count, first events contribute nothing
+    out["event_transitions"] = """
+WITH l AS (
+  SELECT event_type,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM l WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+ORDER BY prev_type, event_type
 """
     # entity dashboard: mention stats LEFT-JOIN components, 3-iteration
     # weighted PageRank and triangle counts (the same validated CTE

@@ -401,6 +401,7 @@ def run_extras(sf_dir: str) -> dict:
         span_corruption_stats,
     )
     from ner_pytorch_ray.pipelines.windows import (
+        event_transitions,
         funnel_conversion,
         retention_cohorts,
         window_anomalies,
@@ -427,6 +428,9 @@ def run_extras(sf_dir: str) -> dict:
     )
     timed(
         "retention_cohorts", lambda: retention_cohorts(sf_dir).count()
+    )
+    timed(
+        "event_transitions", lambda: event_transitions(sf_dir).count()
     )
 
     from ner_pytorch_ray.pipelines.graph_ops import (

@@ -1221,3 +1221,61 @@ def retention_cohorts(sf_dir: str) -> ray.data.Dataset:
         ["cohort_week", "week"],
         sum_cols=["n_users"],
     ).sort(["cohort_week", "week"])
+
+
+def event_transitions(sf_dir: str) -> ray.data.Dataset:
+    """Per-user Markov transition counts between CONSECUTIVE events —
+    the first-order behavioral model (which action follows which) that
+    funnels/retention summarize away: (prev_type, event_type, n),
+    sorted. A user's first event has no predecessor and contributes no
+    row (SQL's LAG-NULL frame).
+
+    One global sort feeds :func:`~ner_pytorch_ray.stages.groupby_utils.
+    grouped_shift` (per-user LAG with O(#blocks) boundary patching — no
+    per-user collect, a hot user costs nothing extra), then transition
+    pairs count per block and ONE grouped sum folds the
+    |types|²-bounded matrix."""
+    from ner_pytorch_ray.stages.groupby_utils import grouped_shift, grouped_sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    shifted = grouped_shift(
+        ds,
+        part_keys=["user_id"],
+        order_keys=["ts", "event_id"],
+        descending=[False, False],
+        value_cols=["event_type"],
+    )
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        prev = batch.column("event_type_lag")
+        if isinstance(prev, pa.ChunkedArray):
+            prev = prev.combine_chunks()
+        cur = batch.column("event_type")
+        if isinstance(cur, pa.ChunkedArray):
+            cur = cur.combine_chunks()
+        keep = pc.is_valid(prev)
+        t = pa.table(
+            {
+                "prev_type": prev.filter(keep),
+                "event_type": cur.filter(keep),
+            }
+        )
+        g = t.group_by(["prev_type", "event_type"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {
+                "prev_type": g.column("prev_type"),
+                "event_type": g.column("event_type"),
+                "n": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    return grouped_sum(
+        shifted.map_batches(pairs, batch_format="pyarrow"),
+        keys=["prev_type", "event_type"],
+        sum_cols=["n"],
+    ).sort(["prev_type", "event_type"])

@@ -266,3 +266,28 @@ def test_retention_cohorts_crafted(ray_session, tmp_path):
         for r in retention_cohorts(str(tmp_path)).take_all()
     }
     assert got == {(0, 0): 2, (0, 1): 1, (1, 1): 1}
+
+
+def test_event_transitions_crafted(ray_session, tmp_path):
+    """Transitions count per user in (ts, event_id) order; first events
+    contribute nothing; users never mix."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ner_pytorch_ray.pipelines.windows import event_transitions
+
+    # user 1: a -> b -> a ; user 2: b (alone, no transition)
+    tbl = pa.table(
+        {
+            "event_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "user_id": pa.array([1, 1, 1, 2], type=pa.int64()),
+            "ts": pa.array([10, 20, 30, 5], type=pa.timestamp("us")),
+            "event_type": pa.array(["a", "b", "a", "b"]),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = {
+        (r["prev_type"], r["event_type"]): r["n"]
+        for r in event_transitions(str(tmp_path)).take_all()
+    }
+    assert got == {("a", "b"): 1, ("b", "a"): 1}
