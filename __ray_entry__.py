@@ -871,6 +871,12 @@ def _q_event_transitions(sf_dir: str):
     return event_transitions(sf_dir)
 
 
+def _q_doc_chunks(sf_dir: str):
+    from ner_pytorch_ray.pipelines.scrub import doc_chunks
+
+    return doc_chunks(sf_dir)
+
+
 def _q_retention_cohorts(sf_dir: str):
     from ner_pytorch_ray.pipelines.windows import retention_cohorts
 
@@ -1439,6 +1445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fk_integrity_report": _q_fk_integrity_report,
         "customer_skyline": _q_customer_skyline,
         "event_transitions": _q_event_transitions,
+        "doc_chunks": _q_doc_chunks,
         # same-family duplicates + simpler single-scan ops (locally
         # exact-verified, outside the 50-slot driver window):
         "knn_topk": _q_knn_topk,
@@ -3126,6 +3133,26 @@ SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
 FROM l WHERE prev_type IS NOT NULL
 GROUP BY prev_type, event_type
 ORDER BY prev_type, event_type
+"""
+    # RAG chunker (scrub.doc_chunks): stride-24 windows of 32 tokens,
+    # tails adding nothing beyond the 8-token overlap suppressed;
+    # 1-based inclusive list slice mirrors the flat-buffer gather
+    out["doc_chunks"] = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, CAST(s.s AS BIGINT) AS chunk_id,
+         CAST(s.s * 24 AS BIGINT) AS start_tok,
+         CAST(LEAST(32, n - s.s * 24) AS BIGINT) AS n_tokens,
+         array_to_string(t[s.s * 24 + 1 : s.s * 24 + 32], ' ')
+           AS chunk_text
+  FROM t, (SELECT unnest(range(200)) AS s) s
+  WHERE s.s = 0 OR s.s * 24 + 8 < n
+)
+SELECT * FROM c ORDER BY doc_id, chunk_id
 """
     # entity dashboard: mention stats LEFT-JOIN components, 3-iteration
     # weighted PageRank and triangle counts (the same validated CTE

@@ -398,6 +398,7 @@ def run_extras(sf_dir: str) -> dict:
     )
     from ner_pytorch_ray.pipelines.scrub import (
         corpus_mixture,
+        doc_chunks,
         span_corruption_stats,
     )
     from ner_pytorch_ray.pipelines.windows import (
@@ -414,6 +415,7 @@ def run_extras(sf_dir: str) -> dict:
         lambda: crawl_incremental_from_documents(sf_dir).count(),
     )
     timed("corpus_mixture", lambda: corpus_mixture(sf_dir).count())
+    timed("doc_chunks", lambda: doc_chunks(sf_dir).count())
     timed("orders_cube", lambda: orders_cube(sf_dir).count())
     timed(
         "span_corruption_stats",

@@ -1066,3 +1066,41 @@ def test_skyline_prefix_max_and_duplicates(ray_session, tmp_path):
         for r in customer_skyline(str(tmp_path)).take_all()
     ]
     assert got == exp == [(1, 500, 700), (2, 500, 700), (4, 900, 200)]
+
+
+def test_doc_chunks_boundaries(ray_session, tmp_path):
+    """Short docs yield one chunk; an exact-stride doc suppresses the
+    redundant tail; overlap tokens repeat across consecutive chunks."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ner_pytorch_ray.pipelines.scrub import doc_chunks
+
+    toks = [f"t{i}" for i in range(10)]
+    docs = [
+        "a b",                       # shorter than chunk -> 1 chunk
+        " ".join(toks),              # 10 tokens, chunk 6 overlap 2
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(2), type=pa.int64()),
+            "text": pa.array(docs, type=pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    got = [
+        (
+            r["doc_id"],
+            r["chunk_id"],
+            r["start_tok"],
+            r["n_tokens"],
+            r["chunk_text"],
+        )
+        for r in doc_chunks(str(tmp_path), chunk=6, overlap=2).take_all()
+    ]
+    # doc 1, stride 4: starts 0, 4 (4+2<10), 8 (8+2<10 false -> drop)
+    assert got == [
+        (0, 0, 0, 2, "a b"),
+        (1, 0, 0, 6, "t0 t1 t2 t3 t4 t5"),
+        (1, 1, 4, 6, "t4 t5 t6 t7 t8 t9"),
+    ]
