@@ -877,6 +877,12 @@ def _q_doc_chunks(sf_dir: str):
     return doc_chunks(sf_dir)
 
 
+def _q_nation_revenue_share(sf_dir: str):
+    from ner_pytorch_ray.pipelines.relational import nation_revenue_share
+
+    return nation_revenue_share(sf_dir)
+
+
 def _q_retention_cohorts(sf_dir: str):
     from ner_pytorch_ray.pipelines.windows import retention_cohorts
 
@@ -1446,6 +1452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_skyline": _q_customer_skyline,
         "event_transitions": _q_event_transitions,
         "doc_chunks": _q_doc_chunks,
+        "nation_revenue_share": _q_nation_revenue_share,
         # same-family duplicates + simpler single-scan ops (locally
         # exact-verified, outside the 50-slot driver window):
         "knn_topk": _q_knn_topk,
@@ -3153,6 +3160,25 @@ c AS (
   WHERE s.s = 0 OR s.s * 24 + 8 < n
 )
 SELECT * FROM c ORDER BY doc_id, chunk_id
+"""
+    # ratio-to-parent share (relational.nation_revenue_share): window
+    # SUM over region, same integer ppm floor
+    out["nation_revenue_share"] = """
+WITH rev AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS revenue_cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY r.r_name, n.n_name
+)
+SELECT region, nation, revenue_cents,
+       CAST(1000000 * revenue_cents
+            // SUM(revenue_cents) OVER (PARTITION BY region)
+            AS BIGINT) AS share_ppm
+FROM rev ORDER BY region, nation
 """
     # entity dashboard: mention stats LEFT-JOIN components, 3-iteration
     # weighted PageRank and triangle counts (the same validated CTE

@@ -474,6 +474,13 @@ def run_extras(sf_dir: str) -> dict:
     )
     timed("customer_skyline", lambda: customer_skyline(sf_dir).count())
 
+    from ner_pytorch_ray.pipelines.relational import nation_revenue_share
+
+    timed(
+        "nation_revenue_share",
+        lambda: nation_revenue_share(sf_dir).count(),
+    )
+
     from ner_pytorch_ray.pipelines.dedup import doc_cosine_pairs
 
     timed(

@@ -1504,3 +1504,96 @@ def customer_skyline(sf_dir: str) -> ray.data.Dataset:
         )
 
     return flat_map_groups(groups, emit, ["bal", "spend"]).sort("c_custkey")
+
+
+def nation_revenue_share(sf_dir: str) -> ray.data.Dataset:
+    """Ratio-to-parent report (the BI "percent of total" window,
+    ``SUM() OVER (PARTITION BY region)`` shape): per nation, total order
+    revenue and its share of the REGION total in exact integer ppm —
+    ``share_ppm = 1e6 * nation_cents // region_cents``. Output
+    (region, nation, revenue_cents, share_ppm), sorted.
+
+    Shape: facts pre-aggregate per block to (custkey, cents) partials,
+    ONE grouped sum folds per-customer revenue, the customer→nation→
+    region dims broadcast once via ``ray.put`` (dimension tables are
+    tiny by the star contract), a second grouped sum folds per-nation
+    totals, and the region totals — |regions| rows — ride in the task
+    closure for the final vectorized division. Two key-bounded
+    exchanges, no fact ever moves twice."""
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    cust = {
+        r["c_custkey"]: r["c_nationkey"]
+        for r in ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_nationkey"],
+        ).take_all()
+    }
+    nation = {
+        r["n_nationkey"]: (r["n_name"], r["n_regionkey"])
+        for r in ray.data.read_parquet(
+            f"{sf_dir}/nation.parquet",
+            columns=["n_nationkey", "n_name", "n_regionkey"],
+        ).take_all()
+    }
+    region = {
+        r["r_regionkey"]: r["r_name"]
+        for r in ray.data.read_parquet(
+            f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+        ).take_all()
+    }
+    cust_ref = ray.put(
+        {k: (nation[v][0], region[nation[v][1]]) for k, v in cust.items()}
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lut = ray.get(cust_ref)
+        keys = batch.column("o_custkey").to_pylist()
+        cents = _cents(batch.column("o_totalprice")).to_numpy()
+        names = [lut[k] for k in keys]
+        t = pa.table(
+            {
+                "nation": pa.array([n for n, _ in names]),
+                "region": pa.array([r for _, r in names]),
+                "revenue_cents": pa.array(cents, type=pa.int64()),
+            }
+        )
+        return (
+            t.group_by(["region", "nation"])
+            .aggregate([("revenue_cents", "sum")])
+            .rename_columns(["region", "nation", "revenue_cents"])
+        )
+
+    per_nation = grouped_sum(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        keys=["region", "nation"],
+        sum_cols=["revenue_cents"],
+    ).materialize()
+
+    totals = {}
+    for r in per_nation.take_all():
+        totals[r["region"]] = totals.get(r["region"], 0) + r["revenue_cents"]
+
+    def finish(batch: pa.Table) -> pa.Table:
+        regions = batch.column("region").to_pylist()
+        cents = batch.column("revenue_cents").to_numpy(
+            zero_copy_only=False
+        )
+        tot = np.array([totals[r] for r in regions], dtype=np.int64)
+        if len(cents) and int(cents.max()) <= (2**63 - 1) // 1_000_000:
+            share = 1_000_000 * cents // tot
+        else:  # exact big-int path for web-scale revenue totals
+            share = np.array(
+                [1_000_000 * int(c) // int(t) for c, t in zip(cents, tot)],
+                dtype=np.int64,
+            )
+        return batch.append_column(
+            "share_ppm", pa.array(share, type=pa.int64())
+        )
+
+    return per_nation.map_batches(finish, batch_format="pyarrow").sort(
+        ["region", "nation"]
+    )

