@@ -883,6 +883,12 @@ def _q_nation_revenue_share(sf_dir: str):
     return nation_revenue_share(sf_dir)
 
 
+def _q_retrieval_corpus_build(sf_dir: str):
+    from ner_pytorch_ray.pipelines.webtext import retrieval_corpus_build
+
+    return retrieval_corpus_build(sf_dir)
+
+
 def _q_retention_cohorts(sf_dir: str):
     from ner_pytorch_ray.pipelines.windows import retention_cohorts
 
@@ -1453,6 +1459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": _q_event_transitions,
         "doc_chunks": _q_doc_chunks,
         "nation_revenue_share": _q_nation_revenue_share,
+        "retrieval_corpus_build": _q_retrieval_corpus_build,
         # same-family duplicates + simpler single-scan ops (locally
         # exact-verified, outside the 50-slot driver window):
         "knn_topk": _q_knn_topk,
@@ -3179,6 +3186,34 @@ SELECT region, nation, revenue_cents,
             // SUM(revenue_cents) OVER (PARTITION BY region)
             AS BIGINT) AS share_ppm
 FROM rev ORDER BY region, nation
+"""
+    # composed retrieval-corpus build (webtext.retrieval_corpus_build):
+    # the corpus_filter oracle is embedded verbatim so the gate rules
+    # can never drift between the two entries
+    out["retrieval_corpus_build"] = f"""
+WITH cf AS ({out["corpus_filter"]}),
+kept AS (
+  SELECT d.doc_id, d.text
+  FROM documents d JOIN cf ON cf.doc_id = d.doc_id AND cf.kept = 1
+),
+t AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM kept
+),
+c AS (
+  SELECT doc_id,
+         CAST(LEAST(32, n - s.s * 24) AS BIGINT) AS n_tokens,
+         array_to_string(t[s.s * 24 + 1 : s.s * 24 + 32], ' ')
+           AS chunk_text
+  FROM t, (SELECT unnest(range(200)) AS s) s
+  WHERE s.s = 0 OR s.s * 24 + 8 < n
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM kept) AS n_docs_kept,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(DISTINCT chunk_text) AS BIGINT) AS n_unique_chunks,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_chunk_tokens
+FROM c
 """
     # entity dashboard: mention stats LEFT-JOIN components, 3-iteration
     # weighted PageRank and triangle counts (the same validated CTE

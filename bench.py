@@ -416,6 +416,13 @@ def run_extras(sf_dir: str) -> dict:
     )
     timed("corpus_mixture", lambda: corpus_mixture(sf_dir).count())
     timed("doc_chunks", lambda: doc_chunks(sf_dir).count())
+
+    from ner_pytorch_ray.pipelines.webtext import retrieval_corpus_build
+
+    timed(
+        "retrieval_corpus_build",
+        lambda: retrieval_corpus_build(sf_dir).count(),
+    )
     timed("orders_cube", lambda: orders_cube(sf_dir).count())
     timed(
         "span_corruption_stats",

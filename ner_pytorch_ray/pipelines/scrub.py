@@ -474,67 +474,70 @@ def doc_chunks(
     token indices, one ``take`` gathers them, a reconstructed ListArray
     + ``pc.binary_join`` emits the chunk texts — no Python loop over
     chunks or tokens."""
-    stride = chunk - overlap
-    if stride <= 0:
-        raise ValueError("chunk must exceed overlap")
-
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
+    return ds.map_batches(
+        lambda b: chunk_block(b, chunk, overlap), batch_format="pyarrow"
+    ).sort(["doc_id", "chunk_id"])
 
-    def chunks(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(batch.column("text"), pattern=" ")
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        flat = toks.flatten()
-        offs = toks.offsets.to_numpy(zero_copy_only=False)
-        offs = offs - offs[0]
-        n = np.diff(offs)  # tokens per doc
-        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        # chunks per doc: i == 0 always; i >= 1 iff i*stride+overlap < n
-        extra = np.maximum(0, (n - overlap - 1) // stride)
-        k = 1 + extra
-        total = int(k.sum())
-        if total == 0:
-            return pa.table(
-                {
-                    "doc_id": pa.array([], type=pa.int64()),
-                    "chunk_id": pa.array([], type=pa.int64()),
-                    "start_tok": pa.array([], type=pa.int64()),
-                    "n_tokens": pa.array([], type=pa.int64()),
-                    "chunk_text": pa.array([], type=pa.string()),
-                }
-            )
-        did = np.repeat(doc_ids, k)
-        doc_n = np.repeat(n, k)
-        doc_base = np.repeat(offs[:-1], k)
-        # per-doc chunk index 0..k-1 via global arange minus repeated base
-        cum = np.concatenate(([0], np.cumsum(k)[:-1]))
-        cid = np.arange(total, dtype=np.int64) - np.repeat(cum, k)
-        start = cid * stride
-        cnt = np.minimum(chunk, doc_n - start)
-        # gather every chunk's token indices with one take
-        out_off = np.concatenate(([0], np.cumsum(cnt)))
-        idx = (
-            np.repeat(doc_base + start, cnt)
-            + np.arange(int(out_off[-1]), dtype=np.int64)
-            - np.repeat(out_off[:-1], cnt)
-        )
-        gathered = flat.take(pa.array(idx, type=pa.int64()))
-        chunks_list = pa.ListArray.from_arrays(
-            pa.array(out_off, type=pa.int32()), gathered
-        )
-        text = pc.binary_join(chunks_list, " ")
+
+def chunk_block(batch: pa.Table, chunk: int, overlap: int) -> pa.Table:
+    """Block kernel of :func:`doc_chunks`, reusable by any composed
+    pipeline holding a (doc_id, text) batch."""
+    stride = chunk - overlap
+    if stride <= 0:
+        raise ValueError("chunk must exceed overlap")
+    toks = pc.split_pattern(batch.column("text"), pattern=" ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    offs = toks.offsets.to_numpy(zero_copy_only=False)
+    offs = offs - offs[0]
+    n = np.diff(offs)  # tokens per doc
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    # chunks per doc: i == 0 always; i >= 1 iff i*stride+overlap < n
+    extra = np.maximum(0, (n - overlap - 1) // stride)
+    k = 1 + extra
+    total = int(k.sum())
+    if total == 0:
         return pa.table(
             {
-                "doc_id": pa.array(did, type=pa.int64()),
-                "chunk_id": pa.array(cid, type=pa.int64()),
-                "start_tok": pa.array(start, type=pa.int64()),
-                "n_tokens": pa.array(cnt, type=pa.int64()),
-                "chunk_text": text,
+                "doc_id": pa.array([], type=pa.int64()),
+                "chunk_id": pa.array([], type=pa.int64()),
+                "start_tok": pa.array([], type=pa.int64()),
+                "n_tokens": pa.array([], type=pa.int64()),
+                "chunk_text": pa.array([], type=pa.string()),
             }
         )
-
-    return ds.map_batches(chunks, batch_format="pyarrow").sort(
-        ["doc_id", "chunk_id"]
+    did = np.repeat(doc_ids, k)
+    doc_n = np.repeat(n, k)
+    doc_base = np.repeat(offs[:-1], k)
+    # per-doc chunk index 0..k-1 via global arange minus repeated base
+    cum = np.concatenate(([0], np.cumsum(k)[:-1]))
+    cid = np.arange(total, dtype=np.int64) - np.repeat(cum, k)
+    start = cid * stride
+    cnt = np.minimum(chunk, doc_n - start)
+    # gather every chunk's token indices with one take
+    out_off = np.concatenate(([0], np.cumsum(cnt)))
+    idx = (
+        np.repeat(doc_base + start, cnt)
+        + np.arange(int(out_off[-1]), dtype=np.int64)
+        - np.repeat(out_off[:-1], cnt)
     )
+    gathered = flat.take(pa.array(idx, type=pa.int64()))
+    chunks_list = pa.ListArray.from_arrays(
+        pa.array(out_off, type=pa.int32()), gathered
+    )
+    text = pc.binary_join(chunks_list, " ")
+    return pa.table(
+        {
+            "doc_id": pa.array(did, type=pa.int64()),
+            "chunk_id": pa.array(cid, type=pa.int64()),
+            "start_tok": pa.array(start, type=pa.int64()),
+            "n_tokens": pa.array(cnt, type=pa.int64()),
+            "chunk_text": text,
+        }
+    )
+
+

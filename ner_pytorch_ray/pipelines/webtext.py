@@ -508,3 +508,113 @@ def domain_token_stats(sf_dir: str) -> ray.data.Dataset:
     return grouped_sum(
         partials, ["source", "lang"], sum_cols=["n_docs", "n_tokens", "n_chars"]
     ).sort(["source", "lang"])
+
+
+def retrieval_corpus_build(
+    sf_dir: str, chunk: int = 32, overlap: int = 8
+) -> ray.data.Dataset:
+    """Composed end-to-end retrieval-corpus build — the "so what" DAG a
+    RAG ingestion job runs: quality gate (``corpus_filter``'s exact rule
+    cascade, applied block-local) → overlapping chunker
+    (``scrub.chunk_block``) → chunk-level exact dedup → ONE summary row
+    (n_docs_kept, n_chunks, n_unique_chunks, total_chunk_tokens).
+
+    Scale shape: the gate and chunker fuse into one streaming scan
+    (corpus never shuffles); dedup exchanges only 16-byte blake2b chunk
+    digests with block-local pre-combine (``exact_dedup``'s contract);
+    doc identity rides the same digest exchange as marker rows, so the
+    whole job is ONE key-bounded shuffle + an O(|unique|) fold."""
+    import hashlib
+
+    from ner_pytorch_ray.pipelines.scrub import chunk_block
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def gate_and_chunk(batch: pa.Table) -> pa.Table:
+        sig = _filter_batch(batch)  # row-aligned with the batch
+        kept = batch.filter(pc.equal(sig.column("kept"), pa.scalar(1)))
+        chunks = chunk_block(kept, chunk, overlap)
+        # digest partials: kind 0 = chunk-text digest, kind 1 = doc marker
+        texts = chunks.column("chunk_text").to_pylist()
+        digs = [
+            hashlib.blake2b(t.encode(), digest_size=16).digest()
+            for t in texts
+        ]
+        toks = chunks.column("n_tokens").to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "kind": pa.array(
+                    np.zeros(len(digs), dtype=np.int64)
+                ),
+                "key": pa.array(digs, type=pa.binary(16)),
+                "n": pa.array(np.ones(len(digs), dtype=np.int64)),
+                "toks": pa.array(toks.astype(np.int64)),
+            }
+        )
+        g = t.group_by(["kind", "key"]).aggregate(
+            [("n", "sum"), ("toks", "sum")]
+        ).rename_columns(["kind", "key", "n", "toks"])
+        doc_ids = kept.column("doc_id").to_numpy(zero_copy_only=False)
+        dmark = pa.table(
+            {
+                "kind": pa.array(np.ones(len(doc_ids), dtype=np.int64)),
+                "key": pa.array(
+                    [
+                        int(d).to_bytes(16, "big", signed=True)
+                        for d in doc_ids
+                    ],
+                    type=pa.binary(16),
+                ),
+                "n": pa.array(np.ones(len(doc_ids), dtype=np.int64)),
+                "toks": pa.array(np.zeros(len(doc_ids), dtype=np.int64)),
+            }
+        )
+        return pa.concat_tables([g, dmark])
+
+    folded = grouped_sum(
+        ds.map_batches(gate_and_chunk, batch_format="pyarrow"),
+        keys=["kind", "key"],
+        sum_cols=["n", "toks"],
+    )
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        kind = batch.column("kind").to_numpy(zero_copy_only=False)
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        toks = batch.column("toks").to_numpy(zero_copy_only=False)
+        is_chunk = kind == 0
+        return pa.table(
+            {
+                "one": pa.array([1], type=pa.int64()),
+                "n_docs_kept": pa.array(
+                    [int((~is_chunk).sum())], type=pa.int64()
+                ),
+                "n_chunks": pa.array(
+                    [int(n[is_chunk].sum())], type=pa.int64()
+                ),
+                "n_unique_chunks": pa.array(
+                    [int(is_chunk.sum())], type=pa.int64()
+                ),
+                "total_chunk_tokens": pa.array(
+                    [int(toks[is_chunk].sum())], type=pa.int64()
+                ),
+            }
+        )
+
+    out = grouped_sum(
+        folded.map_batches(summarize, batch_format="pyarrow"),
+        keys=["one"],
+        sum_cols=[
+            "n_docs_kept",
+            "n_chunks",
+            "n_unique_chunks",
+            "total_chunk_tokens",
+        ],
+    )
+
+    def drop_key(batch: pa.Table) -> pa.Table:
+        return batch.drop_columns(["one"])
+
+    return out.map_batches(drop_key, batch_format="pyarrow")

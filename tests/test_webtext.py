@@ -275,3 +275,32 @@ def test_domain_token_stats_matches_pandas(ray_session):
         got, exp[["source", "lang", "n_docs", "n_tokens", "n_chars"]],
         check_dtype=False,
     )
+
+
+def test_retrieval_corpus_build_consistency(ray_session):
+    """Summary internally consistent with its components: docs kept ==
+    corpus_filter's kept count, chunks == doc_chunks over kept docs,
+    unique <= chunks, tokens == sum of kept-doc chunk sizes."""
+    from ner_pytorch_ray.pipelines.scrub import doc_chunks
+    from ner_pytorch_ray.pipelines.webtext import (
+        corpus_filter,
+        retrieval_corpus_build,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    row = retrieval_corpus_build(SF).take_all()[0]
+    kept = {
+        r["doc_id"]
+        for r in corpus_filter(SF).take_all()
+        if r["kept"] == 1
+    }
+    chunks = [
+        r
+        for r in doc_chunks(SF).take_all()
+        if r["doc_id"] in kept
+    ]
+    assert row["n_docs_kept"] == len(kept)
+    assert row["n_chunks"] == len(chunks)
+    assert row["total_chunk_tokens"] == sum(r["n_tokens"] for r in chunks)
+    uniq = len({r["chunk_text"] for r in chunks})
+    assert row["n_unique_chunks"] == uniq <= row["n_chunks"]
