@@ -889,6 +889,12 @@ def _q_retrieval_corpus_build(sf_dir: str):
     return retrieval_corpus_build(sf_dir)
 
 
+def _q_dedup_consensus(sf_dir: str):
+    from ner_pytorch_ray.pipelines.dedup import dedup_consensus
+
+    return dedup_consensus(sf_dir)
+
+
 def _q_retention_cohorts(sf_dir: str):
     from ner_pytorch_ray.pipelines.windows import retention_cohorts
 
@@ -1460,6 +1466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": _q_doc_chunks,
         "nation_revenue_share": _q_nation_revenue_share,
         "retrieval_corpus_build": _q_retrieval_corpus_build,
+        "dedup_consensus": _q_dedup_consensus,
         # same-family duplicates + simpler single-scan ops (locally
         # exact-verified, outside the 50-slot driver window):
         "knn_topk": _q_knn_topk,
@@ -3214,6 +3221,40 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM kept) AS n_docs_kept,
        CAST(COUNT(DISTINCT chunk_text) AS BIGINT) AS n_unique_chunks,
        CAST(SUM(n_tokens) AS BIGINT) AS total_chunk_tokens
 FROM c
+"""
+    # consensus near-dup verdict (dedup.dedup_consensus): the three
+    # detector oracles embed verbatim, so the vote can never drift from
+    # the individual signals
+    out["dedup_consensus"] = f"""
+WITH jac AS ({out["ngram_jaccard_pairs"]}),
+sim AS ({out["simhash_pairs"]}),
+mh AS ({out["minhash_lsh_pairs"]}),
+allp AS (
+  SELECT doc_a, doc_b FROM jac
+  UNION
+  SELECT doc_a, doc_b FROM sim
+  UNION
+  SELECT doc_a, doc_b FROM mh
+)
+SELECT a.doc_a, a.doc_b,
+       CAST(CASE WHEN j.doc_a IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS ngram,
+       CAST(CASE WHEN s.doc_a IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS simhash,
+       CAST(CASE WHEN m.doc_a IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS minhash,
+       CAST((CASE WHEN j.doc_a IS NULL THEN 0 ELSE 1 END)
+          + (CASE WHEN s.doc_a IS NULL THEN 0 ELSE 1 END)
+          + (CASE WHEN m.doc_a IS NULL THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_votes
+FROM allp a
+LEFT JOIN (SELECT DISTINCT doc_a, doc_b FROM jac) j
+  ON j.doc_a = a.doc_a AND j.doc_b = a.doc_b
+LEFT JOIN (SELECT DISTINCT doc_a, doc_b FROM sim) s
+  ON s.doc_a = a.doc_a AND s.doc_b = a.doc_b
+LEFT JOIN (SELECT DISTINCT doc_a, doc_b FROM mh) m
+  ON m.doc_a = a.doc_a AND m.doc_b = a.doc_b
+ORDER BY a.doc_a, a.doc_b
 """
     # entity dashboard: mention stats LEFT-JOIN components, 3-iteration
     # weighted PageRank and triangle counts (the same validated CTE

@@ -488,11 +488,15 @@ def run_extras(sf_dir: str) -> dict:
         lambda: nation_revenue_share(sf_dir).count(),
     )
 
-    from ner_pytorch_ray.pipelines.dedup import doc_cosine_pairs
+    from ner_pytorch_ray.pipelines.dedup import (
+        dedup_consensus,
+        doc_cosine_pairs,
+    )
 
     timed(
         "doc_cosine_pairs", lambda: doc_cosine_pairs(sf_dir).count()
     )
+    timed("dedup_consensus", lambda: dedup_consensus(sf_dir).count())
     timed(
         "ann_recall",
         lambda: ann_recall(sf_dir, n_queries=10, k=5).count(),

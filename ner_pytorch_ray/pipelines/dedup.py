@@ -994,3 +994,84 @@ def doc_cosine_pairs(
     return merged.map_batches(score, batch_format="pyarrow").sort(
         ["doc_a", "doc_b"]
     )
+
+
+def dedup_consensus(sf_dir: str) -> ray.data.Dataset:
+    """Consensus near-dup verdict — the production dedup decision layer
+    that never trusts ONE signal: every candidate pair flagged by any of
+    the three banded detectors (token-shingle jaccard, simhash hamming,
+    minhash-LSH jaccard) with per-method flags and the vote count;
+    pairs with ``n_votes >= 2`` are the high-confidence removals.
+    Output (doc_a, doc_b, ngram, simhash, minhash, n_votes), sorted.
+
+    The three detectors run as their OWN pipelines sequentially (each
+    output is a pair table ≪ corpus — materializing avoids co-scheduling
+    three banded shuffles under one plan); the consensus itself is ONE
+    keyed collect per (doc_a, doc_b) (group ≤ 3 rows) folding the
+    method tags."""
+    from ner_pytorch_ray.stages.groupby_utils import (
+        collect_tuples,
+        flat_map_groups,
+    )
+
+    from ner_pytorch_ray.pipelines.dedup import (  # self-imports for clarity
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+
+    methods = {
+        "ngram": ngram_jaccard_pairs(sf_dir).materialize(),
+        "simhash": simhash_pairs(sf_dir).materialize(),
+        "minhash": minhash_lsh_pairs(sf_dir).materialize(),
+    }
+
+    def tag(name: str):
+        def rows(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_a": batch.column("doc_a").cast(pa.int64()),
+                    "doc_b": batch.column("doc_b").cast(pa.int64()),
+                    "method": pa.array(
+                        [name] * len(batch), type=pa.string()
+                    ),
+                }
+            )
+
+        return rows
+
+    unioned = None
+    for name, ds in methods.items():
+        part = ds.map_batches(tag(name), batch_format="pyarrow")
+        unioned = part if unioned is None else unioned.union(part)
+    groups = collect_tuples(unioned, ["doc_a", "doc_b"], ["method"])
+    out_schema = pa.schema(
+        [
+            ("doc_a", pa.int64()),
+            ("doc_b", pa.int64()),
+            ("ngram", pa.int64()),
+            ("simhash", pa.int64()),
+            ("minhash", pa.int64()),
+            ("n_votes", pa.int64()),
+        ]
+    )
+
+    def emit(key, items) -> pa.Table:
+        if items is None:
+            return out_schema.empty_table()
+        names = {m for (m,) in items}
+        flags = [int(n in names) for n in ("ngram", "simhash", "minhash")]
+        return pa.table(
+            {
+                "doc_a": pa.array([key[0]], type=pa.int64()),
+                "doc_b": pa.array([key[1]], type=pa.int64()),
+                "ngram": pa.array([flags[0]], type=pa.int64()),
+                "simhash": pa.array([flags[1]], type=pa.int64()),
+                "minhash": pa.array([flags[2]], type=pa.int64()),
+                "n_votes": pa.array([sum(flags)], type=pa.int64()),
+            }
+        )
+
+    return flat_map_groups(groups, emit, ["doc_a", "doc_b"]).sort(
+        ["doc_a", "doc_b"]
+    )

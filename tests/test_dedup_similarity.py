@@ -499,3 +499,38 @@ def test_doc_cosine_pairs_exact_and_guard(ray_session, tmp_path):
         ).take_all()
     }
     assert full == {(0, 1): 1_000_000}
+
+
+def test_dedup_consensus_flags_match_components(ray_session):
+    """Per-method flags equal membership in each detector's own pair
+    set; n_votes is their sum; no pair appears outside the union."""
+    from ner_pytorch_ray.pipelines.dedup import (
+        dedup_consensus,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    sets = {
+        "ngram": {
+            (r["doc_a"], r["doc_b"])
+            for r in ngram_jaccard_pairs(SF).take_all()
+        },
+        "simhash": {
+            (r["doc_a"], r["doc_b"]) for r in simhash_pairs(SF).take_all()
+        },
+        "minhash": {
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_lsh_pairs(SF).take_all()
+        },
+    }
+    rows = dedup_consensus(SF).take_all()
+    assert {(r["doc_a"], r["doc_b"]) for r in rows} == (
+        sets["ngram"] | sets["simhash"] | sets["minhash"]
+    )
+    for r in rows:
+        pair = (r["doc_a"], r["doc_b"])
+        for m in ("ngram", "simhash", "minhash"):
+            assert r[m] == int(pair in sets[m])
+        assert r["n_votes"] == r["ngram"] + r["simhash"] + r["minhash"]
