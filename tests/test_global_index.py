@@ -45,3 +45,36 @@ def test_vocab_mapping_table_is_distributed_and_ranked(ray_session):
     assert df["word_id"].tolist() == list(range(len(df)))
     # the dict convenience agrees
     assert vocab_mapping(SF) == dict(zip(df["token"], df["word_id"]))
+
+
+def test_add_exclusive_prefix_max_across_blocks(ray_session):
+    """Exclusive prefix max equals the sequential scan on an ordered
+    table regardless of block count, including negative values and the
+    leading start sentinel."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from ner_pytorch_ray.stages.groupby_utils import add_exclusive_prefix_max
+
+    rng = np.random.RandomState(29)
+    v = rng.randint(-50, 50, size=200).astype(np.int64)
+    t = pa.table(
+        {
+            "i": pa.array(np.arange(200, dtype=np.int64)),
+            "v": pa.array(v),
+        }
+    )
+    exp = np.empty(200, dtype=np.int64)
+    acc = -(2**62)
+    for i, x in enumerate(v):
+        exp[i] = acc
+        acc = max(acc, int(x))
+    for blocks in (1, 7):
+        ds = ray.data.from_arrow(t).repartition(blocks).sort("i")
+        out = (
+            add_exclusive_prefix_max(ds, "v", "pm")
+            .to_pandas()
+            .sort_values("i")
+        )
+        assert (out["pm"].to_numpy() == exp).all()
