@@ -1549,26 +1549,34 @@ def nation_revenue_share(sf_dir: str) -> ray.data.Dataset:
         {k: (nation[v][0], region[nation[v][1]]) for k, v in cust.items()}
     )
 
-    def partial(batch: pa.Table) -> pa.Table:
-        lut = ray.get(cust_ref)
-        keys = batch.column("o_custkey").to_pylist()
-        cents = _cents(batch.column("o_totalprice")).to_numpy()
-        names = [lut[k] for k in keys]
-        t = pa.table(
-            {
-                "nation": pa.array([n for n, _ in names]),
-                "region": pa.array([r for _, r in names]),
-                "revenue_cents": pa.array(cents, type=pa.int64()),
-            }
-        )
-        return (
-            t.group_by(["region", "nation"])
-            .aggregate([("revenue_cents", "sum")])
-            .rename_columns(["region", "nation", "revenue_cents"])
-        )
+    class Partial:
+        def __init__(self, ref):
+            self._lut = ray.get(ref)  # once per actor, zero-copy
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch.column("o_custkey").to_pylist()
+            cents = _cents(batch.column("o_totalprice")).to_numpy()
+            names = [self._lut[k] for k in keys]
+            t = pa.table(
+                {
+                    "nation": pa.array([n for n, _ in names]),
+                    "region": pa.array([r for _, r in names]),
+                    "revenue_cents": pa.array(cents, type=pa.int64()),
+                }
+            )
+            return (
+                t.group_by(["region", "nation"])
+                .aggregate([("revenue_cents", "sum")])
+                .rename_columns(["region", "nation", "revenue_cents"])
+            )
 
     per_nation = grouped_sum(
-        orders.map_batches(partial, batch_format="pyarrow"),
+        orders.map_batches(
+            Partial,
+            fn_constructor_args=(cust_ref,),
+            concurrency=(1, 8),
+            batch_format="pyarrow",
+        ),
         keys=["region", "nation"],
         sum_cols=["revenue_cents"],
     ).materialize()
