@@ -510,7 +510,12 @@ def single_run(num_cpus: int, sf_dir: str) -> dict:
         t0 = time.perf_counter()
         timings, aux = run_queries(sf_dir)
         total = round(time.perf_counter() - t0, 3)
-        extras = run_extras(sf_dir)
+        # GRAFT_SKIP_EXTRAS=1: headline-only run (quick environmental
+        # A/B without the ~80-operator extras sweep)
+        if os.environ.get("GRAFT_SKIP_EXTRAS"):
+            extras = {}
+        else:
+            extras = run_extras(sf_dir)
     finally:
         ray.shutdown()
     stats = _corpus_stats(sf_dir)
