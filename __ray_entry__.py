@@ -895,6 +895,12 @@ def _q_dedup_consensus(sf_dir: str):
     return dedup_consensus(sf_dir)
 
 
+def _q_systematic_sample(sf_dir: str):
+    from ner_pytorch_ray.pipelines.scrub import systematic_sample
+
+    return systematic_sample(sf_dir)
+
+
 def _q_retention_cohorts(sf_dir: str):
     from ner_pytorch_ray.pipelines.windows import retention_cohorts
 
@@ -1467,6 +1473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue_share": _q_nation_revenue_share,
         "retrieval_corpus_build": _q_retrieval_corpus_build,
         "dedup_consensus": _q_dedup_consensus,
+        "systematic_sample": _q_systematic_sample,
         # same-family duplicates + simpler single-scan ops (locally
         # exact-verified, outside the 50-slot driver window):
         "knn_topk": _q_knn_topk,
@@ -3255,6 +3262,19 @@ LEFT JOIN (SELECT DISTINCT doc_a, doc_b FROM sim) s
 LEFT JOIN (SELECT DISTINCT doc_a, doc_b FROM mh) m
   ON m.doc_a = a.doc_a AND m.doc_b = a.doc_b
 ORDER BY a.doc_a, a.doc_b
+"""
+    # systematic every-k-th sampling (scrub.systematic_sample): window
+    # row_number over the doc_id order, 0-based, modulo filter
+    out["systematic_sample"] = """
+WITH r AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT)
+           AS row_idx,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, row_idx, n_tokens FROM r
+WHERE row_idx % 20 = 0 ORDER BY doc_id
 """
     # entity dashboard: mention stats LEFT-JOIN components, 3-iteration
     # weighted PageRank and triangle counts (the same validated CTE

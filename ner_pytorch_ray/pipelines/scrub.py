@@ -541,3 +541,42 @@ def chunk_block(batch: pa.Table, chunk: int, overlap: int) -> pa.Table:
     )
 
 
+
+
+def systematic_sample(sf_dir: str, step: int = 20) -> ray.data.Dataset:
+    """Systematic (every k-th) sampling over the doc_id order — the
+    eval-slice sampler that guarantees EXACT 1/k coverage evenly spread
+    across the corpus, where hash sampling only hits 1/k in expectation:
+    rows at global positions 0, k, 2k, ... of the doc_id-sorted corpus.
+    Output (doc_id, row_idx, n_tokens), sorted.
+
+    Distributed: global sort + `add_global_index` (O(#blocks) driver
+    prefix, blocks never move) assigns positions; the modulo filter is
+    one vectorized compare. Unlike LIMIT-based sampling the driver never
+    sees a row."""
+    from ner_pytorch_ray.stages.groupby_utils import add_global_index
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def stats(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), pattern=" ")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pc.list_value_length(toks).cast(pa.int64()),
+            }
+        )
+
+    indexed = add_global_index(
+        ds.map_batches(stats, batch_format="pyarrow").sort("doc_id"),
+        col="row_idx",
+    )
+
+    def pick(batch: pa.Table) -> pa.Table:
+        idx = batch.column("row_idx").to_numpy(zero_copy_only=False)
+        kept = batch.filter(pa.array(idx % step == 0))
+        return kept.select(["doc_id", "row_idx", "n_tokens"])
+
+    return indexed.map_batches(pick, batch_format="pyarrow").sort("doc_id")

@@ -1118,3 +1118,26 @@ def test_nation_revenue_share_sums_to_1e6(ray_session):
     assert by_region
     for region, shares in by_region.items():
         assert 1_000_000 - len(shares) < sum(shares) <= 1_000_000
+
+
+def test_systematic_sample_exact_coverage(ray_session, tmp_path):
+    """Exactly ceil(n/k) rows, at positions 0, k, 2k of the doc_id
+    order, regardless of input block count or file order."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ner_pytorch_ray.pipelines.scrub import systematic_sample
+
+    ids = [9, 3, 1, 7, 5, 0, 8, 2, 6, 4]  # unsorted on purpose
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": pa.array([f"w{i} x" for i in ids], type=pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    got = [
+        (r["doc_id"], r["row_idx"], r["n_tokens"])
+        for r in systematic_sample(str(tmp_path), step=4).take_all()
+    ]
+    assert got == [(0, 0, 2), (4, 4, 2), (8, 8, 2)]
