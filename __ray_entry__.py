@@ -3375,9 +3375,11 @@ canon AS (
     SELECT regexp_replace(
              regexp_replace(
                regexp_replace(
-                 regexp_replace(raw_url, '#.*$', '', 'g'),
-                 '[?&](utm_[a-z]+|ref)=[^&#]*', '?', 'g'),
-               '\\?[?&]+', '?', 'g'),
+                 regexp_replace(
+                   regexp_replace(raw_url, '#.*$', '', 'g'),
+                   '[?&](utm_[a-z]+|ref)=[^&#]*', '&', 'g'),
+                 '&&+', '&', 'g'),
+               '^([^?]*)&', '\\1?'),
              '[?&]+$', '', 'g') AS c4, ts_us
     FROM raw
   )

@@ -83,13 +83,19 @@ def canonical_url(urls: pa.ChunkedArray | pa.Array) -> pa.Array:
     u = urls
     # 1. strip fragment
     u = pc.replace_substring_regex(u, pattern="#.*$", replacement="")
-    # 2. drop utm_* / ref tracking params (global replace)
+    # 2. drop utm_* / ref tracking params (global replace). Replace with
+    # "&" — NOT "?" — so a tracked param mid-query ("a?x=1&utm_s=2&q=3")
+    # doesn't plant a second "?" in the string; then repair the runs the
+    # replacement may leave ("&&" -> "&"), promote the first separator
+    # back to "?" when the original "?" was itself consumed (a query that
+    # STARTED with a tracking param), and strip a dangling trailer.
     u = pc.replace_substring_regex(
-        u, pattern="[?&](utm_[a-z]+|ref)=[^&#]*", replacement="?"
+        u, pattern="[?&](utm_[a-z]+|ref)=[^&#]*", replacement="&"
     )
-    # repair runs the replacement may leave: "?&" -> "?", "??" -> "?",
-    # then a dangling trailing "?" or "&"
-    u = pc.replace_substring_regex(u, pattern="\\?[?&]+", replacement="?")
+    u = pc.replace_substring_regex(u, pattern="&&+", replacement="&")
+    u = pc.replace_substring_regex(
+        u, pattern="^([^?]*)&", replacement="\\1?", max_replacements=1
+    )
     u = pc.replace_substring_regex(u, pattern="[?&]+$", replacement="")
     # 3. lowercase scheme + host (the part before the path)
     ex = pc.extract_regex(u, pattern="^(?P<head>[^/]*//[^/]*)(?P<rest>.*)$")

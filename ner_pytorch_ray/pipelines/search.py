@@ -343,13 +343,18 @@ def bm25_search(
     engines and partitionings (the repo-wide exactness contract):
 
     - ``idf_i = (IDF_SCALE * N) // df`` (the tf-idf surrogate the other
-      text operators use; at N beyond ~1e12 shrink IDF_SCALE to keep the
-      product in int64),
+      text operators use),
     - length norm ``norm_i = (1-b) + b * dl/avgdl`` in millionths:
       ``250_000 + (750_000 * dl * N) // total_dl``,
     - per-term contribution
       ``(idf_i * tf * 2200 // 1000) * NORM_SCALE // (tf * NORM_SCALE +
       1200 * norm_i // 1000)``.
+
+    Arithmetic is size-routed per batch: the vectorized int64 path runs
+    only when ``idf.max * tf.max * 2.2 * NORM_SCALE`` and
+    ``b_micro * dl.max * N`` both fit ``2**63-1``; otherwise an exact
+    per-row Python big-int fallback computes the same fixed-point values
+    (the convention of collocations / doc_keywords / doc_cosine_pairs).
 
     One corpus scan emits candidate (doc, term, tf, dl) rows for the
     query terms only; a |terms|-row df aggregate prices each term; the
@@ -427,14 +432,43 @@ def bm25_search(
             batch.column("dl").to_numpy(zero_copy_only=False), dtype=np.int64
         )
         idf_i = np.array([idf[x] for x in w], dtype=np.int64)
-        # (1-b) + b*dl/avgdl in millionths, with dl/avgdl = dl*N/total_dl
-        norm_i = (NORM_SCALE - BM25_B_MICRO) + (
-            BM25_B_MICRO * dl * n_docs
-        ) // total_dl
-        # idf * tf * (k1+1), k1+1 = 2.2 carried in thousandths
-        numer = idf_i * tf * (1000 + BM25_K1_MILLI) // 1000
-        denom = tf * NORM_SCALE + BM25_K1_MILLI * norm_i // 1000
-        contrib = numer * NORM_SCALE // denom
+        # Size-routed like collocations / doc_keywords: the worst int64
+        # intermediates are idf*tf*2200*NORM_SCALE//1000 (numer * scale)
+        # and BM25_B_MICRO*dl*N (the norm numerator). When either could
+        # exceed 2**63-1 fall back to exact per-row Python big-ints.
+        k1p1 = 1000 + BM25_K1_MILLI
+        fits = len(tf) == 0 or (
+            int(idf_i.max()) * int(tf.max()) * k1p1 // 1000 * NORM_SCALE
+            <= 2**63 - 1
+            and BM25_B_MICRO * int(dl.max()) * n_docs <= 2**63 - 1
+        )
+        if fits:
+            # (1-b) + b*dl/avgdl in millionths, dl/avgdl = dl*N/total_dl
+            norm_i = (NORM_SCALE - BM25_B_MICRO) + (
+                BM25_B_MICRO * dl * n_docs
+            ) // total_dl
+            # idf * tf * (k1+1), k1+1 = 2.2 carried in thousandths
+            numer = idf_i * tf * k1p1 // 1000
+            denom = tf * NORM_SCALE + BM25_K1_MILLI * norm_i // 1000
+            contrib = numer * NORM_SCALE // denom
+        else:  # exact big-int path for web-scale N / df=1 terms
+            contrib = np.array(
+                [
+                    (int(i) * int(t) * k1p1 // 1000)
+                    * NORM_SCALE
+                    // (
+                        int(t) * NORM_SCALE
+                        + BM25_K1_MILLI
+                        * (
+                            (NORM_SCALE - BM25_B_MICRO)
+                            + BM25_B_MICRO * int(d) * n_docs // total_dl
+                        )
+                        // 1000
+                    )
+                    for i, t, d in zip(idf_i, tf, dl)
+                ],
+                dtype=np.int64,
+            )
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),

@@ -15,6 +15,14 @@ def test_canonical_url_cases():
         "https://a.test/p?utm_source=x&q=1": "https://a.test/p?q=1",
         "https://a.test/p?q=1&utm_medium=y": "https://a.test/p?q=1",
         "https://a.test/p?utm_source=x&ref=rss": "https://a.test/p",
+        # tracked param MID-query: both neighbors kept, one "?" only
+        "https://a.test/p?x=1&utm_s=2&q=3": "https://a.test/p?x=1&q=3",
+        # query that starts with a tracked param, real param after
+        "https://a.test/p?utm_s=2&q=3": "https://a.test/p?q=3",
+        # consecutive tracked params mid-query
+        "https://a.test/p?x=1&utm_a=2&utm_b=3&q=4": (
+            "https://a.test/p?x=1&q=4"
+        ),
         # host case folded, path case preserved
         "HTTPS://A.Test/Path": "https://a.test/Path",
         # one trailing slash stripped off a non-root path
