@@ -271,24 +271,35 @@ def _transe_train(
     materialized distinct-triple Dataset)."""
     from ner_pytorch_ray.stages.groupby_utils import grouped_sum
 
-    # vocab: distinct strings (the triple table is the small, already
-    # canonicalized KG output; at web scale this pull shards by id range)
+    # Distinct-triple table stays DISTRIBUTED: the epoch passes stream
+    # over it (materialized once in the object store, spill-backed); the
+    # driver never holds triple rows. Only the VOCAB — the distinct
+    # entity/relation strings, i.e. the model itself — lands on the
+    # driver, via two distinct aggregates over single key columns.
     distinct = triples.groupby(["subj", "pred", "obj"]).count()
-    rows = distinct.select_columns(["subj", "pred", "obj"]).take_all()
-    entities = sorted({r["subj"] for r in rows} | {r["obj"] for r in rows})
-    relations = sorted({r["pred"] for r in rows})
+    tri = distinct.select_columns(["subj", "pred", "obj"]).materialize()
+
+    ent_ds = (
+        tri.select_columns(["subj"])
+        .rename_columns({"subj": "e"})
+        .union(tri.select_columns(["obj"]).rename_columns({"obj": "e"}))
+        .groupby("e")
+        .count()
+    )
+    rel_ds = tri.groupby("pred").count()
+    entities = sorted(r["e"] for r in ent_ds.take_all())  # vocab-sized
+    relations = sorted(r["pred"] for r in rel_ds.take_all())  # vocab-sized
     st = _TransEState(entities, relations, dim)
 
-    tri = ray.data.from_arrow(
-        pa.table(
-            {
-                "subj": pa.array([r["subj"] for r in rows], type=pa.string()),
-                "pred": pa.array([r["pred"] for r in rows], type=pa.string()),
-                "obj": pa.array([r["obj"] for r in rows], type=pa.string()),
-            }
-        )
-    ).repartition(8)
-    tri = tri.materialize()
+    # Size the epoch-pass block count from the data, not a constant: aim
+    # for ~32 MB blocks but never fewer blocks than cluster CPUs (so a
+    # small KG still parallelizes the gradient pass).
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    target_block = 32 * 1024 * 1024
+    nbytes = tri.size_bytes() or 0
+    nparts = max(cpus, -(-nbytes // target_block))
+    if tri.num_blocks() != nparts:
+        tri = tri.repartition(nparts).materialize()
 
     # size routing (embedding-near-dup precedent): a small model ships in
     # the task closure (zero actor-ramp per epoch); a large one is
