@@ -128,8 +128,21 @@ def _pair_partials(batch: pa.Table) -> pa.Table:
     if isinstance(lists, pa.ChunkedArray):
         lists = lists.combine_chunks()
     freq = batch.column("freq").to_numpy()
+    return _pairs_from_lists(lists, freq, empty)
+
+
+def _pairs_from_lists(
+    lists: pa.ListArray, freq: np.ndarray, empty: pa.Table
+) -> pa.Table:
+    """Flat-offset adjacent-pair kernel; handles sliced ListArrays.
+
+    Normalize the slice offset (offs may not start at 0 for a sliced
+    ListArray) and use flatten() — which respects the slice — instead of
+    raw .values, matching the other flat-offset kernels (dedup.postings,
+    scrub.chunk_block, analysis partials)."""
     offsets = lists.offsets.to_numpy()
-    values = lists.values
+    offsets = offsets - offsets[0]
+    values = lists.flatten()
     counts = np.diff(offsets)
     n = len(values)
     if n == 0:

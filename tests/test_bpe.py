@@ -97,3 +97,38 @@ def test_bpe_encoded_lengths_matches_sequential(ray_session):
     got = bpe_encoded_lengths(SF, n_merges=12).to_pandas()
     exp = bpe_encode_expected(SF, n_merges=12).to_pandas()
     assert got.reset_index(drop=True).equals(exp.reset_index(drop=True))
+
+
+def test_pair_partials_sliced_list_array():
+    """A sliced ListArray (offsets not starting at 0) must index freq by
+    LOCAL list position and count no pre-window positions — the defensive
+    contract the flat-offset kernels share (ADVICE r4 #3)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ner_pytorch_ray.pipelines.bpe import _pairs_from_lists
+
+    empty = pa.Table.from_pydict(
+        {
+            "left": pa.array([], type=pa.string()),
+            "right": pa.array([], type=pa.string()),
+            "cnt": pa.array([], type=pa.int64()),
+        }
+    )
+    full = pa.array(
+        [["x", "y", "z"], ["a", "b"], ["b", "c", "d"], ["e"]]
+    )
+    sliced = full.slice(1, 2)  # rows: [a b], [b c d]
+    assert sliced.offsets.to_numpy()[0] != 0  # the case under test
+    freq = np.array([10, 100], dtype=np.int64)
+    got = (
+        _pairs_from_lists(sliced, freq, empty)
+        .to_pandas()
+        .sort_values(["left", "right"])
+        .reset_index(drop=True)
+    )
+    want = {("a", "b"): 10, ("b", "c"): 100, ("c", "d"): 100}
+    assert {
+        (l, r): c
+        for l, r, c in zip(got["left"], got["right"], got["cnt"])
+    } == want
