@@ -25,7 +25,7 @@ SF0001 = "/root/testdata/sf0.001"
 # sentences = 12-token windows; gazetteer = ner_pytorch_ray.stages.gazetteer)
 # ---------------------------------------------------------------------------
 _URL_EXPR = (
-    "'https://doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.example.test/page'"
+    "'https://doc-' || printf('%08d', doc_id) || '.example.test/page'"
 )
 
 _KG_MENTIONS_CTE = """
@@ -1739,7 +1739,7 @@ SELECT a AS subj,
        'co_occurs_with' AS pred,
        b AS obj,
        COUNT(*) AS weight,
-       MIN('https://doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+       MIN('https://doc-' || printf('%08d', doc_id)
            || '.example.test/page') AS sample_url
 FROM pairs
 GROUP BY 1, 2, 3
@@ -1793,7 +1793,7 @@ relpairs AS (
 )
 SELECT subj, pred, obj,
        CAST(COUNT(*) AS BIGINT) AS weight,
-       MIN('https://doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+       MIN('https://doc-' || printf('%08d', doc_id)
            || '.example.test/page') AS sample_url
 FROM relpairs
 WHERE pred IS NOT NULL
@@ -3350,7 +3350,7 @@ LEFT JOIN tcnt t ON t.node = b.node
     out["crawl_url_dedup"] = """
 WITH recs AS (
   SELECT doc_id,
-         'https://doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+         'https://doc-' || printf('%08d', doc_id)
            || '.example.test/page' AS base,
          CAST(k AS BIGINT) AS k
   FROM documents,
@@ -4626,7 +4626,7 @@ relpairs AS (
     ON m1.doc_id = m2.doc_id AND m1.sent_id = m2.sent_id AND m1.e <= m2.b
 )
 SELECT DISTINCT
-       'https://doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+       'https://doc-' || printf('%08d', doc_id)
            || '.example.test/page' AS url,
        sent_id, subj, pred, obj
 FROM relpairs
@@ -4676,4 +4676,29 @@ GROUP BY 1, 2, 3
 ORDER BY 1, 2, 3
 """
     )
+    # ------------------------------------------------------------------
+    # De-fixture the enumeration bounds (ADVICE r4 #4). The token-position
+    # and chunk-window unnest ranges were fixture constants (4000 / 200);
+    # derive them from the corpus itself so the oracle — not just the
+    # engine — stays correct on longer documents at higher scale factors.
+    # The replacement is textual on the finished SQL: every position range
+    # is bounded by the longest document's token count, every chunk-window
+    # range by max_tokens // 24 + 2 (stride-24 windows, +1 for the s=0 row
+    # every doc keeps, +1 for the ceil).
+    # ------------------------------------------------------------------
+    _maxtok = (
+        "(SELECT CAST(max(len(string_split(text, ' '))) AS BIGINT)"
+        " FROM documents)"
+    )
+    _maxwin = (
+        "(SELECT CAST(max(len(string_split(text, ' '))) // 24 + 2 AS BIGINT)"
+        " FROM documents)"
+    )
+    for k in list(out):
+        out[k] = (
+            out[k]
+            .replace("range(4000)", f"range({_maxtok})")
+            .replace("range(2000)", f"range({_maxtok})")
+            .replace("range(200)", f"range({_maxwin})")
+        )
     return out
