@@ -74,6 +74,50 @@ def _load_matrix(
     return ids[order], M[order]
 
 
+def _merge_topk(local: ray.data.Dataset, k: int) -> ray.data.Dataset:
+    """Arrow-native per-query merge of per-block local top-ks.
+
+    Input: (query_id, neighbor_id, score) — at most k rows per query per
+    block, so each group is <= k * #blocks rows. The group travels as a
+    collect aggregate and is folded vectorized inside map_batches
+    (``flat_map_groups``), avoiding the per-group-UDF cost of
+    ``groupby().map_groups`` documented in stages/groupby_utils.py:1-8.
+    Ordering matches the former pandas merge exactly: stable sort by
+    (score desc, neighbor_id asc), head(k), rank = 1..n."""
+    from ner_pytorch_ray.stages.groupby_utils import (
+        collect_tuples,
+        flat_map_groups,
+    )
+
+    collected = collect_tuples(
+        local, ["query_id"], ["neighbor_id", "score"], name="items"
+    )
+    empty = pa.schema(
+        [
+            ("query_id", pa.int64()),
+            ("neighbor_id", pa.int64()),
+            ("rank", pa.int64()),
+        ]
+    )
+
+    def pick(key, items):
+        if items is None or not items:
+            return empty.empty_table()
+        top = sorted(items, key=lambda x: (-x[1], x[0]))[:k]
+        n = len(top)
+        return pa.Table.from_pydict(
+            {
+                "query_id": pa.array([int(key[0])] * n, type=pa.int64()),
+                "neighbor_id": pa.array(
+                    [int(i) for i, _ in top], type=pa.int64()
+                ),
+                "rank": pa.array(range(1, n + 1), type=pa.int64()),
+            }
+        )
+
+    return flat_map_groups(collected, pick, ["query_id"], items_col="items")
+
+
 def knn_topk(
     sf_dir: str, n_queries: int = 10, k: int = 5
 ) -> ray.data.Dataset:
@@ -126,29 +170,7 @@ def knn_topk(
         batch_format="pyarrow",
     )
 
-    def merge(df):
-        import pandas as pd
-
-        out = []
-        for qid, g in df.groupby("query_id", sort=False):
-            g = g.sort_values(
-                ["score", "neighbor_id"], ascending=[False, True], kind="stable"
-            ).head(k)
-            g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
-            out.append(g[["query_id", "neighbor_id", "rank"]])
-        return (
-            pd.concat(out, ignore_index=True)
-            if out
-            else pd.DataFrame(
-                {
-                    "query_id": pd.Series([], dtype="int64"),
-                    "neighbor_id": pd.Series([], dtype="int64"),
-                    "rank": pd.Series([], dtype="int64"),
-                }
-            )
-        )
-
-    return local.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return _merge_topk(local, k)
 
 
 # ------------------------------------------------------------------ LSH ANN
@@ -314,29 +336,7 @@ def ann_lsh_topk(
         concurrency=(1, 32), batch_format="pyarrow",
     )
 
-    def merge(df):
-        import pandas as pd
-
-        out = []
-        for qid, g in df.groupby("query_id", sort=False):
-            g = g.sort_values(
-                ["score", "neighbor_id"], ascending=[False, True], kind="stable"
-            ).head(k)
-            g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
-            out.append(g[["query_id", "neighbor_id", "rank"]])
-        return (
-            pd.concat(out, ignore_index=True)
-            if out
-            else pd.DataFrame(
-                {
-                    "query_id": pd.Series([], dtype="int64"),
-                    "neighbor_id": pd.Series([], dtype="int64"),
-                    "rank": pd.Series([], dtype="int64"),
-                }
-            )
-        )
-
-    return local.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return _merge_topk(local, k)
 
 
 # ------------------------------------------------------------------ IVF ANN
@@ -534,29 +534,7 @@ def ivf_topk(
         batch_format="pyarrow",
     )
 
-    def merge(df):
-        import pandas as pd
-
-        out = []
-        for qid, g in df.groupby("query_id", sort=False):
-            g = g.sort_values(
-                ["score", "neighbor_id"], ascending=[False, True], kind="stable"
-            ).head(k)
-            g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
-            out.append(g[["query_id", "neighbor_id", "rank"]])
-        return (
-            pd.concat(out, ignore_index=True)
-            if out
-            else pd.DataFrame(
-                {
-                    "query_id": pd.Series([], dtype="int64"),
-                    "neighbor_id": pd.Series([], dtype="int64"),
-                    "rank": pd.Series([], dtype="int64"),
-                }
-            )
-        )
-
-    return local.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return _merge_topk(local, k)
 
 
 # ------------------------------------------------------------------- PQ ANN
@@ -684,29 +662,7 @@ def pq_topk(
         batch_format="pyarrow",
     )
 
-    def merge(df):
-        import pandas as pd
-
-        out = []
-        for qid, g in df.groupby("query_id", sort=False):
-            g = g.sort_values(
-                ["score", "neighbor_id"], ascending=[False, True], kind="stable"
-            ).head(k)
-            g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
-            out.append(g[["query_id", "neighbor_id", "rank"]])
-        return (
-            pd.concat(out, ignore_index=True)
-            if out
-            else pd.DataFrame(
-                {
-                    "query_id": pd.Series([], dtype="int64"),
-                    "neighbor_id": pd.Series([], dtype="int64"),
-                    "rank": pd.Series([], dtype="int64"),
-                }
-            )
-        )
-
-    return local.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return _merge_topk(local, k)
 
 
 # ---------------------------------------------------------------------------
@@ -932,31 +888,7 @@ def ivfpq_topk(
         batch_format="pyarrow",
     )
 
-    def merge(df):
-        import pandas as pd
-
-        out = []
-        for qid, g in df.groupby("query_id", sort=False):
-            g = g.sort_values(
-                ["score", "neighbor_id"],
-                ascending=[False, True],
-                kind="stable",
-            ).head(k)
-            g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
-            out.append(g[["query_id", "neighbor_id", "rank"]])
-        return (
-            pd.concat(out, ignore_index=True)
-            if out
-            else pd.DataFrame(
-                {
-                    "query_id": pd.Series([], dtype="int64"),
-                    "neighbor_id": pd.Series([], dtype="int64"),
-                    "rank": pd.Series([], dtype="int64"),
-                }
-            )
-        )
-
-    return local.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return _merge_topk(local, k)
 
 
 def pca_project(sf_dir: str, k: int = 2) -> ray.data.Dataset:
