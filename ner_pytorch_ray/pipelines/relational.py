@@ -1289,17 +1289,21 @@ def fk_integrity_report(sf_dir: str) -> ray.data.Dataset:
     counts (child keys with NO parent). One row per FK:
     (fk, n_child_rows, n_child_keys, n_orphan_rows, n_orphan_keys).
 
-    Per pair the exchange is KEY-BOUNDED, never row-bounded: child
-    blocks pre-aggregate to (key, child_n) partials, parent blocks to
-    distinct-key markers, ONE grouped sum folds both sides (the
-    union-tag anti-join — no broadcast: the parent side is fact-sized
-    for lineitem->orders), and a second tiny fold over the per-key table
-    emits the one summary row. The five pairs read only their key
-    columns (columns= pruning)."""
+    The exchange is KEY-BOUNDED, never row-bounded: child blocks
+    pre-aggregate to (fk, key, child_n) partials, parent blocks to
+    distinct-key markers, and ALL FIVE pairs fold through ONE grouped
+    sum keyed by (fk_id, key) (the union-tag anti-join — no broadcast:
+    the parent side is fact-sized for lineitem->orders). A second tiny
+    fold over the per-key table emits the five summary rows. Tables read
+    only their key columns (columns= pruning); one shuffle total instead
+    of one per pair, and the pair tag travels as a small int — the fk
+    STRING would otherwise be repeated per key row through the
+    exchange."""
     from ner_pytorch_ray.stages.groupby_utils import grouped_sum
 
-    out_parts = []
-    for fk, child, ck, parent, pk in _FK_PAIRS:
+    fk_names = [fk for fk, *_ in _FK_PAIRS]
+    parts = []
+    for fk_id, (fk, child, ck, parent, pk) in enumerate(_FK_PAIRS):
         c_ds = ray.data.read_parquet(
             f"{sf_dir}/{child}.parquet", columns=[ck]
         )
@@ -1307,77 +1311,94 @@ def fk_integrity_report(sf_dir: str) -> ray.data.Dataset:
             f"{sf_dir}/{parent}.parquet", columns=[pk]
         )
 
-        def child_rows(batch: pa.Table, _ck=ck) -> pa.Table:
+        def child_rows(batch: pa.Table, _ck=ck, _id=fk_id) -> pa.Table:
             t = pa.table({"key": batch.column(_ck).cast(pa.int64())})
             g = t.group_by(["key"]).aggregate([([], "count_all")])
             n = len(g)
             return pa.table(
                 {
+                    "fk_id": pa.array([_id] * n, type=pa.int64()),
                     "key": g.column("key"),
                     "child_n": g.column("count_all").cast(pa.int64()),
                     "parent_n": pa.array([0] * n, type=pa.int64()),
                 }
             )
 
-        def parent_rows(batch: pa.Table, _pk=pk) -> pa.Table:
+        def parent_rows(batch: pa.Table, _pk=pk, _id=fk_id) -> pa.Table:
             t = pa.table({"key": batch.column(_pk).cast(pa.int64())})
             g = t.group_by(["key"]).aggregate([([], "count_all")])
             n = len(g)
             return pa.table(
                 {
+                    "fk_id": pa.array([_id] * n, type=pa.int64()),
                     "key": g.column("key"),
                     "child_n": pa.array([0] * n, type=pa.int64()),
                     "parent_n": pa.array([1] * n, type=pa.int64()),
                 }
             )
 
-        folded = grouped_sum(
-            c_ds.map_batches(child_rows, batch_format="pyarrow").union(
-                p_ds.map_batches(parent_rows, batch_format="pyarrow")
-            ),
-            keys=["key"],
-            sum_cols=["child_n", "parent_n"],
+        parts.append(c_ds.map_batches(child_rows, batch_format="pyarrow"))
+        parts.append(p_ds.map_batches(parent_rows, batch_format="pyarrow"))
+
+    tagged = parts[0]
+    for p in parts[1:]:
+        tagged = tagged.union(p)
+    folded = grouped_sum(
+        tagged, keys=["fk_id", "key"], sum_cols=["child_n", "parent_n"]
+    )
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        cn = batch.column("child_n").to_numpy(zero_copy_only=False)
+        pn = batch.column("parent_n").to_numpy(zero_copy_only=False)
+        is_child = cn > 0
+        orphan = is_child & (pn == 0)
+        t = pa.table(
+            {
+                "fk_id": batch.column("fk_id"),
+                "n_child_rows": pa.array(cn, type=pa.int64()),
+                "n_child_keys": pa.array(
+                    is_child.astype(np.int64), type=pa.int64()
+                ),
+                "n_orphan_rows": pa.array(
+                    np.where(orphan, cn, 0), type=pa.int64()
+                ),
+                "n_orphan_keys": pa.array(
+                    orphan.astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+        g = t.group_by(["fk_id"]).aggregate(
+            [
+                ("n_child_rows", "sum"),
+                ("n_child_keys", "sum"),
+                ("n_orphan_rows", "sum"),
+                ("n_orphan_keys", "sum"),
+            ]
+        )
+        # <= 5 group rows: id -> name here, off the per-key hot path
+        return pa.table(
+            {
+                "fk": pa.array(
+                    [fk_names[i] for i in g.column("fk_id").to_pylist()],
+                    type=pa.string(),
+                ),
+                "n_child_rows": g.column("n_child_rows_sum"),
+                "n_child_keys": g.column("n_child_keys_sum"),
+                "n_orphan_rows": g.column("n_orphan_rows_sum"),
+                "n_orphan_keys": g.column("n_orphan_keys_sum"),
+            }
         )
 
-        def summarize(batch: pa.Table, _fk=fk) -> pa.Table:
-            cn = batch.column("child_n").to_numpy(zero_copy_only=False)
-            pn = batch.column("parent_n").to_numpy(zero_copy_only=False)
-            is_child = cn > 0
-            orphan = is_child & (pn == 0)
-            return pa.table(
-                {
-                    "fk": pa.array([_fk], type=pa.string()),
-                    "n_child_rows": pa.array(
-                        [int(cn.sum())], type=pa.int64()
-                    ),
-                    "n_child_keys": pa.array(
-                        [int(is_child.sum())], type=pa.int64()
-                    ),
-                    "n_orphan_rows": pa.array(
-                        [int(cn[orphan].sum())], type=pa.int64()
-                    ),
-                    "n_orphan_keys": pa.array(
-                        [int(orphan.sum())], type=pa.int64()
-                    ),
-                }
-            )
-
-        out_parts.append(
-            grouped_sum(
-                folded.map_batches(summarize, batch_format="pyarrow"),
-                keys=["fk"],
-                sum_cols=[
-                    "n_child_rows",
-                    "n_child_keys",
-                    "n_orphan_rows",
-                    "n_orphan_keys",
-                ],
-            )
-        )
-    out = out_parts[0]
-    for p in out_parts[1:]:
-        out = out.union(p)
-    return out.sort("fk")
+    return grouped_sum(
+        folded.map_batches(summarize, batch_format="pyarrow"),
+        keys=["fk"],
+        sum_cols=[
+            "n_child_rows",
+            "n_child_keys",
+            "n_orphan_rows",
+            "n_orphan_keys",
+        ],
+    ).sort("fk")
 
 
 def customer_skyline(sf_dir: str) -> ray.data.Dataset:
