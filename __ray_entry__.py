@@ -1341,22 +1341,82 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2.
 
     ORDERING CONTRACT: the driver's CORRECTNESS sweep records only the FIRST
-    50 dict entries (observed r1-r3: the file ends exactly at entry #50).  The
-    first ~50 entries below are therefore curated to be (a) every operator
-    family added in rounds 2-4 that has never had a driver-green row and
-    (b) the flagship KG / neural / dedup DAG.  Long-stable demos whose driver
-    rows are already green in CORRECTNESS_r01-r03 sit past the window; all 77+
-    still have exact local oracles (tools/check_oracles.py runs the full set).
+    50 dict entries (observed r1-r4: the file ends exactly at entry #50).
+    Round-5 rotation (the round-4 verdict's ask #7): the window now holds 44
+    queries that have NEVER had a driver row — leading with every code path
+    that changed this round — plus 6 long-green flagship anchors as
+    regression canaries.  Everything past the window is driver-green in an
+    earlier round's CORRECTNESS file or exact-verified by the full local
+    sweep (tools/check_oracles.py runs all 174 every round).
     """
     return {
-        # ---- priority window (first 50 entries) -------------------------
-        # graph operators over the dup-pair graph / constructed KG (round 3,
-        # never driver-checked before round 4)
-        # (graph_components / graph_pagerank moved past the window: their
-        # kg_* twins inside it run the SAME generalized loops —
-        # components_over_edges / pagerank_over_edges — over a different
-        # edge derivation, and that derivation (containment pairs) is
-        # itself driver-checked via prefix_containment)
+        # ---- priority window (first 50 entries): round-5 rotation -------
+        # Code paths CHANGED this round (TransE distributed rewrite, BM25
+        # big-int guard, canonical_url fix, oracle-bound derivation, the
+        # Arrow-native ANN merge exercised via ann_recall, single-shuffle
+        # fk_integrity_report):
+        "fk_integrity_report": _q_fk_integrity_report,
+        "kg_transe_curve": _q_kg_transe_curve,
+        "kg_transe_hits": _q_kg_transe_hits,
+        "search_bm25": _q_search_bm25,
+        "crawl_url_dedup": _q_crawl_url_dedup,
+        "crawl_dedup_incremental": _q_crawl_dedup_incremental,
+        "collocations": _q_collocations,
+        "doc_chunks": _q_doc_chunks,
+        "retrieval_corpus_build": _q_retrieval_corpus_build,
+        "ann_recall": _q_ann_recall,
+        # KG-analytics family, never driver-checked before this round:
+        "kg_katz": _q_kg_katz,
+        "kg_hits": _q_kg_hits,
+        "kg_sssp": _q_kg_sssp,
+        "kg_eccentricity": _q_kg_eccentricity,
+        "kg_node_jaccard": _q_kg_node_jaccard,
+        "kg_link_ra": _q_kg_link_ra,
+        "kg_skipgram_pairs": _q_kg_skipgram_pairs,
+        # window / order-statistics / relational families, never
+        # driver-checked before this round:
+        "customer_skyline": _q_customer_skyline,
+        "grouped_quartiles": _q_grouped_quartiles,
+        "grouped_mad_outliers": _q_grouped_mad_outliers,
+        "grouped_median_value": _q_grouped_median_value,
+        "funnel_conversion": _q_funnel_conversion,
+        "retention_cohorts": _q_retention_cohorts,
+        "event_transitions": _q_event_transitions,
+        "orders_cube": _q_orders_cube,
+        "unpivot_events": _q_unpivot_events,
+        "regional_supplier_revenue": _q_regional_supplier_revenue,
+        "event_lead_lag": _q_event_lead_lag,
+        "bloom_antijoin_customers": _q_bloom_antijoin_customers,
+        "sliding_window": _q_sliding_window,
+        "sliding_window_incremental": _q_sliding_window_incremental,
+        "tumbling_window_incremental": _q_tumbling_window_incremental,
+        "table_checksum": _q_table_checksum,
+        "profile_orders": _q_profile_orders,
+        # corpus curation / data-selection families, never driver-checked
+        # before this round:
+        "dsir_selected": _q_dsir_selected,
+        "corpus_mixture": _q_corpus_mixture,
+        "span_corruption_stats": _q_span_corruption_stats,
+        "decontaminate": _q_decontaminate,
+        "pii_scrub": _q_pii_scrub,
+        "stratified_sample": _q_stratified_sample,
+        "systematic_sample": _q_systematic_sample,
+        "dedup_consensus": _q_dedup_consensus,
+        "doc_cosine_pairs": _q_doc_cosine_pairs,
+        # full-model distributed training (new in round 4, never had a
+        # driver row):
+        "training_curve_full": _q_training_curve_full,
+        # flagship anchors (driver-green in earlier rounds; kept inside
+        # the window as regression canaries):
+        "kg_edges": _q_kg_edges,
+        "neural_mentions": _q_neural_mentions,
+        "exact_dedup": _q_exact_dedup,
+        "minhash_lsh_pairs": _q_minhash_lsh,
+        "knn_topk": _q_knn_topk,
+        "semdedup": _q_semdedup,
+        # ---- past the driver 50-entry window: every entry below is
+        # driver-green in CORRECTNESS_r01-r04 or exact-verified every
+        # round by the full local sweep (tools/check_oracles.py) --------
         "graph_link_scores": _q_graph_link_scores,
         "graph_coreness": _q_graph_coreness,
         "kg_components": _q_kg_components,
@@ -1365,27 +1425,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_node_metrics": _q_kg_node_metrics,
         "kg_bfs_hops": _q_kg_bfs_hops,
         "kg_edge_lifetimes": _q_kg_edge_lifetimes,
-        # round-4 KG analytics (new this session — never driver-checked):
-        # 2-hop metapaths (partitioned self-join of the triple table),
-        # exact-integer edge lift, ontology signature stats, weighted-LPA
-        # communities, personalized PageRank
         "kg_paths_2hop": _q_kg_paths_2hop,
         "kg_edge_lift": _q_kg_edge_lift,
         "kg_schema_stats": _q_kg_schema_stats,
         "kg_communities": _q_kg_communities,
         "kg_ppr": _q_kg_ppr,
         "kg_random_walks": _q_kg_random_walks,
-        # (kg_skipgram_pairs moved past the window: its walk kernel is the
-        # driver-checked kg_random_walks; the skip-gram expansion is a
-        # single vectorized window pass with an exact local oracle)
-        "semdedup": _q_semdedup,
         "kg_ntriples_roundtrip": _q_kg_ntriples_roundtrip,
         "kg_validated_triples": _q_kg_validated_triples,
         "kg_sparsified_edges": _q_kg_sparsified_edges,
         "kg_evidence": _q_kg_evidence,
         "kg_star_query": _q_kg_star_query,
-        # round-4 relation-property mining / inverted-index search / window
-        # functions (new this session — never driver-checked):
         "kg_inverse_relations": _q_kg_inverse_relations,
         "part_entity_resolution": _q_part_entity_resolution,
         "part_er_incremental": _q_part_er_incremental,
@@ -1400,143 +1450,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_latest_events": _q_cdc_latest_events,
         "kg_crawl_diff": _q_kg_crawl_diff,
         "pca_components": _q_pca_components,
-        # distributed BPE merge training (round-4, new): iterative
-        # pair-count shuffle + associative top-1 — the least SQL-shaped
-        # kernel in the registry, so it takes priority window slots over
-        # the single-scan table_checksum / profile_orders demos (their
-        # exact local oracles still run in tools/check_oracles.py)
         "bpe_merges": _q_bpe_merges,
         "bpe_piece_stats": _q_bpe_piece_stats,
         "pca_incremental": _q_pca_incremental,
         "kg_subj_lookup": _q_kg_subj_lookup,
         "ivfpq_topk": _q_ivfpq_topk,
         "substring_search": _q_substring_search,
-        # round-2/3 families the r3 verdict asked to see driver-green
-        # (asof/sessions/range-join + the ANN baselines):
         "asof_attribution": _q_asof_attribution,
         "user_sessions": _q_user_sessions,
         "range_join_events": _q_range_join_events,
         "ann_lsh_topk": _q_ann_lsh_topk,
-
         "customer_running_revenue": _q_customer_running_revenue,
-        # similarity search (knn_topk / ann_lsh_topk moved past the window:
-        # driver-green in an earlier round and unchanged since; ivf_topk's
-        # fit-sample ordering changed this round so it stays inside)
         "ivf_topk": _q_ivf_topk,
         "pq_topk": _q_pq_topk,
-        # near-dup families (batch minhash_lsh_pairs / emb_cosine_pairs
-        # moved past the window — driver-green earlier and unchanged; the
-        # incremental minhash is new this round)
         "minhash_lsh_incremental": _q_minhash_lsh_incremental,
         "prefix_containment": _q_prefix_containment,
         "substring_containment": _q_substring_containment,
-        # windowed / session / join operators (batch tumbling_window and
-        # order_revenue_join moved past the window — driver-green earlier
-        # and the tumbling kernel + SQL are re-validated inside the window
-        # via tumbling_window_incremental, whose oracle IS the batch SQL;
-        # the incremental sliding windows are new this round)
-        "tumbling_window_incremental": _q_tumbling_window_incremental,
-        "sliding_window": _q_sliding_window,
-        "sliding_window_incremental": _q_sliding_window_incremental,
-        # new round-4 additions past the driver window (locally
-        # exact-verified via tools/check_oracles.py):
-        "event_lead_lag": _q_event_lead_lag,
-        "bloom_antijoin_customers": _q_bloom_antijoin_customers,
-        "dsir_selected": _q_dsir_selected,
         "bpe_encoded_lengths": _q_bpe_encoded_lengths,
-        "kg_link_ra": _q_kg_link_ra,
-        "crawl_url_dedup": _q_crawl_url_dedup,
-        "grouped_quartiles": _q_grouped_quartiles,
-        "kg_hits": _q_kg_hits,
         "window_anomalies": _q_window_anomalies,
-        "crawl_dedup_incremental": _q_crawl_dedup_incremental,
-        "corpus_mixture": _q_corpus_mixture,
-        "orders_cube": _q_orders_cube,
-        "span_corruption_stats": _q_span_corruption_stats,
-        "regional_supplier_revenue": _q_regional_supplier_revenue,
-        "funnel_conversion": _q_funnel_conversion,
-        "retention_cohorts": _q_retention_cohorts,
-        "ann_recall": _q_ann_recall,
-        "kg_sssp": _q_kg_sssp,
-        "kg_node_jaccard": _q_kg_node_jaccard,
-        "collocations": _q_collocations,
-        "doc_cosine_pairs": _q_doc_cosine_pairs,
-        "kg_katz": _q_kg_katz,
         "doc_keywords": _q_doc_keywords,
-        "grouped_mad_outliers": _q_grouped_mad_outliers,
-        "kg_eccentricity": _q_kg_eccentricity,
         "lang_top_tokens": _q_lang_top_tokens,
-        "fk_integrity_report": _q_fk_integrity_report,
-        "customer_skyline": _q_customer_skyline,
-        "event_transitions": _q_event_transitions,
-        "doc_chunks": _q_doc_chunks,
         "nation_revenue_share": _q_nation_revenue_share,
-        "retrieval_corpus_build": _q_retrieval_corpus_build,
-        "dedup_consensus": _q_dedup_consensus,
-        "systematic_sample": _q_systematic_sample,
-        # same-family duplicates + simpler single-scan ops (locally
-        # exact-verified, outside the 50-slot driver window):
-        "knn_topk": _q_knn_topk,
-        "kg_skipgram_pairs": _q_kg_skipgram_pairs,
-        "table_checksum": _q_table_checksum,
-        "profile_orders": _q_profile_orders,
         "term_postings": _q_term_postings,
         "equidepth_histogram": _q_equidepth_histogram,
         "pca_project": _q_pca_project,
         "search_conjunctive": _q_search_conjunctive,
-        "search_bm25": _q_search_bm25,
         "nation_balance_rank": _q_nation_balance_rank,
         "value_histogram": _q_value_histogram,
         "order_star_flat": _q_order_star_flat,
-        "unpivot_events": _q_unpivot_events,
-        "grouped_median_value": _q_grouped_median_value,
-        # relational operator demos (never driver-checked)
-        # round-4 additions (new this round — never driver-checked):
-        # corpus hygiene (decontamination / PII / stratified sampling) and
-        # relational breadth (left-outer+anti join, rollup, count-distinct,
-        # distributed LAG)
-        "decontaminate": _q_decontaminate,
         "events_lag_gaps": _q_events_lag_gaps,
         "approx_distinct_users": _q_approx_distinct_users,
         "heavy_bigrams": _q_heavy_bigrams,
-        "kg_transe_curve": _q_kg_transe_curve,
-        "kg_transe_hits": _q_kg_transe_hits,
-        # --- driver CORRECTNESS window is the first 50 entries; the
-        # simpler single-scan ops below are locally exact-verified
-        # (tools/check_oracles.py) and yield their slots to the newest
-        # distributed machinery above ---
-        "pii_scrub": _q_pii_scrub,
-        "stratified_sample": _q_stratified_sample,
         "customer_order_activity": _q_customer_order_activity,
         "orders_rollup": _q_orders_rollup,
         "distinct_users_by_type": _q_distinct_users_by_type,
-        # flagship knowledge-graph DAG (kg_nodes / kg_mentions /
-        # kg_relations moved past the window — driver-green r1-r3 and
-        # unchanged; the round-4 metapath/schema/validated queries exercise
-        # the same relation extractor inside the window)
-        "kg_edges": _q_kg_edges,
-        # neural tagger + training path (model scoring — frozen oracles):
-        # neural_epoch_loss's rounding changed this round (host-portable
-        # 2-decimal total) and training_curve_full is new in round 4, so
-        # both stay inside the window (neural_mentions moved past it —
-        # driver-green r1-r3 and unchanged)
         "neural_epoch_loss": _q_neural_epoch_loss,
-        "training_curve_full": _q_training_curve_full,
-        # ---- past the driver's 50-entry window: driver-green in an
-        # earlier round and unchanged since (exact local oracles still
-        # gate the full set every round) ----------------------------------
         "simhash_pairs": _q_simhash,
-        "minhash_lsh_pairs": _q_minhash_lsh,
         "emb_cosine_pairs": _q_emb_cosine_pairs,
         "tumbling_window": _q_tumbling_window,
         "order_revenue_join": _q_order_revenue_join,
-        # (kg_edges_incremental / kg_linked / neural_eval_metrics /
-        # training_curve / adv_ppl_filtered driver-green r3;
-        # adv_rep_variants / adv_topk_loss r1-r3, training_curve_adv r3)
         "kg_nodes": _q_kg_nodes,
         "kg_mentions": _q_kg_mentions,
         "kg_relations": _q_kg_relations,
-        "neural_mentions": _q_neural_mentions,
         "graph_components": _q_graph_components,
         "graph_pagerank": _q_graph_pagerank,
         "kg_edges_incremental": _q_kg_edges_incremental,
@@ -1547,34 +1502,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adv_rep_variants": _q_adv_rep_variants,
         "adv_topk_loss": _q_adv_topk_loss,
         "training_curve_adv": _q_training_curve_adv,
-        # (driver-green rows already recorded: exact_dedup r1-r3,
-        # ngram_jaccard_pairs r3, kg_sentence_counts r1-r3, the four
-        # relational demos r1-r3, neural_confusion r1-r3, corpus_filter r3,
-        # exact_dedup_incremental r3)
         "exact_dedup_incremental": _q_exact_dedup_incremental,
         "corpus_filter": _q_corpus_filter,
         "neural_confusion": _q_neural_confusion,
         "kg_sentence_counts": _q_kg_sentence_counts,
-        "exact_dedup": _q_exact_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "lineitem_pricing": _q_lineitem_pricing,
         "top_customers": _q_top_customers,
         "events_by_type": _q_events_by_type,
         "orders_by_month": _q_orders_by_month,
-        # (driver-green rows recorded in CORRECTNESS_r01-r03; still covered
-        # by the full local oracle sweep every round)
         "epoch_shuffle": _q_epoch_shuffle,
         "adv_ppdb_variants": _q_adv_ppdb_variants,
         "adv_para_variants": _q_adv_para_variants,
         "adv_stage_stats": _q_adv_stage_stats,
         "tag_embeddings": _q_tag_embeddings,
         "adv_topk": _q_adv_topk,
-        # multimodal plumbing (binary payloads; metadata SQL-oracled)
         "media_features": _q_media_features,
         "media_phash_pairs": _q_media_phash,
         "media_frames": _q_media_frames,
         "audio_windows": _q_audio_windows,
-        # vocab / text analysis
         "vocab_count": _q_vocab_count,
         "vocab_mapping": _q_vocab_mapping,
         "bpe_token_counts": _q_bpe_token_counts,
@@ -1589,7 +1535,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "subword_offsets": _q_subword_offsets,
         "winnow_fingerprints": _q_winnow,
         "language_id": _q_language_id,
-        # corpus-level webtext curation (composed gates / corpus verdicts)
         "sentence_dedup": _q_sentence_dedup,
         "near_dup_clusters": _q_near_dup_clusters,
         "domain_token_stats": _q_domain_token_stats,

@@ -520,13 +520,17 @@ def single_run(num_cpus: int, sf_dir: str) -> dict:
         ray.shutdown()
     stats = _corpus_stats(sf_dir)
     kg_secs = timings.get("kg_edges", 0.0) or 1e-9
+    # Key order matters: the driver's recorder keeps the TAIL of a long
+    # stdout line (BENCH_r04.json lost the leading headline keys to the
+    # ~130-entry extras map), so the bulky extras/aux go first and the
+    # headline metric / per-query timings / throughput go LAST.
     return {
+        "extras": extras,
+        "aux": aux,
         "metric": "headline pipelines wall-time (kg construct, neural tag, dedup, knn, agg)",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "extras": extras,
-        "aux": aux,
         "sf": sf_dir,
         "num_cpus": num_cpus,
         "docs_per_sec_kg": round(stats["n_docs"] / kg_secs, 2),
