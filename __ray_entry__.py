@@ -1303,6 +1303,12 @@ def _q_search_bm25(sf_dir: str):
     return bm25_search(sf_dir, ["dup", "scan", "merge"], k=10)
 
 
+def _q_search_hybrid_rrf(sf_dir: str):
+    from ner_pytorch_ray.pipelines.search import hybrid_rrf_search
+
+    return hybrid_rrf_search(sf_dir, ["dup", "scan", "merge"], k=10, pool=50)
+
+
 def _q_kg_evidence(sf_dir: str):
     from ner_pytorch_ray.pipelines.kg_analytics import kg_evidence
 
@@ -1475,6 +1481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "equidepth_histogram": _q_equidepth_histogram,
         "pca_project": _q_pca_project,
         "search_conjunctive": _q_search_conjunctive,
+        "search_hybrid_rrf": _q_search_hybrid_rrf,
         "nation_balance_rank": _q_nation_balance_rank,
         "value_histogram": _q_value_histogram,
         "order_star_flat": _q_order_star_flat,
@@ -4528,6 +4535,75 @@ SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS tf_total,
        CAST(SUM(contrib) AS BIGINT) AS score_i
 FROM scored GROUP BY doc_id
 ORDER BY score_i DESC, doc_id
+LIMIT 10
+"""
+
+    # Reciprocal-Rank-Fusion hybrid retrieval (search.hybrid_rrf_search):
+    # BM25 top-50 + lexical-cosine top-50 fused with 1e9 // (60 + rank);
+    # ranks are ROW_NUMBER over each system's (score desc, doc_id) order,
+    # 0 when the doc missed that system's pool
+    out["search_hybrid_rrf"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+tot AS (SELECT SUM(dl) AS total_dl FROM dl),
+n AS (SELECT COUNT(*) AS n FROM documents),
+tf AS (
+  SELECT doc_id, w, COUNT(*) AS tf FROM tok
+  WHERE w IN ('dup', 'scan', 'merge') GROUP BY 1, 2
+),
+df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+scored AS (
+  SELECT tf.doc_id, tf.tf,
+    ((((1000000 * n.n) // df.df) * tf.tf * 2200) // 1000) * 1000000
+      // (tf.tf * 1000000 +
+          (1200 * (250000 + (750000 * dl.dl * n.n) // tot.total_dl))
+            // 1000)
+      AS contrib
+  FROM tf
+  JOIN df ON tf.w = df.w
+  JOIN dl ON tf.doc_id = dl.doc_id, n, tot
+),
+bm AS (SELECT doc_id, SUM(contrib) AS score_i FROM scored GROUP BY doc_id),
+bmr AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY score_i DESC, doc_id) AS r
+  FROM bm
+),
+bmk AS (SELECT * FROM bmr WHERE r <= 50),
+alltf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+n2 AS (SELECT doc_id, SUM(tf * tf) AS norm2 FROM alltf GROUP BY doc_id),
+qnum AS (
+  SELECT doc_id, SUM(tf) AS num FROM alltf
+  WHERE w IN ('dup', 'scan', 'merge') GROUP BY doc_id
+),
+coss AS (
+  SELECT q.doc_id, (1000000 * q.num * q.num) // n2.norm2 AS cos2_ppm
+  FROM qnum q JOIN n2 ON n2.doc_id = q.doc_id
+  WHERE q.num > 0
+),
+cosr AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY cos2_ppm DESC, doc_id) AS r
+  FROM coss
+),
+cosk AS (SELECT * FROM cosr WHERE r <= 50),
+fused AS (
+  SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+         COALESCE(b.r, 0) AS bm25_rank,
+         COALESCE(c.r, 0) AS cos_rank,
+         (CASE WHEN b.r IS NULL THEN 0
+               ELSE 1000000000 // (60 + b.r) END
+          + CASE WHEN c.r IS NULL THEN 0
+                 ELSE 1000000000 // (60 + c.r) END) AS rrf_i
+  FROM bmk b FULL OUTER JOIN cosk c ON b.doc_id = c.doc_id
+)
+SELECT doc_id, CAST(bm25_rank AS BIGINT) AS bm25_rank,
+       CAST(cos_rank AS BIGINT) AS cos_rank,
+       CAST(rrf_i AS BIGINT) AS rrf_i
+FROM fused
+ORDER BY rrf_i DESC, doc_id
 LIMIT 10
 """
 

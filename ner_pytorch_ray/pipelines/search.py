@@ -483,3 +483,159 @@ def bm25_search(
         sum_cols=["tf_total", "score_i"],
     )
     return hits.sort(["score_i", "doc_id"], descending=[True, False]).limit(k)
+
+
+# ------------------------------------------------- hybrid retrieval (RRF)
+COS_SCALE = 1_000_000  # cos^2 carried in parts-per-million
+RRF_SCALE = 1_000_000_000  # 1/(k + rank) carried in billionths
+RRF_K = 60  # the standard Cormack et al. constant
+
+
+def lexical_cosine_search(
+    sf_dir: str, terms: list[str], k: int = 10
+) -> ray.data.Dataset:
+    """Whole-document lexical cosine retrieval with EXACT-INTEGER scoring —
+    the vector-space sibling of :func:`bm25_search` (Salton's VSM with raw
+    tf weights; public formula), and the second leg of
+    :func:`hybrid_rrf_search`.
+
+    The query vector is the term set with tf 1, so for non-negative tf
+    vectors ranking by cosine equals ranking by
+    ``cos2_ppm = 1e6 * num^2 // norm2`` where ``num = sum tf(doc, t)`` over
+    query terms and ``norm2 = sum tf(doc, w)^2`` over ALL words — the same
+    norm²-in-integer trick as :func:`~ner_pytorch_ray.pipelines.dedup.doc_cosine_pairs`
+    (the constant query norm² divides out of the ranking).
+
+    ONE column-pruned corpus scan; documents are row-atomic per block so
+    every (doc_id, num, norm2) row is FINAL in its block — no shuffle at
+    all until the top-k sort over the candidate set (docs holding >= 1
+    query term). The square is size-routed: vectorized int64 when
+    ``1e6 * num.max()^2`` fits, exact per-row Python big-ints otherwise
+    (the bm25/collocations convention). Returns top-k
+    (doc_id, num, norm2, cos2_ppm) by (cos2_ppm desc, doc_id asc)."""
+    if not terms:
+        raise ValueError("lexical_cosine_search needs at least one term")
+    import numpy as np
+
+    term_set = pa.array(sorted(set(terms)))
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("num", pa.int64()),
+            ("norm2", pa.int64()),
+            ("cos2_ppm", pa.int64()),
+        ]
+    )
+
+    def score_rows(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        offs = offs - offs[0]
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        did = np.repeat(doc_ids, np.diff(offs))
+        t = pa.table({"doc_id": pa.array(did, type=pa.int64()), "w": flat})
+        g = t.group_by(["doc_id", "w"]).aggregate([([], "count_all")])
+        if not len(g):
+            return out_schema.empty_table()
+        tf = g.column("count_all").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        gd = g.column("doc_id").to_numpy(zero_copy_only=False)
+        is_q = pc.is_in(g.column("w"), value_set=term_set).to_numpy(
+            zero_copy_only=False
+        )
+        order = np.argsort(gd, kind="stable")
+        gd_s, tf_s, q_s = gd[order], tf[order], is_q[order]
+        uniq, starts = np.unique(gd_s, return_index=True)
+        norm2 = np.add.reduceat(tf_s * tf_s, starts)
+        num = np.add.reduceat(np.where(q_s, tf_s, 0), starts)
+        keep = num > 0
+        uniq, norm2, num = uniq[keep], norm2[keep], num[keep]
+        if not len(num):
+            return out_schema.empty_table()
+        if int(num.max()) ** 2 <= (2**63 - 1) // COS_SCALE:
+            cos2 = COS_SCALE * num * num // norm2
+        else:  # exact big-int path for web-scale document lengths
+            cos2 = np.array(
+                [
+                    COS_SCALE * int(x) * int(x) // int(y)
+                    for x, y in zip(num, norm2)
+                ],
+                dtype=np.int64,
+            )
+        return pa.Table.from_arrays(
+            [
+                pa.array(uniq.astype(np.int64)),
+                pa.array(num.astype(np.int64)),
+                pa.array(norm2.astype(np.int64)),
+                pa.array(cos2.astype(np.int64)),
+            ],
+            schema=out_schema,
+        )
+
+    cand = docs.map_batches(score_rows, batch_format="pyarrow")
+    return cand.sort(
+        ["cos2_ppm", "doc_id"], descending=[True, False]
+    ).limit(k)
+
+
+def hybrid_rrf_search(
+    sf_dir: str,
+    terms: list[str],
+    k: int = 10,
+    pool: int = 50,
+    rrf_k: int = RRF_K,
+) -> ray.data.Dataset:
+    """Reciprocal-Rank-Fusion hybrid retrieval (Cormack, Clarke &
+    Büttcher 2009, SIGIR — public formula): fuse the BM25 top-``pool``
+    and the lexical-cosine top-``pool`` lists into one ranking,
+
+        ``rrf_i = sum over systems of RRF_SCALE // (rrf_k + rank)``
+
+    in exact integers (absent-from-a-list contributes 0; its rank column
+    reads 0). This is the standard first-stage retrieval for RAG corpora:
+    a term-weighted ranker and a vector-space ranker disagree exactly
+    where fusion helps.
+
+    Scale shape: each leg is a full distributed retrieval whose OUTPUT is
+    ``<= pool`` rows, so the fusion itself is driver-sized BY CONSTRUCTION
+    (<= 2*pool rows — the deliberate small-result collect the repo's
+    hygiene lint allows). Returns top-k
+    (doc_id, bm25_rank, cos_rank, rrf_i) by (rrf_i desc, doc_id asc);
+    ranks are 1-based positions in each system's (score desc, doc_id asc)
+    order, 0 when the doc missed that system's pool."""
+    bm = bm25_search(sf_dir, terms, k=pool).take_all()
+    cs = lexical_cosine_search(sf_dir, terms, k=pool).take_all()
+    # defensively re-derive each system's order from its score columns
+    # (sort is the contract, but ranks must not depend on collect order)
+    bm.sort(key=lambda r: (-r["score_i"], r["doc_id"]))
+    cs.sort(key=lambda r: (-r["cos2_ppm"], r["doc_id"]))
+    bm_rank = {r["doc_id"]: i + 1 for i, r in enumerate(bm)}
+    cos_rank = {r["doc_id"]: i + 1 for i, r in enumerate(cs)}
+    fused = []
+    for d in sorted(set(bm_rank) | set(cos_rank)):
+        br, cr = bm_rank.get(d, 0), cos_rank.get(d, 0)
+        s = (RRF_SCALE // (rrf_k + br) if br else 0) + (
+            RRF_SCALE // (rrf_k + cr) if cr else 0
+        )
+        fused.append((d, br, cr, s))
+    fused.sort(key=lambda r: (-r[3], r[0]))
+    fused = fused[:k]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in fused], type=pa.int64()),
+                "bm25_rank": pa.array(
+                    [r[1] for r in fused], type=pa.int64()
+                ),
+                "cos_rank": pa.array([r[2] for r in fused], type=pa.int64()),
+                "rrf_i": pa.array([r[3] for r in fused], type=pa.int64()),
+            }
+        )
+    )

@@ -209,3 +209,75 @@ class TestBm25Search:
 
         with pytest.raises(ValueError):
             bm25_search(SF, [])
+
+
+class TestHybridRRF:
+    def _seq_cosine(self, terms):
+        tf = _tf_table()
+        num: dict = {}
+        norm2: dict = {}
+        for (doc, w), c in tf.items():
+            norm2[doc] = norm2.get(doc, 0) + c * c
+            if w in terms:
+                num[doc] = num.get(doc, 0) + c
+        return {
+            d: 1_000_000 * n * n // norm2[d] for d, n in num.items() if n > 0
+        }
+
+    def test_cosine_matches_sequential_recompute(self):
+        from ner_pytorch_ray.pipelines.search import lexical_cosine_search
+
+        terms = ["dup", "scan", "merge"]
+        got = [
+            (r["doc_id"], r["num"], r["norm2"], r["cos2_ppm"])
+            for r in lexical_cosine_search(SF, terms, k=7).take_all()
+        ]
+        cos = self._seq_cosine(set(terms))
+        ref_order = sorted(cos, key=lambda d: (-cos[d], d))[:7]
+        assert [g[0] for g in got] == ref_order
+        for d, n, n2, c in got:
+            assert c == cos[d]
+            assert c == 1_000_000 * n * n // n2
+
+    def test_rrf_fuses_both_systems(self):
+        from ner_pytorch_ray.pipelines.search import (
+            RRF_SCALE,
+            bm25_search,
+            hybrid_rrf_search,
+        )
+
+        terms = ["dup", "scan", "merge"]
+        pool = 20
+        fused = hybrid_rrf_search(SF, terms, k=10, pool=pool).take_all()
+        # ranks are 1-based, bounded by the pool, and at least one system
+        # must have ranked every fused doc
+        for r in fused:
+            assert 0 <= r["bm25_rank"] <= pool
+            assert 0 <= r["cos_rank"] <= pool
+            assert r["bm25_rank"] or r["cos_rank"]
+            want = (
+                RRF_SCALE // (60 + r["bm25_rank"]) if r["bm25_rank"] else 0
+            ) + (RRF_SCALE // (60 + r["cos_rank"]) if r["cos_rank"] else 0)
+            assert r["rrf_i"] == want
+        # fusion order is (rrf_i desc, doc_id asc)
+        keys = [(-r["rrf_i"], r["doc_id"]) for r in fused]
+        assert keys == sorted(keys)
+        # the BM25 rank column reproduces the standalone BM25 order
+        bm = bm25_search(SF, terms, k=pool).take_all()
+        bm_rank = {r["doc_id"]: i + 1 for i, r in enumerate(bm)}
+        for r in fused:
+            if r["bm25_rank"]:
+                assert bm_rank[r["doc_id"]] == r["bm25_rank"]
+
+    def test_empty_terms_raise(self):
+        import pytest
+
+        from ner_pytorch_ray.pipelines.search import (
+            hybrid_rrf_search,
+            lexical_cosine_search,
+        )
+
+        with pytest.raises(ValueError):
+            lexical_cosine_search(SF, [], k=3)
+        with pytest.raises(ValueError):
+            hybrid_rrf_search(SF, [], k=3)
