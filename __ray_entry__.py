@@ -1309,6 +1309,24 @@ def _q_search_hybrid_rrf(sf_dir: str):
     return hybrid_rrf_search(sf_dir, ["dup", "scan", "merge"], k=10, pool=50)
 
 
+def _q_web_link_edges(sf_dir: str):
+    from ner_pytorch_ray.pipelines.weblinks import web_link_edges
+
+    return web_link_edges(sf_dir)
+
+
+def _q_web_host_stats(sf_dir: str):
+    from ner_pytorch_ray.pipelines.weblinks import web_host_stats
+
+    return web_host_stats(sf_dir)
+
+
+def _q_web_host_pagerank(sf_dir: str):
+    from ner_pytorch_ray.pipelines.weblinks import web_host_pagerank
+
+    return web_host_pagerank(sf_dir, iters=3)
+
+
 def _q_kg_evidence(sf_dir: str):
     from ner_pytorch_ray.pipelines.kg_analytics import kg_evidence
 
@@ -1482,6 +1500,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_project": _q_pca_project,
         "search_conjunctive": _q_search_conjunctive,
         "search_hybrid_rrf": _q_search_hybrid_rrf,
+        "web_link_edges": _q_web_link_edges,
+        "web_host_stats": _q_web_host_stats,
+        "web_host_pagerank": _q_web_host_pagerank,
         "nation_balance_rank": _q_nation_balance_rank,
         "value_histogram": _q_value_histogram,
         "order_star_flat": _q_order_star_flat,
@@ -4606,6 +4627,97 @@ FROM fused
 ORDER BY rrf_i DESC, doc_id
 LIMIT 10
 """
+
+    # web link graph (pipelines/weblinks.py): the engine renders the
+    # deterministic <nav> outlinks into page html and EXTRACTS them back
+    # from the bytes; the oracle regenerates the same links from the
+    # frozen md5 contract (u64(md5(s)) == md5_number_upper(s) & (2^63-1),
+    # the multimodal convention) — kernel-independent.
+    _web_edges_cte = """
+WITH nn AS (SELECT CAST(MAX(doc_id) + 1 AS BIGINT) AS n FROM documents),
+hosts AS (
+  SELECT doc_id AS d,
+         CAST(md5_number_upper(CAST(doc_id AS VARCHAR) || ':host')
+              & 9223372036854775807 AS BIGINT) % 64 AS h
+  FROM documents
+),
+links AS (
+  SELECT s.d AS src_d, s.h AS src_h,
+         CAST(md5_number_upper(CAST(s.d AS VARCHAR) || ':link:'
+                               || CAST(j.j AS VARCHAR))
+              & 9223372036854775807 AS BIGINT) % (SELECT n FROM nn) AS dst_d
+  FROM hosts s CROSS JOIN (VALUES (0), (1), (2)) j(j)
+),
+hedges AS (
+  SELECT 'host-' || printf('%02d', l.src_h) || '.example.test' AS src_host,
+         'host-' || printf('%02d', t.h) || '.example.test' AS dst_host,
+         CAST(COUNT(*) AS BIGINT) AS n_links
+  FROM links l JOIN hosts t ON t.d = l.dst_d
+  GROUP BY 1, 2
+)
+"""
+    out["web_link_edges"] = (
+        _web_edges_cte
+        + """
+SELECT src_host, dst_host, n_links FROM hedges
+ORDER BY src_host, dst_host
+"""
+    )
+    out["web_host_stats"] = (
+        _web_edges_cte
+        + """
+, pages AS (
+  SELECT 'host-' || printf('%02d', h) || '.example.test' AS host,
+         COUNT(*) AS n_pages
+  FROM hosts GROUP BY 1
+),
+outs AS (
+  SELECT src_host AS host, SUM(n_links) AS out_links,
+         COUNT(*) AS n_dst_hosts
+  FROM hedges GROUP BY 1
+),
+ins AS (SELECT dst_host AS host, SUM(n_links) AS in_links
+        FROM hedges GROUP BY 1)
+SELECT p.host,
+       CAST(p.n_pages AS BIGINT) AS n_pages,
+       CAST(COALESCE(o.out_links, 0) AS BIGINT) AS out_links,
+       CAST(COALESCE(i.in_links, 0) AS BIGINT) AS in_links,
+       CAST(COALESCE(o.n_dst_hosts, 0) AS BIGINT) AS n_dst_hosts
+FROM pages p
+LEFT JOIN outs o USING (host)
+LEFT JOIN ins i USING (host)
+ORDER BY p.host
+"""
+    )
+    # same unrolled exact-integer PageRank form as kg_pagerank, over the
+    # symmetrized weighted host graph
+    _web_pr_iter = """
+r{i} AS (
+  SELECT n.node,
+         (150 * 1000000000000 // (1000 * (SELECT COUNT(*) FROM nodes)))
+         + COALESCE(SUM((850 * rp.rank * e.w) // (1000 * s.sw)), 0) AS rank
+  FROM nodes n
+  LEFT JOIN edges e ON e.b = n.node
+  LEFT JOIN r{p} rp ON rp.node = e.a
+  LEFT JOIN sw s ON s.node = e.a
+  GROUP BY n.node
+)"""
+    out["web_host_pagerank"] = (
+        _web_edges_cte
+        + """
+, ew AS (SELECT src_host AS a, dst_host AS b, n_links AS w FROM hedges),
+edges AS (SELECT a, b, w FROM ew UNION ALL SELECT b AS a, a AS b, w FROM ew),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+sw AS (SELECT a AS node, SUM(w) AS sw FROM edges GROUP BY a),
+r0 AS (SELECT node, 1000000000000 // (SELECT COUNT(*) FROM nodes) AS rank
+       FROM nodes),
+"""
+        + ",".join(_web_pr_iter.format(i=i, p=i - 1) for i in (1, 2, 3))
+        + """
+SELECT node AS host, CAST(rank AS BIGINT) AS rank FROM r3
+ORDER BY host
+"""
+    )
 
     # symmetric / inverse relation-property mining
     # (kg_analytics.inverse_relations): predicate pairs co-asserted on

@@ -18,6 +18,7 @@ import re
 _ESCAPES = [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")]
 _P_RE = re.compile(rb"<p>(.*?)</p>", re.DOTALL)
 _TITLE_RE = re.compile(rb"<title>(.*?)</title>", re.DOTALL)
+_HREF_RE = re.compile(rb'<a href="([^"]*)">')
 
 
 def escape(s: str) -> str:
@@ -46,6 +47,28 @@ def page_html(title: str, text: str) -> bytes:
             parts.append("</p>")
     parts.append("</body></html>")
     return "".join(parts).encode("utf-8")
+
+
+def page_html_linked(title: str, text: str, hrefs: list[str]) -> bytes:
+    """Canonical page HTML plus a ``<nav>`` outlink block before ``</body>``.
+
+    The nav block sits OUTSIDE every ``<p>``, so the frozen extraction
+    contract is preserved: ``extract_text(page_html_linked(t, text, hs))
+    == text`` byte-for-byte, exactly as for :func:`page_html`.  Links are
+    recovered with :func:`extract_links` (order-preserving round-trip).
+    """
+    body = page_html(title, text)
+    if not hrefs:
+        return body
+    nav = "".join(f'<a href="{escape(h)}">' + "</a>" for h in hrefs)
+    return body.replace(
+        b"</body></html>", b"<nav>" + nav.encode("utf-8") + b"</nav></body></html>"
+    )
+
+
+def extract_links(html: bytes) -> list[str]:
+    """All ``<a href>`` targets in document order, entities unescaped."""
+    return [unescape(h.decode("utf-8")) for h in _HREF_RE.findall(html)]
 
 
 def extract_text(html: bytes) -> str:

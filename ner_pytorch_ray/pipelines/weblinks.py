@@ -1,0 +1,297 @@
+"""Web link graph: outlink extraction from page HTML -> host-level graph.
+
+Common-Crawl-style pages carry hyperlinks; the crawl's host-level link
+graph (who links to whom, how often) drives frontier scheduling, spam/host
+authority scoring and corpus weighting.  The reference has no web-graph
+path (it consumes pre-extracted CoNLL text, loader.py:21-42); this module
+adds the family a web-scale KG-construction engine needs on top of it:
+
+    linked_pages      pages (url, warc_ts, html, text, lang) whose html
+                      embeds a deterministic <nav> outlink block --
+                      byte-identity of extract_text(html) == text is
+                      PRESERVED (nav sits outside every <p>)
+    web_link_edges    href extraction from the html bytes -> host-level
+                      (src_host, dst_host, n_links) edge table
+    web_host_stats    per-host crawl stats (pages, out/in link mass,
+                      distinct destination hosts) in ONE grouped fold
+    web_host_pagerank exact-integer weighted PageRank over the symmetric
+                      host graph (graph_ops.pagerank_over_edges)
+
+Determinism contract (frozen -- the SQL oracles mirror it exactly):
+every doc d gets host ``h(d) = u64(md5("{d}:host")) % N_HOSTS`` and
+K_LINKS outlinks to docs ``t(d,j) = u64(md5("{d}:link:{j}")) % n_docs``
+(u64 = first 8 md5 digest bytes little-endian, masked to 63 bits ==
+DuckDB ``md5_number_upper(s) & 9223372036854775807``, the same
+convention pipelines/multimodal.py:51-55 established).
+
+Scale notes: the html render/extract stages are stateless map_batches
+over the pages stream (html is dropped as soon as hrefs are out, like
+stages/extract.py); per-batch pre-aggregation shrinks edge partials to
+<= N_HOSTS^2 rows per block before the ONE keyed shuffle; the host
+tables that reach the driver-visible result are N_HOSTS-sized.
+``n_docs`` comes from parquet row-group statistics (metadata-only, no
+data scan).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ner_pytorch_ray.functions.html import (
+    extract_links,
+    page_html_linked,
+)
+from ner_pytorch_ray.sources.pages import EPOCH_US, PAGES_SCHEMA, SENT_TOKENS
+from ner_pytorch_ray.stages.groupby_utils import grouped_sum
+
+# Frozen constants -- the SQL oracles depend on them.
+N_HOSTS = 64
+K_LINKS = 3
+
+
+def _u64(s: str) -> int:
+    # == dedup._stable_u64 / multimodal convention: md5-based,
+    # SQL-expressible (md5_number_upper(s) & (2^63-1))
+    v = int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+    return v & 0x7FFFFFFFFFFFFFFF
+
+
+def host_index(doc_id: int) -> int:
+    return _u64(f"{doc_id}:host") % N_HOSTS
+
+
+def host_name(h: int) -> str:
+    return f"host-{h:02d}.example.test"
+
+
+def linked_url(doc_id: int) -> str:
+    return f"https://{host_name(host_index(doc_id))}/doc-{doc_id:08d}"
+
+
+def host_of_url(url: str) -> str:
+    # https://HOST/path -> HOST (pure string parse: the extraction path
+    # reads hosts out of the urls it finds, never recomputes hashes)
+    return url.split("/", 3)[2]
+
+
+def link_targets(doc_id: int, n_docs: int) -> list[int]:
+    return [
+        _u64(f"{doc_id}:link:{j}") % n_docs for j in range(K_LINKS)
+    ]
+
+
+def corpus_size(sf_dir: str) -> int:
+    """max(doc_id) + 1 from parquet row-group statistics (metadata-only)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata
+    idx = md.schema.to_arrow_schema().get_field_index("doc_id")
+    mx = 0
+    for g in range(md.num_row_groups):
+        st = md.row_group(g).column(idx).statistics
+        if st is None or not st.has_min_max:
+            raise ValueError("documents.parquet lacks doc_id statistics")
+        mx = max(mx, int(st.max))
+    return mx + 1
+
+
+def _documents_to_linked_pages(batch: pa.Table, n_docs: int) -> pa.Table:
+    doc_ids = batch.column("doc_id").to_numpy()
+    texts = batch.column("text").to_pylist()
+    langs = batch.column("lang")
+
+    urls, ts, page_texts, htmls = [], [], [], []
+    for d, t in zip(doc_ids, texts):
+        d = int(d)
+        toks = t.split(" ") if t else []
+        lines = [
+            " ".join(toks[i : i + SENT_TOKENS])
+            for i in range(0, len(toks), SENT_TOKENS)
+        ]
+        text = "\n".join(lines)
+        hrefs = [linked_url(t_) for t_ in link_targets(d, n_docs)]
+        urls.append(linked_url(d))
+        ts.append(EPOCH_US + d)
+        page_texts.append(text)
+        htmls.append(page_html_linked(f"doc {d}", text, hrefs))
+
+    return pa.Table.from_arrays(
+        [
+            pa.array(urls, type=pa.string()),
+            pa.array(ts, type=pa.int64()).cast(pa.timestamp("us")),
+            pa.array(htmls, type=pa.binary()),
+            pa.array(page_texts, type=pa.large_string()),
+            langs.cast(pa.string()),
+        ],
+        schema=PAGES_SCHEMA,
+    )
+
+
+def linked_pages(sf_dir: str) -> ray.data.Dataset:
+    """Pages table with deterministic outlinks in the html.
+
+    Same shape and extract_text byte-identity invariant as
+    ``sources.pages.pages_from_documents``; urls follow the host scheme
+    above and each page's html carries K_LINKS <nav> hrefs.
+    """
+    n_docs = corpus_size(sf_dir)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return ds.map_batches(
+        lambda b: _documents_to_linked_pages(b, n_docs),
+        batch_format="pyarrow",
+    )
+
+
+def _edge_partials(batch: pa.Table) -> pa.Table:
+    """(src_host, dst_host, n_links) pre-aggregated within the batch.
+
+    Hrefs are parsed out of the html BYTES (the real extraction path),
+    hosts out of the url strings; the wide html column dies here.  The
+    within-batch combine caps the partial at N_HOSTS^2 rows per block,
+    so the global shuffle moves host-table-sized data only.
+    """
+    srcs: list[str] = []
+    dsts: list[str] = []
+    for url, html in zip(
+        batch.column("url").to_pylist(), batch.column("html").to_pylist()
+    ):
+        sh = host_of_url(url)
+        for href in extract_links(html):
+            srcs.append(sh)
+            dsts.append(host_of_url(href))
+    t = pa.table(
+        {
+            "src_host": pa.array(srcs, type=pa.string()),
+            "dst_host": pa.array(dsts, type=pa.string()),
+            "n_links": pa.array([1] * len(srcs), type=pa.int64()),
+        }
+    )
+    return t.group_by(["src_host", "dst_host"]).aggregate(
+        [("n_links", "sum")]
+    ).rename_columns(["src_host", "dst_host", "n_links"])
+
+
+def web_link_edges(
+    sf_dir: str, pages: ray.data.Dataset | None = None
+) -> ray.data.Dataset:
+    """Host-level link graph: (src_host, dst_host, n_links), sorted.
+
+    One stateless extraction map (html -> hrefs -> host pairs, combined
+    per batch) then ONE grouped-sum shuffle over <= N_HOSTS^2 keys.
+    """
+    ds = pages if pages is not None else linked_pages(sf_dir)
+    partials = ds.select_columns(["url", "html"]).map_batches(
+        _edge_partials, batch_format="pyarrow"
+    )
+    return grouped_sum(
+        partials, keys=["src_host", "dst_host"], sum_cols=["n_links"]
+    ).sort(["src_host", "dst_host"])
+
+
+def web_host_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-host crawl stats: (host, n_pages, out_links, in_links,
+    n_dst_hosts), sorted by host.
+
+    Three tagged partial streams (page counts from the pages stream;
+    out/in link mass and distinct-destination counts from the edge
+    table) unioned into ONE grouped fold -- the union-tag pattern
+    relational.fk_integrity_report uses, not three sequential jobs.
+    """
+    pgs = linked_pages(sf_dir)
+
+    def page_partials(batch: pa.Table) -> pa.Table:
+        hosts = [host_of_url(u) for u in batch.column("url").to_pylist()]
+        t = pa.table(
+            {
+                "host": pa.array(hosts, type=pa.string()),
+                "n_pages": pa.array([1] * len(hosts), type=pa.int64()),
+            }
+        )
+        t = (
+            t.group_by(["host"])
+            .aggregate([("n_pages", "sum")])
+            .rename_columns(["host", "n_pages"])
+        )
+        z = pa.array([0] * len(t), type=pa.int64())
+        return t.append_column("out_links", z).append_column(
+            "in_links", z
+        ).append_column("n_dst_hosts", z)
+
+    edges = web_link_edges(sf_dir, pages=pgs)
+
+    def edge_partials(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        z = pa.array([0] * n, type=pa.int64())
+        one = pa.array([1] * n, type=pa.int64())
+        w = batch.column("n_links")
+        out_side = pa.table(
+            {
+                "host": batch.column("src_host"),
+                "n_pages": z,
+                "out_links": w,
+                "in_links": z,
+                "n_dst_hosts": one,  # edges table is distinct per pair
+            }
+        )
+        in_side = pa.table(
+            {
+                "host": batch.column("dst_host"),
+                "n_pages": z,
+                "out_links": z,
+                "in_links": w,
+                "n_dst_hosts": z,
+            }
+        )
+        return pa.concat_tables([out_side, in_side])
+
+    tagged = pgs.select_columns(["url"]).map_batches(
+        page_partials, batch_format="pyarrow"
+    ).union(edges.map_batches(edge_partials, batch_format="pyarrow"))
+    return grouped_sum(
+        tagged,
+        keys=["host"],
+        sum_cols=["n_pages", "out_links", "in_links", "n_dst_hosts"],
+    ).sort("host")
+
+
+def web_host_pagerank(sf_dir: str, iters: int = 3) -> ray.data.Dataset:
+    """(host, rank): exact-integer weighted PageRank (damping 0.85,
+    rank 1.0 == 10^12) over the SYMMETRIZED host link graph, link
+    counts as weights -- the same update kg_pagerank runs, so the SQL
+    oracle is the same unrolled kernel-independent form."""
+    from ner_pytorch_ray.pipelines.graph_ops import pagerank_over_edges
+
+    edges = web_link_edges(sf_dir)
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        fwd = pa.table(
+            {
+                "a": batch.column("src_host"),
+                "b": batch.column("dst_host"),
+                "w": batch.column("n_links"),
+            }
+        )
+        rev = pa.table(
+            {
+                "a": batch.column("dst_host"),
+                "b": batch.column("src_host"),
+                "w": batch.column("n_links"),
+            }
+        )
+        return pa.concat_tables([fwd, rev])
+
+    sym = edges.map_batches(symmetrize, batch_format="pyarrow")
+    pr = pagerank_over_edges(
+        sym,
+        iters=iters,
+        node_type=pa.string(),
+        weight_col="w",
+    )
+    return pr.rename_columns(["host", "rank"]).sort("host")

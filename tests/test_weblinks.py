@@ -1,0 +1,114 @@
+"""Web link graph (pipelines/weblinks.py): linked-html round-trip, the
+frozen extraction invariant on linked pages, and conservation laws of
+the host graph. The exact SQL-oracle comparison for all three queries
+(web_link_edges / web_host_stats / web_host_pagerank) runs through
+tools/check_oracles.py and the driver gate; these tests pin the library
+surface and the invariants the oracles cannot see (that links really are
+EXTRACTED from html bytes, not recomputed)."""
+
+import pyarrow.parquet as pq
+
+from ner_pytorch_ray.functions.html import (
+    extract_links,
+    extract_text,
+    page_html,
+    page_html_linked,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_linked_html_roundtrip():
+    """Text byte-identity survives the nav block; hrefs round-trip in
+    order, with entity escaping."""
+    text = "a & b <tag>\nsecond & line"
+    hrefs = ["https://h-01.example.test/doc-1", "https://x/?a=1&b=<2>"]
+    html = page_html_linked("t & t", text, hrefs)
+    assert extract_text(html) == text
+    assert extract_links(html) == hrefs
+    # plain pages have no links; empty href list renders the plain page
+    assert extract_links(page_html("t", text)) == []
+    assert page_html_linked("t", text, []) == page_html("t", text)
+
+
+def test_links_are_extracted_from_html_bytes():
+    """The edge stage's inputs come out of the html column: corrupting
+    the html (dropping the nav) changes the extracted links while url /
+    text stay identical -- proves no hash recomputation shortcut."""
+    from ner_pytorch_ray.pipelines.weblinks import (
+        K_LINKS,
+        corpus_size,
+        host_of_url,
+        link_targets,
+        linked_url,
+    )
+
+    n = corpus_size(SF)
+    assert n == pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    hrefs = [linked_url(t) for t in link_targets(7, n)]
+    assert len(hrefs) == K_LINKS
+    html = page_html_linked("doc 7", "some text", hrefs)
+    assert extract_links(html) == hrefs
+    stripped = html.replace(
+        html[html.index(b"<nav>") : html.index(b"</nav>") + 6], b""
+    )
+    assert extract_links(stripped) == []
+    assert extract_text(stripped) == extract_text(html)
+    assert host_of_url("https://host-03.example.test/doc-00000001") == (
+        "host-03.example.test"
+    )
+
+
+def test_linked_pages_keep_extract_invariant(ray_session):
+    """extract_text(html) == text per row, distributed, on linked pages
+    (the same invariant stages/extract.py enforces on plain pages)."""
+    from ner_pytorch_ray.pipelines.weblinks import linked_pages
+    from ner_pytorch_ray.stages.extract import extract_stage
+
+    pages = linked_pages(SF)
+    out = extract_stage(pages)  # raises on any byte mismatch
+    n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    assert out.count() == n_docs
+    assert "html" not in out.schema().names
+
+
+def test_host_graph_conservation(ray_session):
+    """Link mass is conserved: sum(n_links) == K_LINKS * n_docs on the
+    edge table and on both stats sides; page counts cover the corpus."""
+    from ner_pytorch_ray.pipelines.weblinks import (
+        K_LINKS,
+        N_HOSTS,
+        web_host_stats,
+        web_link_edges,
+    )
+
+    n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    edges = web_link_edges(SF).materialize()
+    assert edges.sum("n_links") == K_LINKS * n_docs
+    stats = web_host_stats(SF).take_all()
+    assert len(stats) <= N_HOSTS
+    assert sum(r["n_pages"] for r in stats) == n_docs
+    assert sum(r["out_links"] for r in stats) == K_LINKS * n_docs
+    assert sum(r["in_links"] for r in stats) == K_LINKS * n_docs
+    assert all(1 <= r["n_dst_hosts"] <= N_HOSTS for r in stats)
+    # n_dst_hosts counts distinct destination pairs == edge rows per src
+    assert sum(r["n_dst_hosts"] for r in stats) == edges.count()
+
+
+def test_host_pagerank_mass(ray_session):
+    """Ranks are positive ints summing to ~scale. Every floor division
+    truncates < 1 ulp, and there is one per symmetric edge row plus one
+    base term per node per iteration, plus the initial scale // N."""
+    from ner_pytorch_ray.pipelines.weblinks import (
+        web_host_pagerank,
+        web_link_edges,
+    )
+
+    iters = 3
+    rows = web_host_pagerank(SF, iters=iters).take_all()
+    n_edge_rows = web_link_edges(SF).count()
+    total = sum(r["rank"] for r in rows)
+    scale = 10**12
+    max_loss = len(rows) + iters * (2 * n_edge_rows + len(rows))
+    assert 0 < scale - total < max_loss
+    assert all(r["rank"] > 0 for r in rows)
