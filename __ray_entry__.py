@@ -1327,6 +1327,12 @@ def _q_web_host_pagerank(sf_dir: str):
     return web_host_pagerank(sf_dir, iters=3)
 
 
+def _q_web_crawl_frontier(sf_dir: str):
+    from ner_pytorch_ray.pipelines.weblinks import web_crawl_frontier
+
+    return web_crawl_frontier(sf_dir)
+
+
 def _q_kg_evidence(sf_dir: str):
     from ner_pytorch_ray.pipelines.kg_analytics import kg_evidence
 
@@ -1503,6 +1509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_link_edges": _q_web_link_edges,
         "web_host_stats": _q_web_host_stats,
         "web_host_pagerank": _q_web_host_pagerank,
+        "web_crawl_frontier": _q_web_crawl_frontier,
         "nation_balance_rank": _q_nation_balance_rank,
         "value_histogram": _q_value_histogram,
         "order_star_flat": _q_order_star_flat,
@@ -4716,6 +4723,23 @@ r0 AS (SELECT node, 1000000000000 // (SELECT COUNT(*) FROM nodes) AS rank
         + """
 SELECT node AS host, CAST(rank AS BIGINT) AS rank FROM r3
 ORDER BY host
+"""
+    )
+    # directed crawl-frontier BFS from the seed host along outlinks
+    # (weblinks.web_crawl_frontier); same recursive form as kg_bfs_hops
+    out["web_crawl_frontier"] = (
+        _web_edges_cte.replace("WITH nn", "WITH RECURSIVE nn")
+        + """
+, seeds AS (SELECT 'host-00.example.test' AS node),
+bfs(node, dist) AS (
+  SELECT node, CAST(0 AS BIGINT) FROM seeds
+  UNION
+  SELECT e.dst_host, f.dist + 1 FROM bfs f
+  JOIN hedges e ON e.src_host = f.node
+  WHERE f.dist < 16
+)
+SELECT node AS host, CAST(MIN(dist) AS BIGINT) AS dist
+FROM bfs GROUP BY node ORDER BY host
 """
     )
 

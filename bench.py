@@ -379,6 +379,16 @@ def run_extras(sf_dir: str) -> dict:
         lambda: bm25_search(sf_dir, ["dup", "scan", "merge"], k=10).count(),
     )
     timed("event_lead_lag", lambda: event_lead_lag(sf_dir).count())
+
+    from ner_pytorch_ray.pipelines.weblinks import (
+        web_host_pagerank,
+        web_link_edges,
+    )
+
+    timed("web_link_edges", lambda: web_link_edges(sf_dir).count())
+    timed(
+        "web_host_pagerank", lambda: web_host_pagerank(sf_dir).count()
+    )
     timed(
         "bloom_antijoin",
         lambda: bloom_antijoin_customers(sf_dir).count(),

@@ -261,6 +261,39 @@ def web_host_stats(sf_dir: str) -> ray.data.Dataset:
     ).sort("host")
 
 
+def web_crawl_frontier(
+    sf_dir: str,
+    seed_host: str = "host-00.example.test",
+    max_hops: int = 16,
+) -> ray.data.Dataset:
+    """(host, dist): DIRECTED BFS hop distance from ``seed_host`` along
+    outlinks -- the crawl-frontier schedule (which hosts a crawler
+    starting at the seed reaches, and in how many link hops).  Reuses
+    ``graph_ops.bfs_hops_over_edges`` (one keyed-collect round per
+    frontier level, monotone-fingerprint early stop); edges stay
+    directed because a crawler follows hrefs, not backlinks."""
+    from ner_pytorch_ray.pipelines.graph_ops import bfs_hops_over_edges
+
+    edges = web_link_edges(sf_dir)
+
+    def directed(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"a": batch.column("src_host"), "b": batch.column("dst_host")}
+        )
+
+    seeds = ray.data.from_arrow(
+        pa.table({"node": pa.array([seed_host], type=pa.string())})
+    )
+    out = bfs_hops_over_edges(
+        edges.map_batches(directed, batch_format="pyarrow"),
+        seeds,
+        node_type=pa.string(),
+        max_iters=max_hops,
+    )
+    # bfs_hops_over_edges already sorts by node; renaming keeps the order
+    return out.rename_columns(["host", "dist"])
+
+
 def web_host_pagerank(sf_dir: str, iters: int = 3) -> ray.data.Dataset:
     """(host, rank): exact-integer weighted PageRank (damping 0.85,
     rank 1.0 == 10^12) over the SYMMETRIZED host link graph, link

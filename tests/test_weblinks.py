@@ -95,6 +95,31 @@ def test_host_graph_conservation(ray_session):
     assert sum(r["n_dst_hosts"] for r in stats) == edges.count()
 
 
+def test_crawl_frontier_directed(ray_session):
+    """Seed sits at dist 0; every other reached host's dist is 1 + the
+    min dist over some in-linking host (directed relaxation witness)."""
+    from ner_pytorch_ray.pipelines.weblinks import (
+        web_crawl_frontier,
+        web_link_edges,
+    )
+
+    dist = {
+        r["host"]: r["dist"]
+        for r in web_crawl_frontier(SF, seed_host="host-00.example.test")
+        .take_all()
+    }
+    assert dist["host-00.example.test"] == 0
+    preds: dict[str, list[str]] = {}
+    for r in web_link_edges(SF).take_all():
+        preds.setdefault(r["dst_host"], []).append(r["src_host"])
+    for h, d in dist.items():
+        if d == 0:
+            continue
+        assert d == 1 + min(
+            dist[p] for p in preds[h] if p in dist
+        ), h
+
+
 def test_host_pagerank_mass(ray_session):
     """Ranks are positive ints summing to ~scale. Every floor division
     truncates < 1 ulp, and there is one per symmetric edge row plus one
