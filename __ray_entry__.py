@@ -1333,6 +1333,12 @@ def _q_web_crawl_frontier(sf_dir: str):
     return web_crawl_frontier(sf_dir)
 
 
+def _q_authority_weighted_docs(sf_dir: str):
+    from ner_pytorch_ray.pipelines.weblinks import authority_weighted_docs
+
+    return authority_weighted_docs(sf_dir, mult=16)
+
+
 def _q_kg_evidence(sf_dir: str):
     from ner_pytorch_ray.pipelines.kg_analytics import kg_evidence
 
@@ -1510,6 +1516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_stats": _q_web_host_stats,
         "web_host_pagerank": _q_web_host_pagerank,
         "web_crawl_frontier": _q_web_crawl_frontier,
+        "authority_weighted_docs": _q_authority_weighted_docs,
         "nation_balance_rank": _q_nation_balance_rank,
         "value_histogram": _q_value_histogram,
         "order_star_flat": _q_order_star_flat,
@@ -4723,6 +4730,34 @@ r0 AS (SELECT node, 1000000000000 // (SELECT COUNT(*) FROM nodes) AS rank
         + """
 SELECT node AS host, CAST(rank AS BIGINT) AS rank FROM r3
 ORDER BY host
+"""
+    )
+    # authority-weighted corpus selection (weblinks.authority_weighted_docs):
+    # keep doc iff u64(md5("{d}:samp")) % 10^12 < rank(host(d)) * 16, ranks
+    # from the same unrolled integer PageRank
+    out["authority_weighted_docs"] = (
+        _web_edges_cte
+        + """
+, ew AS (SELECT src_host AS a, dst_host AS b, n_links AS w FROM hedges),
+edges AS (SELECT a, b, w FROM ew UNION ALL SELECT b AS a, a AS b, w FROM ew),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+sw AS (SELECT a AS node, SUM(w) AS sw FROM edges GROUP BY a),
+r0 AS (SELECT node, 1000000000000 // (SELECT COUNT(*) FROM nodes) AS rank
+       FROM nodes),
+"""
+        + ",".join(_web_pr_iter.format(i=i, p=i - 1) for i in (1, 2, 3))
+        + """
+, docs AS (
+  SELECT d AS doc_id,
+         'host-' || printf('%02d', h) || '.example.test' AS host
+  FROM hosts
+)
+SELECT d.doc_id, d.host, CAST(r.rank AS BIGINT) AS rank
+FROM docs d JOIN r3 r ON r.node = d.host
+WHERE CAST(md5_number_upper(CAST(d.doc_id AS VARCHAR) || ':samp')
+           & 9223372036854775807 AS BIGINT) % 1000000000000
+      < r.rank * 16
+ORDER BY d.doc_id
 """
     )
     # directed crawl-frontier BFS from the seed host along outlinks

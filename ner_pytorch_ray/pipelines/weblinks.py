@@ -261,6 +261,50 @@ def web_host_stats(sf_dir: str) -> ray.data.Dataset:
     ).sort("host")
 
 
+def authority_weighted_docs(
+    sf_dir: str, mult: int = 16
+) -> ray.data.Dataset:
+    """(doc_id, host, rank): corpus selection weighted by host authority
+    -- keep a document with probability proportional to its host's
+    PageRank (the host-graph analog of CCNet-style quality-weighted
+    sampling), made exact and deterministic:
+
+        keep d  iff  u64(md5("{d}:samp")) % 10^12  <  rank(host(d)) * mult
+
+    so a host at the uniform rank (10^12 / N_HOSTS) keeps mult/N_HOSTS
+    of its documents in expectation, and every keep decision is a pure
+    function of (doc_id, final ranks) -- reproducible across runs and
+    partitionings.  The rank table is N_HOSTS rows BY CONSTRUCTION, so
+    it rides into the filter as a task-closure broadcast, never a
+    shuffle side."""
+    ranks = {
+        r["host"]: int(r["rank"])
+        for r in web_host_pagerank(sf_dir).take_all()  # <= N_HOSTS rows
+    }
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids, hosts, rnk = [], [], []
+        for d in batch.column("doc_id").to_pylist():
+            h = host_name(host_index(int(d)))
+            r = ranks.get(h, 0)
+            if _u64(f"{d}:samp") % (10**12) < r * mult:
+                ids.append(int(d))
+                hosts.append(h)
+                rnk.append(r)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "host": pa.array(hosts, type=pa.string()),
+                "rank": pa.array(rnk, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(pick, batch_format="pyarrow").sort("doc_id")
+
+
 def web_crawl_frontier(
     sf_dir: str,
     seed_host: str = "host-00.example.test",

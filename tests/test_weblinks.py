@@ -120,6 +120,39 @@ def test_crawl_frontier_directed(ray_session):
         ), h
 
 
+def test_authority_weighted_selection(ray_session):
+    """Every kept doc satisfies the keep inequality against the final
+    rank table; no doc failing it is kept; kept fraction is in the
+    plausible band around mult/N_HOSTS."""
+    from ner_pytorch_ray.pipelines.weblinks import (
+        N_HOSTS,
+        _u64,
+        authority_weighted_docs,
+        host_index,
+        host_name,
+        web_host_pagerank,
+    )
+
+    mult = 16
+    ranks = {
+        r["host"]: r["rank"] for r in web_host_pagerank(SF).take_all()
+    }
+    kept = authority_weighted_docs(SF, mult=mult).take_all()
+    n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    kept_ids = set()
+    for r in kept:
+        assert r["host"] == host_name(host_index(r["doc_id"]))
+        assert r["rank"] == ranks[r["host"]]
+        assert _u64(f"{r['doc_id']}:samp") % 10**12 < r["rank"] * mult
+        kept_ids.add(r["doc_id"])
+    for d in range(n_docs):
+        if d not in kept_ids:
+            h = host_name(host_index(d))
+            assert _u64(f"{d}:samp") % 10**12 >= ranks.get(h, 0) * mult
+    frac = len(kept) / n_docs
+    assert 0.5 * mult / N_HOSTS < frac < 2.0 * mult / N_HOSTS
+
+
 def test_host_pagerank_mass(ray_session):
     """Ranks are positive ints summing to ~scale. Every floor division
     truncates < 1 ulp, and there is one per symmetric edge row plus one
