@@ -1339,6 +1339,12 @@ def _q_authority_weighted_docs(sf_dir: str):
     return authority_weighted_docs(sf_dir, mult=16)
 
 
+def _q_kg_triple_authority(sf_dir: str):
+    from ner_pytorch_ray.pipelines.weblinks import kg_triple_authority
+
+    return kg_triple_authority(sf_dir)
+
+
 def _q_kg_evidence(sf_dir: str):
     from ner_pytorch_ray.pipelines.kg_analytics import kg_evidence
 
@@ -1517,6 +1523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_pagerank": _q_web_host_pagerank,
         "web_crawl_frontier": _q_web_crawl_frontier,
         "authority_weighted_docs": _q_authority_weighted_docs,
+        "kg_triple_authority": _q_kg_triple_authority,
         "nation_balance_rank": _q_nation_balance_rank,
         "value_histogram": _q_value_histogram,
         "order_star_flat": _q_order_star_flat,
@@ -4758,6 +4765,59 @@ WHERE CAST(md5_number_upper(CAST(d.doc_id AS VARCHAR) || ':samp')
            & 9223372036854775807 AS BIGINT) % 1000000000000
       < r.rank * 16
 ORDER BY d.doc_id
+"""
+    )
+    # authority-weighted triple confidence (weblinks.kg_triple_authority):
+    # each distinct evidence row contributes its host's integer PageRank;
+    # composes the kg_evidence relpairs CTEs with the web-graph PageRank
+    # CTEs (doc -> host via the frozen md5 contract)
+    out["kg_triple_authority"] = (
+        _KG_MENTIONS_POS_CTE
+        + """
+, verbs AS (
+  SELECT doc_id, pos // 12 AS sent_id, pos % 12 AS vpos, w AS verb
+  FROM tok
+  WHERE w IN ('scan', 'filter', 'merge', 'sort', 'group', 'query')
+),
+relpairs AS (
+  SELECT DISTINCT m1.doc_id, m1.sent_id,
+         m1.ent AS subj,
+         (SELECT v.verb FROM verbs v
+          WHERE v.doc_id = m1.doc_id AND v.sent_id = m1.sent_id
+            AND v.vpos >= m1.e AND v.vpos < m2.b
+          ORDER BY v.vpos LIMIT 1) AS pred,
+         m2.ent AS obj
+  FROM menpos m1
+  JOIN menpos m2
+    ON m1.doc_id = m2.doc_id AND m1.sent_id = m2.sent_id AND m1.e <= m2.b
+)
+"""
+        + _web_edges_cte.replace("WITH nn", ", nn")
+        + """
+, ew AS (SELECT src_host AS a, dst_host AS b, n_links AS w FROM hedges),
+edges AS (SELECT a, b, w FROM ew UNION ALL SELECT b AS a, a AS b, w FROM ew),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+sw AS (SELECT a AS node, SUM(w) AS sw FROM edges GROUP BY a),
+r0 AS (SELECT node, 1000000000000 // (SELECT COUNT(*) FROM nodes) AS rank
+       FROM nodes),
+"""
+        + ",".join(_web_pr_iter.format(i=i, p=i - 1) for i in (1, 2, 3))
+        + """
+, ev AS (
+  SELECT DISTINCT doc_id, sent_id, subj, pred, obj
+  FROM relpairs WHERE pred IS NOT NULL
+),
+evr AS (
+  SELECT e.subj, e.pred, e.obj, r.rank
+  FROM ev e
+  JOIN hosts h ON h.d = e.doc_id
+  JOIN r3 r
+    ON r.node = 'host-' || printf('%02d', h.h) || '.example.test'
+)
+SELECT subj, pred, obj, CAST(COUNT(*) AS BIGINT) AS n_evidence,
+       CAST(SUM(rank) AS BIGINT) AS authority_i
+FROM evr GROUP BY 1, 2, 3
+ORDER BY subj, pred, obj
 """
     )
     # directed crawl-frontier BFS from the seed host along outlinks

@@ -305,6 +305,59 @@ def authority_weighted_docs(
     return ds.map_batches(pick, batch_format="pyarrow").sort("doc_id")
 
 
+def kg_triple_authority(sf_dir: str) -> ray.data.Dataset:
+    """(subj, pred, obj, n_evidence, authority_i): KG triple confidence
+    weighted by source-host authority -- each distinct evidence row
+    (page sentence asserting the triple, ``kg_analytics.kg_evidence``)
+    contributes its host's PageRank, so a triple asserted by many
+    high-authority hosts outranks one repeated on a single spam host.
+    ``authority_i`` is the exact integer sum of host ranks (rank 1.0 ==
+    10^12); summation-order independent, bit-identical under any
+    partitioning.
+
+    The rank table is N_HOSTS rows by construction and rides in the
+    task closure; evidence rows pre-aggregate per batch before the one
+    (subj, pred, obj)-keyed shuffle.
+    """
+    from ner_pytorch_ray.pipelines.kg_analytics import kg_evidence
+
+    ranks = {
+        r["host"]: int(r["rank"])
+        for r in web_host_pagerank(sf_dir).take_all()  # <= N_HOSTS rows
+    }
+    ev = kg_evidence(sf_dir)
+
+    def score(batch: pa.Table) -> pa.Table:
+        rank_col = []
+        for u in batch.column("url").to_pylist():
+            # evidence urls follow sources.pages.doc_url:
+            # https://doc-{doc_id:08d}.example.test/page
+            d = int(u.split("doc-")[1].split(".")[0])
+            rank_col.append(ranks[host_name(host_index(d))])
+        t = pa.table(
+            {
+                "subj": batch.column("subj"),
+                "pred": batch.column("pred"),
+                "obj": batch.column("obj"),
+                "n_evidence": pa.array([1] * len(batch), type=pa.int64()),
+                "authority_i": pa.array(rank_col, type=pa.int64()),
+            }
+        )
+        return (
+            t.group_by(["subj", "pred", "obj"])
+            .aggregate([("n_evidence", "sum"), ("authority_i", "sum")])
+            .rename_columns(
+                ["subj", "pred", "obj", "n_evidence", "authority_i"]
+            )
+        )
+
+    return grouped_sum(
+        ev.map_batches(score, batch_format="pyarrow"),
+        keys=["subj", "pred", "obj"],
+        sum_cols=["n_evidence", "authority_i"],
+    ).sort(["subj", "pred", "obj"])
+
+
 def web_crawl_frontier(
     sf_dir: str,
     seed_host: str = "host-00.example.test",

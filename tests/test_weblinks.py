@@ -153,6 +153,34 @@ def test_authority_weighted_selection(ray_session):
     assert 0.5 * mult / N_HOSTS < frac < 2.0 * mult / N_HOSTS
 
 
+def test_triple_authority_composition(ray_session):
+    """authority_i of every triple equals the sum of its evidence hosts'
+    ranks recomputed independently from kg_evidence + the rank table;
+    n_evidence totals match the evidence row count."""
+    from ner_pytorch_ray.pipelines.kg_analytics import kg_evidence
+    from ner_pytorch_ray.pipelines.weblinks import (
+        host_index,
+        host_name,
+        kg_triple_authority,
+        web_host_pagerank,
+    )
+
+    ranks = {
+        r["host"]: r["rank"] for r in web_host_pagerank(SF).take_all()
+    }
+    expect: dict[tuple, list[int]] = {}
+    for r in kg_evidence(SF).take_all():
+        d = int(r["url"].split("doc-")[1].split(".")[0])
+        k = (r["subj"], r["pred"], r["obj"])
+        expect.setdefault(k, []).append(ranks[host_name(host_index(d))])
+    got = kg_triple_authority(SF).take_all()
+    assert len(got) == len(expect)
+    for r in got:
+        k = (r["subj"], r["pred"], r["obj"])
+        assert r["n_evidence"] == len(expect[k])
+        assert r["authority_i"] == sum(expect[k])
+
+
 def test_host_pagerank_mass(ray_session):
     """Ranks are positive ints summing to ~scale. Every floor division
     truncates < 1 ulp, and there is one per symmetric edge row plus one
