@@ -1345,6 +1345,14 @@ def _q_kg_triple_authority(sf_dir: str):
     return kg_triple_authority(sf_dir)
 
 
+def _q_weblinks_incremental(sf_dir: str):
+    from ner_pytorch_ray.pipelines.incremental import (
+        weblinks_incremental_from_documents,
+    )
+
+    return weblinks_incremental_from_documents(sf_dir, n_deltas=3)
+
+
 def _q_kg_evidence(sf_dir: str):
     from ner_pytorch_ray.pipelines.kg_analytics import kg_evidence
 
@@ -1524,6 +1532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_crawl_frontier": _q_web_crawl_frontier,
         "authority_weighted_docs": _q_authority_weighted_docs,
         "kg_triple_authority": _q_kg_triple_authority,
+        "weblinks_incremental": _q_weblinks_incremental,
         "nation_balance_rank": _q_nation_balance_rank,
         "value_histogram": _q_value_histogram,
         "order_star_flat": _q_order_star_flat,
@@ -4684,6 +4693,8 @@ SELECT src_host, dst_host, n_links FROM hedges
 ORDER BY src_host, dst_host
 """
     )
+    # the 3-delta incremental build must bit-match the batch edge table
+    out["weblinks_incremental"] = out["web_link_edges"]
     out["web_host_stats"] = (
         _web_edges_cte
         + """

@@ -1606,3 +1606,137 @@ def crawl_records_from(docs: ray.data.Dataset) -> ray.data.Dataset:
     from ner_pytorch_ray.pipelines.crawl import _records_batch
 
     return docs.map_batches(_records_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Incremental web link graph (weblinks.web_link_edges, delta crawls)
+# ---------------------------------------------------------------------------
+
+_WEBEDGE_SCHEMA = pa.schema(
+    [
+        ("src_host", pa.string()),
+        ("dst_host", pa.string()),
+        ("n_links", pa.int64()),
+    ]
+)
+
+
+def ingest_weblinks_delta(
+    pages: ray.data.Dataset,
+    state_dir: str,
+    delta_id: str,
+    fingerprint: str | None = None,
+) -> int:
+    """Fold one crawl delta of linked pages into the persisted host-level
+    link-graph state. Link counts are distributive, so each delta merges
+    as one grouped sum over state ∪ delta partials (the (src_host,
+    dst_host) keyspace is <= N_HOSTS² by construction — the state table
+    never grows past it). Exactly-once per ``delta_id``/``fingerprint``,
+    versioned immutable tables, atomic pointer swap — identical contract
+    to ``ingest_pages_delta``."""
+    from ner_pytorch_ray.pipelines.weblinks import _edge_partials
+    from ner_pytorch_ray.stages.groupby_utils import grouped_sum
+
+    os.makedirs(state_dir, exist_ok=True)
+    state = read_state(state_dir)
+    _check_kind(state, "weblinks", state_dir)
+    fingerprint = fingerprint or delta_id
+    if _check_delta(state, delta_id, fingerprint):
+        return state["version"]
+
+    # fully merge WITHIN the delta first: _merge_and_write treats a
+    # first-version delta as already combined
+    delta_edges = grouped_sum(
+        pages.select_columns(["url", "html"]).map_batches(
+            _edge_partials, batch_format="pyarrow"
+        ),
+        keys=["src_host", "dst_host"],
+        sum_cols=["n_links"],
+    ).materialize()
+
+    ver = state["version"]
+    new = ver + 1
+    prior = os.path.join(state_dir, f"v{ver}", "edges") if ver else None
+    out_dir = os.path.join(state_dir, f"v{new}", "edges")
+    _merge_and_write(
+        prior,
+        delta_edges,
+        ["src_host", "dst_host"],
+        ["n_links"],
+        [],
+        _WEBEDGE_SCHEMA,
+        out_dir,
+    )
+
+    import pyarrow.dataset as pads
+
+    state["version"] = new
+    state["deltas"][delta_id] = {
+        "fingerprint": fingerprint,
+        "delta_edge_rows": delta_edges.count(),
+        "delta_links": int(delta_edges.sum("n_links") or 0),
+        "state_edge_rows": pads.dataset(
+            out_dir, format="parquet"
+        ).count_rows(),
+        "version": new,
+    }
+    _write_state(state_dir, state)
+    _retire_versions(state_dir, new)
+    return new
+
+
+def final_web_edges(state_dir: str) -> ray.data.Dataset:
+    ver = _current_version(state_dir)
+    ds = ray.data.read_parquet(os.path.join(state_dir, f"v{ver}", "edges"))
+    return ds.map_batches(
+        _cast_to(_WEBEDGE_SCHEMA), batch_format="pyarrow"
+    ).sort(["src_host", "dst_host"])
+
+
+def weblinks_incremental_from_documents(
+    sf_dir: str,
+    n_deltas: int = 3,
+    state_dir: str | None = None,
+) -> ray.data.Dataset:
+    """Ingest ``sf_dir``'s linked pages as ``n_deltas`` successive crawls
+    and return the final host edge table — bit-identical to the batch
+    ``weblinks.web_link_edges`` (same oracle SQL). Link targets use the
+    FULL corpus size at every delta (the html generator's frozen
+    contract), matching the batch render byte-for-byte."""
+    from ner_pytorch_ray.pipelines.weblinks import (
+        _documents_to_linked_pages,
+        corpus_size,
+    )
+
+    owns_state = state_dir is None
+    if owns_state:
+        import tempfile
+
+        state_dir = tempfile.mkdtemp(prefix="weblinks_incremental_", dir="/tmp")
+    try:
+        n_docs = corpus_size(sf_dir)
+        for d in range(n_deltas):
+            fp = mf.chained_fingerprint(
+                mf.input_fingerprint(sf_dir, "weblinks_incremental", n_deltas, d)
+            )
+            docs = ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "text", "lang"],
+            )
+            pages = mf.filter_shard(docs, n_deltas, d).map_batches(
+                lambda b: _documents_to_linked_pages(b, n_docs),
+                batch_format="pyarrow",
+            )
+            ingest_weblinks_delta(
+                pages,
+                state_dir,
+                delta_id=f"delta={d}/{n_deltas}",
+                fingerprint=fp,
+            )
+        out = final_web_edges(state_dir)
+        if owns_state:
+            out = out.materialize()
+        return out
+    finally:
+        if owns_state:
+            shutil.rmtree(state_dir, ignore_errors=True)

@@ -6,6 +6,8 @@ tools/check_oracles.py and the driver gate; these tests pin the library
 surface and the invariants the oracles cannot see (that links really are
 EXTRACTED from html bytes, not recomputed)."""
 
+import os
+
 import pyarrow.parquet as pq
 
 from ner_pytorch_ray.functions.html import (
@@ -179,6 +181,63 @@ def test_triple_authority_composition(ray_session):
         k = (r["subj"], r["pred"], r["obj"])
         assert r["n_evidence"] == len(expect[k])
         assert r["authority_i"] == sum(expect[k])
+
+
+def test_weblinks_incremental_resume(ray_session, tmp_path):
+    """Interrupted ingest resumes at delta granularity: ingest 2 of 3
+    deltas, reopen the state dir, retry delta 1 (exactly-once no-op),
+    ingest the last — final edges bit-match the batch build; a changed
+    fingerprint for an ingested delta raises."""
+    import pytest
+
+    from ner_pytorch_ray.pipelines.incremental import (
+        final_web_edges,
+        ingest_weblinks_delta,
+        weblinks_incremental_from_documents,
+    )
+    from ner_pytorch_ray.pipelines.weblinks import (
+        _documents_to_linked_pages,
+        corpus_size,
+        web_link_edges,
+    )
+    from ner_pytorch_ray.state import manifests as mf
+    import ray
+
+    sd = str(tmp_path / "state")
+    n_docs = corpus_size(SF)
+
+    def delta_pages(d):
+        docs = ray.data.read_parquet(
+            f"{SF}/documents.parquet", columns=["doc_id", "text", "lang"]
+        )
+        return mf.filter_shard(docs, 3, d).map_batches(
+            lambda b: _documents_to_linked_pages(b, n_docs),
+            batch_format="pyarrow",
+        )
+
+    for d in (0, 1):
+        ingest_weblinks_delta(delta_pages(d), sd, f"delta={d}/3", f"fp{d}")
+    # retry of an ingested delta with the SAME fingerprint: no-op
+    v = ingest_weblinks_delta(delta_pages(1), sd, "delta=1/3", "fp1")
+    assert v == 2
+    # a DIFFERENT fingerprint for the same delta id must raise
+    with pytest.raises(ValueError):
+        ingest_weblinks_delta(delta_pages(1), sd, "delta=1/3", "fpX")
+    ingest_weblinks_delta(delta_pages(2), sd, "delta=2/3", "fp2")
+
+    batch = web_link_edges(SF).take_all()
+    assert final_web_edges(sd).take_all() == batch
+    # convenience wrapper agrees and cleans up after itself
+    before = set(os.listdir("/tmp"))
+    assert (
+        weblinks_incremental_from_documents(SF, n_deltas=3).take_all()
+        == batch
+    )
+    leaked = {
+        d for d in set(os.listdir("/tmp")) - before
+        if d.startswith("weblinks_incremental_")
+    }
+    assert not leaked
 
 
 def test_host_pagerank_mass(ray_session):
