@@ -1345,6 +1345,18 @@ def _q_kg_triple_authority(sf_dir: str):
     return kg_triple_authority(sf_dir)
 
 
+def _q_web_host_freshness(sf_dir: str):
+    from ner_pytorch_ray.pipelines.weblinks import web_host_freshness
+
+    return web_host_freshness(sf_dir)
+
+
+def _q_web_reciprocal_pairs(sf_dir: str):
+    from ner_pytorch_ray.pipelines.weblinks import web_reciprocal_pairs
+
+    return web_reciprocal_pairs(sf_dir)
+
+
 def _q_weblinks_incremental(sf_dir: str):
     from ner_pytorch_ray.pipelines.incremental import (
         weblinks_incremental_from_documents,
@@ -1533,6 +1545,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "authority_weighted_docs": _q_authority_weighted_docs,
         "kg_triple_authority": _q_kg_triple_authority,
         "weblinks_incremental": _q_weblinks_incremental,
+        "web_host_freshness": _q_web_host_freshness,
+        "web_reciprocal_pairs": _q_web_reciprocal_pairs,
         "nation_balance_rank": _q_nation_balance_rank,
         "value_histogram": _q_value_histogram,
         "order_star_flat": _q_order_star_flat,
@@ -4695,6 +4709,38 @@ ORDER BY src_host, dst_host
     )
     # the 3-delta incremental build must bit-match the batch edge table
     out["weblinks_incremental"] = out["web_link_edges"]
+    # per-host crawl freshness: warc_ts = make_timestamp(EPOCH_US + doc_id)
+    # (sources.pages EPOCH_US contract)
+    out["web_host_freshness"] = (
+        _web_edges_cte
+        + """
+SELECT 'host-' || printf('%02d', h) || '.example.test' AS host,
+       CAST(COUNT(*) AS BIGINT) AS n_pages,
+       MIN(make_timestamp(1577836800000000 + d)) AS first_ts,
+       MAX(make_timestamp(1577836800000000 + d)) AS last_ts
+FROM hosts GROUP BY 1 ORDER BY 1
+"""
+    )
+    # mutually-linked host pairs: canonical (min, max) pair with
+    # direction-tagged link counts, both directions present
+    out["web_reciprocal_pairs"] = (
+        _web_edges_cte
+        + """
+, canon AS (
+  SELECT LEAST(src_host, dst_host) AS host_a,
+         GREATEST(src_host, dst_host) AS host_b,
+         CASE WHEN src_host < dst_host THEN n_links ELSE 0 END AS fwd_links,
+         CASE WHEN src_host > dst_host THEN n_links ELSE 0 END AS bwd_links
+  FROM hedges WHERE src_host <> dst_host
+)
+SELECT host_a, host_b,
+       CAST(SUM(fwd_links) AS BIGINT) AS fwd_links,
+       CAST(SUM(bwd_links) AS BIGINT) AS bwd_links
+FROM canon GROUP BY 1, 2
+HAVING SUM(fwd_links) > 0 AND SUM(bwd_links) > 0
+ORDER BY host_a, host_b
+"""
+    )
     out["web_host_stats"] = (
         _web_edges_cte
         + """

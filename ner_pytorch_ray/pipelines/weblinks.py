@@ -391,6 +391,82 @@ def web_crawl_frontier(
     return out.rename_columns(["host", "dist"])
 
 
+def web_host_freshness(sf_dir: str) -> ray.data.Dataset:
+    """(host, n_pages, first_ts, last_ts): per-host crawl freshness from
+    the pages stream's ``warc_ts`` -- the recrawl-scheduling digest (which
+    hosts have stale coverage). Per-batch min/max pre-aggregation, ONE
+    grouped fold over <= N_HOSTS keys; timestamps stay Arrow
+    ``timestamp[us]`` end to end."""
+    pgs = linked_pages(sf_dir).select_columns(["url", "warc_ts"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        hosts = [host_of_url(u) for u in batch.column("url").to_pylist()]
+        t = pa.table(
+            {
+                "host": pa.array(hosts, type=pa.string()),
+                "n_pages": pa.array([1] * len(hosts), type=pa.int64()),
+                "first_ts": batch.column("warc_ts"),
+                "last_ts": batch.column("warc_ts"),
+            }
+        )
+        return (
+            t.group_by(["host"])
+            .aggregate(
+                [("n_pages", "sum"), ("first_ts", "min"), ("last_ts", "max")]
+            )
+            .rename_columns(["host", "n_pages", "first_ts", "last_ts"])
+        )
+
+    return grouped_sum(
+        pgs.map_batches(partials, batch_format="pyarrow"),
+        keys=["host"],
+        sum_cols=["n_pages"],
+        min_cols=["first_ts"],
+        max_cols=["last_ts"],
+    ).sort("host")
+
+
+def web_reciprocal_pairs(sf_dir: str) -> ray.data.Dataset:
+    """(host_a, host_b, fwd_links, bwd_links): host pairs linked in BOTH
+    directions (mutual-citation signal; reciprocity is a classic web-spam
+    / community indicator). Edge rows fold onto the canonical (min, max)
+    pair with direction-tagged counts -- one grouped sum over the
+    <= N_HOSTS² pair keyspace, self-loops excluded."""
+    edges = web_link_edges(sf_dir)
+
+    def canonical(batch: pa.Table) -> pa.Table:
+        a, b, fwd, bwd = [], [], [], []
+        for s, d, n in zip(
+            batch.column("src_host").to_pylist(),
+            batch.column("dst_host").to_pylist(),
+            batch.column("n_links").to_pylist(),
+        ):
+            if s == d:
+                continue
+            lo, hi = (s, d) if s < d else (d, s)
+            a.append(lo)
+            b.append(hi)
+            fwd.append(n if s < d else 0)
+            bwd.append(n if s > d else 0)
+        return pa.table(
+            {
+                "host_a": pa.array(a, type=pa.string()),
+                "host_b": pa.array(b, type=pa.string()),
+                "fwd_links": pa.array(fwd, type=pa.int64()),
+                "bwd_links": pa.array(bwd, type=pa.int64()),
+            }
+        )
+
+    folded = grouped_sum(
+        edges.map_batches(canonical, batch_format="pyarrow"),
+        keys=["host_a", "host_b"],
+        sum_cols=["fwd_links", "bwd_links"],
+    )
+    return folded.filter(
+        expr="fwd_links > 0 and bwd_links > 0"
+    ).sort(["host_a", "host_b"])
+
+
 def web_host_pagerank(sf_dir: str, iters: int = 3) -> ray.data.Dataset:
     """(host, rank): exact-integer weighted PageRank (damping 0.85,
     rank 1.0 == 10^12) over the SYMMETRIZED host link graph, link

@@ -240,6 +240,49 @@ def test_weblinks_incremental_resume(ray_session, tmp_path):
     assert not leaked
 
 
+def test_host_freshness_and_reciprocity(ray_session):
+    """Freshness spans recompute from doc_ids (warc_ts = EPOCH + doc_id);
+    reciprocal pairs are exactly the edge pairs present in BOTH
+    directions, with direction-tagged counts."""
+    from ner_pytorch_ray.pipelines.weblinks import (
+        host_index,
+        host_name,
+        web_host_freshness,
+        web_link_edges,
+        web_reciprocal_pairs,
+    )
+    from ner_pytorch_ray.sources.pages import EPOCH_US
+
+    n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    span: dict[str, list[int]] = {}
+    for d in range(n_docs):
+        span.setdefault(host_name(host_index(d)), []).append(d)
+    fresh = web_host_freshness(SF).take_all()
+    assert len(fresh) == len(span)
+    for r in fresh:
+        ds = span[r["host"]]
+        assert r["n_pages"] == len(ds)
+        us = int(r["first_ts"].timestamp() * 1e6) if hasattr(
+            r["first_ts"], "timestamp"
+        ) else r["first_ts"]
+        assert us == EPOCH_US + min(ds)
+
+    ew = {
+        (r["src_host"], r["dst_host"]): r["n_links"]
+        for r in web_link_edges(SF).take_all()
+    }
+    expect = sorted(
+        (a, b)
+        for (a, b) in ew
+        if a < b and (b, a) in ew
+    )
+    got = web_reciprocal_pairs(SF).take_all()
+    assert [(r["host_a"], r["host_b"]) for r in got] == expect
+    for r in got:
+        assert r["fwd_links"] == ew[(r["host_a"], r["host_b"])]
+        assert r["bwd_links"] == ew[(r["host_b"], r["host_a"])]
+
+
 def test_host_pagerank_mass(ray_session):
     """Ranks are positive ints summing to ~scale. Every floor division
     truncates < 1 ulp, and there is one per symmetric edge row plus one
