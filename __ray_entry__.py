@@ -1345,6 +1345,12 @@ def _q_kg_triple_authority(sf_dir: str):
     return kg_triple_authority(sf_dir)
 
 
+def _q_web_host_walks(sf_dir: str):
+    from ner_pytorch_ray.pipelines.weblinks import web_host_walks
+
+    return web_host_walks(sf_dir, walks_per_node=2, steps=3)
+
+
 def _q_web_host_freshness(sf_dir: str):
     from ner_pytorch_ray.pipelines.weblinks import web_host_freshness
 
@@ -1547,6 +1553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weblinks_incremental": _q_weblinks_incremental,
         "web_host_freshness": _q_web_host_freshness,
         "web_reciprocal_pairs": _q_web_reciprocal_pairs,
+        "web_host_walks": _q_web_host_walks,
         "nation_balance_rank": _q_nation_balance_rank,
         "value_histogram": _q_value_histogram,
         "order_star_flat": _q_order_star_flat,
@@ -4719,6 +4726,43 @@ SELECT 'host-' || printf('%02d', h) || '.example.test' AS host,
        MIN(make_timestamp(1577836800000000 + d)) AS first_ts,
        MAX(make_timestamp(1577836800000000 + d)) AS last_ts
 FROM hosts GROUP BY 1 ORDER BY 1
+"""
+    )
+    # deterministic walks over the symmetrized host graph
+    # (weblinks.web_host_walks): same md5-threshold hop machinery as
+    # kg_random_walks, the ew CTE swapped for merged symmetric host edges
+    out["web_host_walks"] = (
+        _web_edges_cte
+        + """
+, ew AS (
+  SELECT a, b, SUM(w) AS w FROM (
+    SELECT src_host AS a, dst_host AS b, n_links AS w FROM hedges
+    UNION ALL
+    SELECT dst_host AS a, src_host AS b, n_links AS w FROM hedges
+  ) GROUP BY a, b
+),
+edges AS (SELECT a, b, w FROM ew),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+sw AS (SELECT a AS node, SUM(w) AS sw FROM edges GROUP BY a),
+cum AS (
+  SELECT a, b, w,
+         SUM(w) OVER (PARTITION BY a ORDER BY b
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM edges
+),
+w0 AS (SELECT node AS start, CAST(r.r AS BIGINT) AS walk_idx, node AS cur
+       FROM nodes, (SELECT unnest(range(2)) AS r) r),
+"""
+        + ",".join(_walk_step.format(k=k, p=k - 1) for k in (1, 2, 3))
+        + """,
+walkpos AS (
+  SELECT start, walk_idx, CAST(0 AS BIGINT) AS step, start AS node FROM w0
+  UNION ALL SELECT start, walk_idx, CAST(1 AS BIGINT), cur FROM w1
+  UNION ALL SELECT start, walk_idx, CAST(2 AS BIGINT), cur FROM w2
+  UNION ALL SELECT start, walk_idx, CAST(3 AS BIGINT), cur FROM w3
+)
+SELECT start, walk_idx, step, node FROM walkpos
+ORDER BY start, walk_idx, step
 """
     )
     # mutually-linked host pairs: canonical (min, max) pair with

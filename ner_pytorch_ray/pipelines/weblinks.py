@@ -467,6 +467,53 @@ def web_reciprocal_pairs(sf_dir: str) -> ray.data.Dataset:
     ).sort(["host_a", "host_b"])
 
 
+def web_host_walks(
+    sf_dir: str, walks_per_node: int = 2, steps: int = 3
+) -> ray.data.Dataset:
+    """(start, walk_idx, step, node): deterministic weighted random-walk
+    corpus over the symmetrized host graph -- the node2vec/DeepWalk input
+    for host embeddings (spam/topic host clustering), reusing
+    ``kg_analytics.random_walks_over_edges`` (md5-threshold hop choice,
+    bit-reproducible and SQL-oracle-able). Parallel (a, b) rows from
+    symmetrization are merged first so the cumulative-weight neighbor
+    pick sees one row per neighbor."""
+    from ner_pytorch_ray.pipelines.kg_analytics import (
+        random_walks_over_edges,
+    )
+
+    edges = web_link_edges(sf_dir)
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        fwd = pa.table(
+            {
+                "a": batch.column("src_host"),
+                "b": batch.column("dst_host"),
+                "w": batch.column("n_links"),
+            }
+        )
+        rev = pa.table(
+            {
+                "a": batch.column("dst_host"),
+                "b": batch.column("src_host"),
+                "w": batch.column("n_links"),
+            }
+        )
+        return pa.concat_tables([fwd, rev])
+
+    merged = grouped_sum(
+        edges.map_batches(symmetrize, batch_format="pyarrow"),
+        keys=["a", "b"],
+        sum_cols=["w"],
+    )
+    return random_walks_over_edges(
+        merged,
+        walks_per_node=walks_per_node,
+        steps=steps,
+        node_type=pa.string(),
+        weight_col="w",
+    )
+
+
 def web_host_pagerank(sf_dir: str, iters: int = 3) -> ray.data.Dataset:
     """(host, rank): exact-integer weighted PageRank (damping 0.85,
     rank 1.0 == 10^12) over the SYMMETRIZED host link graph, link

@@ -283,6 +283,30 @@ def test_host_freshness_and_reciprocity(ray_session):
         assert r["bwd_links"] == ew[(r["host_b"], r["host_a"])]
 
 
+def test_host_walks_follow_edges(ray_session):
+    """Every consecutive walk hop is a real neighbor in the symmetric
+    host graph; shape = nodes x walks x (steps+1) positions."""
+    from ner_pytorch_ray.pipelines.weblinks import (
+        web_host_walks,
+        web_link_edges,
+    )
+
+    nbrs: dict[str, set] = {}
+    for r in web_link_edges(SF).take_all():
+        nbrs.setdefault(r["src_host"], set()).add(r["dst_host"])
+        nbrs.setdefault(r["dst_host"], set()).add(r["src_host"])
+    rows = web_host_walks(SF, walks_per_node=2, steps=3).take_all()
+    assert len(rows) == len(nbrs) * 2 * 4
+    pos = {}
+    for r in rows:
+        pos[(r["start"], r["walk_idx"], r["step"])] = r["node"]
+    for (start, wi, step), node in pos.items():
+        if step == 0:
+            assert node == start
+        else:
+            assert node in nbrs[pos[(start, wi, step - 1)]]
+
+
 def test_host_pagerank_mass(ray_session):
     """Ranks are positive ints summing to ~scale. Every floor division
     truncates < 1 ulp, and there is one per symmetric edge row plus one
