@@ -318,6 +318,13 @@ def kg_triple_authority(sf_dir: str) -> ray.data.Dataset:
     The rank table is N_HOSTS rows by construction and rides in the
     task closure; evidence rows pre-aggregate per batch before the one
     (subj, pred, obj)-keyed shuffle.
+
+    Overflow guard: each contribution is < 10^12 (a host's rank is
+    bounded by the total PageRank mass), so the int64 sum is exact up
+    to (2^63-1) // 10^12 ~ 9.2e6 evidence rows per triple.  A hotter
+    triple (plausible at 10^12-document scale) RAISES after the fold
+    instead of degrading silently — the caps-that-raise stance the
+    banded dedup detectors take.
     """
     from ner_pytorch_ray.pipelines.kg_analytics import kg_evidence
 
@@ -351,11 +358,27 @@ def kg_triple_authority(sf_dir: str) -> ray.data.Dataset:
             )
         )
 
-    return grouped_sum(
+    folded = grouped_sum(
         ev.map_batches(score, batch_format="pyarrow"),
         keys=["subj", "pred", "obj"],
         sum_cols=["n_evidence", "authority_i"],
-    ).sort(["subj", "pred", "obj"])
+    )
+
+    _SAFE_EVIDENCE = (2**63 - 1) // 10**12  # ~9.2e6 rows per triple
+
+    def guard(batch: pa.Table) -> pa.Table:
+        mx = pc.max(batch.column("n_evidence")).as_py()
+        if mx is not None and mx > _SAFE_EVIDENCE:
+            raise ValueError(
+                f"a triple has {mx} evidence rows; int64 authority sums "
+                f"are exact only up to {_SAFE_EVIDENCE} — shard the triple "
+                "key (salt) or pre-scale ranks before summing"
+            )
+        return batch
+
+    return folded.map_batches(guard, batch_format="pyarrow").sort(
+        ["subj", "pred", "obj"]
+    )
 
 
 def web_crawl_frontier(
