@@ -1345,6 +1345,12 @@ def _q_kg_triple_authority(sf_dir: str):
     return kg_triple_authority(sf_dir)
 
 
+def _q_web_host_hits(sf_dir: str):
+    from ner_pytorch_ray.pipelines.weblinks import web_host_hits
+
+    return web_host_hits(sf_dir, iters=2)
+
+
 def _q_web_host_walks(sf_dir: str):
     from ner_pytorch_ray.pipelines.weblinks import web_host_walks
 
@@ -1554,6 +1560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_freshness": _q_web_host_freshness,
         "web_reciprocal_pairs": _q_web_reciprocal_pairs,
         "web_host_walks": _q_web_host_walks,
+        "web_host_hits": _q_web_host_hits,
         "nation_balance_rank": _q_nation_balance_rank,
         "value_histogram": _q_value_histogram,
         "order_star_flat": _q_order_star_flat,
@@ -4726,6 +4733,58 @@ SELECT 'host-' || printf('%02d', h) || '.example.test' AS host,
        MIN(make_timestamp(1577836800000000 + d)) AS first_ts,
        MAX(make_timestamp(1577836800000000 + d)) AS last_ts
 FROM hosts GROUP BY 1 ORDER BY 1
+"""
+    )
+    # HITS hubs/authorities over the DIRECTED host graph
+    # (weblinks.web_host_hits): same unrolled exact-integer form as
+    # kg_hits, ed swapped for host edges
+    out["web_host_hits"] = (
+        _web_edges_cte
+        + """
+, ed AS (SELECT src_host AS a, dst_host AS b, n_links AS w FROM hedges),
+nodes AS (SELECT a AS node FROM ed UNION SELECT b FROM ed),
+nhn AS (SELECT COUNT(*) AS n FROM nodes),
+h0 AS (SELECT node, CAST(1000000000 // nhn.n AS BIGINT) AS s
+       FROM nodes, nhn),
+ar1 AS (
+  SELECT n.node, COALESCE(SUM(h.s * e.w), 0) AS raw
+  FROM nodes n
+  LEFT JOIN ed e ON e.b = n.node
+  LEFT JOIN h0 h ON h.node = e.a
+  GROUP BY n.node
+),
+a1 AS (SELECT node, CAST(CAST(raw AS HUGEINT) * 1000000000
+         // (SELECT SUM(raw) FROM ar1) AS BIGINT) AS s FROM ar1),
+hr1 AS (
+  SELECT n.node, COALESCE(SUM(a.s * e.w), 0) AS raw
+  FROM nodes n
+  LEFT JOIN ed e ON e.a = n.node
+  LEFT JOIN a1 a ON a.node = e.b
+  GROUP BY n.node
+),
+h1 AS (SELECT node, CAST(CAST(raw AS HUGEINT) * 1000000000
+         // (SELECT SUM(raw) FROM hr1) AS BIGINT) AS s FROM hr1),
+ar2 AS (
+  SELECT n.node, COALESCE(SUM(h.s * e.w), 0) AS raw
+  FROM nodes n
+  LEFT JOIN ed e ON e.b = n.node
+  LEFT JOIN h1 h ON h.node = e.a
+  GROUP BY n.node
+),
+a2 AS (SELECT node, CAST(CAST(raw AS HUGEINT) * 1000000000
+         // (SELECT SUM(raw) FROM ar2) AS BIGINT) AS s FROM ar2),
+hr2 AS (
+  SELECT n.node, COALESCE(SUM(a.s * e.w), 0) AS raw
+  FROM nodes n
+  LEFT JOIN ed e ON e.a = n.node
+  LEFT JOIN a2 a ON a.node = e.b
+  GROUP BY n.node
+),
+h2 AS (SELECT node, CAST(CAST(raw AS HUGEINT) * 1000000000
+         // (SELECT SUM(raw) FROM hr2) AS BIGINT) AS s FROM hr2)
+SELECT h2.node AS host, h2.s AS hub_i, a2.s AS auth_i
+FROM h2 JOIN a2 ON a2.node = h2.node
+ORDER BY host
 """
     )
     # deterministic walks over the symmetrized host graph

@@ -537,6 +537,36 @@ def web_host_walks(
     )
 
 
+def web_host_hits(sf_dir: str, iters: int = 2) -> ray.data.Dataset:
+    """(host, hub_i, auth_i): HITS hubs & authorities (Kleinberg 1999 --
+    the web-graph algorithm this graph was made for) over the DIRECTED
+    host link graph, link counts as weights, exact scaled integers
+    (``graph_ops.hits_over_edges``: int64 raw sums, arbitrary-precision
+    L1 normalization, bit-identical under any partitioning). Good hubs
+    (directory hosts) and good authorities (linked-to hosts) separate
+    here where PageRank conflates them."""
+    from ner_pytorch_ray.pipelines.graph_ops import hits_over_edges
+
+    edges = web_link_edges(sf_dir)
+
+    def ab(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": batch.column("src_host"),
+                "b": batch.column("dst_host"),
+                "weight": batch.column("n_links"),
+            }
+        )
+
+    out = hits_over_edges(
+        edges.map_batches(ab, batch_format="pyarrow"),
+        iters=iters,
+        node_type=pa.string(),
+        weight_col="weight",
+    )
+    return out.rename_columns(["host", "hub_i", "auth_i"]).sort("host")
+
+
 def web_host_pagerank(sf_dir: str, iters: int = 3) -> ray.data.Dataset:
     """(host, rank): exact-integer weighted PageRank (damping 0.85,
     rank 1.0 == 10^12) over the SYMMETRIZED host link graph, link

@@ -307,6 +307,22 @@ def test_host_walks_follow_edges(ray_session):
             assert node in nbrs[pos[(start, wi, step - 1)]]
 
 
+def test_host_hits_l1_mass(ray_session):
+    """Hub and authority vectors are L1-normalized to ~scale (floor
+    truncation < 1 ulp per node) and non-negative; hubs differ from
+    authorities (the graph is directed)."""
+    rows = __import__(
+        "ner_pytorch_ray.pipelines.weblinks", fromlist=["web_host_hits"]
+    ).web_host_hits(SF, iters=2).take_all()
+    scale = 10**9
+    hub = sum(r["hub_i"] for r in rows)
+    auth = sum(r["auth_i"] for r in rows)
+    assert 0 <= scale - hub < len(rows)
+    assert 0 <= scale - auth < len(rows)
+    assert all(r["hub_i"] >= 0 and r["auth_i"] >= 0 for r in rows)
+    assert any(r["hub_i"] != r["auth_i"] for r in rows)
+
+
 def test_host_pagerank_mass(ray_session):
     """Ranks are positive ints summing to ~scale. Every floor division
     truncates < 1 ulp, and there is one per symmetric edge row plus one
