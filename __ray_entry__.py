@@ -1345,6 +1345,12 @@ def _q_kg_triple_authority(sf_dir: str):
     return kg_triple_authority(sf_dir)
 
 
+def _q_web_host_langs(sf_dir: str):
+    from ner_pytorch_ray.pipelines.weblinks import web_host_langs
+
+    return web_host_langs(sf_dir)
+
+
 def _q_web_host_hits(sf_dir: str):
     from ner_pytorch_ray.pipelines.weblinks import web_host_hits
 
@@ -1561,6 +1567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_reciprocal_pairs": _q_web_reciprocal_pairs,
         "web_host_walks": _q_web_host_walks,
         "web_host_hits": _q_web_host_hits,
+        "web_host_langs": _q_web_host_langs,
         "nation_balance_rank": _q_nation_balance_rank,
         "value_histogram": _q_value_histogram,
         "order_star_flat": _q_order_star_flat,
@@ -4733,6 +4740,16 @@ SELECT 'host-' || printf('%02d', h) || '.example.test' AS host,
        MIN(make_timestamp(1577836800000000 + d)) AS first_ts,
        MAX(make_timestamp(1577836800000000 + d)) AS last_ts
 FROM hosts GROUP BY 1 ORDER BY 1
+"""
+    )
+    # per-host language composition (weblinks.web_host_langs)
+    out["web_host_langs"] = (
+        _web_edges_cte
+        + """
+SELECT 'host-' || printf('%02d', h.h) || '.example.test' AS host,
+       d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM hosts h JOIN documents d ON d.doc_id = h.d
+GROUP BY 1, 2 ORDER BY 1, 2
 """
     )
     # HITS hubs/authorities over the DIRECTED host graph

@@ -537,6 +537,40 @@ def web_host_walks(
     )
 
 
+def web_host_langs(sf_dir: str) -> ray.data.Dataset:
+    """(host, lang, n_docs): per-host language composition -- the crawl
+    language-routing digest (which hosts feed which language pipelines).
+    Column-pruned read (doc_id, lang only), per-batch combine, ONE
+    grouped fold over <= N_HOSTS x |langs| keys."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        hosts = [
+            host_name(host_index(int(d)))
+            for d in batch.column("doc_id").to_pylist()
+        ]
+        t = pa.table(
+            {
+                "host": pa.array(hosts, type=pa.string()),
+                "lang": batch.column("lang").cast(pa.string()),
+                "n_docs": pa.array([1] * len(hosts), type=pa.int64()),
+            }
+        )
+        return (
+            t.group_by(["host", "lang"])
+            .aggregate([("n_docs", "sum")])
+            .rename_columns(["host", "lang", "n_docs"])
+        )
+
+    return grouped_sum(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        keys=["host", "lang"],
+        sum_cols=["n_docs"],
+    ).sort(["host", "lang"])
+
+
 def web_host_hits(sf_dir: str, iters: int = 2) -> ray.data.Dataset:
     """(host, hub_i, auth_i): HITS hubs & authorities (Kleinberg 1999 --
     the web-graph algorithm this graph was made for) over the DIRECTED

@@ -307,6 +307,16 @@ def test_host_walks_follow_edges(ray_session):
             assert node in nbrs[pos[(start, wi, step - 1)]]
 
 
+def test_host_langs_cover_corpus(ray_session):
+    """(host, lang) doc counts partition the corpus exactly."""
+    from ner_pytorch_ray.pipelines.weblinks import web_host_langs
+
+    rows = web_host_langs(SF).take_all()
+    n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert len({(r["host"], r["lang"]) for r in rows}) == len(rows)
+
+
 def test_host_hits_l1_mass(ray_session):
     """Hub and authority vectors are L1-normalized to ~scale (floor
     truncation < 1 ulp per node) and non-negative; hubs differ from
