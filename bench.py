@@ -381,6 +381,8 @@ def run_extras(sf_dir: str) -> dict:
     timed("event_lead_lag", lambda: event_lead_lag(sf_dir).count())
 
     from ner_pytorch_ray.pipelines.weblinks import (
+        kg_triple_authority,
+        web_host_hits,
         web_host_pagerank,
         web_link_edges,
     )
@@ -388,6 +390,11 @@ def run_extras(sf_dir: str) -> dict:
     timed("web_link_edges", lambda: web_link_edges(sf_dir).count())
     timed(
         "web_host_pagerank", lambda: web_host_pagerank(sf_dir).count()
+    )
+    timed("web_host_hits", lambda: web_host_hits(sf_dir).count())
+    timed(
+        "kg_triple_authority",
+        lambda: kg_triple_authority(sf_dir).count(),
     )
     timed(
         "bloom_antijoin",
