@@ -578,7 +578,13 @@ def web_host_hits(sf_dir: str, iters: int = 2) -> ray.data.Dataset:
     (``graph_ops.hits_over_edges``: int64 raw sums, arbitrary-precision
     L1 normalization, bit-identical under any partitioning). Good hubs
     (directory hosts) and good authorities (linked-to hosts) separate
-    here where PageRank conflates them."""
+    here where PageRank conflates them.
+
+    Scale bound (inherited from the kernel): raw sums stay exact while
+    max single-edge weight x scale < 2^63 — i.e. up to ~9.2e9 links
+    between one host pair at scale=1e9. A trillion-document crawl
+    funneling more than that through one host pair needs ``scale``
+    shrunk (kernel parameter) or the pair key salted."""
     from ner_pytorch_ray.pipelines.graph_ops import hits_over_edges
 
     edges = web_link_edges(sf_dir)
